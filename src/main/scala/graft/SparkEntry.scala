@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.ingest.CommitEtl
+import graft.ops.Relational
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * Every implemented operator is registered here as a named
+  * `(SparkSession, sfDir) => DataFrame` with (where SQL-expressible) a
+  * DuckDB oracle in [[oracleSql]]. Modules contribute their own maps.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship (SURVEY §7.2): the reference's core question — "latest
+    * activity since the watermark, deduped, per source" — over `events`:
+    * scan → pushdown filter → keyed dedup → hash agg → stable sort. */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val stored = ev.where(col("ts") < lit("2024-01-15").cast(TimestampType))
+    CommitEtl.incrementalSlice(ev, CommitEtl.watermark(stored, "ts"), "ts")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
+      .orderBy(col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CommitEtl.queries ++ Relational.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    CommitEtl.oracleSql ++ Relational.oracleSql
 }

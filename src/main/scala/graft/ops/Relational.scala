@@ -1,0 +1,279 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import graft.util.Exact._
+
+/** Core relational surface: scans, filters/projections, joins of every
+  * flavor, and set operations (SURVEY.md §2.2 rows: scans, projection/filter,
+  * predicates, joins, set ops).
+  *
+  * Scale notes baked into each query:
+  *  - dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  *    `broadcast()` — no shuffle of the fact side;
+  *  - fact⨝fact joins (orders⨝lineitem) shuffle on the join key once and
+  *    stay keyed for the downstream aggregate;
+  *  - every filter/projection is declarative so Catalyst pushes it into the
+  *    parquet scan (verify: `PushedFilters`/`ReadSchema` in `.explain`);
+  *  - money aggregates use [[graft.util.Exact]] scaled-long sums, which are
+  *    also partition-order-independent — a float `sum` at 100 TB is not.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- filter + projection with pushdown (O2/O4 lineage) ------------------
+    "q_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01").cast(TimestampType) &&
+               col("l_discount").between(0.03, 0.07) && col("l_quantity") < 30)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          fix(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // -- TPC-H Q1: wide hash aggregate, map-side partials --------------------
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumFix(col("l_quantity"), 2).as("sum_qty"),
+          sumFix(col("l_extendedprice"), 2).as("sum_base_price"),
+          sumFix(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          sumFix(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 4).as("sum_charge"),
+          avgFix(col("l_quantity"), 2).as("avg_qty"),
+          avgFix(col("l_extendedprice"), 2).as("avg_price"),
+          avgFix(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // -- TPC-H Q3-ish: fact⨝fact shuffle join + broadcast dim + top-k --------
+    "q3_topk_revenue" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord  = t(s, dir, "orders").where(col("o_orderdate") < lit("2000-01-01").cast(TimestampType))
+      val li   = t(s, dir, "lineitem").where(col("l_shipdate") > lit("1998-06-30").cast(TimestampType))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sumFix(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // -- TPC-H Q5-ish: 6-table join, dims broadcast, one fact shuffle --------
+    "q5_multi_join" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val or = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+               col("o_orderdate") <  lit("1999-01-01").cast(TimestampType))
+      val cu = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val na = t(s, dir, "nation")
+      val re = t(s, dir, "region").where(col("r_name").isin("ASIA", "EUROPE"))
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey") &&
+                             col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sumFix(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // -- broadcast-hash join chain over dims ---------------------------------
+    "q_broadcast_join" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), avgFix(col("c_acctbal"), 2).as("avg_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // -- sort-merge join (hinted) — the 100 TB fact⨝fact path ----------------
+    "q_merge_join" -> { (s, dir) =>
+      val or = t(s, dir, "orders").hint("merge")
+      t(s, dir, "lineitem").hint("merge")
+        .join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"), sumFix(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // -- left outer with null handling ---------------------------------------
+    "q_outer_join" -> { (s, dir) =>
+      val or = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"),
+          sumFix(col("o_totalprice"), 2).as("spend"))
+      t(s, dir, "customer")
+        .join(or, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0.0)).as("spend"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // -- semi / anti (EXISTS / NOT EXISTS) ------------------------------------
+    "q_semi_join" -> { (s, dir) =>
+      val ord = t(s, dir, "orders").where(col("o_totalprice") > 300000)
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
+    },
+    "q_anti_join" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment")).orderBy(col("c_custkey"))
+    },
+
+    // -- theta/range join: equi key + range predicate ------------------------
+    "q_range_join" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey") &&
+          col("l_extendedprice") > col("p_retailprice") * 40)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("p_brand"))
+    },
+
+    // -- set operations -------------------------------------------------------
+    "q_union" -> { (s, dir) =>
+      val hi = t(s, dir, "customer").where(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("k"), lit("hi_bal").as("tag"))
+      val bld = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING" &&
+          col("c_acctbal") > 8000)
+        .select(col("c_custkey").as("k"), lit("building").as("tag"))
+      hi.unionByName(bld).orderBy(col("k"), col("tag"))
+    },
+    "q_intersect" -> { (s, dir) =>
+      val a = t(s, dir, "orders").where(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val b = t(s, dir, "orders").where(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      a.intersect(b).orderBy(col("k"))
+    },
+    "q_except" -> { (s, dir) =>
+      val a = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val b = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      a.except(b).orderBy(col("k"))
+    },
+
+    // -- distinct + multi-column dedup ----------------------------------------
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_project" -> s"""
+      SELECT l_orderkey, l_linenumber,
+             ${sqlFix("l_extendedprice * (1 - l_discount)", 2)} AS net_price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 30
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q1_pricing_summary" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             ${sqlSumFix("l_quantity", 2)} AS sum_qty,
+             ${sqlSumFix("l_extendedprice", 2)} AS sum_base_price,
+             ${sqlSumFix("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+             ${sqlSumFix("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)} AS sum_charge,
+             ${sqlAvgFix("l_quantity", 2)} AS avg_qty,
+             ${sqlAvgFix("l_extendedprice", 2)} AS avg_price,
+             ${sqlAvgFix("l_discount", 4)} AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_topk_revenue" -> s"""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             ${sqlSumFix("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-01-01'
+        AND l_shipdate > TIMESTAMP '1998-06-30'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_multi_join" -> s"""
+      SELECT r_name, n_name,
+             ${sqlSumFix("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA','EUROPE')
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1999-01-01'
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q_broadcast_join" -> s"""
+      SELECT r_name, n_name, count(*) AS n_customers,
+             ${sqlAvgFix("c_acctbal", 2)} AS avg_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q_merge_join" -> s"""
+      SELECT o_orderstatus, count(*) AS n_lines, ${sqlSumFix("l_quantity", 2)} AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_outer_join" -> s"""
+      SELECT c_custkey, c_name,
+             coalesce(n_orders, 0) AS n_orders, coalesce(spend, 0.0) AS spend
+      FROM customer LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_orders, ${sqlSumFix("o_totalprice", 2)} AS spend
+        FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+      ORDER BY c_custkey""",
+
+    "q_semi_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      ORDER BY c_custkey""",
+
+    "q_anti_join" -> """
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "q_range_join" -> """
+      SELECT p_brand, count(*) AS n, max(l_extendedprice) AS max_price
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+        AND l_extendedprice > p_retailprice * 40
+      GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_union" -> """
+      SELECT * FROM (
+        SELECT c_custkey AS k, 'hi_bal' AS tag FROM customer WHERE c_acctbal > 9000
+        UNION ALL
+        SELECT c_custkey AS k, 'building' AS tag FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000)
+      ORDER BY k, tag""",
+
+    "q_intersect" -> """
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY k""",
+
+    "q_except" -> """
+      SELECT c_custkey AS k FROM customer
+      EXCEPT
+      SELECT o_custkey AS k FROM orders
+      ORDER BY k""",
+
+    "q_distinct" -> """
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      ORDER BY o_orderstatus, o_orderpriority""")
+}

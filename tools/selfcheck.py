@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB against the sf tables and compare (columns sorted by name, rows
+sorted) against the parquet that graft.Verify dumped. Exact match required
+(floats compared bitwise after both sides' round())."""
+import json, sys, glob
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+ok = fail = skipped = 0
+for name in sorted(oracle):
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"MISSING SPARK OUTPUT: {name}")
+        fail += 1
+        continue
+    try:
+        got = con.execute(f"SELECT * FROM '{files[0]}'").fetchdf()
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"ERROR {name}: {e}")
+        fail += 1
+        continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        print(f"SCHEMA MISMATCH {name}: spark={list(got.columns)} oracle={list(exp.columns)}")
+        fail += 1
+        continue
+    if len(got) != len(exp):
+        print(f"ROWCOUNT MISMATCH {name}: spark={len(got)} oracle={len(exp)}")
+        fail += 1
+        continue
+    gs = got.sort_values(by=list(got.columns), ignore_index=True)
+    es = exp.sort_values(by=list(exp.columns), ignore_index=True)
+    # normalize dtypes for compare
+    import pandas as pd
+    diff_cols = []
+    for c in gs.columns:
+        a, b = gs[c], es[c]
+        try:
+            if a.dtype != b.dtype:
+                b = b.astype(a.dtype)
+        except Exception:
+            pass
+        eq = (a == b) | (a.isna() & b.isna())
+        if not eq.all():
+            diff_cols.append((c, int((~eq).sum())))
+    if diff_cols:
+        print(f"VALUE MISMATCH {name}: {diff_cols}")
+        for c, _ in diff_cols[:2]:
+            m = ~((gs[c] == es[c]) | (gs[c].isna() & es[c].isna()))
+            print("  spark:", gs[m][c].head(3).tolist(), " oracle:", es[m][c].head(3).tolist())
+        fail += 1
+    else:
+        ok += 1
+print(f"\n{ok} ok, {fail} fail, {skipped} no-oracle")
+sys.exit(1 if fail else 0)
