@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
 import graft.ingest.CommitEtl
-import graft.ops.Relational
+import graft.ops.{Aggregates, Relational, Scalars, Windows}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
@@ -31,10 +31,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CommitEtl.queries ++ Relational.queries
+    CommitEtl.queries ++ Relational.queries ++ Aggregates.queries ++
+      Windows.queries ++ Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    CommitEtl.oracleSql ++ Relational.oracleSql
+    CommitEtl.oracleSql ++ Relational.oracleSql ++ Aggregates.oracleSql ++
+      Windows.oracleSql ++ Scalars.oracleSql
 }

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Exact._
+
+/** Aggregation surface (SURVEY.md §2.2 "Aggregations"): multi-distinct,
+  * rollup/cube/grouping sets, stats, ordered collect, sketches, and a custom
+  * `Aggregator` (UDAF path).
+  *
+  * All are partial+final hash aggregates (map-side combine), so at 100 TB the
+  * shuffle carries one row per (partition, group) — never raw rows. The
+  * custom aggregator keeps its buffer to two longs (exact, order-independent)
+  * for the same reason.
+  */
+object Aggregates {
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  /** Custom typed Aggregator (the UDAF path the reference's host-language
+    * loops approximate): quantity-weighted average price, accumulated in
+    * exact cents so merge order is irrelevant across partitions. */
+  object WeightedAvgPrice extends Aggregator[(Double, Double), (Long, Long), Double] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), r: (Double, Double)): (Long, Long) = {
+      val qty = r._1.toLong // quantities are integral doubles
+      val cents = math.floor(r._2 * 100 + 0.5).toLong
+      (b._1 + qty * cents, b._2 + qty)
+    }
+    override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Long, Long)): Double =
+      if (b._2 == 0) 0.0 else (b._1.toDouble / b._2.toDouble) / 100.0
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private def groupingInt(c: Column): Column = grouping(c).cast("int")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_agg_multi_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          countDistinct(col("o_orderpriority")).as("n_prios"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))),
+
+    "q_agg_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumFix(col("l_quantity"), 2).as("sum_qty"),
+          groupingInt(col("l_returnflag")).as("g_rf"),
+          groupingInt(col("l_linestatus")).as("g_ls"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "q_agg_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumFix(col("o_totalprice"), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    "q_agg_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumFix(col("o_totalprice"), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    "q_agg_stats" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          avgFix(col("c_acctbal"), 2).as("avg_bal"),
+          fix(stddev_samp(col("c_acctbal")), 4).as("sd_bal"))
+        .orderBy(col("c_mktsegment"))),
+
+    "q_agg_collect" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("prios"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))),
+
+    // HLL++ sketch: values differ from DuckDB's sketch by design -> no
+    // oracle; driver records a rows-only check. The exact count rides along
+    // so the spec can sanity-bound the estimate.
+    "q_agg_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_agg_custom_wavg" -> { (s, dir) =>
+      val wavg = udaf(WeightedAvgPrice,
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(wavg(col("l_quantity"), col("l_extendedprice")).as("wavg_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_multi_distinct" -> """
+      SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+             count(DISTINCT o_orderpriority) AS n_prios, count(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_agg_rollup" -> s"""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             ${sqlSumFix("l_quantity", 2)} AS sum_qty,
+             CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             CAST(grouping(l_linestatus) AS INT) AS g_ls
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_agg_cube" -> s"""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             ${sqlSumFix("o_totalprice", 2)} AS total
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q_agg_grouping_sets" -> s"""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             ${sqlSumFix("o_totalprice", 2)} AS total
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q_agg_stats" -> s"""
+      SELECT c_mktsegment, count(*) AS n,
+             min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+             ${sqlAvgFix("c_acctbal", 2)} AS avg_bal,
+             ${sqlFix("stddev_samp(c_acctbal)", 4)} AS sd_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_agg_collect" -> """
+      SELECT o_orderstatus,
+             (SELECT string_agg(p, ',' ORDER BY p) FROM (
+                SELECT DISTINCT o2.o_orderpriority AS p FROM orders o2
+                WHERE o2.o_orderstatus = o.o_orderstatus)) AS prios,
+             count(*) AS n
+      FROM orders o GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_agg_custom_wavg" -> """
+      SELECT l_returnflag,
+             sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_price,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+}
