@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** As-of (point-in-time) join — an operator Spark lacks natively for batch
+  * DataFrames (SURVEY.md §2.2 "Joins").
+  *
+  * Implemented by composing built-ins (preference order (a) from the build
+  * brief): union both sides tagged, then a per-key last-observation-
+  * carried-forward window. Cost = ONE hash shuffle on the key + a per-key
+  * sort — identical asymptotics to a native sort-merge as-of join, with no
+  * custom physical operator to maintain; whole-stage codegen covers the
+  * projection, and AQE handles key skew. This scales to fact⨝fact: neither
+  * side is collected or broadcast.
+  */
+object AsOf {
+
+  /** For each left row, append `payloadCols` of the latest right row with
+    * `right.tsCol <= left.tsCol` in the same key group (inclusive, matching
+    * `ASOF JOIN ... ON l.ts >= r.ts`); nulls when no such row. Right side
+    * must be unique per (key, ts) — pre-dedup if needed. Left columns are
+    * preserved; payload columns arrive as `asof_<name>`. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val payloadT = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
+    val lNorm = left.select(
+      col(leftKey).as("_asof_k"), col(leftTs).as("_asof_ts"),
+      lit(1).as("_asof_src"),
+      struct(left.columns.map(col): _*).as("_asof_left"),
+      lit(null).cast(payloadT).as("_asof_payload"))
+    val rNorm = right.select(
+      col(rightKey).as("_asof_k"), col(rightTs).as("_asof_ts"),
+      lit(0).as("_asof_src"),
+      lit(null).cast(lNorm.schema("_asof_left").dataType).as("_asof_left"),
+      struct(payloadCols.map(col): _*).as("_asof_payload"))
+    // right rows sort before left rows at equal ts => inclusive bound
+    val w = Window.partitionBy(col("_asof_k"))
+      .orderBy(col("_asof_ts"), col("_asof_src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leftCols = left.columns.map(c => col("_asof_left." + c).as(c))
+    val payCols = payloadCols.map(c => col("_asof_match." + c).as("asof_" + c))
+    lNorm.unionByName(rNorm)
+      .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))
+      .where(col("_asof_src") === 1)
+      .select(leftCols ++ payCols: _*)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // each event picks up the customer's most recent order at event time
+    "q_asof_join" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      // dedup orders to one per (custkey, date): highest orderkey wins,
+      // mirrored exactly in the oracle CTE
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ord = Tables.load(s, dir, "orders")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+      asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_o_orderkey"), col("asof_o_totalprice"))
+        .orderBy(col("event_id"))
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "q_asof_join" -> """
+      WITH ord AS (
+        SELECT * FROM (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                    ORDER BY o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1)
+      SELECT event_id, user_id, ts,
+             o_orderkey AS asof_o_orderkey, o_totalprice AS asof_o_totalprice
+      FROM events ASOF LEFT JOIN ord
+        ON events.user_id = ord.o_custkey AND events.ts >= ord.o_orderdate
+      ORDER BY event_id""")
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Exact._
+
+/** Event-time windowing in batch mode (SURVEY.md §2.2 "Streaming" row, batch
+  * halves): tumbling, sliding, and session windows over `events`, plus
+  * keyed event-time dedup. The same `window()`/`session_window()` calls run
+  * unchanged under `readStream` — see [[graft.streaming.StreamOps]] — which
+  * is exactly how the reference's cron micro-batches (`git_etl.ts:353-355`)
+  * generalize.
+  *
+  * Scale: windowed aggregation is a hash shuffle on (window, key) with
+  * map-side partials; session windows shuffle once on user and sort locally.
+  */
+object TimeWindows {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_tumbling_window" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours").getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
+        .orderBy(col("ws"), col("event_type"))),
+
+    "q_sliding_window" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "6 hours").getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("ws"), col("event_type"))),
+
+    "q_session_window" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
+        .select(col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start"))),
+
+    // keyed event-time dedup: first event per (user, type), the batch twin of
+    // streaming withWatermark+dropDuplicates (reference O8 semantics)
+    "q_dedup_first_event" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "q_tumbling_window" -> s"""
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type,
+             count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
+      FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
+
+    "q_sliding_window" -> """
+      SELECT ws, event_type, count(*) AS n FROM (
+        SELECT time_bucket(INTERVAL '6 hours', ts) - to_hours(k * 6) AS ws,
+               event_type
+        FROM events, (SELECT unnest(range(4)) AS k))
+      GROUP BY ws, event_type ORDER BY ws, event_type""",
+
+    "q_session_window" -> s"""
+      WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      islands AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM marked)
+      SELECT min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end,
+             user_id, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
+      FROM islands GROUP BY user_id, sess_id ORDER BY user_id, sess_start""",
+
+    "q_dedup_first_event" -> """
+      SELECT user_id, event_type, event_id, ts FROM (
+        SELECT user_id, event_type, event_id, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1
+      ORDER BY user_id, event_type""")
+}

@@ -69,7 +69,7 @@ object Tables {
     * to map to TimestampType (PARQUET_TYPE_ILLEGAL); read it as raw nanos
     * (legacy nanosAsLong) and truncate to micros in [[load]] — the same
     * truncation DuckDB applies, so oracle comparisons agree (FIXTURES.md B). */
-  private val eventsRaw: StructType = StructType(Seq(
+  val eventsRawNs: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),
@@ -108,7 +108,7 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(eventsRaw).parquet(s"$dir/$name.parquet")
+      spark.read.schema(eventsRawNs).parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)")) // ns -> µs truncation, as DuckDB
     } else {
