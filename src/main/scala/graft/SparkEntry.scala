@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
 import graft.ingest.CommitEtl
-import graft.ops.{Aggregates, Relational, Scalars, Windows}
+import graft.ops.{Aggregates, AsOf, Extras, Relational, Scalars, TimeWindows, Windows}
 import graft.sources.Tables
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -20,7 +21,8 @@ object SparkEntry {
     * activity since the watermark, deduped, per source" — over `events`:
     * scan → pushdown filter → keyed dedup → hash agg → stable sort. */
   def entry(spark: SparkSession): DataFrame = {
-    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_ENTRY_DIR", "/root/testdata/sf0.001")
+    val ev = Tables.load(spark, dir, "events")
     val stored = ev.where(col("ts") < lit("2024-01-15").cast(TimestampType))
     CommitEtl.incrementalSlice(ev, CommitEtl.watermark(stored, "ts"), "ts")
       .dropDuplicates("event_id")
@@ -32,11 +34,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CommitEtl.queries ++ Relational.queries ++ Aggregates.queries ++
-      Windows.queries ++ Scalars.queries
+      Windows.queries ++ Scalars.queries ++ Extras.queries ++ AsOf.queries ++
+      TimeWindows.queries ++ StreamOps.queries ++
+      graft.llm.Dedup.queries ++ graft.llm.Similarity.queries ++
+      graft.llm.TextAnalysis.queries ++ graft.llm.Multimodal.queries ++
+      graft.sinks.Sinks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CommitEtl.oracleSql ++ Relational.oracleSql ++ Aggregates.oracleSql ++
-      Windows.oracleSql ++ Scalars.oracleSql
+      Windows.oracleSql ++ Scalars.oracleSql ++ Extras.oracleSql ++ AsOf.oracleSql ++
+      TimeWindows.oracleSql ++ StreamOps.oracleSql ++
+      graft.llm.Dedup.oracleSql ++ graft.llm.Similarity.oracleSql ++
+      graft.llm.TextAnalysis.oracleSql ++ graft.llm.Multimodal.oracleSql ++
+      graft.sinks.Sinks.oracleSql
 }

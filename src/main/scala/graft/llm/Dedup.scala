@@ -1,0 +1,287 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.llm.XHash._
+
+/** Deduplication suite over `documents` (north-star LLM-pipeline operators):
+  * exact (hash), MinHash+LSH (shingle → signature → banded buckets →
+  * candidate pairs), SimHash fingerprints, and blocked n-gram Jaccard.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - NO all-pairs self-join anywhere. Candidate pairs come only from
+  *    equi-joins on LSH band buckets (MinHash bands, hyperplane-sign bands)
+  *    or bounded blocking keys — each is a plain hash shuffle whose cost is
+  *    O(candidates), not O(N²).
+  *  - Signatures/fingerprints are one narrow shuffle-free projection per
+  *    doc; the band explode multiplies rows by a small constant (4).
+  *  - Exact-Jaccard verification runs only on LSH candidates (the standard
+  *    filter-verify shape), so false positives are pruned without a second
+  *    scan.
+  *
+  * Reference anchor: generalizes keyed idempotent dedup (`git_etl.ts:127-132`,
+  * key = commit hash) to content keys (sha256) and fuzzy keys (MinHash/
+  * SimHash). All hashing is cross-engine deterministic — see [[XHash]].
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** doc_id + distinct word-3-gram shingle-hash set, filtered to docs with
+    * >= 3 tokens (shingling is undefined below that — both engines agree). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
+      .where(expr("size(wh) >= 3"))
+      .selectExpr("doc_id", s"array_distinct(${sparkShingles("wh")}) AS shd",
+        s"${sparkShingles("wh")} AS sh")
+
+  /** MinHash band table: (doc_id, shd, band_idx, band_key). */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val sig = shingled(s, dir).selectExpr(
+      Seq("doc_id", "shd") ++ (0 until K).map(k => s"${sparkMinhash("sh", k)} AS m$k"): _*)
+    val bandStructs = (0 until Bands).map { bd =>
+      val ms = (0 until RowsPerBand).map(r => s"m${bd * RowsPerBand + r}").mkString(", ")
+      s"named_struct('band_idx', $bd, 'band_key', concat_ws('_', $ms))"
+    }.mkString(", ")
+    sig.selectExpr("doc_id", "shd", s"explode(array($bandStructs)) AS band")
+      .selectExpr("doc_id", "shd", "band.band_idx AS band_idx", "band.band_key AS band_key")
+  }
+
+  // Shared DuckDB CTE prefix: tokens -> shingles -> distinct shingles.
+  private def duckShingleCtes: String = s"""
+      toks AS (
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
+      shing AS (
+        SELECT doc_id, ${duckShingles("wh")} AS sh,
+               list_distinct(${duckShingles("wh")}) AS shd
+        FROM toks WHERE len(wh) >= 3)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact content dedup: normalize -> sha256 -> group; canonical row =
+    // min doc_id per content hash (deterministic keep rule).
+    "q_llm_dedup_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"), col("h"))
+        .orderBy(col("doc_id"))),
+
+    // Per-doc MinHash signature (K=16) — the cross-engine-exact primitive
+    // that LSH banding is built from; also a compact near-dup sketch a user
+    // can persist and diff across snapshots.
+    "q_llm_minhash_sig" -> { (s, dir) =>
+      val sigCols = (0 until K).map(k => s"${sparkMinhash("sh", k)} AS m$k")
+      shingled(s, dir)
+        .selectExpr(Seq("doc_id", "size(shd) AS n_shingles") ++ sigCols: _*)
+        .selectExpr("doc_id", "n_shingles",
+          s"concat_ws('-', ${(0 until K).map("m" + _).mkString(", ")}) AS sig")
+        .orderBy("doc_id")
+    },
+
+    // Banded MinHash-LSH near-dup: candidates only from band-bucket
+    // equi-joins (4 bands x 4 rows), then exact-Jaccard verify >= 0.5.
+    "q_llm_dedup_minhash_lsh" -> { (s, dir) =>
+      val bands = minhashBands(s, dir)
+      val pairs = bands.alias("a").join(bands.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.shd").as("sa"), col("b.shd").as("sb"))
+        .distinct()
+      pairs
+        .withColumn("jaccard",
+          expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"))
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // 32-bit SimHash fingerprint: explode word hashes -> per-bit majority
+    // vote as a partial+final hash agg (map-side combine; one shuffle of 32
+    // small longs per doc). Duplicate-fingerprint count rides along.
+    "q_llm_dedup_simhash" -> { (s, dir) =>
+      val ex = docs(s, dir)
+        .selectExpr("doc_id", s"explode(${sparkWordHashes("text")}) AS h")
+      val aggs = (0 until 32).map(j =>
+        expr(s"sum((shiftright(h, $j) & 1) * 2 - 1)").as(s"s$j"))
+      val bitSums = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val simhash = (0 until 32)
+        .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END")
+        .mkString(" + ")
+      bitSums.selectExpr("doc_id", s"$simhash AS simhash")
+        .withColumn("n_same_fp", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
+        .orderBy(col("doc_id"))
+    },
+
+    // Blocked exact n-gram Jaccard: string word-3-gram shingles, candidate
+    // pairs only within a bounded (lang, source) block. The exact
+    // complement to MinHash-LSH: full precision/recall inside each block.
+    "q_llm_dedup_ngram_jaccard" -> { (s, dir) =>
+      val sh = docs(s, dir)
+        .selectExpr("doc_id", "lang", "source", "split(text, ' ') AS t")
+        .where(expr("size(t) >= 3"))
+        .selectExpr("doc_id", "lang", "source",
+          """array_distinct(transform(sequence(1, size(t) - 2),
+             i -> concat_ws('_', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))) AS shd""")
+      sh.alias("a").join(sh.alias("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.lang").as("lang"), col("a.source").as("source"),
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("CAST(size(array_intersect(a.shd, b.shd)) AS DOUBLE) / size(array_union(a.shd, b.shd))").as("jaccard"))
+        .where(col("jaccard") >= 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Embedding-cosine near-dup: banded hyperplane LSH (4 bands x 4 sign
+    // bits) -> candidate pairs -> exact scaled-long cosine >= 0.25.
+    "q_llm_dedup_embed" -> { (s, dir) =>
+      // norms precomputed per vector (pre-join): keeps the pair stage to a
+      // single unrolled dot (under the 64 KB codegen method limit) and does
+      // O(N) norm work instead of O(candidates)
+      val se = Tables.load(s, dir, "embeddings")
+        .selectExpr("vec_id", s"${sparkScaledEmb("embedding")} AS se")
+        .selectExpr("vec_id", "se",
+          s"sqrt(CAST(${sparkPairDot("se", "se")} AS DOUBLE)) AS nrm")
+      val bits = se.selectExpr(
+        Seq("vec_id", "se", "nrm") ++
+          (0 until NPlanes).map(p => s"IF(${sparkPlaneDot("se", p)} > 0L, 1, 0) AS bit$p"): _*)
+      val bandStructs = (0 until 4).map { bd =>
+        val bs = (0 until 4).map(r => s"bit${bd * 4 + r}").mkString(", ")
+        s"named_struct('band_idx', $bd, 'band_key', concat_ws('', $bs))"
+      }.mkString(", ")
+      val bands = bits
+        .selectExpr("vec_id", "se", "nrm", s"explode(array($bandStructs)) AS band")
+        .selectExpr("vec_id", "se", "nrm", "band.band_idx AS band_idx", "band.band_key AS band_key")
+      val pairs = bands.alias("a").join(bands.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.se").as("sa"), col("b.se").as("sb"),
+          col("a.nrm").as("na"), col("b.nrm").as("nb"))
+        .distinct()
+      pairs
+        .selectExpr("vec_a", "vec_b",
+          s"CAST(${sparkPairDot("sa", "sb")} AS DOUBLE) / (na * nb) AS cos_raw")
+        .where(col("cos_raw") >= 0.25)
+        .withColumn("cos", graft.util.Exact.fix(col("cos_raw"), 6))
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
+
+  def oracleSql: Map[String, String] = {
+    val sigExprs = (0 until K).map(k => s"${duckMinhash("sh", k)} AS m$k").mkString(",\n               ")
+    val bandUnion = (0 until Bands).map { bd =>
+      val ms = (0 until RowsPerBand).map(r => s"m${bd * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, shd, $bd AS band_idx, concat_ws('_', $ms) AS band_key FROM sig"
+    }.mkString("\n        UNION ALL ")
+    val simhashSums = (0 until 32)
+      .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n               ")
+    val simhashVal = (0 until 32)
+      .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val embBits = (0 until NPlanes)
+      .map(p => s"CASE WHEN ${duckPlaneDot("se", p)} > 0 THEN 1 ELSE 0 END AS bit$p")
+      .mkString(",\n               ")
+    val embBandUnion = (0 until 4).map { bd =>
+      val bs = (0 until 4).map(r => s"bit${bd * 4 + r}").mkString(", ")
+      s"SELECT vec_id, se, nrm, $bd AS band_idx, concat_ws('', $bs) AS band_key FROM bits"
+    }.mkString("\n        UNION ALL ")
+
+    Map(
+      "q_llm_dedup_exact" -> """
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+             sha256(lower(trim(text))) AS h
+      FROM documents GROUP BY h ORDER BY doc_id""",
+
+      "q_llm_minhash_sig" -> s"""
+      WITH ${duckShingleCtes},
+      sig AS (
+        SELECT doc_id, CAST(len(shd) AS INT) AS n_shingles,
+               $sigExprs
+        FROM shing)
+      SELECT doc_id, n_shingles,
+             concat_ws('-', ${(0 until K).map("m" + _).mkString(", ")}) AS sig
+      FROM sig ORDER BY doc_id""",
+
+      "q_llm_dedup_minhash_lsh" -> s"""
+      WITH ${duckShingleCtes},
+      sig AS (
+        SELECT doc_id, shd, $sigExprs
+        FROM shing),
+      bands AS (
+        $bandUnion),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shd AS sa, b.shd AS sb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(sa || sb)) AS jaccard
+      FROM pairs
+      WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(sa || sb)) >= 0.5
+      ORDER BY doc_a, doc_b""",
+
+      "q_llm_dedup_simhash" -> s"""
+      WITH toks AS (
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
+      ex AS (SELECT doc_id, unnest(wh) AS h FROM toks),
+      bitsums AS (
+        SELECT doc_id,
+               $simhashSums
+        FROM ex GROUP BY doc_id),
+      fp AS (SELECT doc_id, $simhashVal AS simhash FROM bitsums)
+      SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same_fp
+      FROM fp ORDER BY doc_id""",
+
+      "q_llm_dedup_ngram_jaccard" -> """
+      WITH sh AS (
+        SELECT doc_id, lang, source,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])) AS shd
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3)
+      SELECT a.lang AS lang, a.source AS source,
+             a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) / len(list_distinct(a.shd || b.shd)) AS jaccard
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) / len(list_distinct(a.shd || b.shd)) >= 0.3
+      ORDER BY doc_a, doc_b""",
+
+      "q_llm_dedup_embed" -> s"""
+      WITH e0 AS (
+        SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e AS (
+        SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
+      bits AS (
+        SELECT vec_id, se, nrm,
+               $embBits
+        FROM e),
+      bands AS (
+        $embBandUnion),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.se AS sa, b.se AS sb, a.nrm AS na, b.nrm AS nb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT vec_a, vec_b,
+               CAST(${duckPairDot("sa", "sb")} AS DOUBLE) / (na * nb) AS cos_raw
+        FROM pairs)
+      SELECT vec_a, vec_b, ${graft.util.Exact.sqlFix("cos_raw", 6)} AS cos
+      FROM scored WHERE cos_raw >= 0.25
+      ORDER BY vec_a, vec_b""")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (north-star operator): media as opaque
+  * `binary` columns with typed metadata, plus a batched decode /
+  * feature-extract path.
+  *
+  * The image/audio codecs aren't in this environment, so the decode body is
+  * a clearly-marked DETERMINISTIC STUB ([[decodeStub]]) — but the Spark
+  * plumbing is real and is what matters at 100 TB:
+  *  - media rides in a `BinaryType` column next to a metadata struct
+  *    (format/width/height), so scans prune it unless the query touches it;
+  *  - decode runs through `Dataset.mapPartitions` with explicit batching
+  *    (`grouped(64)`) — the JVM analog of an Arrow-batched `mapInPandas`
+  *    decode: one codec init per batch, vectorizable body, no per-row
+  *    driver involvement, output schema declared by the `MediaFeat` encoder;
+  *  - everything downstream of decode is ordinary columnar DataFrame work.
+  *
+  * Payloads are synthesized from `documents.text` bytes (UTF-8), so the
+  * DuckDB oracle can recompute every "decoded" feature from the text
+  * itself — the stub is pure byte arithmetic, identical in both engines.
+  */
+object Multimodal {
+
+  /** Input row for the decode stage: key + raw media bytes. */
+  final case class MediaIn(doc_id: Long, payload: Array[Byte])
+
+  /** "Decoded" features; in a real pipeline: resolution, frames, embeddings. */
+  final case class MediaFeat(doc_id: Long, n_bytes: Int, b_first: Int,
+                             b_mid: Int, b_last: Int, checksum: Long)
+
+  /** STUB decoder (deterministic fake): a real implementation would hand
+    * `payload` to an image/audio codec here. The fake extracts byte probes
+    * and a polynomial checksum — the same formula as [[XHash]]'s char hash,
+    * so for ASCII payloads the oracle reproduces it from the source text. */
+  def decodeStub(m: MediaIn): MediaFeat = {
+    val n = m.payload.length
+    val checksum = m.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % XHash.P)
+    MediaFeat(m.doc_id, n,
+      b_first = m.payload(0) & 0xff,
+      b_mid = m.payload(n / 2) & 0xff,
+      b_last = m.payload(n - 1) & 0xff,
+      checksum = checksum)
+  }
+
+  /** The batched decode operator: binary rows in, feature rows out.
+    * Batching bounds per-batch codec state; partitions stream through. */
+  def decodeBatched(in: Dataset[MediaIn])(implicit s: SparkSession): Dataset[MediaFeat] = {
+    import s.implicits._
+    in.mapPartitions(_.grouped(64).flatMap(_.map(decodeStub)))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Media metadata projection: binary payload + typed metadata struct;
+    // the scan only materializes payload length, format, and dimensions.
+    "q_llm_media_meta" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .selectExpr("doc_id",
+          "encode(text, 'UTF-8') AS payload",
+          "named_struct('fmt', CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END, " +
+            "'width', 32 + (doc_id % 97) * 4, 'height', 32 + (doc_id % 53) * 4) AS meta")
+        .selectExpr("doc_id", "meta.fmt AS fmt", "meta.width AS width",
+          "meta.height AS height", "length(payload) AS n_bytes",
+          "length(payload) div 100 + 1 AS n_frames")
+        .orderBy(col("doc_id"))),
+
+    // Batched decode: synthesize payloads, run the mapPartitions decode
+    // stub, return the feature table.
+    "q_llm_media_decode" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val in = Tables.load(s, dir, "documents")
+        .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+        .as[MediaIn]
+      decodeBatched(in).toDF()
+        .orderBy(col("doc_id"))
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "q_llm_media_meta" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+             32 + (doc_id % 97) * 4 AS width,
+             32 + (doc_id % 53) * 4 AS height,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             CAST(octet_length(encode(text)) AS BIGINT) // 100 + 1 AS n_frames
+      FROM documents ORDER BY doc_id""",
+
+    "q_llm_media_decode" -> s"""
+      WITH b AS (
+        SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n, text FROM documents)
+      SELECT doc_id, n AS n_bytes,
+             ascii(substring(text, 1, 1)) AS b_first,
+             ascii(substring(text, n // 2 + 1, 1)) AS b_mid,
+             ascii(substring(text, n, 1)) AS b_last,
+             ${XHash.duckCharHash("text")} AS checksum
+      FROM b ORDER BY doc_id""")
+}

@@ -1,0 +1,180 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.llm.XHash._
+import graft.util.Exact
+
+/** Text analysis over `documents` (north-star operator): language ID,
+  * quality scoring, token counting, and content fingerprinting.
+  *
+  * Everything is a narrow per-row projection followed by (at most) one hash
+  * aggregation — the cheapest possible shape at 100 TB: no joins, no
+  * windows over the full table, filters/projections reach the parquet scan.
+  * All arithmetic is cross-engine exact (integer counts, int/int division,
+  * `Exact.fix` rounding) so the DuckDB oracle matches bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Per-language marker-word lists for the n-gram/stopword lang-ID
+    * heuristic. Alphabetical language order is the documented tie-break. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "den"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def sqlList(ws: Seq[String], duck: Boolean): String =
+    ws.map("'" + _ + "'").mkString(if (duck) "[" else "array(", ", ", if (duck) "]" else ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Language ID: distinct-token overlap with per-language marker sets;
+    // prediction = argmax hits (ties alphabetical, zero hits -> 'und').
+    // Output is the (actual, predicted) confusion table.
+    "q_llm_lang_id" -> { (s, dir) =>
+      val hitCols = markers.map { case (l, ws) =>
+        s"size(array_intersect(td, ${sqlList(ws, duck = false)})) AS h_$l"
+      }
+      val g = markers.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+      val pred = "CASE WHEN " + g + " = 0 THEN 'und' " +
+        markers.map { case (l, _) => s"WHEN h_$l = $g THEN '$l'" }.mkString(" ") + " END"
+      docs(s, dir)
+        .selectExpr(Seq("doc_id", "lang", "array_distinct(split(text, ' ')) AS td"): _*)
+        .selectExpr(Seq("doc_id", "lang") ++ hitCols: _*)
+        .selectExpr("lang", s"$pred AS predicted")
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+
+    // Quality scoring: per-doc token stats, type-token ratio, stopword
+    // ratio, mean word length, composite score and band.
+    "q_llm_quality" -> { (s, dir) =>
+      val stops = sqlList(markers.flatMap(_._2).distinct, duck = false)
+      docs(s, dir)
+        .selectExpr("doc_id", "length(text) AS n_chars_txt", "split(text, ' ') AS t")
+        .selectExpr("doc_id", "n_chars_txt",
+          "size(t) AS n_tok",
+          "size(array_distinct(t)) AS n_uniq",
+          s"size(filter(t, w -> array_contains($stops, w))) AS n_stop")
+        .selectExpr("doc_id", "n_tok", "n_uniq",
+          "CAST(n_uniq AS DOUBLE) / n_tok AS ttr",
+          "CAST(n_chars_txt - n_tok + 1 AS DOUBLE) / n_tok AS mean_wlen",
+          "CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio")
+        .selectExpr("doc_id", "n_tok", "n_uniq", "ttr", "mean_wlen", "stop_ratio",
+          "0.4 * ttr + 0.3 * stop_ratio + 0.3 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS score_raw")
+        .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+          Exact.fix(col("ttr"), 6).as("ttr"),
+          Exact.fix(col("mean_wlen"), 6).as("mean_wlen"),
+          Exact.fix(col("stop_ratio"), 6).as("stop_ratio"),
+          Exact.fix(col("score_raw"), 6).as("score"),
+          expr("CASE WHEN score_raw >= 0.5 THEN 'high' WHEN score_raw >= 0.35 THEN 'medium' ELSE 'low' END").as("band"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token counting per source: whitespace tokens vs BPE-ish regex tokens
+    // (letter runs / digit runs / single punctuation), exact ratios.
+    "q_llm_token_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("source", "length(text) AS len_txt",
+          "size(split(text, ' ')) AS n_ws",
+          raw"size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws")).as("ws_tokens"),
+          sum(col("n_bpe")).as("bpe_tokens"),
+          (sum(col("len_txt")).cast("double") / sum(col("n_ws"))).as("chars_per_ws_token"))
+        .withColumn("chars_per_ws_token", Exact.fix(col("chars_per_ws_token"), 6))
+        .orderBy(col("source"))),
+
+    // Content fingerprinting: rolling char-polynomial hash of the full text
+    // plus a 64-char-prefix hash; collision count per fingerprint.
+    "q_llm_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id",
+          s"${sparkCharHash("text")} AS fp",
+          s"${sparkCharHash("substring(text, 1, 64)")} AS fp_prefix")
+        .withColumn("n_same_fp", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .orderBy(col("doc_id"))))
+
+  def oracleSql: Map[String, String] = {
+    val hitCols = markers.map { case (l, ws) =>
+      s"len(list_intersect(td, ${sqlList(ws, duck = true)})) AS h_$l"
+    }.mkString(",\n               ")
+    val g = markers.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+    val pred = "CASE WHEN " + g + " = 0 THEN 'und' " +
+      markers.map { case (l, _) => s"WHEN h_$l = $g THEN '$l'" }.mkString(" ") + " END"
+    val stops = sqlList(markers.flatMap(_._2).distinct, duck = true)
+    Map(
+      "q_llm_lang_id" -> s"""
+      WITH td AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS td FROM documents),
+      hits AS (
+        SELECT doc_id, lang,
+               $hitCols
+        FROM td),
+      p AS (SELECT lang, $pred AS predicted FROM hits)
+      SELECT lang, predicted, count(*) AS n
+      FROM p GROUP BY lang, predicted ORDER BY lang, predicted""",
+
+      "q_llm_quality" -> s"""
+      WITH base AS (
+        SELECT doc_id, length(text) AS n_chars_txt, string_split(text, ' ') AS t
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_chars_txt,
+               CAST(len(t) AS INT) AS n_tok,
+               CAST(len(list_distinct(t)) AS INT) AS n_uniq,
+               CAST(len(list_filter(t, w -> list_contains($stops, w))) AS INT) AS n_stop
+        FROM base),
+      r AS (
+        SELECT doc_id, n_tok, n_uniq,
+               CAST(n_uniq AS DOUBLE) / n_tok AS ttr,
+               CAST(n_chars_txt - n_tok + 1 AS DOUBLE) / n_tok AS mean_wlen,
+               CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio
+        FROM c),
+      sc AS (
+        SELECT *, 0.4 * ttr + 0.3 * stop_ratio + 0.3 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS score_raw
+        FROM r)
+      SELECT doc_id, n_tok, n_uniq,
+             ${Exact.sqlFix("ttr", 6)} AS ttr,
+             ${Exact.sqlFix("mean_wlen", 6)} AS mean_wlen,
+             ${Exact.sqlFix("stop_ratio", 6)} AS stop_ratio,
+             ${Exact.sqlFix("score_raw", 6)} AS score,
+             CASE WHEN score_raw >= 0.5 THEN 'high' WHEN score_raw >= 0.35 THEN 'medium' ELSE 'low' END AS band
+      FROM sc ORDER BY doc_id""",
+
+      "q_llm_token_stats" -> s"""
+      WITH base AS (
+        SELECT source, length(text) AS len_txt,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe
+        FROM documents),
+      agg AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+               CAST(sum(len_txt) AS DOUBLE) / CAST(sum(n_ws) AS BIGINT) AS cpt_raw
+        FROM base GROUP BY source)
+      SELECT source, n_docs, ws_tokens, bpe_tokens,
+             ${Exact.sqlFix("cpt_raw", 6)} AS chars_per_ws_token
+      FROM agg ORDER BY source""",
+
+      "q_llm_fingerprint" -> s"""
+      WITH fp AS (
+        SELECT doc_id,
+               ${duckCharHash("text")} AS fp,
+               ${duckCharHash("substring(text, 1, 64)")} AS fp_prefix
+        FROM documents)
+      SELECT doc_id, fp, fp_prefix, count(*) OVER (PARTITION BY fp) AS n_same_fp
+      FROM fp ORDER BY doc_id""")
+  }
+}

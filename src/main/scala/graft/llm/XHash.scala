@@ -1,0 +1,105 @@
+package graft.llm
+
+/** Cross-engine deterministic hashing for the LLM-pipeline operators.
+  *
+  * The driver's correctness gate hash-compares Spark output against DuckDB
+  * running the oracle SQL, so every hash used by dedup/similarity must be
+  * computable bit-identically in BOTH engines. Neither Spark's `xxhash64`
+  * nor DuckDB's `hash` match each other, so we define our own primitive: a
+  * polynomial character hash evaluated with each engine's higher-order
+  * list functions over identical integer arithmetic —
+  *
+  *   h = fold(chars, 0, (acc, c) => (acc * 31 + codepoint(c)) % P)
+  *
+  * All downstream hashes (word, shingle, MinHash, SimHash, hyperplane LSH)
+  * are integer arithmetic on these values, so they agree by construction.
+  * Every helper here returns a pair of SQL fragments: `spark` (Spark SQL,
+  * used via `expr`) and `duck` (DuckDB SQL for the oracle).
+  *
+  * Scale note: Spark evaluates higher-order functions (`aggregate`,
+  * `transform`) without whole-stage codegen. At true 100 TB scale the
+  * upgrade path is a custom codegen `Expression` for the char hash; the
+  * operator *shapes* (shuffle on band buckets, no all-pairs joins) are the
+  * part that must be right from the start, and are.
+  *
+  * Reference anchor: generalizes the keyed idempotence of
+  * `git_etl.ts:127-132` from exact keys to fuzzy (similarity) keys.
+  */
+object XHash {
+  /** Modulus: largest prime < 2^30 squared fits comfortably in a signed
+    * 64-bit product (P*131 + P < 2^38, A*s < P^2 ~ 1e18 < 2^63). */
+  val P = 1000000007L
+
+  // MinHash: K independent affine permutations h_i(s) = (A_i*s + B_i) % P,
+  // banded for LSH as Bands bands of RowsPerBand rows each.
+  val K = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val A: IndexedSeq[Long] = (0 until K).map(i => (i * 2654435761L + 1) % P)
+  val B: IndexedSeq[Long] = (0 until K).map(i => (i * 40503L + 17) % P)
+
+  /** Char-polynomial hash of string expression `e` — Spark SQL side. */
+  def sparkCharHash(e: String): String =
+    s"aggregate(split($e, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % $P)"
+
+  /** Char-polynomial hash of string expression `e` — DuckDB side. */
+  def duckCharHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 31 + c) % $P)"
+
+  /** Word-hash array of a space-tokenized text column. */
+  def sparkWordHashes(text: String): String =
+    s"transform(split($text, ' '), w -> ${sparkCharHash("w")})"
+  def duckWordHashes(text: String): String =
+    s"list_transform(string_split($text, ' '), w -> ${duckCharHash("w")})"
+
+  /** Word-3-gram shingle hashes from a word-hash array column `wh`
+    * (callers must filter size(wh) >= 3 first — both engines). */
+  def sparkShingles(wh: String): String =
+    s"transform(sequence(1, size($wh) - 2), i -> " +
+      s"((element_at($wh, i) * 131 + element_at($wh, i + 1)) % $P * 131 " +
+      s"+ element_at($wh, i + 2)) % $P)"
+  def duckShingles(wh: String): String =
+    s"list_transform(range(1, len($wh) - 1), i -> " +
+      s"(($wh[i] * 131 + $wh[i + 1]) % $P * 131 + $wh[i + 2]) % $P)"
+
+  /** MinHash value k over a shingle-hash array column `sh`. */
+  def sparkMinhash(sh: String, k: Int): String =
+    s"array_min(transform($sh, s -> (${A(k)} * s + ${B(k)}) % $P))"
+  def duckMinhash(sh: String, k: Int): String =
+    s"list_min(list_transform($sh, s -> (${A(k)} * s + ${B(k)}) % $P))"
+
+  // Hyperplane LSH for embeddings: NPlanes deterministic pseudo-random
+  // integer planes over EmbDim dims, derived from a Weyl-style sequence so
+  // both engines can embed them as literals. Values centered on 0.
+  val EmbDim = 64
+  val NPlanes = 16 // 4 bands x 4 planes for near-dup; first 4 for ANN buckets
+  def planeWeight(p: Int, d: Int): Long =
+    ((p.toLong * EmbDim + d) * 2654435761L) % 2000003L - 1000001L
+
+  /** Embedding scaled to exact longs (floor(x*1e6+0.5)) — float→double is
+    * exact, so both engines compute identical longs. */
+  def sparkScaledEmb(e: String): String =
+    s"transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"
+  def duckScaledEmb(e: String): String =
+    s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+
+  /** Dot product of a scaled-long embedding column with literal plane p. */
+  def sparkPlaneDot(se: String, p: Int): String = {
+    val w = (0 until EmbDim).map(planeWeight(p, _)).mkString("array(", "L,", "L)")
+    s"aggregate(sequence(1, $EmbDim), 0L, (acc, i) -> acc + element_at($se, i) * element_at($w, i))"
+  }
+  def duckPlaneDot(se: String, p: Int): String = {
+    val w = (0 until EmbDim).map(planeWeight(p, _)).mkString("[", ",", "]")
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, ${EmbDim + 1}), i -> $se[i] * ($w)[i])), (a, b) -> a + b)"
+  }
+
+  /** Exact dot product of two scaled-long embedding columns, unrolled so the
+    * Spark side stays inside whole-stage codegen (no higher-order function). */
+  def sparkPairDot(a: String, b: String): String =
+    (1 to EmbDim).map(i => s"element_at($a, $i) * element_at($b, $i)").mkString(" + ")
+  def duckPairDot(a: String, b: String): String =
+    (1 to EmbDim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+}

@@ -25,7 +25,7 @@ object Aggregates {
   object WeightedAvgPrice extends Aggregator[(Double, Double), (Long, Long), Double] {
     override def zero: (Long, Long) = (0L, 0L)
     override def reduce(b: (Long, Long), r: (Double, Double)): (Long, Long) = {
-      val qty = r._1.toLong // quantities are integral doubles
+      val qty = math.rint(r._1).toLong // round-half-even, as the oracle's CAST AS BIGINT
       val cents = math.floor(r._2 * 100 + 0.5).toLong
       (b._1 + qty * cents, b._2 + qty)
     }

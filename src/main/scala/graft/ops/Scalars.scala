@@ -112,13 +112,18 @@ object Scalars {
         .groupBy(col("etype")).agg(count(lit(1)).as("n"), count(col("big_value")).as("n_big"))
         .orderBy(col("etype"))),
 
-    "q_pivot" -> ((s, dir) =>
+    "q_pivot" -> { (s, dir) =>
+      // empty (cohort, type) cells pivot to NULL in Spark but 0 under the
+      // oracle's count(*) FILTER — coalesce so sparse fixtures still match
+      val types = Seq("click", "error", "purchase", "signup", "view")
       t(s, dir, "events")
         .withColumn("cohort", col("user_id") % 10)
         .groupBy(col("cohort"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .pivot("event_type", types)
         .count()
-        .orderBy(col("cohort"))))
+        .select(col("cohort") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy(col("cohort"))
+    })
 
   def oracleSql: Map[String, String] = Map(
     "q_string_funcs" -> """
@@ -172,7 +177,7 @@ object Scalars {
 
     "q_json_funcs" -> """
       SELECT event_type, count(*) AS n,
-             sum(CAST(props->>'k' AS INT)) AS sum_k,
+             CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
              min(CAST(props->>'k' AS INT)) AS min_k,
              max(CAST(props->>'k' AS INT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""",

@@ -72,7 +72,7 @@ object TimeWindows {
       WITH marked AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL '30 minutes'
+                         >= INTERVAL '30 minutes'
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_sess
         FROM events),

@@ -103,11 +103,17 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
+  /** Session configs every graft session needs; applied once at session
+    * build (Verify/Bench/Probe/tests) rather than mutated per-load —
+    * `nanosAsLong` lets the ns-timestamp events parquet be read as raw longs. */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
   /** Load one driver table. Filter/projection on the result push down to the
     * parquet scan (verify with `.explain`: `PushedFilters`, `ReadSchema`). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.schema(eventsRawNs).parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)")) // ns -> µs truncation, as DuckDB

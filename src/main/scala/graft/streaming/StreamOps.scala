@@ -11,35 +11,48 @@ import graft.util.Exact._
   * cron-driven micro-batch loop (`git_etl.ts:353-355`) generalized to
   * `readStream → transform → writeStream`.
   *
-  * Each entry runs a REAL streaming query (file source, AvailableNow
-  * trigger, memory sink, synchronous drain) and returns the sink table, so
-  * the driver's batch oracle can check it. Output modes are chosen for
-  * determinism: `complete` for windowed aggs (emits final state regardless
-  * of flush timing), `append` for keyed dedup (union of first-seen rows is
-  * flush-order-independent).
-  *
-  * At scale the memory sink becomes a parquet/foreachBatch sink with a real
-  * checkpoint dir; the transforms are unchanged — that is the point of the
-  * unified batch/streaming Dataset API.
+  * Each entry runs a REAL streaming query — file source, watermark,
+  * AvailableNow trigger, checkpoint dir — into a DURABLE parquet sink
+  * (append mode writes the parquet sink directly; complete-mode window aggs
+  * go through `foreachBatch` + atomic overwrite). The driver's batch oracle
+  * then checks the sink contents. Nothing materializes in the driver: at
+  * 100 TB the sink is the same partitioned store, just with a real
+  * checkpoint volume — the transforms are unchanged, which is the point of
+  * the unified batch/streaming Dataset API.
   */
 object StreamOps {
 
-  /** Streaming read of the events table (same ns→µs handling as batch). */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Streaming read of the events table (same ns→µs handling as batch;
+    * `nanosAsLong` comes from [[Tables.sessionConfs]] at session build). */
+  private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    // the streaming file source wants a directory to watch; the test table
+    // is a single file, so watch the sf dir filtered down to it
     s.readStream.schema(Tables.eventsRawNs)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Run a streaming transform to a memory sink, drain it, return the table. */
-  private def runToMemory(s: SparkSession, name: String, df: DataFrame,
-                          mode: String): DataFrame = {
-    s.catalog.dropTempView(name) // idempotent re-run within one session
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
+  /** Drain a streaming transform into a parquet sink and read it back.
+    * `complete=true` routes through foreachBatch + atomic overwrite (the
+    * parquet sink itself only supports append). */
+  private def runToParquet(s: SparkSession, name: String, df: DataFrame,
+                           complete: Boolean): DataFrame = {
+    val dest = s"${graft.sinks.Sinks.tmpBase}/stream_$name"
+    val ckpt = dest + ".ckpt"
+    graft.sinks.Sinks.truncate(dest); graft.sinks.Sinks.truncate(ckpt)
+    val writer =
+      if (complete)
+        df.writeStream.outputMode("complete")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            graft.sinks.Sinks.writeAtomic(b, dest)
+          }
+      else
+        df.writeStream.outputMode("append").format("parquet").option("path", dest)
+    val q = writer.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(name)
+    s.read.parquet(dest)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -51,8 +64,8 @@ object StreamOps {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "12 hours"), col("event_type"))
         .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
-      runToMemory(s, "mem_stream_tumbling", agg, "complete")
         .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      runToParquet(s, "tumbling", agg, complete = true)
         .orderBy(col("ws"), col("event_type"))
     },
 
@@ -62,7 +75,7 @@ object StreamOps {
       val dd = eventsStream(s, dir)
         .select(col("event_id"), col("event_type"), col("value"))
         .dropDuplicates("event_id")
-      runToMemory(s, "mem_stream_dedup", dd, "append")
+      runToParquet(s, "dedup", dd, complete = false)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
         .orderBy(col("event_type"))

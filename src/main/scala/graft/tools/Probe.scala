@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
   * the result; with arg "explain <name> <sfDir>", prints a query's plan. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.session.timeZone","UTC").config("spark.ui.enabled","false")
-      .config("spark.sql.shuffle.partitions","8").getOrCreate()
+    val builder = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled","false")
+      .config("spark.sql.shuffle.partitions","8")
+    graft.sources.Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.toList match {
       case "explain" :: name :: dir :: Nil =>
