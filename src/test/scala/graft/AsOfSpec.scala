@@ -1,0 +1,34 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.AsOf
+
+/** As-of join semantics: inclusive bound, latest-right-wins, null padding. */
+class AsOfSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join picks latest right row at-or-before each left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // before any right row -> nulls
+      (1L, ts("2024-01-02 12:00:00")), // after r1 -> r1
+      (1L, ts("2024-01-03 00:00:00")), // exactly at r2 -> r2 (inclusive)
+      (2L, ts("2024-01-05 00:00:00"))) // other key, after its only row
+      .toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 100.0),
+      (1L, ts("2024-01-03 00:00:00"), 200.0),
+      (2L, ts("2024-01-04 00:00:00"), 300.0))
+      .toDF("rk", "rt", "payload")
+    val out = AsOf.asofJoin(left, right, "k", "rk", "t", "rt", Seq("payload"))
+      .orderBy("k", "t")
+      .select("k", "t", "asof_payload")
+      .collect()
+    assert(out(0).isNullAt(2))
+    assert(out(1).getDouble(2) === 100.0)
+    assert(out(2).getDouble(2) === 200.0)
+    assert(out(3).getDouble(2) === 300.0)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.EtlConfig
+import graft.llm.{Multimodal, XHash}
+
+/** LLM-pipeline primitives: cross-engine hash identities, MinHash/SimHash
+  * invariants, multimodal decode stub, and config validation (O12). */
+class LlmSpec extends SparkSpec {
+
+  private def evalLong(sql: String): Long = {
+    import spark.implicits._
+    spark.range(1).selectExpr(s"$sql AS v").as[Long].collect()(0)
+  }
+
+  test("char hash matches the hand-computed polynomial (and DuckDB's value)") {
+    // fold('abc') = ((0*31+97)*31+98)*31+99 = 96354 — verified against
+    // DuckDB's list_reduce evaluation of the same formula
+    assert(evalLong(XHash.sparkCharHash("'abc'")) === 96354L)
+    assert(evalLong(XHash.sparkCharHash("''")) === 0L)
+  }
+
+  test("minhash: identical token streams give identical signatures; supersets only lower minima") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x y z w q r s t u v"),
+      ("b", "x y z w q r s t u v"),          // identical
+      ("c", "x y z w q r s t u v extra one")) // superset of a's shingles
+      .toDF("id", "text")
+      .selectExpr("id", s"${XHash.sparkWordHashes("text")} AS wh")
+      .selectExpr("id", s"${XHash.sparkShingles("wh")} AS sh")
+      .selectExpr(Seq("id") ++ (0 until XHash.K).map(k => s"${XHash.sparkMinhash("sh", k)} AS m$k"): _*)
+    val rows = df.orderBy("id").collect()
+    val (a, b, c) = (rows(0), rows(1), rows(2))
+    (1 to XHash.K).foreach { i =>
+      assert(a.getLong(i) === b.getLong(i), s"sig $i differs for identical docs")
+      assert(c.getLong(i) <= a.getLong(i), s"superset raised minimum $i")
+    }
+  }
+
+  test("simhash-style bit arithmetic is order-independent (hash aggregation)") {
+    import spark.implicits._
+    val fwd = Seq("alpha beta gamma delta").toDF("text")
+    val rev = Seq("delta gamma beta alpha").toDF("text")
+    def bits(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val ex = df.selectExpr(s"explode(${XHash.sparkWordHashes("text")}) AS h")
+      val aggs = (0 until 8).map(j => expr(s"sum((shiftright(h, $j) & 1) * 2 - 1)").as(s"s$j"))
+      ex.agg(aggs.head, aggs.tail: _*).collect()(0).toSeq.map(_.asInstanceOf[Long])
+    }
+    assert(bits(fwd) === bits(rev))
+  }
+
+  test("multimodal decode stub: byte probes + checksum match the text formula") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val text = "hello world"
+    val in = Seq(Multimodal.MediaIn(7L, text.getBytes("UTF-8"))).toDS()
+    val out = Multimodal.decodeBatched(in).collect()(0)
+    assert(out.doc_id === 7L)
+    assert(out.n_bytes === text.length)
+    assert(out.b_first === 'h'.toInt)
+    assert(out.b_mid === text.charAt(text.length / 2).toInt)
+    assert(out.b_last === 'd'.toInt)
+    val expected = text.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toInt) % XHash.P)
+    assert(out.checksum === expected)
+    // and the SQL-side char hash agrees with the JVM-side stub
+    assert(evalLong(XHash.sparkCharHash(s"'$text'")) === expected)
+  }
+
+  test("EtlConfig (O12): field-level validation") {
+    assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
+    assertThrows[IllegalArgumentException](EtlConfig("", "o"))
+    assertThrows[IllegalArgumentException](EtlConfig("r", ""))
+    assertThrows[IllegalArgumentException](EtlConfig("r", "o", cronSchedule = "not a cron"))
+    assertThrows[IllegalArgumentException](EtlConfig("r", "o", storePath = "store.sqlite"))
+    assert(EtlConfig.cronValid("*/5 * * * *"))
+    assert(EtlConfig.cronValid("0 0,12 1-15 * 1-5"))
+    assert(!EtlConfig.cronValid("* * * *"))
+    assertThrows[IllegalArgumentException](
+      EtlConfig.fromMap(Map("repo" -> "r", "owner" -> "o", "clearOnStartup" -> "yes")))
+    assert(EtlConfig.fromMap(Map("repo" -> "r", "owner" -> "o", "useAuthToken" -> "true")).useAuthToken)
+  }
+}
