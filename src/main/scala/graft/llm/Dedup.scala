@@ -96,10 +96,9 @@ object Dedup {
           col("a.shd").as("sa"), col("b.shd").as("sb"))
         .distinct()
       pairs
-        .withColumn("jaccard",
-          expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))"))
-        .where(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .where(expr("2 * size(array_intersect(sa, sb)) >= size(array_union(sa, sb))"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))").as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -107,8 +106,10 @@ object Dedup {
     // vote as a partial+final hash agg (map-side combine; one shuffle of 32
     // small longs per doc). Duplicate-fingerprint count rides along.
     "q_llm_dedup_simhash" -> { (s, dir) =>
+      // explode_outer: see q_llm_dedup_ngram_jaccard — avoids the inferred
+      // size()>0 filter that re-inlines the word-hash transform into the scan
       val ex = docs(s, dir)
-        .selectExpr("doc_id", s"explode(${sparkWordHashes("text")}) AS h")
+        .selectExpr("doc_id", s"explode_outer(${sparkWordHashes("text")}) AS h")
       val aggs = (0 until 32).map(j =>
         expr(s"sum((shiftright(h, $j) & 1) * 2 - 1)").as(s"s$j"))
       val bitSums = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -121,62 +122,106 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
-    // Blocked exact n-gram Jaccard: string word-3-gram shingles, candidate
+    // Blocked exact n-gram Jaccard: hashed word-3-gram shingles (long
+    // compares beat string compares ~10x in the pair loop; both engines
+    // hash identically so any collision collapses identically), candidate
     // pairs only within a bounded (lang, source) block. The exact
     // complement to MinHash-LSH: full precision/recall inside each block.
     "q_llm_dedup_ngram_jaccard" -> { (s, dir) =>
+      // Inverted-index set-similarity join (PPJoin-style): explode distinct
+      // shingles, equi-join on (block, shingle) so co-occurrence counts come
+      // from a plain shuffle + hash agg, and |A∪B| = |A|+|B|-|A∩B| from
+      // broadcast per-doc sizes. No array crosses a join; pairs exist only
+      // for docs sharing at least one shingle. This is the shape that holds
+      // at 100 TB — per-pair array intersections do not.
       val sh = docs(s, dir)
-        .selectExpr("doc_id", "lang", "source", "split(text, ' ') AS t")
-        .where(expr("size(t) >= 3"))
+        .selectExpr("doc_id", "lang", "source", s"${sparkWordHashes("text")} AS wh")
+        .where(expr("size(wh) >= 3"))
         .selectExpr("doc_id", "lang", "source",
-          """array_distinct(transform(sequence(1, size(t) - 2),
-             i -> concat_ws('_', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))) AS shd""")
-      sh.alias("a").join(sh.alias("b"),
+          s"array_distinct(${sparkShingles("wh")}) AS shd")
+      // explode_outer, not explode: the plain generator makes Catalyst
+      // infer a `size(shd) > 0` filter and push it below the projections,
+      // INLINING the whole shingle pipeline into the scan filter where
+      // element_at(transform(...), i) recomputes the full word-hash array
+      // per element — measured 10x the entire query's cost. The arrays are
+      // non-empty by construction, so outer is semantically identical.
+      val ex = sh.selectExpr("doc_id", "lang", "source", "explode_outer(shd) AS sg")
+      // per-doc set sizes from the exploded stream (count == size(shd)): an
+      // aggregation is a predicate-pushdown BARRIER, so the final threshold
+      // filter's inferred isnotnull(n) cannot inline size(<shingle expr>)
+      // into the scan (same quadratic re-evaluation disease as above —
+      // measured at 45 of the query's 47 seconds before this shape)
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val co = ex.alias("a").join(ex.alias("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.lang").as("lang"), col("a.source").as("source"),
-          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("CAST(size(array_intersect(a.shd, b.shd)) AS DOUBLE) / size(array_union(a.shd, b.shd))").as("jaccard"))
-        .where(col("jaccard") >= 0.3)
+            col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.lang").as("lang"), col("a.source").as("source"),
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      co.join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+        .where(expr("10 * i >= 3 * (na + nb - i)"))
+        .selectExpr("lang", "source", "doc_a", "doc_b",
+          "CAST(i AS DOUBLE) / (na + nb - i) AS jaccard")
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // Embedding-cosine near-dup: banded hyperplane LSH (4 bands x 4 sign
+    // Embedding-cosine near-dup: banded hyperplane LSH (4 bands x 8 sign
     // bits) -> candidate pairs -> exact scaled-long cosine >= 0.25.
+    // 8 bits/band keeps candidates at O(N·bucket_load); recall is the
+    // documented LSH tradeoff (high for true near-dups at cos ~0.9+).
     "q_llm_dedup_embed" -> { (s, dir) =>
       // norms precomputed per vector (pre-join): keeps the pair stage to a
       // single unrolled dot (under the 64 KB codegen method limit) and does
       // O(N) norm work instead of O(candidates)
+      import s.implicits._
       val se = Tables.load(s, dir, "embeddings")
         .selectExpr("vec_id", s"${sparkScaledEmb("embedding")} AS se")
         .selectExpr("vec_id", "se",
           s"sqrt(CAST(${sparkPairDot("se", "se")} AS DOUBLE)) AS nrm")
-      val bits = se.selectExpr(
-        Seq("vec_id", "se", "nrm") ++
-          (0 until NPlanes).map(p => s"IF(${sparkPlaneDot("se", p)} > 0L, 1, 0) AS bit$p"): _*)
-      val bandStructs = (0 until 4).map { bd =>
-        val bs = (0 until 4).map(r => s"bit${bd * 4 + r}").mkString(", ")
-        s"named_struct('band_idx', $bd, 'band_key', concat_ws('', $bs))"
-      }.mkString(", ")
-      val bands = bits
-        .selectExpr("vec_id", "se", "nrm", s"explode(array($bandStructs)) AS band")
-        .selectExpr("vec_id", "se", "nrm", "band.band_idx AS band_idx", "band.band_key AS band_key")
-      val pairs = bands.alias("a").join(bands.alias("b"),
+      // All 32 plane dots as a matrix multiply BY JOIN: posexplode the
+      // vectors, broadcast the literal (plane, pos, weight) table, two
+      // map-side aggregations. Unlike a 32x64-term unrolled projection this
+      // stays inside codegen (a 2048-term expression tree overflows the
+      // 64 KB method limit and falls back to interpreted evaluation —
+      // measured 2.5x slower end-to-end).
+      val planes = (for { p <- 0 until NPlanes; d <- 0 until EmbDim }
+        yield (p, d, planeWeight(p, d))).toDF("p", "pos", "w")
+      val bands = se.select(col("vec_id"), posexplode(col("se")))
+        .join(broadcast(planes), "pos")
+        .groupBy(col("vec_id"), col("p"))
+        .agg(sum(col("col") * col("w")).as("dot"))
+        // band key = integer of the band's 8 sign bits
+        .select(col("vec_id"), expr("p div 8").as("band_idx"),
+          expr("IF(dot > 0L, shiftleft(1L, p % 8), 0L)").as("bitval"))
+        .groupBy(col("vec_id"), col("band_idx"))
+        .agg(sum(col("bitval")).as("band_key"))
+      // band table and pair-dedup stay SLIM (ids only): the distinct then
+      // shuffles 2 longs per candidate instead of two 64-long arrays; the
+      // vectors re-attach afterwards via joins (broadcast-able dimension at
+      // test scale; a key-partitioned shuffle join at 100 TB).
+      val pairIds = bands.alias("a").join(bands.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_key") === col("b.band_key") &&
             col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.se").as("sa"), col("b.se").as("sb"),
-          col("a.nrm").as("na"), col("b.nrm").as("nb"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
-      pairs
+      val sideA = se.select(col("vec_id").as("vec_a"), col("se").as("sa"), col("nrm").as("na"))
+      val sideB = se.select(col("vec_id").as("vec_b"), col("se").as("sb"), col("nrm").as("nb"))
+      pairIds
+        .join(broadcast(sideA), "vec_a")
+        .join(broadcast(sideB), "vec_b")
         .selectExpr("vec_a", "vec_b",
           s"CAST(${sparkPairDot("sa", "sb")} AS DOUBLE) / (na * nb) AS cos_raw")
         .where(col("cos_raw") >= 0.25)
         .withColumn("cos", graft.util.Exact.fix(col("cos_raw"), 6))
         .select(col("vec_a"), col("vec_b"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
-    })
+    },
+
+    // SimHash near-dup bucketing rides on q_llm_dedup_simhash's fingerprint;
+    // MinHash-LSH above is the generic fuzzy-pair generator.
+    )
 
   def oracleSql: Map[String, String] = {
     val sigExprs = (0 until K).map(k => s"${duckMinhash("sh", k)} AS m$k").mkString(",\n               ")
@@ -193,8 +238,8 @@ object Dedup {
       .map(p => s"CASE WHEN ${duckPlaneDot("se", p)} > 0 THEN 1 ELSE 0 END AS bit$p")
       .mkString(",\n               ")
     val embBandUnion = (0 until 4).map { bd =>
-      val bs = (0 until 4).map(r => s"bit${bd * 4 + r}").mkString(", ")
-      s"SELECT vec_id, se, nrm, $bd AS band_idx, concat_ws('', $bs) AS band_key FROM bits"
+      val bs = (0 until 8).map(r => s"bit${bd * 8 + r} * ${1L << r}").mkString(" + ")
+      s"SELECT vec_id, se, nrm, $bd AS band_idx, CAST($bs AS BIGINT) AS band_key FROM bits"
     }.mkString("\n        UNION ALL ")
 
     Map(
@@ -229,7 +274,7 @@ object Dedup {
       SELECT doc_a, doc_b,
              CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(sa || sb)) AS jaccard
       FROM pairs
-      WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(sa || sb)) >= 0.5
+      WHERE 2 * len(list_intersect(sa, sb)) >= len(list_distinct(sa || sb))
       ORDER BY doc_a, doc_b""",
 
       "q_llm_dedup_simhash" -> s"""
@@ -244,19 +289,17 @@ object Dedup {
       SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same_fp
       FROM fp ORDER BY doc_id""",
 
-      "q_llm_dedup_ngram_jaccard" -> """
+      "q_llm_dedup_ngram_jaccard" -> s"""
       WITH sh AS (
-        SELECT doc_id, lang, source,
-               list_distinct(list_transform(range(1, len(t) - 1),
-                 i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])) AS shd
-        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents)
-        WHERE len(t) >= 3)
+        SELECT doc_id, lang, source, list_distinct(${duckShingles("wh")}) AS shd
+        FROM (SELECT doc_id, lang, source, ${duckWordHashes("text")} AS wh FROM documents)
+        WHERE len(wh) >= 3)
       SELECT a.lang AS lang, a.source AS source,
              a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) / len(list_distinct(a.shd || b.shd)) AS jaccard
       FROM sh a JOIN sh b
         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) / len(list_distinct(a.shd || b.shd)) >= 0.3
+      WHERE 10 * len(list_intersect(a.shd, b.shd)) >= 3 * len(list_distinct(a.shd || b.shd))
       ORDER BY doc_a, doc_b""",
 
       "q_llm_dedup_embed" -> s"""

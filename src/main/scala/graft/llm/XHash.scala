@@ -48,11 +48,23 @@ object XHash {
       s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(acc, c) -> (acc * 31 + c) % $P)"
 
+  /** Word hash: first 56 bits of md5, mod P. Both engines produce identical
+    * md5 hex; each parses it natively — Spark via codegen'd `conv` (the char
+    * hash's interpreted higher-order fold would dominate the hot path),
+    * DuckDB via a hex-digit fold (oracle side, cost irrelevant). */
+  def sparkWordHash(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 14), 16, 10) AS BIGINT) % $P"
+  def duckWordHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(substring(md5($e), 1, 14), ''), " +
+      s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), " +
+      s"(a, d) -> a * 16 + d) % $P"
+
   /** Word-hash array of a space-tokenized text column. */
   def sparkWordHashes(text: String): String =
-    s"transform(split($text, ' '), w -> ${sparkCharHash("w")})"
+    s"transform(split($text, ' '), w -> ${sparkWordHash("w")})"
   def duckWordHashes(text: String): String =
-    s"list_transform(string_split($text, ' '), w -> ${duckCharHash("w")})"
+    s"list_transform(string_split($text, ' '), w -> ${duckWordHash("w")})"
 
   /** Word-3-gram shingle hashes from a word-hash array column `wh`
     * (callers must filter size(wh) >= 3 first — both engines). */
@@ -73,8 +85,11 @@ object XHash {
   // Hyperplane LSH for embeddings: NPlanes deterministic pseudo-random
   // integer planes over EmbDim dims, derived from a Weyl-style sequence so
   // both engines can embed them as literals. Values centered on 0.
+  // Near-dup banding is 4 bands x 8 sign bits: 256 buckets per band keeps
+  // the candidate set O(N·bucket_load), not quadratic (4-bit bands were
+  // measured at 23% of ALL pairs at sf0.1 — effectively all-pairs).
   val EmbDim = 64
-  val NPlanes = 16 // 4 bands x 4 planes for near-dup; first 4 for ANN buckets
+  val NPlanes = 32 // 4 bands x 8 planes for near-dup; first 4 for ANN buckets
   def planeWeight(p: Int, d: Int): Long =
     ((p.toLong * EmbDim + d) * 2654435761L) % 2000003L - 1000001L
 
@@ -85,11 +100,12 @@ object XHash {
   def duckScaledEmb(e: String): String =
     s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
 
-  /** Dot product of a scaled-long embedding column with literal plane p. */
-  def sparkPlaneDot(se: String, p: Int): String = {
-    val w = (0 until EmbDim).map(planeWeight(p, _)).mkString("array(", "L,", "L)")
-    s"aggregate(sequence(1, $EmbDim), 0L, (acc, i) -> acc + element_at($se, i) * element_at($w, i))"
-  }
+  /** Dot product of a scaled-long embedding column with literal plane p —
+    * unrolled with literal weights so it stays plain codegen arithmetic. */
+  def sparkPlaneDot(se: String, p: Int): String =
+    (0 until EmbDim)
+      .map(d => s"element_at($se, ${d + 1}) * ${planeWeight(p, d)}L")
+      .mkString(" + ")
   def duckPlaneDot(se: String, p: Int): String = {
     val w = (0 until EmbDim).map(planeWeight(p, _)).mkString("[", ",", "]")
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +

@@ -45,13 +45,18 @@ object Windows {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // Bounded RANGE frames re-aggregate the frame buffer per row in Spark,
+    // so frame size × partition size is the real cost driver: partition by
+    // (status, year) to bound partitions and keep the price range tight —
+    // the shape that stays linear-ish at 100× data.
     "q_window_range" -> { (s, dir) =>
-      val w = Window.partitionBy(col("o_orderstatus"))
+      val w = Window.partitionBy(col("o_orderstatus"), col("o_year"))
         .orderBy(col("o_totalprice"))
-        .rangeBetween(-50000, 0)
+        .rangeBetween(-10000, 0)
       t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-          count(lit(1)).over(w).as("n_within_50k"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_year"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_within_10k"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -110,10 +115,12 @@ object Windows {
       ORDER BY o_custkey, o_orderkey""",
 
     "q_window_range" -> """
-      SELECT o_orderkey, o_orderstatus, o_totalprice,
-             count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
-                            RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
-               AS n_within_50k
+      SELECT o_orderkey, o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year,
+             o_totalprice,
+             count(*) OVER (PARTITION BY o_orderstatus, year(o_orderdate)
+                            ORDER BY o_totalprice
+                            RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+               AS n_within_10k
       FROM orders ORDER BY o_orderkey""",
 
     "q_topk_per_group" -> """
