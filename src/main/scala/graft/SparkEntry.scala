@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
 import graft.ingest.CommitEtl
-import graft.ops.{Aggregates, AsOf, Extras, Relational, Scalars, TimeWindows, Windows}
+import graft.ops.{Aggregates, AsOf, Extras, Relational, Scalars, TimeWindows, Typed, Windows}
 import graft.sources.Tables
 import graft.streaming.StreamOps
 
@@ -34,8 +34,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CommitEtl.queries ++ Relational.queries ++ Aggregates.queries ++
-      Windows.queries ++ Scalars.queries ++ Extras.queries ++ AsOf.queries ++
-      TimeWindows.queries ++ StreamOps.queries ++
+      Windows.queries ++ Scalars.queries ++ Extras.queries ++ Typed.queries ++
+      AsOf.queries ++ TimeWindows.queries ++ StreamOps.queries ++
       graft.llm.Dedup.queries ++ graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++ graft.llm.Multimodal.queries ++
       graft.sinks.Sinks.queries
@@ -44,8 +44,8 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CommitEtl.oracleSql ++ Relational.oracleSql ++ Aggregates.oracleSql ++
-      Windows.oracleSql ++ Scalars.oracleSql ++ Extras.oracleSql ++ AsOf.oracleSql ++
-      TimeWindows.oracleSql ++ StreamOps.oracleSql ++
+      Windows.oracleSql ++ Scalars.oracleSql ++ Extras.oracleSql ++ Typed.oracleSql ++
+      AsOf.oracleSql ++ TimeWindows.oracleSql ++ StreamOps.oracleSql ++
       graft.llm.Dedup.oracleSql ++ graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++ graft.llm.Multimodal.oracleSql ++
       graft.sinks.Sinks.oracleSql

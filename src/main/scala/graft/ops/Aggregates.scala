@@ -107,7 +107,19 @@ object Aggregates {
         .agg(wavg(col("l_quantity"), col("l_extendedprice")).as("wavg_price"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
-    })
+    },
+
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont: both use linear interpolation at (n-1)*p).
+    "q_agg_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          fix(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
+          fix(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          fix(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))))
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_multi_distinct" -> """
@@ -154,6 +166,14 @@ object Aggregates {
       SELECT l_returnflag,
              sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
                / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_price,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_percentile" -> s"""
+      SELECT l_returnflag,
+             ${sqlFix("quantile_cont(l_quantity, 0.25)", 6)} AS p25_qty,
+             ${sqlFix("quantile_cont(l_quantity, 0.5)", 6)} AS median_qty,
+             ${sqlFix("quantile_cont(l_extendedprice, 0.9)", 6)} AS p90_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

@@ -70,6 +70,76 @@ object Extras {
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), sumFix(col("s_acctbal"), 2).as("bal"))
         .orderBy(col("s_nationkey"))
+    },
+
+    // Full outer join with non-overlapping key ranges on both sides.
+    "q_full_outer_join" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").where(col("c_custkey") <= 600)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val ords = t(s, dir, "orders")
+        .where(col("o_custkey").between(400, 1000))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_orders"))
+        .orderBy(col("custkey"))
+    },
+
+    // EXISTS / NOT EXISTS subqueries through the SQL parser path.
+    "q_subquery_exists" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders_v o
+        WHERE EXISTS (SELECT 1 FROM customer_v c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+          AND NOT EXISTS (SELECT 1 FROM customer_v c2
+                          WHERE c2.c_custkey = o.o_custkey AND c2.c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
+    // Scalar subquery threshold (exact max, so cross-engine deterministic).
+    "q_subquery_scalar" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders_v
+        WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders_v) * 0.5
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+
+    // Manual salt-and-unsalt around a skewed join key: the salted key
+    // spreads one hot key over 8 shuffle partitions; re-aggregation after
+    // the join restores exact results. (AQE skew-join does this adaptively;
+    // the explicit form is the portable 100 TB idiom.)
+    "q_salted_join" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .withColumn("salt", (col("l_linenumber") % 8).cast("int"))
+      val ords = t(s, dir, "orders")
+        .crossJoin(s.range(8).select(col("id").cast("int").as("salt")))
+      li.join(ords,
+          col("l_orderkey") === col("o_orderkey") && li("salt") === ords("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumFix(col("l_extendedprice"), 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Bucketed co-located join: both sides bucketed+sorted on the key in
+    // the warehouse; the join then needs NO shuffle exchange — at 100 TB
+    // this is the difference between reading and re-shuffling the lake.
+    "q_bucketed_join" -> { (s, dir) =>
+      s.sql("DROP TABLE IF EXISTS orders_bkt")
+      s.sql("DROP TABLE IF EXISTS customer_bkt")
+      t(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_bkt")
+      t(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_bkt")
+      s.table("orders_bkt")
+        .join(s.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sumFix(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -99,5 +169,41 @@ object Extras {
 
     "q_json_scan" -> s"""
       SELECT s_nationkey, count(*) AS n, ${sqlSumFix("s_acctbal", 2)} AS bal
-      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    "q_full_outer_join" -> """
+      SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+             c.c_mktsegment, o.n_orders
+      FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 600) c
+      FULL OUTER JOIN (
+        SELECT o_custkey, count(*) AS n_orders FROM orders
+        WHERE o_custkey BETWEEN 400 AND 1000 GROUP BY o_custkey) o
+        ON c.c_custkey = o.o_custkey
+      ORDER BY custkey""",
+
+    "q_subquery_exists" -> """
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+        AND NOT EXISTS (SELECT 1 FROM customer c2
+                        WHERE c2.c_custkey = o.o_custkey AND c2.c_mktsegment = 'BUILDING')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_subquery_scalar" -> """
+      SELECT o_orderstatus, count(*) AS n
+      FROM orders
+      WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.5
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_salted_join" -> s"""
+      SELECT o_orderstatus, count(*) AS n,
+             ${sqlSumFix("l_extendedprice", 2)} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_bucketed_join" -> s"""
+      SELECT c_mktsegment, count(*) AS n, ${sqlSumFix("o_totalprice", 2)} AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
 }

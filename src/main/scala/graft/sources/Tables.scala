@@ -108,7 +108,9 @@ object Tables {
     * `nanosAsLong` lets the ns-timestamp events parquet be read as raw longs. */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // bucketed-table demos (q_bucketed_join) write managed tables here
+    "spark.sql.warehouse.dir" -> "/root/repo/target/warehouse")
 
   /** Load one driver table. Filter/projection on the result push down to the
     * parquet scan (verify with `.explain`: `PushedFilters`, `ReadSchema`). */

@@ -79,6 +79,74 @@ object StreamOps {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
         .orderBy(col("event_type"))
+    },
+
+    // The reference's ACTUAL runtime shape (git_etl.ts:353-355): REAL
+    // multi-tick micro-batches. The source is split into 4 files,
+    // maxFilesPerTrigger=1 forces 4 sequential batches, and each batch
+    // upserts into the durable store via foreachBatch — the keyed merge
+    // makes the final state independent of batch order (O8 idempotence).
+    "stream_incremental_ticks" -> { (s, dir) =>
+      val src = s"${graft.sinks.Sinks.tmpBase}/events_ticks_src"
+      val dest = s"${graft.sinks.Sinks.tmpBase}/events_ticks_store"
+      val ckpt = dest + ".ckpt"
+      graft.sinks.Sinks.truncate(src)
+      graft.sinks.Sinks.truncate(dest); graft.sinks.Sinks.truncate(ckpt)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      ev.repartitionByRange(4, col("ts")).write.parquet(src)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val existing =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(dest)))
+              s.read.parquet(dest)
+            else s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+          graft.sinks.Sinks.writeAtomic(
+            graft.ingest.CommitEtl.upsert(existing, batch, "event_id", Seq("ts", "value")), dest)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(dest)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // Custom keyed state: flatMapGroupsWithState folds each user's events
+    // into (count, exact cents, last event id) — order-independent except
+    // last_id, which uses max(ts, event_id) ordering, so the emitted rows
+    // are deterministic under any partitioning.
+    "stream_stateful_fold" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val typed = eventsStream(s, dir)
+        .selectExpr("user_id % 50 AS cohort", "event_id",
+          "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+        .as[(Long, Long, Long)]
+      val folded = typed.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Double)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (cohort, it, state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
+            val (n0, c0, _) = state.getOption.getOrElse((0L, 0L, 0L))
+            var n = n0; var cents = c0
+            it.foreach { e => n += 1; cents += e._3 }
+            state.update((n, cents, cohort))
+            Iterator((cohort, n, cents / 100.0))
+        }
+        .toDF("cohort", "n", "sum_value")
+      runToParquet(s, "stateful", folded, complete = false)
+        // multiple ticks would append one row per (cohort, tick); keep the
+        // final state per cohort = the max-n row
+        .groupBy(col("cohort"))
+        .agg(max(struct(col("n"), col("sum_value"))).as("fin"))
+        .select(col("cohort"), col("fin.n").as("n"), col("fin.sum_value").as("sum_value"))
+        .orderBy(col("cohort"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -90,5 +158,20 @@ object StreamOps {
     "stream_dedup" -> s"""
       SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
       FROM (SELECT DISTINCT event_id, event_type, value FROM events)
-      GROUP BY event_type ORDER BY event_type""")
+      GROUP BY event_type ORDER BY event_type""",
+
+    "stream_incremental_ticks" -> s"""
+      WITH keyed AS (
+        SELECT event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY event_id
+                                  ORDER BY ts DESC, value DESC) AS rn
+        FROM events)
+      SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
+      FROM keyed WHERE rn = 1
+      GROUP BY event_type ORDER BY event_type""",
+
+    "stream_stateful_fold" -> """
+      SELECT user_id % 50 AS cohort, count(*) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+      FROM events GROUP BY cohort ORDER BY cohort""")
 }
