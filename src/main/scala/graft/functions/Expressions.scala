@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions with whole-stage codegen for the engine's
+  * two hot scalar kernels. Preference order from the build brief: built-in
+  * functions first, then a codegen `Expression` where the built-in shape is
+  * interpreted — both of these replace higher-order-function pipelines
+  * (`aggregate`/`transform` lambdas evaluate interpreted, outside codegen).
+  *
+  * Cross-engine contract: [[CharPolyHash]] computes exactly
+  * `fold(chars, 0, (acc, c) => (acc * 31 + codepoint(c)) % 1000000007)` —
+  * the same value as [[graft.llm.XHash.duckCharHash]]'s DuckDB fold and the
+  * SQL `aggregate(split(s,''),...)` form (for BMP text; the driver corpus
+  * is ASCII). [[LongDot]] is the exact integer dot product of two
+  * `array<bigint>` columns, the kernel under every cosine in graft.llm.
+  */
+object GraftKernels {
+  val P: Long = 1000000007L
+
+  def charPolyHash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def longDot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `graft_charhash(str)`: rolling polynomial hash of a string, codegen'd. */
+case class CharPolyHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_charhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.charPolyHash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val str = ctx.freshName("str")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |String $str = $c.toString();
+         |long ${ev.value}_acc = 0L;
+         |int $i = 0;
+         |while ($i < $str.length()) {
+         |  int $cp = $str.codePointAt($i);
+         |  ${ev.value}_acc = (${ev.value}_acc * 31L + $cp) % ${GraftKernels.P}L;
+         |  $i += Character.charCount($cp);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharPolyHash =
+    copy(child = newChild)
+}
+
+/** `graft_dot(array<bigint>, array<bigint>)`: exact integer dot product. */
+case class LongDot(left: Expression, right: Expression) extends BinaryExpression {
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftKernels.longDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long ${ev.value}_acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for the graft native expressions.
+  *
+  * Two paths to the same registry entries:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *    build (the standard extension-point wiring);
+  *  - [[GraftFunctions.register]] on a live session (idempotent), used
+  *    defensively by the queries that need the functions so they work on
+  *    any session the driver hands us.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  val descriptors: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("graft_charhash",
+      new ExpressionInfo(classOf[CharPolyHash].getName, "graft_charhash"),
+      (args: Seq[Expression]) => CharPolyHash(args.head)),
+    ("graft_dot",
+      new ExpressionInfo(classOf[LongDot].getName, "graft_dot"),
+      (args: Seq[Expression]) => LongDot(args(0), args(1))))
+
+  /** Idempotent runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

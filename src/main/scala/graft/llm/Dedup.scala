@@ -30,25 +30,37 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** doc_id + distinct word-3-gram shingle-hash set, filtered to docs with
-    * >= 3 tokens (shingling is undefined below that — both engines agree). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  /** (doc_id, sg): one row per DISTINCT word-3-gram shingle hash, docs with
+    * >= 3 tokens only (shingling is undefined below that — both engines
+    * agree). The exploded stream is the base of every MinHash computation:
+    * signatures become plain map-side-combining aggregations over it
+    * (min((A·sg+B) % P)), which keeps the hot path out of interpreted
+    * higher-order functions AND behind a pushdown barrier (see the
+    * quadratic-inlining note on q_llm_dedup_ngram_jaccard). */
+  private def shingleStream(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
       .where(expr("size(wh) >= 3"))
-      .selectExpr("doc_id", s"array_distinct(${sparkShingles("wh")}) AS shd",
-        s"${sparkShingles("wh")} AS sh")
+      .selectExpr("doc_id", s"array_distinct(${sparkShingles("wh")}) AS shd")
+      .selectExpr("doc_id", "explode_outer(shd) AS sg")
 
-  /** MinHash band table: (doc_id, shd, band_idx, band_key). */
+  /** MinHash signatures as one hash aggregation: doc_id, m0..m15, n_shingles. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until K).map(k =>
+      expr(s"min((${A(k)} * sg + ${B(k)}) % $P)").as(s"m$k")) :+
+      count(lit(1)).as("n_shingles")
+    shingleStream(s, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash band table: (doc_id, band_idx, band_key) — slim, agg-backed. */
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val sig = shingled(s, dir).selectExpr(
-      Seq("doc_id", "shd") ++ (0 until K).map(k => s"${sparkMinhash("sh", k)} AS m$k"): _*)
     val bandStructs = (0 until Bands).map { bd =>
       val ms = (0 until RowsPerBand).map(r => s"m${bd * RowsPerBand + r}").mkString(", ")
       s"named_struct('band_idx', $bd, 'band_key', concat_ws('_', $ms))"
     }.mkString(", ")
-    sig.selectExpr("doc_id", "shd", s"explode(array($bandStructs)) AS band")
-      .selectExpr("doc_id", "shd", "band.band_idx AS band_idx", "band.band_key AS band_key")
+    minhashSigs(s, dir)
+      .selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
+      .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
   }
 
   // Shared DuckDB CTE prefix: tokens -> shingles -> distinct shingles.
@@ -76,29 +88,36 @@ object Dedup {
     // that LSH banding is built from; also a compact near-dup sketch a user
     // can persist and diff across snapshots.
     "q_llm_minhash_sig" -> { (s, dir) =>
-      val sigCols = (0 until K).map(k => s"${sparkMinhash("sh", k)} AS m$k")
-      shingled(s, dir)
-        .selectExpr(Seq("doc_id", "size(shd) AS n_shingles") ++ sigCols: _*)
-        .selectExpr("doc_id", "n_shingles",
+      minhashSigs(s, dir)
+        .selectExpr("doc_id", "CAST(n_shingles AS INT) AS n_shingles",
           s"concat_ws('-', ${(0 until K).map("m" + _).mkString(", ")}) AS sig")
         .orderBy("doc_id")
     },
 
     // Banded MinHash-LSH near-dup: candidates only from band-bucket
-    // equi-joins (4 bands x 4 rows), then exact-Jaccard verify >= 0.5.
+    // equi-joins (4 bands x 4 rows), then exact-Jaccard verify >= 0.5 via
+    // inverted-index co-occurrence counts (no arrays cross any join; a
+    // candidate with J >= 0.5 necessarily shares shingles, so the inner
+    // join against co-counts loses nothing).
     "q_llm_dedup_minhash_lsh" -> { (s, dir) =>
       val bands = minhashBands(s, dir)
-      val pairs = bands.alias("a").join(bands.alias("b"),
+      val cand = bands.alias("a").join(bands.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.shd").as("sa"), col("b.shd").as("sb"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      pairs
-        .where(expr("2 * size(array_intersect(sa, sb)) >= size(array_union(sa, sb))"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE) / size(array_union(sa, sb))").as("jaccard"))
+      val ex = shingleStream(s, dir)
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val co = ex.alias("a").join(ex.alias("b"),
+          col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      cand.join(co, Seq("doc_a", "doc_b"))
+        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+        .where(expr("2 * i >= na + nb - i"))
+        .selectExpr("doc_a", "doc_b", "CAST(i AS DOUBLE) / (na + nb - i) AS jaccard")
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -175,10 +194,11 @@ object Dedup {
       // single unrolled dot (under the 64 KB codegen method limit) and does
       // O(N) norm work instead of O(candidates)
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val se = Tables.load(s, dir, "embeddings")
         .selectExpr("vec_id", s"${sparkScaledEmb("embedding")} AS se")
         .selectExpr("vec_id", "se",
-          s"sqrt(CAST(${sparkPairDot("se", "se")} AS DOUBLE)) AS nrm")
+          "sqrt(CAST(graft_dot(se, se) AS DOUBLE)) AS nrm")
       // All 32 plane dots as a matrix multiply BY JOIN: posexplode the
       // vectors, broadcast the literal (plane, pos, weight) table, two
       // map-side aggregations. Unlike a 32x64-term unrolled projection this
@@ -212,7 +232,7 @@ object Dedup {
         .join(broadcast(sideA), "vec_a")
         .join(broadcast(sideB), "vec_b")
         .selectExpr("vec_a", "vec_b",
-          s"CAST(${sparkPairDot("sa", "sb")} AS DOUBLE) / (na * nb) AS cos_raw")
+          "CAST(graft_dot(sa, sb) AS DOUBLE) / (na * nb) AS cos_raw")
         .where(col("cos_raw") >= 0.25)
         .withColumn("cos", graft.util.Exact.fix(col("cos_raw"), 6))
         .select(col("vec_a"), col("vec_b"), col("cos"))

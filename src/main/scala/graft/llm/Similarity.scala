@@ -29,17 +29,18 @@ import graft.util.Exact
 object Similarity {
 
   /** vec_id, scaled-long embedding, precomputed norm. Norms are computed
-    * ONCE per vector before any join — the pair stage then carries a single
-    * unrolled dot product, which both stays under the JVM's 64 KB codegen
-    * method limit and does O(N) instead of O(pairs) norm work. */
-  private[llm] def scaledEmb(s: SparkSession, dir: String): DataFrame =
+    * ONCE per vector before any join (O(N), not O(pairs)); dot products go
+    * through the native codegen kernel [[graft.functions.LongDot]]. */
+  private[llm] def scaledEmb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings")
       .selectExpr("vec_id", s"${sparkScaledEmb("embedding")} AS se")
       .selectExpr("vec_id", "se",
-        s"sqrt(CAST(${sparkPairDot("se", "se")} AS DOUBLE)) AS nrm")
+        "sqrt(CAST(graft_dot(se, se) AS DOUBLE)) AS nrm")
+  }
 
   private def cosExpr(a: String, b: String, na: String, nb: String): String =
-    s"CAST(${sparkPairDot(a, b)} AS DOUBLE) / ($na * $nb)"
+    s"CAST(graft_dot($a, $b) AS DOUBLE) / ($na * $nb)"
 
   private def duckCosExpr(a: String, b: String, na: String, nb: String): String =
     s"CAST(${duckPairDot(a, b)} AS DOUBLE) / ($na * $nb)"

@@ -95,15 +95,19 @@ object TextAnalysis {
         .orderBy(col("source"))),
 
     // Content fingerprinting: rolling char-polynomial hash of the full text
-    // plus a 64-char-prefix hash; collision count per fingerprint.
-    "q_llm_fingerprint" -> ((s, dir) =>
+    // plus a 64-char-prefix hash; collision count per fingerprint. Uses the
+    // native codegen kernel (graft.functions.CharPolyHash) — same value as
+    // the SQL aggregate(split(...)) form, without the interpreted lambda.
+    "q_llm_fingerprint" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       docs(s, dir)
         .selectExpr("doc_id",
-          s"${sparkCharHash("text")} AS fp",
-          s"${sparkCharHash("substring(text, 1, 64)")} AS fp_prefix")
+          "graft_charhash(text) AS fp",
+          "graft_charhash(substring(text, 1, 64)) AS fp_prefix")
         .withColumn("n_same_fp", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))
+    })
 
   def oracleSql: Map[String, String] = {
     val hitCols = markers.map { case (l, ws) =>

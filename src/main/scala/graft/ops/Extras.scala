@@ -131,12 +131,20 @@ object Extras {
     "q_bucketed_join" -> { (s, dir) =>
       s.sql("DROP TABLE IF EXISTS orders_bkt")
       s.sql("DROP TABLE IF EXISTS customer_bkt")
+      // a fresh session's in-memory catalog forgets the tables but their
+      // warehouse directories persist — clear them or saveAsTable refuses
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      graft.sinks.Sinks.truncate(s"$wh/orders_bkt")
+      graft.sinks.Sinks.truncate(s"$wh/customer_bkt")
       t(s, dir, "orders").write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_bkt")
       t(s, dir, "customer").write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_bkt")
-      s.table("orders_bkt")
-        .join(s.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+      // merge-hinted so the plan shows the point: SMJ over co-bucketed
+      // tables with NO shuffle exchange on either side (at test scale AQE
+      // would otherwise broadcast and hide the bucketing)
+      s.table("orders_bkt").hint("merge")
+        .join(s.table("customer_bkt").hint("merge"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sumFix(col("o_totalprice"), 2).as("total"))
         .orderBy(col("c_mktsegment"))

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, GraftKernels}
+import graft.llm.XHash
+
+/** Native codegen expressions: value contract vs the SQL higher-order-
+  * function forms, null handling, and both evaluation paths. */
+class ExpressionsSpec extends SparkSpec {
+
+  test("graft_charhash matches the SQL aggregate(split(...)) fold and the JVM kernel") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val samples = Seq("abc", "", "hello world", "key agg row scan", "a",
+      "Brand#12|STANDARD", "0123456789abcdef" * 40)
+    val df = samples.toDF("s")
+      .selectExpr("s", "graft_charhash(s) AS native",
+        s"${XHash.sparkCharHash("s")} AS hof")
+      .collect()
+    df.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"native != hof for '${r.getString(0).take(20)}'")
+      assert(r.getLong(1) === GraftKernels.charPolyHash(r.getString(0)))
+    }
+    assert(GraftKernels.charPolyHash("abc") === 96354L)
+    // null in -> null out
+    val n = Seq[Option[String]](None).toDF("s").selectExpr("graft_charhash(s) AS h").collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("graft_dot matches the unrolled integer dot product in both eval paths") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val a = Array.tabulate(64)(i => (i * 37 - 1000).toLong)
+    val b = Array.tabulate(64)(i => (i * i - 64).toLong)
+    val expected = a.zip(b).map { case (x, y) => x * y }.sum
+    // codegen path (projection inside a whole-stage pipeline)
+    val got = Seq((a, b)).toDF("a", "b").selectExpr("graft_dot(a, b) AS d")
+      .where(col("d").isNotNull).as[Long].collect()(0)
+    assert(got === expected)
+    // interpreted path (eval through a filter that disables codegen is hard
+    // to force; the kernel itself is the shared implementation)
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    assert(GraftKernels.longDot(
+      ArrayData.toArrayData(a), ArrayData.toArrayData(b)) === expected)
+  }
+}
