@@ -52,6 +52,32 @@ object Dedup {
     shingleStream(s, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** LSH candidates verified by exact Jaccard >= 0.5, with the intersection
+    * and set sizes kept: (doc_a, doc_b, i, na, nb). Candidates come ONLY
+    * from band-bucket equi-joins; verification is inverted-index
+    * co-occurrence counting (no arrays cross any join; a pair with
+    * J >= 0.5 necessarily shares shingles, so the inner join against
+    * co-counts loses nothing). */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir)
+    val cand = bands.alias("a").join(bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ex = shingleStream(s, dir)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = ex.alias("a").join(ex.alias("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    cand.join(co, Seq("doc_a", "doc_b"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .where(expr("2 * i >= na + nb - i"))
+  }
+
   /** MinHash band table: (doc_id, band_idx, band_key) — slim, agg-backed. */
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val bandStructs = (0 until Bands).map { bd =>
@@ -99,26 +125,42 @@ object Dedup {
     // inverted-index co-occurrence counts (no arrays cross any join; a
     // candidate with J >= 0.5 necessarily shares shingles, so the inner
     // join against co-counts loses nothing).
-    "q_llm_dedup_minhash_lsh" -> { (s, dir) =>
-      val bands = minhashBands(s, dir)
-      val cand = bands.alias("a").join(bands.alias("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val ex = shingleStream(s, dir)
-      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val co = ex.alias("a").join(ex.alias("b"),
-          col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      cand.join(co, Seq("doc_a", "doc_b"))
-        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
-        .where(expr("2 * i >= na + nb - i"))
+    "q_llm_dedup_minhash_lsh" -> ((s, dir) =>
+      minhashVerifiedPairs(s, dir)
         .selectExpr("doc_a", "doc_b", "CAST(i AS DOUBLE) / (na + nb - i) AS jaccard")
-        .orderBy(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Near-dup CLUSTERING: connected components over the verified pair
+    // graph via iterative min-label propagation (Pregel-lite: join labels
+    // to edges, take the per-node min, repeat to fixpoint). localCheckpoint
+    // cuts lineage each round so the loop is bounded by graph DIAMETER,
+    // not by plan growth. Canonical doc = component minimum — the fuzzy
+    // generalization of the reference's keyed dedup choosing one winner
+    // per key (git_etl.ts:127-132).
+    "q_llm_dedup_groups" -> { (s, dir) =>
+      val pairs = minhashVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
+      var labels = edges.select(col("src").as("doc")).distinct()
+        .withColumn("label", col("doc")).localCheckpoint()
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 20) {
+        val viaNeighbor = edges.join(labels, edges("src") === labels("doc"))
+          .select(col("dst").as("doc"), col("label"))
+        val next = labels.select(col("doc"), col("label")).union(viaNeighbor)
+          .groupBy(col("doc")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        changed = next.alias("n").join(labels.alias("o"), "doc")
+          .where(col("n.label") =!= col("o.label")).count()
+        labels = next
+        iters += 1
+      }
+      labels.select(col("doc").as("doc_id"), col("label").as("canonical"))
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("canonical"))))
+        .orderBy(col("doc_id"))
     },
 
     // 32-bit SimHash fingerprint: explode word hashes -> per-bit majority
@@ -296,6 +338,36 @@ object Dedup {
       FROM pairs
       WHERE 2 * len(list_intersect(sa, sb)) >= len(list_distinct(sa || sb))
       ORDER BY doc_a, doc_b""",
+
+      "q_llm_dedup_groups" -> s"""
+      WITH RECURSIVE ${duckShingleCtes},
+      sig AS (
+        SELECT doc_id, shd, $sigExprs
+        FROM shing),
+      bands AS (
+        $bandUnion),
+      cpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shd AS sa, b.shd AS sb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+      vp AS (
+        SELECT doc_a, doc_b FROM cpairs
+        WHERE 2 * len(list_intersect(sa, sb)) >= len(list_distinct(sa || sb))),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM vp
+        UNION SELECT doc_b, doc_a FROM vp),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      canon AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical
+        FROM reach GROUP BY a)
+      SELECT doc_id, canonical,
+             count(*) OVER (PARTITION BY canonical) AS cluster_size
+      FROM canon ORDER BY doc_id""",
 
       "q_llm_dedup_simhash" -> s"""
       WITH toks AS (

@@ -66,6 +66,42 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // IVF-style ANN: deterministic coarse quantizer (centroids = the first
+    // 16 vectors), one assignment pass (corpus x broadcast centroids,
+    // argmax cosine), queries probe their nprobe=2 nearest cells, exact
+    // re-rank inside the probed cells. The scale path: the corpus is
+    // scanned once for assignment, and each query touches ~2/16ths of it.
+    "q_llm_knn_ivf" -> { (s, dir) =>
+      val se = scaledEmb(s, dir)
+      val cents = se.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("se").as("cse"), col("nrm").as("cnrm"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = se.crossJoin(broadcast(cents))
+        .selectExpr("vec_id", "se", "nrm", "cent_id",
+          s"${cosExpr("se", "cse", "nrm", "cnrm")} AS ccos")
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("se"), col("nrm"), col("cent_id").as("cell"))
+      val probes = se.where(col("vec_id") < 10).crossJoin(broadcast(cents))
+        .selectExpr("vec_id AS q_id", "se AS qse", "nrm AS qnrm", "cent_id",
+          s"${cosExpr("se", "cse", "nrm", "cnrm")} AS ccos")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cent_id"))))
+        .where(col("rn") <= 2)
+        .select(col("q_id"), col("qse"), col("qnrm"), col("cent_id").as("cell"))
+      val scored = assigned.join(probes, Seq("cell"))
+        .where(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id AS neighbor_id",
+          s"${cosExpr("qse", "se", "qnrm", "nrm")} AS cos_raw")
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("neighbor_id"))))
+        .where(col("rank") <= 3)
+        .withColumn("cos", Exact.fix(col("cos_raw"), 6))
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // LSH-bucketed ANN: candidates restricted to the query's sign-bit
     // bucket (planes 0..3), exact cosine re-rank, top-3.
     "q_llm_knn_lsh" -> { (s, dir) =>
@@ -110,6 +146,40 @@ object Similarity {
         FROM scored)
       SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
       FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+
+      "q_llm_knn_ivf" -> s"""
+      WITH e0 AS (
+        SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e AS (
+        SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
+      cents AS (SELECT vec_id AS cent_id, se AS cse, nrm AS cnrm FROM e WHERE vec_id < 16),
+      assign0 AS (
+        SELECT e.vec_id, e.se, e.nrm, cent_id,
+               ${duckCosExpr("se", "cse", "nrm", "cnrm")} AS ccos,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${duckCosExpr("se", "cse", "nrm", "cnrm")} DESC, cent_id) AS rn
+        FROM e CROSS JOIN cents),
+      assigned AS (
+        SELECT vec_id, se, nrm, cent_id AS cell FROM assign0 WHERE rn = 1),
+      probe0 AS (
+        SELECT e.vec_id AS q_id, e.se AS qse, e.nrm AS qnrm, cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${duckCosExpr("se", "cse", "nrm", "cnrm")} DESC, cent_id) AS rn
+        FROM e CROSS JOIN cents WHERE e.vec_id < 10),
+      probes AS (
+        SELECT q_id, qse, qnrm, cent_id AS cell FROM probe0 WHERE rn <= 2),
+      scored AS (
+        SELECT q_id, a.vec_id AS neighbor_id,
+               ${duckCosExpr("qse", "se", "qnrm", "nrm")} AS cos_raw
+        FROM assigned a JOIN probes p ON a.cell = p.cell
+        WHERE a.vec_id <> p.q_id),
+      r AS (
+        SELECT q_id, neighbor_id, cos_raw,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
+      FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
 
       "q_llm_knn_lsh" -> s"""
       WITH e0 AS (
