@@ -53,6 +53,8 @@ case class CharPolyHash(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires STRING, got ${child.dataType.catalogString}")
   override def dataType: DataType = LongType
+  // literal inputs fold to constants at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
   override def prettyName: String = "graft_charhash"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -93,6 +95,7 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
       s"$prettyName requires two ARRAY<BIGINT> args, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   override def dataType: DataType = LongType
+  override def foldable: Boolean = left.foldable && right.foldable
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -84,6 +84,28 @@ object Scalars {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
+    "q_string_funcs2" -> ((s, dir) =>
+      t(s, dir, "part").where(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          translate(col("p_brand"), "Brand#", "brnd-0").as("translated"),
+          expr("repeat(p_brand, 2)").as("doubled"),
+          reverse(col("p_name")).as("reversed"),
+          instr(col("p_name"), "a").cast(IntegerType).as("first_a"),
+          expr("left(p_name, 4)").as("head4"),
+          expr("right(p_type, 4)").as("tail4"),
+          ltrim(rtrim(concat(lit("  "), col("p_type"), lit("  ")))).as("trimmed"))
+        .orderBy(col("p_partkey"))),
+
+    "q_date_funcs2" -> ((s, dir) =>
+      t(s, dir, "orders").where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          last_day(col("o_orderdate")).as("month_end"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          add_months(col("o_orderdate").cast(DateType), 3).as("plus3m"))
+        .orderBy(col("o_orderkey"))),
+
     "q_from_json" -> { (s, dir) =>
       val schema = StructType(Seq(StructField("k", IntegerType)))
       t(s, dir, "events")
@@ -181,6 +203,26 @@ object Scalars {
              min(CAST(props->>'k' AS INT)) AS min_k,
              max(CAST(props->>'k' AS INT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_string_funcs2" -> """
+      SELECT p_partkey,
+             translate(p_brand, 'Brand#', 'brnd-0') AS translated,
+             repeat(p_brand, 2) AS doubled,
+             reverse(p_name) AS reversed,
+             CAST(strpos(p_name, 'a') AS INT) AS first_a,
+             left(p_name, 4) AS head4,
+             right(p_type, 4) AS tail4,
+             ltrim(rtrim('  ' || p_type || '  ')) AS trimmed
+      FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+
+    "q_date_funcs2" -> """
+      SELECT o_orderkey,
+             last_day(o_orderdate) AS month_end,
+             CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+             CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
 
     "q_from_json" -> """
       SELECT event_id, CAST(props->>'k' AS INT) AS k

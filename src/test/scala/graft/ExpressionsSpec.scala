@@ -28,6 +28,13 @@ class ExpressionsSpec extends SparkSpec {
     assert(n(0).isNullAt(0))
   }
 
+  test("literal graft_charhash constant-folds at plan time") {
+    GraftFunctions.register(spark)
+    val plan = spark.range(1).selectExpr("graft_charhash('abc') AS h")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("96354"), s"expected folded literal in:\n$plan")
+  }
+
   test("graft_dot matches the unrolled integer dot product in both eval paths") {
     import spark.implicits._
     GraftFunctions.register(spark)
