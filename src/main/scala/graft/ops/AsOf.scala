@@ -53,6 +53,25 @@ object AsOf {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the same query through the NATIVE custom operator
+    // (graft.plans.AsOfJoinNative: LogicalPlan + Strategy + SparkPlan with
+    // declared distribution/ordering requirements)
+    "q_asof_join_native" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ord = Tables.load(s, dir, "orders")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      graft.plans.AsOfJoinNative.asofJoin(ev, ord,
+          col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderkey").as("asof_o_orderkey"),
+          col("o_totalprice").as("asof_o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
     // each event picks up the customer's most recent order at event time
     "q_asof_join" -> { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
@@ -69,7 +88,21 @@ object AsOf {
         .orderBy(col("event_id"))
     })
 
+  private val asofOracle = """
+      WITH ord AS (
+        SELECT * FROM (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                    ORDER BY o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1)
+      SELECT event_id, user_id, ts,
+             o_orderkey AS asof_o_orderkey, o_totalprice AS asof_o_totalprice
+      FROM events ASOF LEFT JOIN ord
+        ON events.user_id = ord.o_custkey AND events.ts >= ord.o_orderdate
+      ORDER BY event_id"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_asof_join_native" -> asofOracle,
     "q_asof_join" -> """
       WITH ord AS (
         SELECT * FROM (

@@ -30,5 +30,19 @@ class AsOfSpec extends SparkSpec {
     assert(out(1).getDouble(2) === 100.0)
     assert(out(2).getDouble(2) === 200.0)
     assert(out(3).getDouble(2) === 300.0)
+
+    // the native custom-operator path agrees row-for-row
+    import org.apache.spark.sql.functions.col
+    val native = graft.plans.AsOfJoinNative.asofJoin(left, right,
+        col("k"), col("rk"), col("t"), col("rt"))
+      .orderBy("k", "t")
+      .select("k", "t", "payload")
+      .collect()
+    assert(native.length === out.length)
+    native.zip(out).foreach { case (n, o) =>
+      assert(n.getLong(0) === o.getLong(0) && n.getTimestamp(1) === o.getTimestamp(1))
+      assert(n.isNullAt(2) === o.isNullAt(2))
+      if (!n.isNullAt(2)) assert(n.getDouble(2) === o.getDouble(2))
+    }
   }
 }
