@@ -69,6 +69,23 @@ object Multimodal {
           "length(payload) div 100 + 1 AS n_frames")
         .orderBy(col("doc_id"))),
 
+    // Frame sampling: explode each media item into its frames (the
+    // expand -> per-frame work -> re-aggregate multimodal shape), with a
+    // deterministic per-frame feature; verified against the closed-form
+    // aggregate (sum of 0..nf-1 = nf(nf-1)/2) so the explode path is
+    // provably lossless.
+    "q_llm_media_frames" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS fmt",
+          "length(encode(text, 'UTF-8')) div 100 + 1 AS n_frames")
+        .selectExpr("doc_id", "fmt", "explode_outer(sequence(0, n_frames - 1)) AS frame_idx")
+        .groupBy(col("fmt"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_frames_total"),
+          sum(col("frame_idx")).as("frame_idx_sum"))
+        .orderBy(col("fmt"))),
+
     // Batched decode: synthesize payloads, run the mapPartitions decode
     // stub, return the feature table.
     "q_llm_media_decode" -> { (s, dir) =>
@@ -90,6 +107,17 @@ object Multimodal {
              CAST(octet_length(encode(text)) AS INT) AS n_bytes,
              CAST(octet_length(encode(text)) AS BIGINT) // 100 + 1 AS n_frames
       FROM documents ORDER BY doc_id""",
+
+    "q_llm_media_frames" -> """
+      WITH f AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+               CAST(octet_length(encode(text)) AS BIGINT) // 100 + 1 AS nf
+        FROM documents)
+      SELECT fmt, count(*) AS n_docs,
+             CAST(sum(nf) AS BIGINT) AS n_frames_total,
+             CAST(sum(nf * (nf - 1) / 2) AS BIGINT) AS frame_idx_sum
+      FROM f GROUP BY fmt ORDER BY fmt""",
 
     "q_llm_media_decode" -> s"""
       WITH b AS (

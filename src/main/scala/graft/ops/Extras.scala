@@ -125,6 +125,26 @@ object Extras {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Binned range join: the scalable form of an interval join. Values are
+    // binned in EXACT scaled cents (integer division — no float-boundary
+    // ambiguity), bands align to bins, and the join becomes a hash
+    // equi-join on bin + residual predicate: O(N) shuffle instead of the
+    // theta-join's O(N x bands) comparisons. Same results as the naive
+    // BETWEEN join by construction.
+    "q_range_join_binned" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("sv"))
+        .where(col("sv") >= 0 && col("sv") < 50000)
+      val bands = s.range(20).select(col("id").as("band_id"),
+        (col("id") * 2500).as("lo_c"), ((col("id") + 1) * 2500).as("hi_c"))
+      ev.withColumn("bin", expr("sv div 2500"))
+        .join(broadcast(bands), col("bin") === col("band_id") &&
+          col("sv") >= col("lo_c") && col("sv") < col("hi_c"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), (sum(col("sv")) / 100.0).as("sum_value"))
+        .orderBy(col("band_id"))
+    },
+
     // Bucketed co-located join: both sides bucketed+sorted on the key in
     // the warehouse; the join then needs NO shuffle exchange — at 100 TB
     // this is the difference between reading and re-shuffling the lake.
@@ -213,5 +233,15 @@ object Extras {
     "q_bucketed_join" -> s"""
       SELECT c_mktsegment, count(*) AS n, ${sqlSumFix("o_totalprice", 2)} AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
-      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_range_join_binned" -> """
+      WITH e AS (
+        SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS sv FROM events),
+      b AS (SELECT unnest(range(20)) AS band_id)
+      SELECT band_id, count(*) AS n,
+             CAST(sum(sv) AS BIGINT) / 100.0 AS sum_value
+      FROM e JOIN b ON sv >= band_id * 2500 AND sv < (band_id + 1) * 2500
+      WHERE sv >= 0 AND sv < 50000
+      GROUP BY band_id ORDER BY band_id""")
 }
