@@ -118,6 +118,30 @@ object StreamOps {
         .orderBy(col("event_type"))
     },
 
+    // The reference's cron cadence literally: a ProcessingTime trigger
+    // (micro-batch every 200ms — the 5-minute cron scaled down), drained
+    // with processAllAvailable() then stopped. Stateless transform, so
+    // every input row reaches the durable sink regardless of batch count.
+    "stream_processing_time" -> { (s, dir) =>
+      val dest = s"${graft.sinks.Sinks.tmpBase}/stream_proctime"
+      val ckpt = dest + ".ckpt"
+      graft.sinks.Sinks.truncate(dest); graft.sinks.Sinks.truncate(ckpt)
+      val filtered = eventsStream(s, dir)
+        .where(col("value") > 100)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val q = filtered.writeStream.outputMode("append")
+        .format("parquet").option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(dest)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+
     // Custom keyed state: flatMapGroupsWithState folds each user's events
     // into (count, exact cents, last event id) — order-independent except
     // last_id, which uses max(ts, event_id) ordering, so the emitted rows
@@ -168,6 +192,11 @@ object StreamOps {
         FROM events)
       SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
       FROM keyed WHERE rn = 1
+      GROUP BY event_type ORDER BY event_type""",
+
+    "stream_processing_time" -> s"""
+      SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
+      FROM events WHERE value > 100
       GROUP BY event_type ORDER BY event_type""",
 
     "stream_stateful_fold" -> """
