@@ -58,6 +58,52 @@ object SparkProperties extends Properties("spark-ops") {
       a == b
     }
 
+  // O5 totality (SURVEY §5.2 item 3): parseCommits implements the paired
+  // email/date conditional for EVERY nullability pattern of author/committer
+  private case class C(sha: String, aEmail: Option[String], aDate: Option[String],
+                       cEmail: Option[String], cDate: Option[String],
+                       aAbsent: Boolean, cAbsent: Boolean)
+  private val genCommit: Gen[C] = for {
+    sha <- Gen.uuid.map(_.toString)
+    ae <- Gen.option(Gen.alphaStr.map(_ + "@a"))
+    ad <- Gen.option(Gen.choose(1, 28).map(d => f"2024-01-$d%02dT10:00:00"))
+    ce <- Gen.option(Gen.alphaStr.map(_ + "@c"))
+    cd <- Gen.option(Gen.choose(1, 28).map(d => f"2024-02-$d%02dT10:00:00"))
+    aa <- Gen.oneOf(true, false)
+    ca <- Gen.oneOf(true, false)
+  } yield C(sha, ae, ad, ce, cd, aa, ca)
+
+  property("parseCommits is total and follows the O5 pairing for any nullability pattern") =
+    forAll(Gen.listOfN(25, genCommit)) { cs =>
+      import org.apache.spark.sql.Row
+      val rows = cs.map { c =>
+        val author = if (c.aAbsent) null else Row(c.aEmail.orNull, c.aDate.orNull)
+        val committer = if (c.cAbsent) null else Row(c.cEmail.orNull, c.cDate.orNull)
+        Row(c.sha, Row("m", author, committer))
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), graft.ingest.CommitEtl.rawCommitSchema)
+      val got = graft.ingest.CommitEtl.parseCommits(df)
+        .select("commit_hash", "commit_ts", "commit_email")
+        .collect().map(r => r.getString(0) -> ((Option(r.getTimestamp(1)), Option(r.getString(2))))).toMap
+      cs.forall { c =>
+        val aDate = if (c.aAbsent) None else c.aDate
+        val cDate = if (c.cAbsent) None else c.cDate
+        val aEmail = if (c.aAbsent) None else c.aEmail
+        val cEmail = if (c.cAbsent) None else c.cEmail
+        // the reference's rule (git_etl.ts:85-105): ts = author.date else
+        // committer.date; email follows the branch that supplied the date,
+        // defaulting to author.email when neither has one
+        val expect: (Option[String], Option[String]) =
+          if (aDate.isDefined) (aDate, aEmail)
+          else if (cDate.isDefined) (cDate, cEmail)
+          else (None, aEmail)
+        val (gotTs, gotEmail) = got(c.sha)
+        gotTs.map(_.toString.replace(' ', 'T').stripSuffix(".0")) == expect._1 &&
+          gotEmail == expect._2
+      }
+    }
+
   property("upsert keeps exactly one row per key, preferring incoming") =
     forAll(batch, batch) { (existRows, inRows) =>
       import spark.implicits._
