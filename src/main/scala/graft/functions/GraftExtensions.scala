@@ -30,7 +30,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => CharPolyHash(args.head)),
     ("graft_dot",
       new ExpressionInfo(classOf[LongDot].getName, "graft_dot"),
-      (args: Seq[Expression]) => LongDot(args(0), args(1))))
+      (args: Seq[Expression]) => LongDot(args(0), args(1))),
+    ("graft_wavg",
+      new ExpressionInfo(classOf[ExactWeightedAvg].getName, "graft_wavg"),
+      (args: Seq[Expression]) => ExactWeightedAvg(args(0), args(1))))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -109,6 +109,18 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // The same weighted average through the DeclarativeAggregate tier:
+    // pure-expression buffer/update/merge, fully inside codegen's
+    // HashAggregate (graft.functions.ExactWeightedAvg).
+    "q_agg_declarative_wavg" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("graft_wavg(l_quantity, l_extendedprice)").as("wavg_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Exact interpolated percentiles (Spark `percentile` == DuckDB
     // quantile_cont: both use linear interpolation at (n-1)*p).
     "q_agg_percentile" -> ((s, dir) =>
@@ -163,6 +175,13 @@ object Aggregates {
       FROM orders o GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_agg_custom_wavg" -> """
+      SELECT l_returnflag,
+             sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_price,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_declarative_wavg" -> """
       SELECT l_returnflag,
              sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
                / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_price,
