@@ -37,20 +37,26 @@ object Dedup {
     * (min((A·sg+B) % P)), which keeps the hot path out of interpreted
     * higher-order functions AND behind a pushdown barrier (see the
     * quadratic-inlining note on q_llm_dedup_ngram_jaccard). */
-  private def shingleStream(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  private[llm] def shingleStreamOf(corpus: DataFrame): DataFrame =
+    corpus
       .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
       .where(expr("size(wh) >= 3"))
       .selectExpr("doc_id", s"array_distinct(${sparkShingles("wh")}) AS shd")
       .selectExpr("doc_id", "explode_outer(shd) AS sg")
 
+  private def shingleStream(s: SparkSession, dir: String): DataFrame =
+    shingleStreamOf(docs(s, dir))
+
   /** MinHash signatures as one hash aggregation: doc_id, m0..m15, n_shingles. */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashSigsOf(corpus: DataFrame): DataFrame = {
     val aggs = (0 until K).map(k =>
       expr(s"min((${A(k)} * sg + ${B(k)}) % $P)").as(s"m$k")) :+
       count(lit(1)).as("n_shingles")
-    shingleStream(s, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    shingleStreamOf(corpus).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    minhashSigsOf(docs(s, dir))
 
   /** LSH candidates verified by exact Jaccard >= 0.5, with the intersection
     * and set sizes kept: (doc_a, doc_b, i, na, nb). Candidates come ONLY
@@ -58,15 +64,15 @@ object Dedup {
     * co-occurrence counting (no arrays cross any join; a pair with
     * J >= 0.5 necessarily shares shingles, so the inner join against
     * co-counts loses nothing). */
-  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(s, dir)
+  private[llm] def minhashVerifiedPairsOf(corpus: DataFrame): DataFrame = {
+    val bands = minhashBandsOf(corpus)
     val cand = bands.alias("a").join(bands.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val ex = shingleStream(s, dir)
+    val ex = shingleStreamOf(corpus)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = ex.alias("a").join(ex.alias("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
@@ -78,27 +84,55 @@ object Dedup {
       .where(expr("2 * i >= na + nb - i"))
   }
 
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairsOf(docs(s, dir))
+
   /** MinHash band table: (doc_id, band_idx, band_key) — slim, agg-backed. */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+  private def minhashBandsOf(corpus: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { bd =>
       val ms = (0 until RowsPerBand).map(r => s"m${bd * RowsPerBand + r}").mkString(", ")
       s"named_struct('band_idx', $bd, 'band_key', concat_ws('_', $ms))"
     }.mkString(", ")
-    minhashSigs(s, dir)
+    minhashSigsOf(corpus)
       .selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
       .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
   }
 
   // Shared DuckDB CTE prefix: tokens -> shingles -> distinct shingles.
-  private def duckShingleCtes: String = s"""
+  private def duckShingleCtes(src: String = "documents"): String = s"""
       toks AS (
-        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM $src),
       shing AS (
         SELECT doc_id, ${duckShingles("wh")} AS sh,
                list_distinct(${duckShingles("wh")}) AS shd
         FROM toks WHERE len(wh) >= 3)"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // End-to-end training-data prep: the operators composed the way a real
+    // corpus pipeline runs them — language filter -> quality gate -> exact
+    // dedup (keep min doc_id per content hash) -> near-dup removal (drop
+    // the larger id of each verified MinHash-LSH pair, computed over the
+    // SURVIVING corpus) -> per-source stats. One declarative plan: Catalyst
+    // pipelines the filters into the scan, and each dedup stage reuses the
+    // scale shapes proven by its standalone entry.
+    "q_llm_pipeline_e2e" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(lower(trim(col("text"))), 256)).orderBy(col("doc_id"))
+      val base = docs(s, dir)
+        .where(col("lang") === "en")
+        .where(expr("size(split(text, ' ')) >= 20"))
+      val exactDeduped = base
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+      val dropIds = minhashVerifiedPairsOf(exactDeduped.select(col("doc_id"), col("text")))
+        .select(col("doc_b").as("doc_id")).distinct()
+      exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("size(split(text, ' '))")).as("ws_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    },
 
     // Exact content dedup: normalize -> sha256 -> group; canonical row =
     // min doc_id per content hash (deterministic keep rule).
@@ -305,13 +339,44 @@ object Dedup {
     }.mkString("\n        UNION ALL ")
 
     Map(
+      "q_llm_pipeline_e2e" -> s"""
+      WITH base AS (
+        SELECT * FROM documents
+        WHERE lang = 'en' AND len(string_split(text, ' ')) >= 20),
+      ed AS (
+        SELECT doc_id, text, source, n_chars FROM (
+          SELECT *, row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+                                       ORDER BY doc_id) AS rn
+          FROM base) WHERE rn = 1),
+      ${duckShingleCtes("ed")},
+      sig AS (
+        SELECT doc_id, shd, $sigExprs
+        FROM shing),
+      bands AS (
+        $bandUnion),
+      cpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shd AS sa, b.shd AS sb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+      dropids AS (
+        SELECT DISTINCT doc_b FROM cpairs
+        WHERE 2 * len(list_intersect(sa, sb)) >= len(list_distinct(sa || sb))),
+      kept AS (
+        SELECT * FROM ed WHERE doc_id NOT IN (SELECT doc_b FROM dropids))
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM kept GROUP BY source ORDER BY source""",
+
       "q_llm_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
              sha256(lower(trim(text))) AS h
       FROM documents GROUP BY h ORDER BY doc_id""",
 
       "q_llm_minhash_sig" -> s"""
-      WITH ${duckShingleCtes},
+      WITH ${duckShingleCtes()},
       sig AS (
         SELECT doc_id, CAST(len(shd) AS INT) AS n_shingles,
                $sigExprs
@@ -321,7 +386,7 @@ object Dedup {
       FROM sig ORDER BY doc_id""",
 
       "q_llm_dedup_minhash_lsh" -> s"""
-      WITH ${duckShingleCtes},
+      WITH ${duckShingleCtes()},
       sig AS (
         SELECT doc_id, shd, $sigExprs
         FROM shing),
@@ -340,7 +405,7 @@ object Dedup {
       ORDER BY doc_a, doc_b""",
 
       "q_llm_dedup_groups" -> s"""
-      WITH RECURSIVE ${duckShingleCtes},
+      WITH RECURSIVE ${duckShingleCtes()},
       sig AS (
         SELECT doc_id, shd, $sigExprs
         FROM shing),
