@@ -112,10 +112,10 @@ object XHash {
       s"list_transform(range(1, ${EmbDim + 1}), i -> $se[i] * ($w)[i])), (a, b) -> a + b)"
   }
 
-  /** Exact dot product of two scaled-long embedding columns, unrolled so the
-    * Spark side stays inside whole-stage codegen (no higher-order function). */
-  def sparkPairDot(a: String, b: String): String =
-    (1 to EmbDim).map(i => s"element_at($a, $i) * element_at($b, $i)").mkString(" + ")
+  /** Exact dot product of two scaled-long embedding columns — DuckDB
+    * (oracle) side. The Spark side uses the native codegen kernel
+    * `graft_dot` ([[graft.functions.LongDot]]); integer addition is
+    * associative, so both sides agree exactly regardless of fold shape. */
   def duckPairDot(a: String, b: String): String =
     (1 to EmbDim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
 }
