@@ -46,6 +46,34 @@ object SparkProperties extends Properties("spark-ops") {
   val batch: Gen[List[(Long, Int)]] =
     Gen.listOfN(30, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0, 1000)))
 
+  // native custom-operator as-of join vs the composed built-ins variant on
+  // random tables — keys spread across partitions, duplicate left ts, right
+  // unique per (key, ts) as the operator contract requires
+  private val asofTables: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] = for {
+    lefts <- Gen.listOfN(40, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 1000L)))
+    rights <- Gen.listOfN(25, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 1000L)))
+  } yield (lefts, rights.distinct.map { case (k, t) => (k, t, k * 10000.0 + t) })
+
+  property("native as-of join == composed as-of join on random tables") =
+    forAll(asofTables) { case (lefts, rights) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val l = lefts.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("lid", "k", "t")
+      val r = rights.map { case (k, t, p) => (k, new java.sql.Timestamp(t * 1000), p) }
+        .toDF("rk", "rt", "payload")
+      val composed = graft.ops.AsOf
+        .asofJoin(l, r, "k", "rk", "t", "rt", Seq("payload"))
+        .select(col("lid"), col("asof_payload").as("p"))
+      val native = graft.plans.AsOfJoinNative
+        .asofJoin(l, r, col("k"), col("rk"), col("t"), col("rt"))
+        .select(col("lid"), col("payload").as("p"))
+      val a = composed.orderBy("lid").collect().map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      val b = native.orderBy("lid").collect().map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      a.sameElements(b)
+    }
+
   property("upsert is idempotent: applying a batch twice == once") =
     forAll(batch, batch) { (existRows, inRows) =>
       import spark.implicits._
