@@ -102,6 +102,8 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    "q_llm_knn_recall" -> recallEntry,
+
     // LSH-bucketed ANN: candidates restricted to the query's sign-bit
     // bucket (planes 0..3), exact cosine re-rank, top-3.
     "q_llm_knn_lsh" -> { (s, dir) =>
@@ -124,11 +126,28 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     })
 
+  /** Recall evaluation: how many of each query's exact top-5 neighbors the
+    * LSH-bucketed index surfaces. The evaluation harness every ANN
+    * deployment needs — both sides are deterministic, so the oracle
+    * reproduces the exact same recall table. */
+  private val recallEntry: (SparkSession, String) => DataFrame = { (s, dir) =>
+    val brute = queries("q_llm_knn_brute")(s, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    val lsh = queries("q_llm_knn_lsh")(s, dir)
+      .select(col("q_id"), col("neighbor_id")).withColumn("_hit", lit(1))
+    brute.join(lsh, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"), sum(coalesce(col("_hit"), lit(0))).as("n_found"))
+      .selectExpr("q_id", "n_true", "n_found",
+        "CAST(n_found AS DOUBLE) / n_true AS recall")
+      .orderBy(col("q_id"))
+  }
+
   def oracleSql: Map[String, String] = {
     val duckBits = (0 until 4)
       .map(p => s"CASE WHEN ${duckPlaneDot("se", p)} > 0 THEN 1 ELSE 0 END AS bit$p")
       .mkString(",\n               ")
-    Map(
+    val base = Map(
       "q_llm_knn_brute" -> s"""
       WITH e0 AS (
         SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
@@ -205,5 +224,14 @@ object Similarity {
         FROM scored)
       SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
       FROM r WHERE rank <= 3 ORDER BY q_id, rank""")
+
+    base + ("q_llm_knn_recall" -> s"""
+      SELECT b.q_id, count(*) AS n_true,
+             CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+             CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+      FROM (${base("q_llm_knn_brute")}) b
+      LEFT JOIN (${base("q_llm_knn_lsh")}) l
+        ON b.q_id = l.q_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY b.q_id ORDER BY b.q_id""")
   }
 }
