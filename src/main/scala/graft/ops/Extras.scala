@@ -125,6 +125,20 @@ object Extras {
         .orderBy(col("o_orderstatus"))
     },
 
+    // DataSource V2 scan (reference O1-O3 full fidelity): the custom
+    // paginated commit source with ts>=bound pushed INTO the source —
+    // earlier pages are never planned, mirroring the API-side `since`
+    // parameter (git_etl.ts:63). The `dir` arg is unused: the source is
+    // synthetic by design (zero-egress environment).
+    "q_dsv2_source" -> { (s, _) =>
+      s.read.format("graft.sources.CommitSource").option("rows", "5000").load()
+        .where(col("ts") >= lit("2024-01-03 00:00:00").cast(org.apache.spark.sql.types.TimestampType))
+        .groupBy(col("message"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"),
+          countDistinct(col("email")).as("n_authors"))
+        .orderBy(col("message"))
+    },
+
     // Binned range join: the scalable form of an interval join. Values are
     // binned in EXACT scaled cents (integer division — no float-boundary
     // ambiguity), bands align to bins, and the join becomes a hash
@@ -234,6 +248,18 @@ object Extras {
       SELECT c_mktsegment, count(*) AS n, ${sqlSumFix("o_totalprice", 2)} AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_dsv2_source" -> """
+      WITH src AS (
+        SELECT i,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 137) AS ts,
+               'u' || (i % 50) || '@x' AS email,
+               'm' || (i % 7) AS message
+        FROM (SELECT unnest(range(5000)) AS i))
+      SELECT message, count(*) AS n, max(ts) AS max_ts,
+             count(DISTINCT email) AS n_authors
+      FROM src WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+      GROUP BY message ORDER BY message""",
 
     "q_range_join_binned" -> """
       WITH e AS (
