@@ -58,7 +58,55 @@ object Sinks {
     deleteRec(old)
   }
 
+  /** Partition-scoped keyed merge (the 100 TB fix for rewrite-the-world
+    * upserts): the store is partitioned by a STABLE hash bucket of the key
+    * (never by event time — an update with a changed timestamp would land
+    * in a different partition and leave its stale twin behind). Each merge
+    * reads ONLY the buckets the incoming batch touches, upserts, and
+    * rewrites ONLY those buckets via dynamic partition overwrite. A batch
+    * touching 1% of buckets rewrites 1% of the table. */
+  def mergeByKeyBucket(s: SparkSession, dest: String, batch: DataFrame,
+                       key: String, orderCols: Seq[String],
+                       nBuckets: Int = 16): Unit = {
+    // int-typed so it round-trips partition discovery with a stable type
+    val bucketed = batch.withColumn("_bucket",
+      pmod(col(key), lit(nBuckets)).cast("int"))
+    if (!Files.exists(Paths.get(dest))) {
+      Files.createDirectories(Paths.get(dest).getParent)
+      bucketed.write.partitionBy("_bucket").parquet(dest)
+    } else {
+      // touched-bucket list is partition METADATA (<= nBuckets values)
+      val touched = bucketed.select(col("_bucket")).distinct()
+        .collect().map(_.getInt(0))
+      val existing = s.read.parquet(dest)
+        .where(col("_bucket").isin(touched: _*))
+      val merged = CommitEtl.upsert(existing, bucketed, key, orderCols)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket").parquet(dest)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The partition-scoped merge exercised with the reference's
+    // overlapping-redelivery scenario (same semantics as ingest_upsert,
+    // but durable and bucket-scoped instead of rewrite-the-world).
+    "q_sink_partition_merge" -> { (s, dir) =>
+      val dest = s"$tmpBase/events_bucketed_store"
+      truncate(dest)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val b1 = ev.where(col("ts") < lit("2024-01-20").cast(org.apache.spark.sql.types.TimestampType))
+      val b2 = ev.where(col("ts") >= lit("2024-01-10").cast(org.apache.spark.sql.types.TimestampType))
+        .withColumn("value", col("value") + 1)
+      mergeByKeyBucket(s, dest, b1, "event_id", Seq("ts"))
+      mergeByKeyBucket(s, dest, b2, "event_id", Seq("ts"))
+      s.read.parquet(dest)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
 
     // O7: write events partitioned by event_type, read back with a
     // partition filter — the scan touches only the matching directory
@@ -156,6 +204,13 @@ object Sinks {
     })
 
   def oracleSql: Map[String, String] = Map(
+    // identical semantics to ingest_upsert's scenario, now durable:
+    // batch2 re-ships everything >= 01-10 with bumped values and wins
+    "q_sink_partition_merge" -> s"""
+      SELECT event_type, count(*) AS n,
+             ${sqlSumFix("CASE WHEN ts >= TIMESTAMP '2024-01-10' THEN value + 1 ELSE value END", 2)} AS sum_value
+      FROM events WHERE ts < TIMESTAMP '2024-01-20' OR ts >= TIMESTAMP '2024-01-10'
+      GROUP BY event_type ORDER BY event_type""",
     "q_sink_partitioned_prune" -> s"""
       SELECT user_id % 10 AS cohort, count(*) AS n,
              ${sqlSumFix("value", 2)} AS sum_value

@@ -31,6 +31,24 @@ class SinksSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dest)))
   }
 
+  test("mergeByKeyBucket rewrites only touched buckets, preserves the rest") {
+    import spark.implicits._
+    val dest = s"$base/bucketmerge"
+    Sinks.truncate(dest)
+    // keys 0..15 spread over 4 buckets
+    val initial = (0L to 15L).map(k => (k, 1, "v1")).toDF("k", "ord", "v")
+    Sinks.mergeByKeyBucket(spark, dest, initial, "k", Seq("ord"), nBuckets = 4)
+    // batch touches ONLY bucket 0 (keys 0, 4, 8)
+    val batch = Seq((0L, 2, "v2"), (4L, 2, "v2"), (8L, 2, "v2")).toDF("k", "ord", "v")
+    Sinks.mergeByKeyBucket(spark, dest, batch, "k", Seq("ord"), nBuckets = 4)
+    val got = spark.read.parquet(dest).as[(Long, Int, String, Int)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got.size === 16)
+    assert(Seq(0L, 4L, 8L).forall(got(_) == "v2"))   // merged bucket updated
+    assert((1L to 15L).filter(_ % 4 != 0).forall(got(_) == "v1")) // others intact
+    assert(got(12L) === "v1") // bucket-0 key NOT in batch keeps old value
+  }
+
   test("partitionBy layout prunes: partition filter appears in the scan (O7)") {
     import spark.implicits._
     val dest = s"$base/parts"
