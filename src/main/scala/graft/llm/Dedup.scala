@@ -134,6 +134,31 @@ object Dedup {
         .orderBy(col("source"))
     },
 
+    // Chunk-level dedup (CCNet-style paragraph dedup): docs split into
+    // 10-word chunks, chunk hashes counted globally, and each doc scored
+    // by its duplicated-chunk ratio. Explode -> two hash aggs -> join —
+    // the shuffle-only shape that holds at corpus scale, and every agg is
+    // a pushdown barrier (see the ngram query's inlining note).
+    "q_llm_dedup_chunks" -> { (s, dir) =>
+      val ch = docs(s, dir)
+        .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
+        .where(expr("size(wh) >= 1"))
+        .selectExpr("doc_id",
+          s"""explode_outer(transform(sequence(0, (size(wh) - 1) div 10),
+              c -> aggregate(slice(wh, c * 10 + 1, 10), 0L, (a, h) -> (a * 131 + h) % $P))) AS ch""")
+      val freq = ch.groupBy(col("ch")).agg(count(lit(1)).as("f"))
+      ch.join(freq, "ch")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(expr("IF(f >= 2, 1, 0)")).as("n_dup"))
+        .selectExpr("doc_id", "n_chunks", "n_dup",
+          "CAST(n_dup AS DOUBLE) / n_chunks AS ratio_raw")
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          graft.util.Exact.fix(col("ratio_raw"), 6).as("dup_ratio"),
+          expr("CASE WHEN ratio_raw >= 0.5 THEN 'drop' ELSE 'keep' END").as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact content dedup: normalize -> sha256 -> group; canonical row =
     // min doc_id per content hash (deterministic keep rule).
     "q_llm_dedup_exact" -> ((s, dir) =>
@@ -369,6 +394,26 @@ object Dedup {
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM kept GROUP BY source ORDER BY source""",
+
+      "q_llm_dedup_chunks" -> s"""
+      WITH toks AS (
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
+      chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, ((len(wh) - 1) // 10) + 1),
+                 c -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        wh[c * 10 + 1 : c * 10 + 10]),
+                      (a, h) -> (a * 131 + h) % $P))) AS ch
+        FROM toks WHERE len(wh) >= 1),
+      freq AS (SELECT ch, count(*) AS f FROM chunks GROUP BY ch),
+      per AS (
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM chunks JOIN freq USING (ch) GROUP BY doc_id)
+      SELECT doc_id, n_chunks, n_dup,
+             ${graft.util.Exact.sqlFix("CAST(n_dup AS DOUBLE) / n_chunks", 6)} AS dup_ratio,
+             CASE WHEN CAST(n_dup AS DOUBLE) / n_chunks >= 0.5 THEN 'drop' ELSE 'keep' END AS verdict
+      FROM per ORDER BY doc_id""",
 
       "q_llm_dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies,

@@ -118,6 +118,27 @@ object StreamOps {
         .orderBy(col("event_type"))
     },
 
+    // Stream-stream inner join: clicks joined to purchases of the same
+    // user within the preceding hour, both sides watermarked so the state
+    // store can evict rows outside the join window — the bounded-state
+    // shape a 100 TB stream-stream join requires. Inner join + full drain
+    // => emitted matches equal the batch join exactly.
+    "stream_stream_join" -> { (s, dir) =>
+      val clicks = eventsStream(s, dir).where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+        .select(col("c_user"), col("c_id"), col("p_id"))
+      runToParquet(s, "ssjoin", joined, complete = false)
+        .groupBy((col("c_user") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p_id")).as("n_purchases"))
+        .orderBy(col("cohort"))
+    },
+
     // The reference's cron cadence literally: a ProcessingTime trigger
     // (micro-batch every 200ms — the 5-minute cron scaled down), drained
     // with processAllAvailable() then stopped. Stateless transform, so
@@ -193,6 +214,17 @@ object StreamOps {
       SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
       FROM keyed WHERE rn = 1
       GROUP BY event_type ORDER BY event_type""",
+
+    "stream_stream_join" -> """
+      WITH c AS (SELECT user_id AS u, ts AS cts, event_id AS cid
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id AS u, ts AS pts, event_id AS pid
+            FROM events WHERE event_type = 'purchase')
+      SELECT c.u % 10 AS cohort, count(*) AS n_pairs,
+             count(DISTINCT pid) AS n_purchases
+      FROM c JOIN p ON c.u = p.u
+        AND cts BETWEEN pts - INTERVAL 1 HOUR AND pts
+      GROUP BY cohort ORDER BY cohort""",
 
     "stream_processing_time" -> s"""
       SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
