@@ -98,6 +98,21 @@ object Dedup {
       .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
   }
 
+  /** 32-bit SimHash per doc: explode word hashes, per-bit majority vote as
+    * one partial+final hash aggregation (explode_outer — see the inlining
+    * note on q_llm_dedup_ngram_jaccard). */
+  private def simhashOf(corpus: DataFrame): DataFrame = {
+    val ex = corpus
+      .selectExpr("doc_id", s"explode_outer(${sparkWordHashes("text")}) AS h")
+    val aggs = (0 until 32).map(j =>
+      expr(s"sum((shiftright(h, $j) & 1) * 2 - 1)").as(s"s$j"))
+    val bitSums = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val simhash = (0 until 32)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END")
+      .mkString(" + ")
+    bitSums.selectExpr("doc_id", s"$simhash AS simhash")
+  }
+
   // Shared DuckDB CTE prefix: tokens -> shingles -> distinct shingles.
   private def duckShingleCtes(src: String = "documents"): String = s"""
       toks AS (
@@ -225,21 +240,35 @@ object Dedup {
     // 32-bit SimHash fingerprint: explode word hashes -> per-bit majority
     // vote as a partial+final hash agg (map-side combine; one shuffle of 32
     // small longs per doc). Duplicate-fingerprint count rides along.
-    "q_llm_dedup_simhash" -> { (s, dir) =>
-      // explode_outer: see q_llm_dedup_ngram_jaccard — avoids the inferred
-      // size()>0 filter that re-inlines the word-hash transform into the scan
-      val ex = docs(s, dir)
-        .selectExpr("doc_id", s"explode_outer(${sparkWordHashes("text")}) AS h")
-      val aggs = (0 until 32).map(j =>
-        expr(s"sum((shiftright(h, $j) & 1) * 2 - 1)").as(s"s$j"))
-      val bitSums = ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      val simhash = (0 until 32)
-        .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END")
-        .mkString(" + ")
-      bitSums.selectExpr("doc_id", s"$simhash AS simhash")
+    "q_llm_dedup_simhash" -> ((s, dir) =>
+      simhashOf(docs(s, dir))
         .withColumn("n_same_fp", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // SimHash hamming-ball near-dup: candidates from 8-bit band equality
+    // (pigeonhole: hamming <= 3 over 32 bits guarantees at least one of 4
+    // bands matches exactly), verified by bit_count(xor) <= 3. Same slim
+    // banded-LSH join shape as MinHash — no all-pairs comparison.
+    "q_llm_dedup_simhash_pairs" -> { (s, dir) =>
+      val fp = simhashOf(docs(s, dir))
+      val bandStructs = (0 until 4).map(bd =>
+        s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * 8}) & 255L)")
+        .mkString(", ")
+      val bands = fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
+        .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
+      val cand = bands.alias("a").join(bands.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(broadcast(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa"))), "doc_a")
+        .join(broadcast(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb"))), "doc_b")
+        .selectExpr("doc_a", "doc_b", "CAST(bit_count(fa ^ fb) AS INT) AS hamming")
+        .where(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
     },
 
     // Blocked exact n-gram Jaccard: hashed word-3-gram shingles (long
@@ -478,6 +507,32 @@ object Dedup {
       SELECT doc_id, canonical,
              count(*) OVER (PARTITION BY canonical) AS cluster_size
       FROM canon ORDER BY doc_id""",
+
+      "q_llm_dedup_simhash_pairs" -> s"""
+      WITH toks AS (
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
+      ex AS (SELECT doc_id, unnest(wh) AS h FROM toks),
+      bitsums AS (
+        SELECT doc_id,
+               $simhashSums
+        FROM ex GROUP BY doc_id),
+      fp AS (SELECT doc_id, $simhashVal AS simhash FROM bitsums),
+      bands AS (
+        ${(0 until 4).map(bd =>
+          s"SELECT doc_id, $bd AS band_idx, (simhash >> ${bd * 8}) & 255 AS band_key FROM fp")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+      FROM cand
+      JOIN fp fa ON fa.doc_id = doc_a
+      JOIN fp fb ON fb.doc_id = doc_b
+      WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+      ORDER BY doc_a, doc_b""",
 
       "q_llm_dedup_simhash" -> s"""
       WITH toks AS (

@@ -125,6 +125,27 @@ object Extras {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Unpivot/melt: wide metric columns to long (metric, value) rows.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem").where(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
+
+    // posexplode: element position travels with the exploded value.
+    "q_posexplode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .where(col("pos") < 3)
+        .groupBy(col("pos"), col("col").as("word"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5)
+        .orderBy(col("pos"), col("word"))),
+
     // DataSource V2 scan (reference O1-O3 full fidelity): the custom
     // paginated commit source with ts>=bound pushed INTO the source —
     // earlier pages are never planned, mirroring the API-side `since`
@@ -248,6 +269,28 @@ object Extras {
       SELECT c_mktsegment, count(*) AS n, ${sqlSumFix("o_totalprice", 2)} AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, metric, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      WHERE l_orderkey <= 200
+      ORDER BY l_orderkey, l_linenumber, metric""",
+
+    "q_posexplode" -> """
+      SELECT pos, word, count(*) AS n FROM (
+        SELECT doc_id, k AS pos, t[k + 1] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             (SELECT unnest(range(3)) AS k)
+        WHERE k < len(t))
+      GROUP BY pos, word HAVING count(*) >= 5
+      ORDER BY pos, word""",
 
     "q_dsv2_source" -> """
       WITH src AS (
