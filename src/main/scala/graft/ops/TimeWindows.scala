@@ -44,6 +44,28 @@ object TimeWindows {
           col("user_id"), col("n"), col("sum_value"))
         .orderBy(col("user_id"), col("sess_start"))),
 
+    // Resample + forward-fill: daily per-type sums on a DENSE calendar —
+    // missing days are generated (sequence+explode over each type's
+    // min..max range) and filled with the last observed value. The gap-
+    // filling shape time-series users need; generation is per-group and
+    // the fill is one windowed pass.
+    "q_resample_ffill" -> { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sumFix(col("value"), 2).as("day_value"))
+      val calendar = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      calendar.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          col("day_value").isNotNull.cast("int").as("observed"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // keyed event-time dedup: first event per (user, type), the batch twin of
     // streaming withWatermark+dropDuplicates (reference O8 semantics)
     "q_dedup_first_event" -> { (s, dir) =>
@@ -84,6 +106,26 @@ object TimeWindows {
       SELECT min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end,
              user_id, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
       FROM islands GROUP BY user_id, sess_id ORDER BY user_id, sess_start""",
+
+    "q_resample_ffill" -> s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ${sqlSumFix("value", 2)} AS day_value
+        FROM events GROUP BY event_type, day),
+      cal AS (
+        SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+              FROM daily GROUP BY event_type)),
+      joined AS (
+        SELECT cal.event_type, cal.day, daily.day_value
+        FROM cal LEFT JOIN daily
+          ON cal.event_type = daily.event_type AND cal.day = daily.day)
+      SELECT event_type, day,
+             CAST(day_value IS NOT NULL AS INT) AS observed,
+             last_value(day_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      FROM joined ORDER BY event_type, day""",
 
     "q_dedup_first_event" -> """
       SELECT user_id, event_type, event_id, ts FROM (
