@@ -65,14 +65,16 @@ object Dedup {
     * J >= 0.5 necessarily shares shingles, so the inner join against
     * co-counts loses nothing). */
   private[llm] def minhashVerifiedPairsOf(corpus: DataFrame): DataFrame = {
-    val bands = minhashBandsOf(corpus)
+    // both the band table and the shingle stream feed self-joins: checkpoint
+    // each once instead of recomputing the hash pipeline per join side
+    val bands = minhashBandsOf(corpus).localCheckpoint()
     val cand = bands.alias("a").join(bands.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val ex = shingleStreamOf(corpus)
+    val ex = shingleStreamOf(corpus).localCheckpoint()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = ex.alias("a").join(ex.alias("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
@@ -251,7 +253,10 @@ object Dedup {
     // bands matches exactly), verified by bit_count(xor) <= 3. Same slim
     // banded-LSH join shape as MinHash — no all-pairs comparison.
     "q_llm_dedup_simhash_pairs" -> { (s, dir) =>
-      val fp = simhashOf(docs(s, dir))
+      // materialize the fingerprints once — referenced 4x (band self-join
+      // sides + two re-attach joins); without the checkpoint each reference
+      // re-runs the explode + 32-aggregation pipeline
+      val fp = simhashOf(docs(s, dir)).localCheckpoint()
       val bandStructs = (0 until 4).map(bd =>
         s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * 8}) & 255L)")
         .mkString(", ")
