@@ -125,6 +125,17 @@ object Extras {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Recursive CTE through the SQL parser (Spark 4 WITH RECURSIVE).
+    "q_sql_recursive_cte" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        WITH RECURSIVE buckets(b) AS (
+          SELECT 0 UNION ALL SELECT b + 1 FROM buckets WHERE b < 9)
+        SELECT b, count(o_orderkey) AS n
+        FROM buckets LEFT JOIN orders_v ON CAST(o_orderkey % 10 AS INT) = b
+        GROUP BY b ORDER BY b""")
+    },
+
     // Unpivot/melt: wide metric columns to long (metric, value) rows.
     "q_unpivot" -> ((s, dir) =>
       t(s, dir, "lineitem").where(col("l_orderkey") <= 200)
@@ -269,6 +280,13 @@ object Extras {
       SELECT c_mktsegment, count(*) AS n, ${sqlSumFix("o_totalprice", 2)} AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_sql_recursive_cte" -> """
+      WITH RECURSIVE buckets(b) AS (
+        SELECT 0 UNION ALL SELECT b + 1 FROM buckets WHERE b < 9)
+      SELECT b, count(o_orderkey) AS n
+      FROM buckets LEFT JOIN orders ON CAST(o_orderkey % 10 AS INT) = b
+      GROUP BY b ORDER BY b""",
 
     "q_unpivot" -> """
       SELECT l_orderkey, l_linenumber, metric, value FROM (
