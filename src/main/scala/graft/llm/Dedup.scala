@@ -320,6 +320,22 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Edit-distance near-dup: levenshtein over 40-char prefixes within
+    // bounded (lang, source) blocks — the character-level complement to
+    // token-level Jaccard (catches small in-word edits shingles miss).
+    // Cost is O(block_pairs x 40^2), bounded by the blocking key.
+    "q_llm_dedup_editdist" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .selectExpr("doc_id", "lang", "source", "left(text, 40) AS head")
+      d.alias("a").join(d.alias("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.head"), col("b.head")).as("dist"))
+        .where(col("dist") <= 10)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Embedding-cosine near-dup: banded hyperplane LSH (4 bands x 8 sign
     // bits) -> candidate pairs -> exact scaled-long cosine >= 0.25.
     // 8 bits/band keeps candidates at O(N·bucket_load); recall is the
@@ -562,6 +578,16 @@ object Dedup {
       FROM sh a JOIN sh b
         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       WHERE 10 * len(list_intersect(a.shd, b.shd)) >= 3 * len(list_distinct(a.shd || b.shd))
+      ORDER BY doc_a, doc_b""",
+
+      "q_llm_dedup_editdist" -> """
+      WITH d AS (
+        SELECT doc_id, lang, source, left(text, 40) AS head FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.head, b.head) AS INT) AS dist
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.head, b.head) <= 10
       ORDER BY doc_a, doc_b""",
 
       "q_llm_dedup_embed" -> s"""

@@ -106,6 +106,18 @@ object Scalars {
           add_months(col("o_orderdate").cast(DateType), 3).as("plus3m"))
         .orderBy(col("o_orderkey"))),
 
+    // Higher-order array functions: filter / exists / forall / zip_with.
+    "q_array_hof" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "split(text, ' ') AS t")
+        .selectExpr("doc_id",
+          "size(filter(t, w -> length(w) >= 5)) AS n_long_words",
+          "CAST(exists(t, w -> w = 'spark') AS INT) AS has_spark",
+          "CAST(forall(t, w -> length(w) >= 1) AS INT) AS all_nonempty",
+          // zip_with pads the shorter side with null — treat those as 0
+          "aggregate(zip_with(t, slice(t, 2, size(t)), (a, b) -> IF(b IS NOT NULL AND a = b, 1, 0)), 0, (acc, x) -> acc + x) AS n_repeats")
+        .orderBy(col("doc_id"))),
+
     "q_from_json" -> { (s, dir) =>
       val schema = StructType(Seq(StructField("k", IntegerType)))
       t(s, dir, "events")
@@ -223,6 +235,16 @@ object Scalars {
              CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
              CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
       FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+
+    "q_array_hof" -> """
+      WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      SELECT doc_id,
+             CAST(len(list_filter(t, w -> length(w) >= 5)) AS INT) AS n_long_words,
+             CAST(len(list_filter(t, w -> w = 'spark')) > 0 AS INT) AS has_spark,
+             CAST(list_bool_and(list_transform(t, w -> length(w) >= 1)) AS INT) AS all_nonempty,
+             CAST(COALESCE(list_sum(list_transform(range(1, len(t)), i ->
+               CAST(t[i] = t[i + 1] AS INT))), 0) AS INT) AS n_repeats
+      FROM base ORDER BY doc_id""",
 
     "q_from_json" -> """
       SELECT event_id, CAST(props->>'k' AS INT) AS k
