@@ -33,7 +33,7 @@ object AsOf {
     val lNorm = left.select(
       col(leftKey).as("_asof_k"), col(leftTs).as("_asof_ts"),
       lit(1).as("_asof_src"),
-      struct(left.columns.map(col): _*).as("_asof_left"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_asof_left"),
       lit(null).cast(payloadT).as("_asof_payload"))
     val rNorm = right.select(
       col(rightKey).as("_asof_k"), col(rightTs).as("_asof_ts"),
@@ -44,7 +44,7 @@ object AsOf {
     val w = Window.partitionBy(col("_asof_k"))
       .orderBy(col("_asof_ts"), col("_asof_src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val leftCols = left.columns.map(c => col("_asof_left." + c).as(c))
+    val leftCols = left.columns.toIndexedSeq.map(c => col("_asof_left." + c).as(c))
     val payCols = payloadCols.map(c => col("_asof_match." + c).as("asof_" + c))
     lNorm.unionByName(rNorm)
       .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))

@@ -77,7 +77,7 @@ object Sinks {
     } else {
       // touched-bucket list is partition METADATA (<= nBuckets values)
       val touched = bucketed.select(col("_bucket")).distinct()
-        .collect().map(_.getInt(0))
+        .collect().map(_.getInt(0)).toIndexedSeq
       val existing = s.read.parquet(dest)
         .where(col("_bucket").isin(touched: _*))
       val merged = CommitEtl.upsert(existing, bucketed, key, orderCols)
