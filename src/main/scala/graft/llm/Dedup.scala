@@ -206,6 +206,14 @@ object Dedup {
         .selectExpr("doc_a", "doc_b", "CAST(i AS DOUBLE) / (na + nb - i) AS jaccard")
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Global "most similar pairs" report: the LSH-verified pairs ranked by
+    // similarity — the audit view a dedup operator ships with.
+    "q_llm_top_similar_pairs" -> ((s, dir) =>
+      minhashVerifiedPairs(s, dir)
+        .selectExpr("doc_a", "doc_b", "CAST(i AS DOUBLE) / (na + nb - i) AS jaccard")
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(20)),
+
     // Near-dup CLUSTERING: connected components over the verified pair
     // graph via iterative min-label propagation (Pregel-lite: join labels
     // to edges, take the per-node min, repeat to fixpoint). localCheckpoint
@@ -498,6 +506,25 @@ object Dedup {
       FROM pairs
       WHERE 2 * len(list_intersect(sa, sb)) >= len(list_distinct(sa || sb))
       ORDER BY doc_a, doc_b""",
+
+      "q_llm_top_similar_pairs" -> s"""
+      WITH ${duckShingleCtes()},
+      sig AS (
+        SELECT doc_id, shd, $sigExprs
+        FROM shing),
+      bands AS (
+        $bandUnion),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shd AS sa, b.shd AS sb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(sa || sb)) AS jaccard
+      FROM pairs
+      WHERE 2 * len(list_intersect(sa, sb)) >= len(list_distinct(sa || sb))
+      ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
 
       "q_llm_dedup_groups" -> s"""
       WITH RECURSIVE ${duckShingleCtes()},

@@ -81,6 +81,17 @@ object Windows {
         .orderBy(col("c_mktsegment"), col("c_custkey"))
     },
 
+    "q_window_offsets2" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          nth_value(col("o_orderkey"), 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_order"),
+          lag(col("o_totalprice"), 2, -1.0).over(w).as("lag2_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     "q_window_firstlast" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -139,6 +150,15 @@ object Windows {
       FROM customer
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       ORDER BY c_mktsegment, c_custkey""",
+
+    "q_window_offsets2" -> """
+      SELECT o_custkey, o_orderkey,
+             nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_order,
+             lag(o_totalprice, 2, -1.0) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS lag2_price
+      FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q_window_firstlast" -> """
       SELECT o_custkey, o_orderkey,
