@@ -64,25 +64,41 @@ object Dedup {
     * co-occurrence counting (no arrays cross any join; a pair with
     * J >= 0.5 necessarily shares shingles, so the inner join against
     * co-counts loses nothing). */
-  private[llm] def minhashVerifiedPairsOf(corpus: DataFrame): DataFrame = {
-    // both the band table and the shingle stream feed self-joins: checkpoint
-    // each once instead of recomputing the hash pipeline per join side
+  /** Candidate near-dup pairs from the MinHash band-bucket equi-join —
+    * the reusable bounded pair generator (O(candidates), never O(N²)).
+    * Also gates the edit-distance entry. The band table feeds a self-join:
+    * checkpointed once instead of recomputing the hash pipeline per side. */
+  private[llm] def minhashCandidatesOf(corpus: DataFrame): DataFrame = {
     val bands = minhashBandsOf(corpus).localCheckpoint()
-    val cand = bands.alias("a").join(bands.alias("b"),
+    bands.alias("a").join(bands.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val ex = shingleStreamOf(corpus).localCheckpoint()
+  }
+
+  private[llm] def minhashVerifiedPairsOf(corpus: DataFrame): DataFrame = {
+    val cand = minhashCandidatesOf(corpus)
+    // Stop-shingle cap (doc frequency > MaxDf dropped) BEFORE the
+    // pair-generating equi-join: kills the quadratic hot key a boilerplate
+    // shingle shared by 1M docs would otherwise create. Jaccard below is
+    // over the capped universe — the oracle computes the same.
+    val raw = shingleStreamOf(corpus).localCheckpoint()
+    val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
+    val ex = raw.join(dfreq.where(col("f") <= MaxDf), "sg")
+      .select(col("doc_id"), col("sg")).localCheckpoint()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = ex.alias("a").join(ex.alias("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
+    // sizes is O(N) rows — no broadcast hint: AQE broadcasts it at test
+    // scale and degrades to a shuffle join at corpus scale (a forced
+    // broadcast of a per-doc table is a driver/executor OOM at 10B docs)
     cand.join(co, Seq("doc_a", "doc_b"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .where(expr("2 * i >= na + nb - i"))
   }
 
@@ -276,9 +292,10 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      // fp is O(N) rows — no broadcast hint (AQE's choice at each scale)
       cand
-        .join(broadcast(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa"))), "doc_a")
-        .join(broadcast(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb"))), "doc_b")
+        .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")), "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), "doc_b")
         .selectExpr("doc_a", "doc_b", "CAST(bit_count(fa ^ fb) AS INT) AS hamming")
         .where(col("hamming") <= 3)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -307,12 +324,21 @@ object Dedup {
       // element_at(transform(...), i) recomputes the full word-hash array
       // per element — measured 10x the entire query's cost. The arrays are
       // non-empty by construction, so outer is semantically identical.
-      val ex = sh.selectExpr("doc_id", "lang", "source", "explode_outer(shd) AS sg")
-      // per-doc set sizes from the exploded stream (count == size(shd)): an
-      // aggregation is a predicate-pushdown BARRIER, so the final threshold
-      // filter's inferred isnotnull(n) cannot inline size(<shingle expr>)
-      // into the scan (same quadratic re-evaluation disease as above —
-      // measured at 45 of the query's 47 seconds before this shape)
+      val ex0 = sh.selectExpr("doc_id", "lang", "source", "explode_outer(shd) AS sg")
+        .localCheckpoint()
+      // stop-shingle cap: shingles in > MaxDf docs are boilerplate; dropping
+      // them before the pair join removes the quadratic hot-key risk (one
+      // shared shingle across 1M docs = 10^12 join rows). Jaccard is over
+      // the capped universe in both engines.
+      val dfreq = ex0.groupBy(col("sg")).agg(count(lit(1)).as("f"))
+      val ex = ex0.join(dfreq.where(col("f") <= MaxDf), "sg")
+        .select(col("doc_id"), col("lang"), col("source"), col("sg"))
+        .localCheckpoint()
+      // per-doc CAPPED set sizes from the exploded stream: an aggregation
+      // is a predicate-pushdown BARRIER, so the final threshold filter's
+      // inferred isnotnull(n) cannot inline size(<shingle expr>) into the
+      // scan (same quadratic re-evaluation disease as above — measured at
+      // 45 of the query's 47 seconds before this shape)
       val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val co = ex.alias("a").join(ex.alias("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
@@ -320,26 +346,28 @@ object Dedup {
         .groupBy(col("a.lang").as("lang"), col("a.source").as("source"),
           col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("i"))
-      co.join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      // sizes is O(N) rows — no broadcast hint (AQE's choice at each scale)
+      co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .where(expr("10 * i >= 3 * (na + nb - i)"))
         .selectExpr("lang", "source", "doc_a", "doc_b",
           "CAST(i AS DOUBLE) / (na + nb - i) AS jaccard")
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // Edit-distance near-dup: levenshtein over 40-char prefixes within
-    // bounded (lang, source) blocks — the character-level complement to
+    // Edit-distance near-dup: levenshtein over 40-char prefixes, gated by
+    // the MinHash band candidates — the character-level complement to
     // token-level Jaccard (catches small in-word edits shingles miss).
-    // Cost is O(block_pairs x 40^2), bounded by the blocking key.
+    // Pair count is O(LSH candidates), never O(block²): a (lang, source)
+    // block self-join would be ~the whole corpus squared once one block is
+    // (en, common-crawl). Cost: O(candidates × 40²) verify only.
     "q_llm_dedup_editdist" -> { (s, dir) =>
       val d = docs(s, dir)
-        .selectExpr("doc_id", "lang", "source", "left(text, 40) AS head")
-      d.alias("a").join(d.alias("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.head"), col("b.head")).as("dist"))
+      val heads = d.selectExpr("doc_id", "left(text, 40) AS head")
+      minhashCandidatesOf(d)
+        .join(heads.select(col("doc_id").as("doc_a"), col("head").as("ha")), "doc_a")
+        .join(heads.select(col("doc_id").as("doc_b"), col("head").as("hb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), levenshtein(col("ha"), col("hb")).as("dist"))
         .where(col("dist") <= 10)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -377,8 +405,8 @@ object Dedup {
         .agg(sum(col("bitval")).as("band_key"))
       // band table and pair-dedup stay SLIM (ids only): the distinct then
       // shuffles 2 longs per candidate instead of two 64-long arrays; the
-      // vectors re-attach afterwards via joins (broadcast-able dimension at
-      // test scale; a key-partitioned shuffle join at 100 TB).
+      // vectors re-attach afterwards via unhinted joins — AQE broadcasts
+      // them at test scale, key-partitioned shuffle join at 100 TB.
       val pairIds = bands.alias("a").join(bands.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_key") === col("b.band_key") &&
@@ -388,8 +416,8 @@ object Dedup {
       val sideA = se.select(col("vec_id").as("vec_a"), col("se").as("sa"), col("nrm").as("na"))
       val sideB = se.select(col("vec_id").as("vec_b"), col("se").as("sb"), col("nrm").as("nb"))
       pairIds
-        .join(broadcast(sideA), "vec_a")
-        .join(broadcast(sideB), "vec_b")
+        .join(sideA, "vec_a")
+        .join(sideB, "vec_b")
         .selectExpr("vec_a", "vec_b",
           "CAST(graft_dot(sa, sb) AS DOUBLE) / (na * nb) AS cos_raw")
         .where(col("cos_raw") >= 0.25)
@@ -406,8 +434,41 @@ object Dedup {
     val sigExprs = (0 until K).map(k => s"${duckMinhash("sh", k)} AS m$k").mkString(",\n               ")
     val bandUnion = (0 until Bands).map { bd =>
       val ms = (0 until RowsPerBand).map(r => s"m${bd * RowsPerBand + r}").mkString(", ")
-      s"SELECT doc_id, shd, $bd AS band_idx, concat_ws('_', $ms) AS band_key FROM sig"
+      s"SELECT doc_id, $bd AS band_idx, concat_ws('_', $ms) AS band_key FROM sig"
     }.mkString("\n        UNION ALL ")
+    // Mirror of minhashCandidatesOf: distinct band-bucket candidate pairs.
+    def candCtes(src: String): String = s"""
+      ${duckShingleCtes(src)},
+      sig AS (
+        SELECT doc_id, $sigExprs
+        FROM shing),
+      bands AS (
+        $bandUnion),
+      cpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id)"""
+    // Mirror of minhashVerifiedPairsOf: candidates verified by exact
+    // Jaccard >= 0.5 over the stop-shingle-capped universe (doc frequency
+    // <= MaxDf), computed relationally exactly as the Spark side does.
+    def verifiedPairCtes(src: String): String = s"""
+      ${candCtes(src)},
+      ex AS (SELECT doc_id, unnest(shd) AS sg FROM shing),
+      dfreq AS (SELECT sg, count(*) AS f FROM ex GROUP BY sg),
+      exc AS (SELECT doc_id, sg FROM ex JOIN dfreq USING (sg) WHERE f <= $MaxDf),
+      szs AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY doc_id),
+      co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM exc a JOIN exc b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      vpairs AS (
+        SELECT c.doc_a, c.doc_b, co.i, sa.n AS na, sb.n AS nb
+        FROM cpairs c
+        JOIN co ON co.doc_a = c.doc_a AND co.doc_b = c.doc_b
+        JOIN szs sa ON sa.doc_id = c.doc_a
+        JOIN szs sb ON sb.doc_id = c.doc_b
+        WHERE 2 * co.i >= sa.n + sb.n - co.i)"""
     val simhashSums = (0 until 32)
       .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n               ")
     val simhashVal = (0 until 32)
@@ -431,21 +492,8 @@ object Dedup {
           SELECT *, row_number() OVER (PARTITION BY sha256(lower(trim(text)))
                                        ORDER BY doc_id) AS rn
           FROM base) WHERE rn = 1),
-      ${duckShingleCtes("ed")},
-      sig AS (
-        SELECT doc_id, shd, $sigExprs
-        FROM shing),
-      bands AS (
-        $bandUnion),
-      cpairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.shd AS sa, b.shd AS sb
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id),
-      dropids AS (
-        SELECT DISTINCT doc_b FROM cpairs
-        WHERE 2 * len(list_intersect(sa, sb)) >= len(list_distinct(sa || sb))),
+      ${verifiedPairCtes("ed")},
+      dropids AS (SELECT DISTINCT doc_b FROM vpairs),
       kept AS (
         SELECT * FROM ed WHERE doc_id NOT IN (SELECT doc_b FROM dropids))
       SELECT source, count(*) AS n_docs,
@@ -489,62 +537,24 @@ object Dedup {
       FROM sig ORDER BY doc_id""",
 
       "q_llm_dedup_minhash_lsh" -> s"""
-      WITH ${duckShingleCtes()},
-      sig AS (
-        SELECT doc_id, shd, $sigExprs
-        FROM shing),
-      bands AS (
-        $bandUnion),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.shd AS sa, b.shd AS sb
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id)
+      WITH ${verifiedPairCtes("documents")}
       SELECT doc_a, doc_b,
-             CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(sa || sb)) AS jaccard
-      FROM pairs
-      WHERE 2 * len(list_intersect(sa, sb)) >= len(list_distinct(sa || sb))
+             CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+      FROM vpairs
       ORDER BY doc_a, doc_b""",
 
       "q_llm_top_similar_pairs" -> s"""
-      WITH ${duckShingleCtes()},
-      sig AS (
-        SELECT doc_id, shd, $sigExprs
-        FROM shing),
-      bands AS (
-        $bandUnion),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.shd AS sa, b.shd AS sb
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id)
+      WITH ${verifiedPairCtes("documents")}
       SELECT doc_a, doc_b,
-             CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(sa || sb)) AS jaccard
-      FROM pairs
-      WHERE 2 * len(list_intersect(sa, sb)) >= len(list_distinct(sa || sb))
+             CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+      FROM vpairs
       ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
 
       "q_llm_dedup_groups" -> s"""
-      WITH RECURSIVE ${duckShingleCtes()},
-      sig AS (
-        SELECT doc_id, shd, $sigExprs
-        FROM shing),
-      bands AS (
-        $bandUnion),
-      cpairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.shd AS sa, b.shd AS sb
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id),
-      vp AS (
-        SELECT doc_a, doc_b FROM cpairs
-        WHERE 2 * len(list_intersect(sa, sb)) >= len(list_distinct(sa || sb))),
+      WITH RECURSIVE ${verifiedPairCtes("documents")},
       edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM vp
-        UNION SELECT doc_b, doc_a FROM vp),
+        SELECT doc_a AS a, doc_b AS b FROM vpairs
+        UNION SELECT doc_b, doc_a FROM vpairs),
       reach(a, b) AS (
         SELECT a, b FROM edges
         UNION
@@ -598,23 +608,37 @@ object Dedup {
       WITH sh AS (
         SELECT doc_id, lang, source, list_distinct(${duckShingles("wh")}) AS shd
         FROM (SELECT doc_id, lang, source, ${duckWordHashes("text")} AS wh FROM documents)
-        WHERE len(wh) >= 3)
-      SELECT a.lang AS lang, a.source AS source,
-             a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) / len(list_distinct(a.shd || b.shd)) AS jaccard
-      FROM sh a JOIN sh b
-        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      WHERE 10 * len(list_intersect(a.shd, b.shd)) >= 3 * len(list_distinct(a.shd || b.shd))
+        WHERE len(wh) >= 3),
+      ex AS (SELECT doc_id, lang, source, unnest(shd) AS sg FROM sh),
+      dfreq AS (SELECT sg, count(*) AS f FROM ex GROUP BY sg),
+      exc AS (
+        SELECT doc_id, lang, source, sg
+        FROM ex JOIN dfreq USING (sg) WHERE f <= $MaxDf),
+      szs AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY doc_id),
+      co AS (
+        SELECT a.lang AS lang, a.source AS source,
+               a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM exc a JOIN exc b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      SELECT lang, source, doc_a, doc_b,
+             CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      FROM co
+      JOIN szs sa ON sa.doc_id = doc_a
+      JOIN szs sb ON sb.doc_id = doc_b
+      WHERE 10 * i >= 3 * (sa.n + sb.n - i)
       ORDER BY doc_a, doc_b""",
 
-      "q_llm_dedup_editdist" -> """
-      WITH d AS (
-        SELECT doc_id, lang, source, left(text, 40) AS head FROM documents)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(levenshtein(a.head, b.head) AS INT) AS dist
-      FROM d a JOIN d b
-        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      WHERE levenshtein(a.head, b.head) <= 10
+      "q_llm_dedup_editdist" -> s"""
+      WITH ${candCtes("documents")},
+      d AS (SELECT doc_id, left(text, 40) AS head FROM documents)
+      SELECT doc_a, doc_b,
+             CAST(levenshtein(da.head, db.head) AS INT) AS dist
+      FROM cpairs
+      JOIN d da ON da.doc_id = doc_a
+      JOIN d db ON db.doc_id = doc_b
+      WHERE levenshtein(da.head, db.head) <= 10
       ORDER BY doc_a, doc_b""",
 
       "q_llm_dedup_embed" -> s"""

@@ -35,6 +35,15 @@ object XHash {
   val K = 16
   val Bands = 4
   val RowsPerBand = 4
+
+  /** Stop-shingle document-frequency cap for the inverted-index
+    * verification joins (PPJoin-style prefix filtering, coarse-grained):
+    * shingles appearing in more than MaxDf documents are boilerplate and
+    * are dropped BEFORE the pair-generating equi-join. Without the cap one
+    * shingle shared by 1M docs creates a quadratic hot key — the #1 skew
+    * risk at corpus scale. Jaccard is then defined over the capped shingle
+    * universe in BOTH engines, so results stay hash-identical. */
+  val MaxDf = 100L
   val A: IndexedSeq[Long] = (0 until K).map(i => (i * 2654435761L + 1) % P)
   val B: IndexedSeq[Long] = (0 until K).map(i => (i * 40503L + 17) % P)
 

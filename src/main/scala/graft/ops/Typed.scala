@@ -19,9 +19,12 @@ object Typed {
     "q_typed_groups" -> { (s, dir) =>
       import s.implicits._
       val ds = Tables.load(s, dir, "events")
-        .selectExpr("event_id", "user_id", "event_type", "value").as[Ev]
-      ds.filter(_.event_type != "error")
-        .groupByKey(_.user_id % 50)
+        .selectExpr("event_id", "user_id", "event_type", "value")
+        // SQL `<>` semantics (NULL event_type drops); a JVM `_ != "error"`
+        // lambda would keep NULLs and diverge on the first nullable corpus.
+        .filter($"event_type" =!= "error")
+        .as[Ev]
+      ds.groupByKey(_.user_id % 50)
         .mapGroups { (cohort, it) =>
           var n = 0L; var cents = 0L; var mx = Double.MinValue
           it.foreach { e =>
@@ -32,7 +35,9 @@ object Typed {
           CohortStats(cohort, n, cents, mx)
         }
         .toDF()
-        .selectExpr("cohort", "n", "sum_cents / 100.0 AS sum_value", "max_value")
+        // CAST to DOUBLE first: Spark parses `100.0` as DECIMAL, and
+        // BIGINT/DECIMAL division is decimal math while the oracle is double.
+        .selectExpr("cohort", "n", "CAST(sum_cents AS DOUBLE) / 100.0 AS sum_value", "max_value")
         .orderBy("cohort")
     })
 
