@@ -45,6 +45,53 @@ object Similarity {
   private def duckCosExpr(a: String, b: String, na: String, nb: String): String =
     s"CAST(${duckPairDot(a, b)} AS DOUBLE) / ($na * $nb)"
 
+  /** IVF coarse-quantizer shape: cell count and Lloyd refinement rounds. */
+  val Cells = 16
+  val LloydRounds = 2
+
+  /** Deterministic k-means over the scaled-long embeddings, entirely as
+    * DataFrame aggregations (no driver-side loops over data): seeded init
+    * assigns each vector to cell `hash(vec_id) mod Cells`, then
+    * [[LloydRounds]] reassign-and-recompute rounds. Centroid components are
+    * truncated integer means (`sum DIV n` — both engines truncate toward
+    * zero, so training is bit-reproducible in DuckDB). Each round costs one
+    * corpus scan + one hash aggregation; the 16-row result is
+    * `localCheckpoint`ed so the two downstream uses (corpus assignment,
+    * query probing) don't re-run training. */
+  private[llm] def kmeansCentroids(se: DataFrame): DataFrame = {
+    val sums = (1 to EmbDim).map(i => sum(expr(s"element_at(se, $i)")).as(s"s$i"))
+    val mean = (1 to EmbDim).map(i => s"s$i DIV n").mkString("array(", ", ", ")")
+    def centroidsOf(assigned: DataFrame): DataFrame =
+      assigned.groupBy(col("cell").as("cent_id"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .selectExpr("cent_id", s"$mean AS cse")
+        .selectExpr("cent_id", "cse", "graft_dot(cse, cse) AS cn2")
+    val init = se.selectExpr("vec_id", "se",
+      s"vec_id % $P * 2654435761L % $P % $Cells AS cell")
+    var cents = centroidsOf(init)
+    for (_ <- 1 to LloydRounds) {
+      val re = assignCells(se.select(col("vec_id"), col("se")), cents, 1)
+        .select(col("vec_id"), col("se"), col("cent_id").as("cell"))
+      cents = centroidsOf(re)
+    }
+    cents.localCheckpoint()
+  }
+
+  /** Attach each vector's `n` nearest cells. Nearness is the integer
+    * squared-Euclidean argmin — |a−c|² ordered by |c|² − 2·a·c since |a|²
+    * is constant per row — so cell choice is exact long arithmetic. The
+    * centroid table is a constant [[Cells]]-row broadcast; the rank<=n
+    * filter hits Spark's WindowGroupLimit, so only ~n rows per vector
+    * survive the map side of the window shuffle. */
+  private[llm] def assignCells(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dscore"), col("cent_id"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("dscore", expr("cn2 - 2L * graft_dot(se, cse)"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= n)
+      .drop("cse", "cn2", "dscore", "rn")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact top-5 neighbors for each query vector (vec_id < 10): corpus
@@ -66,30 +113,24 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     },
 
-    // IVF-style ANN: deterministic coarse quantizer (centroids = the first
-    // 16 vectors), one assignment pass (corpus x broadcast centroids,
-    // argmax cosine), queries probe their nprobe=2 nearest cells, exact
-    // re-rank inside the probed cells. The scale path: the corpus is
-    // scanned once for assignment, and each query touches ~2/16ths of it.
+    // IVF ANN with a REAL trained coarse quantizer: deterministic k-means
+    // (seeded init from hashed vec_ids, 2 Lloyd iterations, all as
+    // DataFrame aggregations — no driver-side loops over data), one
+    // assignment pass (corpus x broadcast 16-row centroid table), queries
+    // probe their nprobe=2 nearest cells, exact cosine re-rank inside the
+    // probed cells. Assignment/probing use the INTEGER squared-Euclidean
+    // form |c|² − 2·a·c (a's own norm is constant per row), so training is
+    // exact long arithmetic in both engines. The scale path: corpus
+    // scanned once per Lloyd round + once for assignment; each query
+    // touches ~2/16ths of the corpus.
     "q_llm_knn_ivf" -> { (s, dir) =>
       val se = scaledEmb(s, dir)
-      val cents = se.where(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("se").as("cse"), col("nrm").as("cnrm"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val assigned = se.crossJoin(broadcast(cents))
-        .selectExpr("vec_id", "se", "nrm", "cent_id",
-          s"${cosExpr("se", "cse", "nrm", "cnrm")} AS ccos")
-        .withColumn("rn", row_number().over(wAssign))
-        .where(col("rn") === 1)
+      val cents = kmeansCentroids(se)
+      val assigned = assignCells(se, cents, 1)
         .select(col("vec_id"), col("se"), col("nrm"), col("cent_id").as("cell"))
-      val probes = se.where(col("vec_id") < 10).crossJoin(broadcast(cents))
-        .selectExpr("vec_id AS q_id", "se AS qse", "nrm AS qnrm", "cent_id",
-          s"${cosExpr("se", "cse", "nrm", "cnrm")} AS ccos")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cent_id"))))
-        .where(col("rn") <= 2)
-        .select(col("q_id"), col("qse"), col("qnrm"), col("cent_id").as("cell"))
+      val probes = assignCells(se.where(col("vec_id") < 10), cents, 2)
+        .select(col("vec_id").as("q_id"), col("se").as("qse"),
+          col("nrm").as("qnrm"), col("cent_id").as("cell"))
       val scored = assigned.join(probes, Seq("cell"))
         .where(col("vec_id") =!= col("q_id"))
         .selectExpr("q_id", "vec_id AS neighbor_id",
@@ -126,21 +167,76 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     })
 
-  /** Recall evaluation: how many of each query's exact top-5 neighbors the
-    * LSH-bucketed index surfaces. The evaluation harness every ANN
-    * deployment needs — both sides are deterministic, so the oracle
-    * reproduces the exact same recall table. */
+  /** Recall evaluation: how many of each query's exact top-5 neighbors each
+    * ANN index (hyperplane LSH and k-means IVF) surfaces. The evaluation
+    * harness every ANN deployment needs — both sides are deterministic, so
+    * the oracle reproduces the exact same recall table for both indexes. */
   private val recallEntry: (SparkSession, String) => DataFrame = { (s, dir) =>
     val brute = queries("q_llm_knn_brute")(s, dir)
       .select(col("q_id"), col("neighbor_id"))
-    val lsh = queries("q_llm_knn_lsh")(s, dir)
-      .select(col("q_id"), col("neighbor_id")).withColumn("_hit", lit(1))
-    brute.join(lsh, Seq("q_id", "neighbor_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(count(lit(1)).as("n_true"), sum(coalesce(col("_hit"), lit(0))).as("n_found"))
-      .selectExpr("q_id", "n_true", "n_found",
-        "CAST(n_found AS DOUBLE) / n_true AS recall")
-      .orderBy(col("q_id"))
+    def evalIndex(name: String, ann: DataFrame): DataFrame = {
+      val hits = ann.select(col("q_id"), col("neighbor_id")).withColumn("_hit", lit(1))
+      brute.join(hits, Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_true"), sum(coalesce(col("_hit"), lit(0))).as("n_found"))
+        .selectExpr(s"'$name' AS index_name", "q_id", "n_true", "n_found",
+          "CAST(n_found AS DOUBLE) / n_true AS recall")
+    }
+    evalIndex("ivf", queries("q_llm_knn_ivf")(s, dir))
+      .unionByName(evalIndex("lsh", queries("q_llm_knn_lsh")(s, dir)))
+      .orderBy(col("index_name"), col("q_id"))
+  }
+
+  /** DuckDB mirror of the k-means IVF entry. Centroid training is the same
+    * exact integer arithmetic as the Spark side: HUGEINT sums divided by
+    * counts with `//` (truncates toward zero, like Spark's DIV) and cast
+    * back to BIGINT, so every Lloyd round lands on identical centroids. */
+  private def duckIvfSql: String = {
+    val meanList = (1 to EmbDim)
+      .map(i => s"CAST(sum(se[$i]) // count(*) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    def cent(src: String): String =
+      s"""SELECT cell AS cent_id, $meanList AS cse FROM $src GROUP BY cell"""
+    def centN(src: String): String =
+      s"SELECT cent_id, cse, ${duckPairDot("cse", "cse")} AS cn2 FROM $src"
+    // n nearest cells by |c|^2 - 2*a.c (|a|^2 constant per row)
+    def assign(centsCte: String, where: String, nProbe: Int): String =
+      s"""SELECT vec_id, se, nrm, cell FROM (
+        SELECT e.vec_id, e.se, e.nrm, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 c.cn2 - 2 * (${duckPairDot("e.se", "c.cse")}), c.cent_id) AS rn
+        FROM e CROSS JOIN $centsCte c $where) WHERE rn <= $nProbe"""
+    s"""
+      WITH e0 AS (
+        SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e AS (
+        SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
+      a0 AS (
+        SELECT vec_id, se, vec_id % $P * 2654435761 % $P % $Cells AS cell FROM e),
+      c0 AS (${cent("a0")}),
+      c0n AS (${centN("c0")}),
+      a1 AS (${assign("c0n", "", 1)}),
+      c1 AS (${cent("a1")}),
+      c1n AS (${centN("c1")}),
+      a2 AS (${assign("c1n", "", 1)}),
+      c2 AS (${cent("a2")}),
+      c2n AS (${centN("c2")}),
+      assigned AS (${assign("c2n", "", 1)}),
+      probes0 AS (${assign("c2n", "WHERE e.vec_id < 10", 2)}),
+      probes AS (
+        SELECT vec_id AS q_id, se AS qse, nrm AS qnrm, cell FROM probes0),
+      scored AS (
+        SELECT q_id, a.vec_id AS neighbor_id,
+               ${duckCosExpr("qse", "se", "qnrm", "nrm")} AS cos_raw
+        FROM assigned a JOIN probes p ON a.cell = p.cell
+        WHERE a.vec_id <> p.q_id),
+      r AS (
+        SELECT q_id, neighbor_id, cos_raw,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
+      FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
   }
 
   def oracleSql: Map[String, String] = {
@@ -166,39 +262,7 @@ object Similarity {
       SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
       FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
 
-      "q_llm_knn_ivf" -> s"""
-      WITH e0 AS (
-        SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
-      e AS (
-        SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
-      cents AS (SELECT vec_id AS cent_id, se AS cse, nrm AS cnrm FROM e WHERE vec_id < 16),
-      assign0 AS (
-        SELECT e.vec_id, e.se, e.nrm, cent_id,
-               ${duckCosExpr("se", "cse", "nrm", "cnrm")} AS ccos,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY ${duckCosExpr("se", "cse", "nrm", "cnrm")} DESC, cent_id) AS rn
-        FROM e CROSS JOIN cents),
-      assigned AS (
-        SELECT vec_id, se, nrm, cent_id AS cell FROM assign0 WHERE rn = 1),
-      probe0 AS (
-        SELECT e.vec_id AS q_id, e.se AS qse, e.nrm AS qnrm, cent_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY ${duckCosExpr("se", "cse", "nrm", "cnrm")} DESC, cent_id) AS rn
-        FROM e CROSS JOIN cents WHERE e.vec_id < 10),
-      probes AS (
-        SELECT q_id, qse, qnrm, cent_id AS cell FROM probe0 WHERE rn <= 2),
-      scored AS (
-        SELECT q_id, a.vec_id AS neighbor_id,
-               ${duckCosExpr("qse", "se", "qnrm", "nrm")} AS cos_raw
-        FROM assigned a JOIN probes p ON a.cell = p.cell
-        WHERE a.vec_id <> p.q_id),
-      r AS (
-        SELECT q_id, neighbor_id, cos_raw,
-               CAST(row_number() OVER (PARTITION BY q_id
-                 ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
-        FROM scored)
-      SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
-      FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+      "q_llm_knn_ivf" -> duckIvfSql,
 
       "q_llm_knn_lsh" -> s"""
       WITH e0 AS (
@@ -225,13 +289,18 @@ object Similarity {
       SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
       FROM r WHERE rank <= 3 ORDER BY q_id, rank""")
 
-    base + ("q_llm_knn_recall" -> s"""
-      SELECT b.q_id, count(*) AS n_true,
+    def recallFor(name: String, annSql: String): String = s"""
+      SELECT '$name' AS index_name, b.q_id, count(*) AS n_true,
              CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
              CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
       FROM (${base("q_llm_knn_brute")}) b
-      LEFT JOIN (${base("q_llm_knn_lsh")}) l
+      LEFT JOIN ($annSql) l
         ON b.q_id = l.q_id AND b.neighbor_id = l.neighbor_id
-      GROUP BY b.q_id ORDER BY b.q_id""")
+      GROUP BY b.q_id"""
+    base + ("q_llm_knn_recall" ->
+      s"""${recallFor("ivf", base("q_llm_knn_ivf"))}
+      UNION ALL
+      ${recallFor("lsh", base("q_llm_knn_lsh"))}
+      ORDER BY index_name, q_id""")
   }
 }
