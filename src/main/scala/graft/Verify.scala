@@ -7,9 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names (local iteration only;
-    // the driver always runs the full set)
+    // the driver always runs the full set). Blank/whitespace entries are
+    // dropped, so an empty third arg means "run all" instead of silently
+    // matching nothing.
     val only: Set[String] =
-      if (args.length > 2) args(2).split(",").toSet else Set.empty
+      if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    if (args.length > 2 && only.isEmpty)
+      System.err.println("[verify] blank query filter — running ALL queries")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")

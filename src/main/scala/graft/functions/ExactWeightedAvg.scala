@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.dsl.expressions._
-import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, Cast, Divide, Expression, Floor, If, Literal, Multiply, Rint}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, AttributeReference, Cast, Divide, Expression, Floor, If, IsNotNull, Literal, Multiply, Rint}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.types._
 
@@ -44,9 +44,17 @@ case class ExactWeightedAvg(qty: Expression, price: Expression)
   private def cents: Expression =
     Cast(Floor(Add(Multiply(price, Literal(100.0)), Literal(0.5))), LongType)
 
+  // Null-safe updates (as the built-in DeclarativeAggregates do): a row
+  // with a null qty OR price is ignored entirely — without the guard one
+  // null input would poison the non-nullable buffer and surface as a null
+  // through a nullable=false attribute. Both inputs must be present for
+  // the row to count toward either buffer slot (a half-counted row would
+  // skew the average).
+  private def bothSet: Expression = And(IsNotNull(qty), IsNotNull(price))
+
   override lazy val updateExpressions: Seq[Expression] = Seq(
-    Add(sumCents, Multiply(qtyLong, cents)),
-    Add(sumQty, qtyLong))
+    If(bothSet, Add(sumCents, Multiply(qtyLong, cents)), sumCents),
+    If(bothSet, Add(sumQty, qtyLong), sumQty))
 
   override lazy val mergeExpressions: Seq[Expression] = Seq(
     Add(sumCents.left, sumCents.right),

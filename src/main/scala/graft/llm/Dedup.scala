@@ -58,17 +58,11 @@ object Dedup {
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     minhashSigsOf(docs(s, dir))
 
-  /** LSH candidates verified by exact Jaccard >= 0.5, with the intersection
-    * and set sizes kept: (doc_a, doc_b, i, na, nb). Candidates come ONLY
-    * from band-bucket equi-joins; verification is inverted-index
-    * co-occurrence counting (no arrays cross any join; a pair with
-    * J >= 0.5 necessarily shares shingles, so the inner join against
-    * co-counts loses nothing). */
   /** Candidate near-dup pairs from the MinHash band-bucket equi-join —
     * the reusable bounded pair generator (O(candidates), never O(N²)).
     * Also gates the edit-distance entry. The band table feeds a self-join:
     * checkpointed once instead of recomputing the hash pipeline per side. */
-  private[llm] def minhashCandidatesOf(corpus: DataFrame): DataFrame = {
+  private[graft] def minhashCandidatesOf(corpus: DataFrame): DataFrame = {
     val bands = minhashBandsOf(corpus).localCheckpoint()
     bands.alias("a").join(bands.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -78,15 +72,34 @@ object Dedup {
       .distinct()
   }
 
-  private[llm] def minhashVerifiedPairsOf(corpus: DataFrame): DataFrame = {
-    val cand = minhashCandidatesOf(corpus)
+  /** LSH candidates verified by exact Jaccard >= 0.5, with the intersection
+    * and set sizes kept: (doc_a, doc_b, i, na, nb). Candidates come ONLY
+    * from band-bucket equi-joins; verification is inverted-index
+    * co-occurrence counting (no arrays cross any join; a pair with
+    * J >= 0.5 necessarily shares shingles, so the inner join against
+    * co-counts loses nothing). */
+  private[graft] def minhashVerifiedPairsOf(corpus: DataFrame): DataFrame = {
+    // checkpointed: referenced by the semi-join gate AND the final join
+    val cand = minhashCandidatesOf(corpus).localCheckpoint()
     // Stop-shingle cap (doc frequency > MaxDf dropped) BEFORE the
     // pair-generating equi-join: kills the quadratic hot key a boilerplate
     // shingle shared by 1M docs would otherwise create. Jaccard below is
-    // over the capped universe — the oracle computes the same.
+    // over the capped universe — the oracle computes the same. The df
+    // counts MUST come from the full stream (they define the capped
+    // universe), so they are aggregated before any candidate gating.
     val raw = shingleStreamOf(corpus).localCheckpoint()
     val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
+    // Candidate gate: only docs that appear in some LSH candidate pair can
+    // contribute to verification, so the exploded stream is semi-joined
+    // down to candidate docs BEFORE the heaviest aggregation (the
+    // co-occurrence self-join). Non-candidate docs' sizes are unused (the
+    // final join against `cand` is inner), so shrinking here changes
+    // nothing semantically and cuts the co-count shuffle to
+    // O(candidate-doc shingles) instead of O(corpus shingles).
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val ex = raw.join(dfreq.where(col("f") <= MaxDf), "sg")
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("sg")).localCheckpoint()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = ex.alias("a").join(ex.alias("b"),
@@ -104,6 +117,38 @@ object Dedup {
 
   private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
     minhashVerifiedPairsOf(docs(s, dir))
+
+  /** Connected components over an undirected pair graph (doc_a, doc_b) by
+    * iterative min-label propagation (Pregel-lite: join labels to edges,
+    * take the per-node min, repeat). Runs to FIXPOINT — the round count is
+    * bounded by graph diameter, and `localCheckpoint` cuts lineage each
+    * round so plan growth stays flat. `maxIters` is only a runaway guard:
+    * hitting it FAILS LOUDLY instead of returning silently-truncated
+    * labels that would diverge from a transitive-closure oracle. */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIters: Int = 200): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc")).localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val viaNeighbor = edges.join(labels, edges("src") === labels("doc"))
+        .select(col("dst").as("doc"), col("label"))
+      val next = labels.select(col("doc"), col("label")).union(viaNeighbor)
+        .groupBy(col("doc")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.alias("n").join(labels.alias("o"), "doc")
+        .where(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iters += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters rounds " +
+        "(graph diameter exceeds the cap); raise maxIters")
+    labels.select(col("doc").as("doc_id"), col("label").as("canonical"))
+  }
 
   /** MinHash band table: (doc_id, band_idx, band_key) — slim, agg-backed. */
   private def minhashBandsOf(corpus: DataFrame): DataFrame = {
@@ -231,33 +276,14 @@ object Dedup {
         .limit(20)),
 
     // Near-dup CLUSTERING: connected components over the verified pair
-    // graph via iterative min-label propagation (Pregel-lite: join labels
-    // to edges, take the per-node min, repeat to fixpoint). localCheckpoint
-    // cuts lineage each round so the loop is bounded by graph DIAMETER,
-    // not by plan growth. Canonical doc = component minimum — the fuzzy
-    // generalization of the reference's keyed dedup choosing one winner
-    // per key (git_etl.ts:127-132).
+    // graph (see [[connectedComponents]] — min-label propagation to
+    // FIXPOINT, diameter-bounded, loud failure on non-convergence).
+    // Canonical doc = component minimum — the fuzzy generalization of the
+    // reference's keyed dedup choosing one winner per key
+    // (git_etl.ts:127-132).
     "q_llm_dedup_groups" -> { (s, dir) =>
       val pairs = minhashVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("doc")).distinct()
-        .withColumn("label", col("doc")).localCheckpoint()
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 20) {
-        val viaNeighbor = edges.join(labels, edges("src") === labels("doc"))
-          .select(col("dst").as("doc"), col("label"))
-        val next = labels.select(col("doc"), col("label")).union(viaNeighbor)
-          .groupBy(col("doc")).agg(min(col("label")).as("label"))
-          .localCheckpoint()
-        changed = next.alias("n").join(labels.alias("o"), "doc")
-          .where(col("n.label") =!= col("o.label")).count()
-        labels = next
-        iters += 1
-      }
-      labels.select(col("doc").as("doc_id"), col("label").as("canonical"))
+      connectedComponents(pairs)
         .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("canonical"))))
         .orderBy(col("doc_id"))

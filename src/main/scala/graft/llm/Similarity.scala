@@ -54,10 +54,14 @@ object Similarity {
     * assigns each vector to cell `hash(vec_id) mod Cells`, then
     * [[LloydRounds]] reassign-and-recompute rounds. Centroid components are
     * truncated integer means (`sum DIV n` — both engines truncate toward
-    * zero, so training is bit-reproducible in DuckDB). Each round costs one
-    * corpus scan + one hash aggregation; the 16-row result is
-    * `localCheckpoint`ed so the two downstream uses (corpus assignment,
-    * query probing) don't re-run training. */
+    * zero, so training is bit-reproducible in DuckDB; the long sum wraps
+    * only past ~9e12 rows per cell at 1e6-magnitude components, far beyond
+    * any realistic cell, while DuckDB sums to HUGEINT — the one documented
+    * theoretical divergence). Each round costs one corpus scan + one hash
+    * aggregation; the 16-row result is `localCheckpoint`ed per round so
+    * lineage stays flat however deep the refinement goes, and the two
+    * downstream uses (corpus assignment, query probing) don't re-run
+    * training. */
   private[llm] def kmeansCentroids(se: DataFrame): DataFrame = {
     val sums = (1 to EmbDim).map(i => sum(expr(s"element_at(se, $i)")).as(s"s$i"))
     val mean = (1 to EmbDim).map(i => s"s$i DIV n").mkString("array(", ", ", ")")
@@ -68,13 +72,16 @@ object Similarity {
         .selectExpr("cent_id", "cse", "graft_dot(cse, cse) AS cn2")
     val init = se.selectExpr("vec_id", "se",
       s"vec_id % $P * 2654435761L % $P % $Cells AS cell")
-    var cents = centroidsOf(init)
+    // per-round localCheckpoint: each round's 16-row centroid table is
+    // materialized, so round r+1's plan never re-embeds rounds 1..r —
+    // lineage (and recompute-on-reference) stays flat at any LloydRounds
+    var cents = centroidsOf(init).localCheckpoint()
     for (_ <- 1 to LloydRounds) {
       val re = assignCells(se.select(col("vec_id"), col("se")), cents, 1)
         .select(col("vec_id"), col("se"), col("cent_id").as("cell"))
-      cents = centroidsOf(re)
+      cents = centroidsOf(re).localCheckpoint()
     }
-    cents.localCheckpoint()
+    cents
   }
 
   /** Attach each vector's `n` nearest cells. Nearness is the integer
@@ -172,10 +179,17 @@ object Similarity {
     * harness every ANN deployment needs — both sides are deterministic, so
     * the oracle reproduces the exact same recall table for both indexes. */
   private val recallEntry: (SparkSession, String) => DataFrame = { (s, dir) =>
+    // Each sub-pipeline is localCheckpoint'ed: the brute truth table is
+    // referenced once per evaluated index, and each ANN output would
+    // otherwise re-run its whole pipeline (IVF including k-means training)
+    // on every reference. The checkpointed tables are tiny (top-k rows per
+    // query), so materialization is ~free and the entry costs one run of
+    // each pipeline instead of two.
     val brute = queries("q_llm_knn_brute")(s, dir)
-      .select(col("q_id"), col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id")).localCheckpoint()
     def evalIndex(name: String, ann: DataFrame): DataFrame = {
-      val hits = ann.select(col("q_id"), col("neighbor_id")).withColumn("_hit", lit(1))
+      val hits = ann.select(col("q_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1)).localCheckpoint()
       brute.join(hits, Seq("q_id", "neighbor_id"), "left")
         .groupBy(col("q_id"))
         .agg(count(lit(1)).as("n_true"), sum(coalesce(col("_hit"), lit(0))).as("n_found"))

@@ -42,7 +42,16 @@ object XHash {
     * are dropped BEFORE the pair-generating equi-join. Without the cap one
     * shingle shared by 1M docs creates a quadratic hot key — the #1 skew
     * risk at corpus scale. Jaccard is then defined over the capped shingle
-    * universe in BOTH engines, so results stay hash-identical. */
+    * universe in BOTH engines, so results stay hash-identical.
+    *
+    * The cap is ABSOLUTE, which implies a documented recall cliff: at
+    * billion-doc scale virtually every legitimate shingle exceeds 100 docs,
+    * the capped universe collapses, and near-dup recall with it. A
+    * production deployment should scale this with corpus size (e.g.
+    * `max(100, 1e-4 * N)`) — kept constant here because the oracle must
+    * embed the same literal, and the constant lets tests exercise the
+    * capped path (LlmSpec's boilerplate-corpus fixture drives df past the
+    * cap on purpose). */
   val MaxDf = 100L
   val A: IndexedSeq[Long] = (0 until K).map(i => (i * 2654435761L + 1) % P)
   val B: IndexedSeq[Long] = (0 until K).map(i => (i * 40503L + 17) % P)

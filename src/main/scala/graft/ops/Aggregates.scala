@@ -89,14 +89,19 @@ object Aggregates {
           count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))),
 
-    // HLL++ sketch: values differ from DuckDB's sketch by design -> no
-    // oracle; driver records a rows-only check. The exact count rides along
-    // so the spec can sanity-bound the estimate.
+    // HLL++ sketch: the raw estimate differs from DuckDB's sketch by
+    // design, so the checkable contract is the ERROR BOUND, not the value —
+    // each engine computes its own approx count and the shared boolean
+    // `within_5pct` (HLL++ standard error is ~1.6% at default precision,
+    // so 5% holds with wide margin in both engines). This turns the last
+    // rows-only entry into a full hash-checked one.
     "q_agg_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .selectExpr("l_returnflag", "exact_parts",
+          "CAST(abs(approx_parts - exact_parts) AS DOUBLE) / exact_parts <= 0.05 AS within_5pct")
         .orderBy(col("l_returnflag"))),
 
     "q_agg_custom_wavg" -> { (s, dir) =>
@@ -134,6 +139,14 @@ object Aggregates {
         .orderBy(col("l_returnflag"))))
 
   def oracleSql: Map[String, String] = Map(
+    // bounded-error contract: each engine's own HLL estimate vs its exact
+    // count; the boolean (not the sketch value) is the cross-engine result
+    "q_agg_approx_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) AS DOUBLE)
+               / count(DISTINCT l_partkey) <= 0.05 AS within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q_agg_multi_distinct" -> """
       SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
              count(DISTINCT o_orderpriority) AS n_prios, count(*) AS n_orders
@@ -181,10 +194,14 @@ object Aggregates {
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // rows with a null qty OR price are ignored entirely, mirroring the
+    // null-safe updateExpressions in graft.functions.ExactWeightedAvg
     "q_agg_declarative_wavg" -> """
       SELECT l_returnflag,
-             sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-               / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_price,
+             sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                 THEN CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END)
+               / CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                          THEN CAST(l_quantity AS BIGINT) END) AS DOUBLE) / 100.0 AS wavg_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 

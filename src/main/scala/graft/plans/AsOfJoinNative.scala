@@ -127,9 +127,19 @@ object AsOfJoinNative {
         spark.experimental.extraStrategies :+ AsOfStrategy
     }
 
-  /** Native as-of join of two DataFrames on long keys + timestamp-like
-    * long-castable ts columns. Output = left columns ++ right columns
-    * (right nulled when no row at-or-before). */
+  /** Native as-of join of two DataFrames on long keys + timestamp-like ts
+    * columns. Output = left columns ++ right columns (right nulled when no
+    * row at-or-before).
+    *
+    * Type contract, ENFORCED here (the exec reads key/ts as raw longs, so
+    * an unvalidated IntegerType key would silently produce garbage):
+    *  - keys: any integral type; narrower ones are widened via `Cast` to
+    *    long so the projection reads a real long;
+    *  - ts: TimestampType (raw micros), integral (widened to long), or
+    *    DateType (cast to TimestampType). Both sides must agree on the
+    *    family — comparing one side's epoch-MICROS against the other's
+    *    plain longs would join garbage, so mixing timestamp-ish and
+    *    integral ts types is rejected. */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: Column, rightKey: Column,
                leftTs: Column, rightTs: Column): DataFrame = {
@@ -142,8 +152,31 @@ object AsOfJoinNative {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
     }
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types._
+    def asKey(e: Expression, side: String): Expression = e.dataType match {
+      case LongType => e
+      case ByteType | ShortType | IntegerType => Cast(e, LongType)
+      case dt => throw new IllegalArgumentException(
+        s"asofJoin $side key must be an integral type, got ${dt.catalogString}")
+    }
+    def asTs(e: Expression, side: String): Expression = e.dataType match {
+      case TimestampType | LongType => e
+      case ByteType | ShortType | IntegerType => Cast(e, LongType)
+      case DateType => Cast(e, TimestampType)
+      case dt => throw new IllegalArgumentException(
+        s"asofJoin $side ts must be TIMESTAMP, DATE, or integral, got ${dt.catalogString}")
+    }
+    def timestampish(dt: DataType): Boolean =
+      dt == TimestampType || dt == DateType
+    val (lTsRaw, rTsRaw) = (resolve(lPlan, leftTs, left), resolve(rPlan, rightTs, right))
+    if (timestampish(lTsRaw.dataType) != timestampish(rTsRaw.dataType))
+      throw new IllegalArgumentException(
+        s"asofJoin ts types must both be timestamp-like or both integral, got " +
+          s"${lTsRaw.dataType.catalogString} vs ${rTsRaw.dataType.catalogString}")
     GraftSqlShims.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      resolve(lPlan, leftKey, left), resolve(rPlan, rightKey, right),
-      resolve(lPlan, leftTs, left), resolve(rPlan, rightTs, right)))
+      asKey(resolve(lPlan, leftKey, left), "left"),
+      asKey(resolve(rPlan, rightKey, right), "right"),
+      asTs(lTsRaw, "left"), asTs(rTsRaw, "right")))
   }
 }

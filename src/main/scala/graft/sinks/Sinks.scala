@@ -39,14 +39,34 @@ object Sinks {
   }
 
   /** O11: truncate/reset a table directory (the reference clears its KV
-    * store + WAL sidecars on startup when configured; `git_etl.ts:293-308`). */
-  def truncate(dest: String): Unit = deleteRec(dest)
+    * store + WAL sidecars on startup when configured; `git_etl.ts:293-308`).
+    * Also clears the atomic-swap sidecars so a fresh store never resurrects
+    * a stale `.old` copy. */
+  def truncate(dest: String): Unit = {
+    deleteRec(dest); deleteRec(dest + ".old"); deleteRec(dest + ".inprogress")
+  }
+
+  /** Recover from a crash BETWEEN writeAtomic's two renames: in that
+    * window `dest` is missing but `dest.old` holds the complete previous
+    * table, so the old-or-new guarantee is restored by renaming it back.
+    * Called on every writeAtomic (startup-equivalent) and safe to call any
+    * time — a no-op unless exactly that crash window is on disk. */
+  def recover(dest: String): Unit = {
+    val destPath = Paths.get(dest)
+    val old = Paths.get(dest + ".old")
+    if (!Files.exists(destPath) && Files.exists(old))
+      Files.move(old, destPath, StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Crash-safe atomic overwrite: stage into `dest.inprogress`, rename into
-    * place. Optional `partitionBy` produces a layout whose reads prune. */
+    * place. Optional `partitionBy` produces a layout whose reads prune.
+    * Readers see the old table or the new one, never a partial batch; a
+    * crash between the two renames is healed by [[recover]] on the next
+    * write (or by any caller invoking it at startup). */
   def writeAtomic(df: DataFrame, dest: String, partitionCols: Seq[String] = Nil): Unit = {
     val destPath = Paths.get(dest)
     Files.createDirectories(destPath.getParent)
+    recover(dest) // heal a leftover .old BEFORE deleting sidecars
     val tmp = dest + ".inprogress"
     val old = dest + ".old"
     deleteRec(tmp); deleteRec(old)

@@ -81,8 +81,13 @@ class CommitScanBuilder(totalRows: Long)
       case _ => false
     }
     accepted.foreach { case GreaterThanOrEqual(_, t: java.sql.Timestamp) =>
-      // like the reference's `since`: an inclusive lower bound on ts
-      sinceMicros = math.max(sinceMicros, t.getTime * 1000L)
+      // like the reference's `since`: an inclusive lower bound on ts.
+      // Exact micros (floor(millis)*1e3 + sub-milli micros): getTime alone
+      // truncates to milliseconds, which would under-bound a sub-milli
+      // filter while claiming it fully handled — extra rows with no
+      // residual filter to catch them.
+      sinceMicros = math.max(sinceMicros,
+        math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
     }
     pushed = accepted
     rejected // Spark re-applies anything the source didn't take

@@ -45,4 +45,26 @@ class AsOfSpec extends SparkSpec {
       if (!n.isNullAt(2)) assert(n.getDouble(2) === o.getDouble(2))
     }
   }
+
+  test("native asof join widens integral keys and rejects unsupported types") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.plans.AsOfJoinNative.asofJoin
+    // IntegerType keys: must be widened via Cast (the exec reads raw
+    // longs; before validation an int key silently produced garbage)
+    val left = Seq((1, ts("2024-01-02 12:00:00"))).toDF("k", "t")
+    val right = Seq((1, ts("2024-01-02 00:00:00"), 100.0)).toDF("rk", "rt", "payload")
+    val out = asofJoin(left, right, col("k"), col("rk"), col("t"), col("rt")).collect()
+    assert(out.length === 1 && out(0).getDouble(4) === 100.0)
+    // non-integral key fails loudly
+    val badL = Seq(("a", ts("2024-01-01 00:00:00"))).toDF("k", "t")
+    val badR = Seq(("a", ts("2024-01-01 00:00:00"), 1.0)).toDF("rk", "rt", "p")
+    assertThrows[IllegalArgumentException](
+      asofJoin(badL, badR, col("k"), col("rk"), col("t"), col("rt")))
+    // mixing a timestamp ts with a plain-long ts would compare epoch
+    // MICROS against raw longs — rejected
+    val longTsR = Seq((1, 5L, 1.0)).toDF("rk", "rt", "p")
+    assertThrows[IllegalArgumentException](
+      asofJoin(left, longTsR, col("k"), col("rk"), col("t"), col("rt")))
+  }
 }

@@ -35,6 +35,25 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.contains("96354"), s"expected folded literal in:\n$plan")
   }
 
+  test("graft_wavg ignores rows with a null qty or price (null-safe updates)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Some(2.0), Some(10.0)),
+      (None: Option[Double], Some(99.0)), // null qty: ignored entirely
+      (Some(3.0), None: Option[Double]),  // null price: ignored entirely
+      (Some(4.0), Some(20.0)))
+      .toDF("q", "p")
+    val r = df.selectExpr("graft_wavg(q, p) AS w").collect()(0)
+    assert(!r.isNullAt(0), "null inputs must not poison the buffer")
+    // (2*10 + 4*20) / (2 + 4)
+    assert(math.abs(r.getDouble(0) - (2.0 * 10.0 + 4.0 * 20.0) / 6.0) < 1e-9)
+    // all-null group: defined 0.0 (sumQty == 0 branch), never null
+    val empty = Seq((None: Option[Double], None: Option[Double])).toDF("q", "p")
+      .selectExpr("graft_wavg(q, p) AS w").collect()(0)
+    assert(!empty.isNullAt(0) && empty.getDouble(0) === 0.0)
+  }
+
   test("graft_dot matches the unrolled integer dot product in both eval paths") {
     import spark.implicits._
     GraftFunctions.register(spark)

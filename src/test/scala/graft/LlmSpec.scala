@@ -68,6 +68,35 @@ class LlmSpec extends SparkSpec {
     assert(evalLong(XHash.sparkCharHash(s"'$text'")) === expected)
   }
 
+  test("connectedComponents: >20-hop chain converges to a single min label") {
+    import spark.implicits._
+    // chain 0-1-2-...-21: diameter 21, past the old silent 20-round cap
+    val pairs = (0L until 21L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.llm.Dedup.connectedComponents(pairs).collect()
+    assert(labels.length === 22)
+    assert(labels.forall(_.getLong(1) === 0L), "every node must reach label 0")
+  }
+
+  test("connectedComponents fails loudly when the iteration cap is hit") {
+    import spark.implicits._
+    val pairs = (0L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException](
+      graft.llm.Dedup.connectedComponents(pairs, maxIters = 2))
+  }
+
+  test("stop-shingle cap fires: boilerplate shared by >MaxDf docs drops its pairs") {
+    import spark.implicits._
+    // 102 identical 3-token docs -> one shingle with df=102 > MaxDf=100:
+    // the capped universe is empty, so NO pair verifies (the documented
+    // recall cliff, loud in tests; both engines cap identically)
+    val n = XHash.MaxDf.toInt + 2
+    val big = (1 to n).map(i => (i.toLong, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(graft.llm.Dedup.minhashVerifiedPairsOf(big).count() === 0L)
+    // the same corpus below the cap verifies every pair (C(5,2) = 10)
+    val small = (1 to 5).map(i => (i.toLong, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(graft.llm.Dedup.minhashVerifiedPairsOf(small).count() === 10L)
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))

@@ -22,6 +22,25 @@ class SinksSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dest + ".old")))
   }
 
+  test("writeAtomic heals a crash window between renames (.old present, dest gone)") {
+    import spark.implicits._
+    val dest = s"$base/recover"
+    Sinks.truncate(dest)
+    Sinks.writeAtomic(Seq((1, "v1")).toDF("k", "v"), dest)
+    // simulate a crash AFTER dest->dest.old but BEFORE tmp->dest: the
+    // table vanishes and only the .old copy remains
+    Files.move(Paths.get(dest), Paths.get(dest + ".old"))
+    assert(!Files.exists(Paths.get(dest)))
+    Sinks.recover(dest)
+    val healed = spark.read.parquet(dest).as[(Int, String)].collect()
+    assert(healed === Array((1, "v1")), "recover must restore the previous snapshot")
+    // and writeAtomic itself heals-then-overwrites if recover wasn't called
+    Files.move(Paths.get(dest), Paths.get(dest + ".old"))
+    Sinks.writeAtomic(Seq((2, "v2")).toDF("k", "v"), dest)
+    assert(spark.read.parquet(dest).as[(Int, String)].collect() === Array((2, "v2")))
+    assert(!Files.exists(Paths.get(dest + ".old")))
+  }
+
   test("truncate removes the table (O11)") {
     import spark.implicits._
     val dest = s"$base/trunc"
