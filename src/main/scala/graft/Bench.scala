@@ -22,29 +22,43 @@ object Bench {
     graft.sources.Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warmup: JVM + codegen + parquet reader init, not attributed to any query
-    try spark.range(1000).selectExpr("sum(id) as s").write.format("noop")
-      .mode("overwrite").save()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Warmup with a REAL table read + agg: JVM, codegen, AND the parquet
+    // reader/filesystem paths are warm before the first measured query —
+    // a range()-only warmup left 3-4 s of reader init charged to whatever
+    // query sorted first alphabetically.
+    try {
+      spark.range(1000).selectExpr("sum(id) as s").write.format("noop")
+        .mode("overwrite").save()
+      graft.sources.Tables.load(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+    // optional name filter for local perf iteration (driver runs all)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty).getOrElse(Set.empty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver (clean line: run/outputStrategy = StdoutOutput
-    // in build.sbt keeps sbt's [info] prefix off forked output), plus an
-    // optional file copy so a log-wrapped run still yields parseable JSON.
+    // in build.sbt keeps sbt's [info] prefix off forked output), plus a
+    // file copy — defaulting to BENCH_LOCAL.json in the repo so every full
+    // run leaves a committed parseable artifact (no tail archaeology).
     println(json)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      Files.writeString(Paths.get(p), json + "\n")
-    }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "BENCH_LOCAL.json" else "")
+    if (outPath.nonEmpty) Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
   }
 }

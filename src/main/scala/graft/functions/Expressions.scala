@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -79,6 +80,67 @@ case class CharPolyHash(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): CharPolyHash =
+    copy(child = newChild)
+}
+
+/** `graft_shingles(wh)` — the UDTF tier (custom `Generator`): one output
+  * row per DISTINCT word-3-gram shingle hash of a word-hash array,
+  * `sg = ((wh(i)*131 + wh(i+1)) % P * 131 + wh(i+2)) % P` for each window
+  * i, deduplicated per input row. Replaces the three-pass interpreted
+  * pipeline `explode_outer(array_distinct(transform(sequence(...), ...)))`
+  * (one lambda evaluation per element, plus an intermediate array) with a
+  * single compiled loop per document — the hottest path in the dedup
+  * suite.
+  *
+  * Two deliberate properties:
+  *  - same value set as [[graft.llm.XHash.sparkShingles]] +
+  *    `array_distinct` (and DuckDB's `list_distinct(list_transform(...))`
+  *    mirror), so swapping it into a pipeline changes no query result;
+  *  - NOT an `ExplodeBase`, so `InferFiltersFromGenerate` does not apply —
+  *    no inferred `size(...) > 0` filter gets pushed below the projection
+  *    to re-inline the word-hash pipeline into the scan (the quadratic
+  *    re-evaluation the explode_outer trick was guarding against).
+  *
+  * Arrays with fewer than 3 elements generate nothing (callers filter
+  * `size(wh) >= 3` anyway — both engines agree shingling is undefined
+  * there). Null elements cannot occur (word hashes are md5-derived,
+  * non-null by construction); windows touching one are skipped
+  * defensively. */
+case class ShingleHashes(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("sg", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${dt.catalogString}")
+  }
+  override def prettyName: String = "graft_shingles"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input)
+    if (arr == null) return Nil
+    val wh = arr.asInstanceOf[ArrayData]
+    val n = wh.numElements()
+    if (n < 3) return Nil
+    val p = GraftKernels.P
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](n - 2)
+    var i = 0
+    while (i <= n - 3) {
+      if (!wh.isNullAt(i) && !wh.isNullAt(i + 1) && !wh.isNullAt(i + 2)) {
+        val sg = ((wh.getLong(i) * 131L + wh.getLong(i + 1)) % p * 131L
+          + wh.getLong(i + 2)) % p
+        if (seen.add(sg)) out += InternalRow(sg)
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 

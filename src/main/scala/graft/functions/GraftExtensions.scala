@@ -33,7 +33,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => LongDot(args(0), args(1))),
     ("graft_wavg",
       new ExpressionInfo(classOf[ExactWeightedAvg].getName, "graft_wavg"),
-      (args: Seq[Expression]) => ExactWeightedAvg(args(0), args(1))))
+      (args: Seq[Expression]) => ExactWeightedAvg(args(0), args(1))),
+    ("graft_shingles",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
+      (args: Seq[Expression]) => ShingleHashes(args.head)))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

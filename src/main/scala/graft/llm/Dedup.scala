@@ -34,15 +34,18 @@ object Dedup {
     * >= 3 tokens only (shingling is undefined below that — both engines
     * agree). The exploded stream is the base of every MinHash computation:
     * signatures become plain map-side-combining aggregations over it
-    * (min((A·sg+B) % P)), which keeps the hot path out of interpreted
-    * higher-order functions AND behind a pushdown barrier (see the
-    * quadratic-inlining note on q_llm_dedup_ngram_jaccard). */
-  private[llm] def shingleStreamOf(corpus: DataFrame): DataFrame =
+    * (min((A·sg+B) % P)). Generation is the custom UDTF
+    * [[graft.functions.ShingleHashes]] — one compiled loop per doc instead
+    * of three interpreted HOF passes, and immune to the
+    * InferFiltersFromGenerate inlining trap by construction (see its
+    * scaladoc and the note on q_llm_dedup_ngram_jaccard). */
+  private[llm] def shingleStreamOf(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus
       .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
       .where(expr("size(wh) >= 3"))
-      .selectExpr("doc_id", s"array_distinct(${sparkShingles("wh")}) AS shd")
-      .selectExpr("doc_id", "explode_outer(shd) AS sg")
+      .selectExpr("doc_id", "graft_shingles(wh) AS sg")
+  }
 
   private def shingleStream(s: SparkSession, dir: String): DataFrame =
     shingleStreamOf(docs(s, dir))
@@ -339,18 +342,19 @@ object Dedup {
       // broadcast per-doc sizes. No array crosses a join; pairs exist only
       // for docs sharing at least one shingle. This is the shape that holds
       // at 100 TB — per-pair array intersections do not.
-      val sh = docs(s, dir)
+      // Shingle generation via the custom UDTF (one compiled loop per doc;
+      // see ShingleHashes). Historical note: with built-in explode,
+      // Catalyst inferred a `size(shd) > 0` filter and pushed it below the
+      // projections, INLINING the whole shingle pipeline into the scan
+      // filter where element_at(transform(...), i) recomputed the full
+      // word-hash array per element — measured 10x the entire query's
+      // cost. InferFiltersFromGenerate skips custom generators, so the
+      // trap cannot re-arm.
+      graft.functions.GraftFunctions.register(s)
+      val ex0 = docs(s, dir)
         .selectExpr("doc_id", "lang", "source", s"${sparkWordHashes("text")} AS wh")
         .where(expr("size(wh) >= 3"))
-        .selectExpr("doc_id", "lang", "source",
-          s"array_distinct(${sparkShingles("wh")}) AS shd")
-      // explode_outer, not explode: the plain generator makes Catalyst
-      // infer a `size(shd) > 0` filter and push it below the projections,
-      // INLINING the whole shingle pipeline into the scan filter where
-      // element_at(transform(...), i) recomputes the full word-hash array
-      // per element — measured 10x the entire query's cost. The arrays are
-      // non-empty by construction, so outer is semantically identical.
-      val ex0 = sh.selectExpr("doc_id", "lang", "source", "explode_outer(shd) AS sg")
+        .selectExpr("doc_id", "lang", "source", "graft_shingles(wh) AS sg")
         .localCheckpoint()
       // stop-shingle cap: shingles in > MaxDf docs are boilerplate; dropping
       // them before the pair join removes the quadratic hot-key risk (one

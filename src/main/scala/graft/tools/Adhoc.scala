@@ -26,6 +26,12 @@ object Adhoc {
       .where(expr("size(wh) >= 3"))
       .selectExpr("doc_id", "lang", "source", s"array_distinct(${sparkShingles("wh")}) AS shd")
     time("sh (shingled)")(sh.count())
+    graft.functions.GraftFunctions.register(s)
+    val exGen = docs
+      .selectExpr("doc_id", "lang", "source", s"${sparkWordHashes("text")} AS wh")
+      .where(expr("size(wh) >= 3"))
+      .selectExpr("doc_id", "lang", "source", "graft_shingles(wh) AS sg")
+    time("ex via UDTF")(exGen.count())
     time("sizes")(sh.selectExpr("doc_id", "size(shd) AS n").count())
     val ex = sh.selectExpr("doc_id", "lang", "source", "explode_outer(shd) AS sg")
     time("ex (exploded)")(ex.count())

@@ -54,6 +54,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(!empty.isNullAt(0) && empty.getDouble(0) === 0.0)
   }
 
+  test("graft_shingles (UDTF) emits exactly the distinct HOF shingle set") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a a a a a a"),   // repeated token -> one distinct shingle
+      (3L, "x y"),           // < 3 tokens -> no shingles
+      (4L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val base = docs.selectExpr("doc_id", s"${XHash.sparkWordHashes("text")} AS wh")
+    val viaHof = base.where(expr("size(wh) >= 3"))
+      .selectExpr("doc_id", s"explode(array_distinct(${XHash.sparkShingles("wh")})) AS sg")
+      .orderBy("doc_id", "sg").as[(Long, Long)].collect()
+    val viaGen = base.selectExpr("doc_id", "graft_shingles(wh) AS sg")
+      .orderBy("doc_id", "sg").as[(Long, Long)].collect()
+    assert(viaGen === viaHof)
+    assert(viaGen.count(_._1 == 2L) === 1, "repeats must dedup to one shingle")
+    assert(!viaGen.exists(_._1 == 3L), "short docs generate nothing")
+  }
+
   test("graft_dot matches the unrolled integer dot product in both eval paths") {
     import spark.implicits._
     GraftFunctions.register(spark)
