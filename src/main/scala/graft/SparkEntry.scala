@@ -36,7 +36,8 @@ object SparkEntry {
     CommitEtl.queries ++ Relational.queries ++ Aggregates.queries ++
       Windows.queries ++ Scalars.queries ++ Extras.queries ++ Typed.queries ++
       AsOf.queries ++ TimeWindows.queries ++ StreamOps.queries ++
-      graft.llm.Dedup.queries ++ graft.llm.Similarity.queries ++
+      graft.llm.Dedup.queries ++ graft.llm.IncrementalDedup.queries ++
+      graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++ graft.llm.Multimodal.queries ++
       graft.sinks.Sinks.queries
 
@@ -46,7 +47,8 @@ object SparkEntry {
     CommitEtl.oracleSql ++ Relational.oracleSql ++ Aggregates.oracleSql ++
       Windows.oracleSql ++ Scalars.oracleSql ++ Extras.oracleSql ++ Typed.oracleSql ++
       AsOf.oracleSql ++ TimeWindows.oracleSql ++ StreamOps.oracleSql ++
-      graft.llm.Dedup.oracleSql ++ graft.llm.Similarity.oracleSql ++
+      graft.llm.Dedup.oracleSql ++ graft.llm.IncrementalDedup.oracleSql ++
+      graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++ graft.llm.Multimodal.oracleSql ++
       graft.sinks.Sinks.oracleSql
 }

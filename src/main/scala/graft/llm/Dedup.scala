@@ -51,11 +51,17 @@ object Dedup {
     shingleStreamOf(docs(s, dir))
 
   /** MinHash signatures as one hash aggregation: doc_id, m0..m15, n_shingles. */
-  private def minhashSigsOf(corpus: DataFrame): DataFrame = {
+  private def minhashSigsOf(corpus: DataFrame): DataFrame =
+    sigsFromShingles(shingleStreamOf(corpus))
+
+  /** Signatures from an already-materialized (doc_id, sg) stream — lets a
+    * caller that needs BOTH the shingle stream and the signatures (the
+    * incremental tick) pay for shingle generation once. */
+  private[llm] def sigsFromShingles(sgStream: DataFrame): DataFrame = {
     val aggs = (0 until K).map(k =>
       expr(s"min((${A(k)} * sg + ${B(k)}) % $P)").as(s"m$k")) :+
       count(lit(1)).as("n_shingles")
-    shingleStreamOf(corpus).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    sgStream.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
@@ -82,8 +88,6 @@ object Dedup {
     * J >= 0.5 necessarily shares shingles, so the inner join against
     * co-counts loses nothing). */
   private[graft] def minhashVerifiedPairsOf(corpus: DataFrame): DataFrame = {
-    // checkpointed: referenced by the semi-join gate AND the final join
-    val cand = minhashCandidatesOf(corpus).localCheckpoint()
     // Stop-shingle cap (doc frequency > MaxDf dropped) BEFORE the
     // pair-generating equi-join: kills the quadratic hot key a boilerplate
     // shingle shared by 1M docs would otherwise create. Jaccard below is
@@ -92,6 +96,19 @@ object Dedup {
     // universe), so they are aggregated before any candidate gating.
     val raw = shingleStreamOf(corpus).localCheckpoint()
     val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
+    verifiedPairsFrom(minhashCandidatesOf(corpus), raw, dfreq)
+  }
+
+  /** The verification tail shared by the one-shot pipeline and the
+    * incremental index ([[IncrementalDedup]]): exact capped Jaccard over
+    * candidate pairs, from (cand0: doc_a/doc_b), a per-doc distinct
+    * shingle stream (doc_id, sg), and corpus-wide doc frequencies
+    * (sg, f). Same inputs → bit-identical output, which is what makes the
+    * incremental entry's one-shot equivalence provable. */
+  private[llm] def verifiedPairsFrom(cand0: DataFrame, sgStream: DataFrame,
+                                     dfreq: DataFrame): DataFrame = {
+    // checkpointed: referenced by the semi-join gate AND the final join
+    val cand = cand0.localCheckpoint()
     // Candidate gate: only docs that appear in some LSH candidate pair can
     // contribute to verification, so the exploded stream is semi-joined
     // down to candidate docs BEFORE the heaviest aggregation (the
@@ -101,7 +118,7 @@ object Dedup {
     // O(candidate-doc shingles) instead of O(corpus shingles).
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val ex = raw.join(dfreq.where(col("f") <= MaxDf), "sg")
+    val ex = sgStream.join(dfreq.where(col("f") <= MaxDf), "sg")
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("sg")).localCheckpoint()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -153,13 +170,19 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("label").as("canonical"))
   }
 
-  /** MinHash band table: (doc_id, band_idx, band_key) — slim, agg-backed. */
-  private def minhashBandsOf(corpus: DataFrame): DataFrame = {
+  /** MinHash band table: (doc_id, band_idx, band_key) — slim, agg-backed.
+    * Per-doc and corpus-independent, which is what makes the band table
+    * INCREMENTALLY maintainable (see [[IncrementalDedup]]). */
+  private[llm] def minhashBandsOf(corpus: DataFrame): DataFrame =
+    bandsFromSigs(minhashSigsOf(corpus))
+
+  /** Band explode from a signature table (see [[sigsFromShingles]]). */
+  private[llm] def bandsFromSigs(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { bd =>
       val ms = (0 until RowsPerBand).map(r => s"m${bd * RowsPerBand + r}").mkString(", ")
       s"named_struct('band_idx', $bd, 'band_key', concat_ws('_', $ms))"
     }.mkString(", ")
-    minhashSigsOf(corpus)
+    sigs
       .selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
       .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
   }

@@ -1,0 +1,148 @@
+package graft.llm
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.sinks.Sinks
+import graft.sources.Tables
+import graft.llm.XHash._
+
+/** Incremental near-dup maintenance — the reference's defining behavior
+  * (watermark → fetch only what's new → keyed upsert, `git_etl.ts:319-326`)
+  * applied to the fuzzy-dedup suite: a persisted MinHash-LSH index is
+  * maintained across micro-batch ticks, and each tick LSH-dedups ONLY the
+  * new batch against the stored index. This is the composition a 100 TB
+  * corpus pipeline actually runs every few minutes; the one-shot entries
+  * are its cold-start special case.
+  *
+  * Per tick (`foreachBatch` over a file stream, one file per trigger):
+  *  1. band table of the NEW docs only — per-doc MinHash signatures are
+  *     corpus-independent, so a batch's bands equal the full pipeline
+  *     restricted to the batch;
+  *  2. candidate pairs = new-vs-STORED band equi-join (O(new × bucket
+  *     load); the stored side is indexed by band key and never self-joined
+  *     again) ∪ new-vs-new self-join within the batch;
+  *  3. merge the new bands into the store via the bucket-scoped keyed
+  *     merge ([[Sinks.mergeByKeyBucket]], key = doc_id·Bands + band_idx) —
+  *     an UPSERT, so a re-crawled doc's new bands replace its old ones;
+  *     for append-only arrivals the merge degrades to writing the touched
+  *     buckets;
+  *  4. append the batch's per-doc distinct shingles and its shingle
+  *     doc-frequency PARTIAL counts (df is additive across batches).
+  *
+  * Exactly-once without a transaction log: every per-batch output lands
+  * under a `batch_<id>`-keyed path written with overwrite, so an
+  * at-least-once replay after a crash overwrites its own previous output
+  * (the standard idempotent-foreachBatch pattern); the band upsert is
+  * keyed, hence naturally idempotent. A crash-resume is spec-tested.
+  *
+  * Final verification (the cheap part — O(candidate docs), not O(corpus)):
+  * merge the df partials, gate the shingle store down to candidate docs,
+  * exact capped Jaccard via [[Dedup.verifiedPairsFrom]]. Because candidate
+  * generation is order-independent (the union over ticks of co-bucket
+  * pairs equals the one-shot self-join) and df partials sum to the
+  * corpus-wide counts, the final state is BIT-IDENTICAL to the one-shot
+  * `q_llm_dedup_minhash_lsh` — the oracle for this entry IS the one-shot
+  * SQL, which makes the equivalence the driver-checked contract.
+  */
+object IncrementalDedup {
+
+  /** Wipe all per-entry state (stream source, stores, checkpoint). */
+  private[graft] def reset(base: String): Unit =
+    Seq("src", "bands", "cands", "shingles", "dfreq", "ckpt")
+      .foreach(p => Sinks.truncate(s"$base/$p"))
+
+  /** One maintenance tick: dedup `batch` against the stored index, then
+    * fold the batch into the index. Idempotent per (batch, batchId). */
+  private[graft] def tick(s: SparkSession, batch: DataFrame, batchId: Long,
+                          base: String): Unit = {
+    val b = batch.select(col("doc_id"), col("text"))
+    // ONE shingle-generation pass per tick: the checkpointed (doc_id, sg)
+    // stream feeds both the signature/band pipeline and the shingle store
+    val sg = Dedup.shingleStreamOf(b).localCheckpoint()
+    val bandsNew = Dedup.bandsFromSigs(Dedup.sigsFromShingles(sg)).localCheckpoint()
+    val bandStore = s"$base/bands"
+    val stored =
+      if (Files.exists(Paths.get(bandStore)))
+        s.read.parquet(bandStore).select(col("doc_id"), col("band_idx"), col("band_key"))
+      else s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(bandsNew.schema.fields))
+    // new-vs-stored: the incremental step. Equi-join on (band_idx,
+    // band_key) — a hash shuffle of the SMALL new side against the
+    // key-partitioned store; pair orientation normalized so accumulated
+    // candidates match the one-shot's doc_a < doc_b convention.
+    val nvs = bandsNew.alias("a").join(stored.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val nvn = bandsNew.alias("a").join(bandsNew.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    nvs.union(nvn).distinct()
+      .write.mode("overwrite").parquet(s"$base/cands/batch_$batchId")
+    // per-doc distinct shingles + df partials, batchId-keyed (idempotent)
+    sg.write.mode("overwrite").parquet(s"$base/shingles/batch_$batchId")
+    sg.groupBy(col("sg")).agg(count(lit(1)).as("f"))
+      .write.mode("overwrite").parquet(s"$base/dfreq/batch_$batchId")
+    // band-index upsert LAST: a crash anywhere above replays the whole
+    // batch against an index that does not yet contain it
+    Sinks.mergeByKeyBucket(s, bandStore,
+      bandsNew.withColumn("bkey", col("doc_id") * Bands + col("band_idx")),
+      "bkey", Seq("band_key"))
+  }
+
+  /** Drain the file-stream of document batches through [[tick]]; resumes
+    * from the checkpoint, so a second call after a crash (or after new
+    * files arrive) processes only unseen batches. */
+  private[graft] def runTicks(s: SparkSession, base: String, schema: StructType): Unit = {
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch((b: DataFrame, id: Long) => tick(s, b, id, base))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Verify ALL accumulated candidates against the merged df counts —
+    * O(candidate docs) compute; returns the same shape (and, by
+    * construction, the same rows) as the one-shot q_llm_dedup_minhash_lsh. */
+  private[graft] def verifyAccumulated(s: SparkSession, base: String): DataFrame = {
+    val cand = s.read.parquet(s"$base/cands/batch_*").distinct()
+    val sg = s.read.parquet(s"$base/shingles/batch_*")
+    val dfreq = s.read.parquet(s"$base/dfreq/batch_*")
+      .groupBy(col("sg")).agg(sum(col("f")).as("f"))
+    Dedup.verifiedPairsFrom(cand, sg, dfreq)
+      .selectExpr("doc_a", "doc_b", "CAST(i AS DOUBLE) / (na + nb - i) AS jaccard")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The reference's runtime shape (multi-tick incremental sync) applied
+    // to the north-star fuzzy-dedup suite: 3 arrival batches (doc_id
+    // ranges mimic time-ordered crawl arrival), each tick maintaining the
+    // persisted LSH index and deduping only its batch against it. The
+    // oracle is the ONE-SHOT minhash-LSH SQL — equivalence is the check.
+    "q_llm_dedup_incremental" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/neardup_inc"
+      reset(base)
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.repartitionByRange(3, col("doc_id")).write.parquet(s"$base/src")
+      runTicks(s, base, d.schema)
+      verifyAccumulated(s, base)
+    })
+
+  /** Identical to the one-shot entry's SQL by design (SURVEY §5.2
+    * incremental-equals-batch equivalence, driver-checked). */
+  def oracleSql: Map[String, String] = Map(
+    "q_llm_dedup_incremental" -> Dedup.oracleSql("q_llm_dedup_minhash_lsh"))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, IncrementalDedup}
+import graft.sinks.Sinks
+
+/** Incremental LSH index maintenance: one-shot equivalence, crash-resume
+  * from the checkpoint, and at-least-once replay idempotence (the three
+  * properties that make the entry's oracle — the one-shot SQL — valid). */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private val base = Sinks.tmpBase + "/spec_neardup"
+
+  // 30 docs: 1..10 unique-ish, and (i, i+100) identical pairs for i in
+  // 1..10 — so the expected verified pairs are exactly the 10 dup pairs
+  // (distinct filler tokens keep unrelated docs below Jaccard 0.5)
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    val dups = (1 to 10).flatMap { i =>
+      val text = s"shared template alpha beta gamma delta id$i unique$i tail$i words$i"
+      Seq((i.toLong, text), (i + 100L, text))
+    }
+    val uniques = (31 to 40).map(i =>
+      (i.toLong, s"totally different content z$i y$i x$i w$i v$i u$i t$i s$i"))
+    (dups ++ uniques).toDF("doc_id", "text")
+  }
+
+  test("incremental index equals one-shot across crash-resume and replay") {
+    import spark.implicits._
+    IncrementalDedup.reset(base)
+    val d = corpus.localCheckpoint()
+    // one-shot truth on the full corpus
+    val oneShot = Dedup.minhashVerifiedPairsOf(d)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted
+
+    // arrival in 3 files; only the FIRST is present before the "crash"
+    def writeSlice(cond: org.apache.spark.sql.Column): Unit =
+      d.where(cond).coalesce(1).write.mode("append").parquet(s"$base/src")
+    writeSlice($"doc_id" <= 7)
+    IncrementalDedup.runTicks(spark, base, d.schema) // tick 1, then "crash"
+    // resume: remaining batches arrive, SAME checkpoint picks up only them
+    writeSlice($"doc_id" > 7 && $"doc_id" <= 103)
+    writeSlice($"doc_id" > 103)
+    IncrementalDedup.runTicks(spark, base, d.schema)
+
+    val inc = IncrementalDedup.verifyAccumulated(spark, base)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted
+    assert(inc === oneShot, "incremental final state must equal one-shot")
+    assert(inc.length === 10, "exactly the 10 planted dup pairs")
+
+    // at-least-once replay: re-running an already-folded batch against the
+    // now-complete index must not change the final state (batchId-keyed
+    // overwrite + keyed band upsert)
+    IncrementalDedup.tick(spark, d.where($"doc_id" <= 7), 0L, base)
+    val replayed = IncrementalDedup.verifyAccumulated(spark, base)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted
+    assert(replayed === oneShot, "replay must be idempotent")
+  }
+}
