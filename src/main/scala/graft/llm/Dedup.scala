@@ -139,13 +139,29 @@ object Dedup {
     minhashVerifiedPairsOf(docs(s, dir))
 
   /** Connected components over an undirected pair graph (doc_a, doc_b) by
-    * iterative min-label propagation (Pregel-lite: join labels to edges,
-    * take the per-node min, repeat). Runs to FIXPOINT — the round count is
-    * bounded by graph diameter, and `localCheckpoint` cuts lineage each
-    * round so plan growth stays flat. `maxIters` is only a runaway guard:
-    * hitting it FAILS LOUDLY instead of returning silently-truncated
-    * labels that would diverge from a transitive-closure oracle. */
-  private[graft] def connectedComponents(pairs: DataFrame, maxIters: Int = 200): DataFrame = {
+    * min-label propagation with ADAPTIVE pointer jumping, run to FIXPOINT.
+    * Every round: propagate — join labels to edges, per-node min (1 hop).
+    * From round `jumpAfter` on, the same min-aggregation also unions a
+    * shortcut term `label(x) ← label(label(x))` (a self-join of the
+    * checkpointed label table on label = doc), which doubles the distance
+    * a minimum travels per round.
+    *
+    * Adaptivity is the cost model: real near-dup graphs are almost always
+    * shallow (dup clusters are cliques-ish; diameter ≤ a few hops), and
+    * there the jump join is pure per-round overhead (measured 2x the whole
+    * query at sf0.1). But a template-drift CHAIN can be arbitrarily deep,
+    * and 1-hop propagation alone is O(diameter) rounds — the silent-scale
+    * risk. So shallow graphs converge before `jumpAfter` and never pay for
+    * the jump; deep graphs switch to O(log diameter) rounds after it
+    * (total bound ~ jumpAfter + log2(diameter): a 1M-hop chain converges
+    * in ~30 rounds). Labels only decrease and never leave the component
+    * (every label is a member's id), so the fixpoint is the component
+    * minimum — matching the oracle's recursive transitive closure.
+    * `localCheckpoint` caps lineage at one materialization per round;
+    * `maxIters` is only a runaway guard and hitting it FAILS LOUDLY
+    * instead of returning truncated labels. */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIters: Int = 60,
+                                         jumpAfter: Int = 8): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -156,7 +172,16 @@ object Dedup {
     while (changed > 0 && iters < maxIters) {
       val viaNeighbor = edges.join(labels, edges("src") === labels("doc"))
         .select(col("dst").as("doc"), col("label"))
-      val next = labels.select(col("doc"), col("label")).union(viaNeighbor)
+      val sources =
+        if (iters < jumpAfter) Seq(viaNeighbor)
+        else {
+          val viaJump = labels.alias("x").join(
+              labels.select(col("doc").as("ldoc"), col("label").as("llabel")).alias("p"),
+              col("x.label") === col("p.ldoc"))
+            .select(col("x.doc").as("doc"), col("p.llabel").as("label"))
+          Seq(viaNeighbor, viaJump)
+        }
+      val next = sources.foldLeft(labels.select(col("doc"), col("label")))(_ union _)
         .groupBy(col("doc")).agg(min(col("label")).as("label"))
         .localCheckpoint()
       changed = next.alias("n").join(labels.alias("o"), "doc")
@@ -165,8 +190,9 @@ object Dedup {
       iters += 1
     }
     if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIters rounds " +
-        "(graph diameter exceeds the cap); raise maxIters")
+      s"connectedComponents did not converge within $maxIters rounds; " +
+        "raise maxIters (the bound is ~jumpAfter + log2(diameter), so " +
+        "this is a bug or a pathological input, not normal growth)")
     labels.select(col("doc").as("doc_id"), col("label").as("canonical"))
   }
 

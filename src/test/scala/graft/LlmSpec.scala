@@ -68,18 +68,28 @@ class LlmSpec extends SparkSpec {
     assert(evalLong(XHash.sparkCharHash(s"'$text'")) === expected)
   }
 
-  test("connectedComponents: >20-hop chain converges to a single min label") {
+  test("connectedComponents: deep chain converges fast once pointer jumping kicks in") {
     import spark.implicits._
-    // chain 0-1-2-...-21: diameter 21, past the old silent 20-round cap
-    val pairs = (0L until 21L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = graft.llm.Dedup.connectedComponents(pairs).collect()
-    assert(labels.length === 22)
+    // chain 0-1-...-40: diameter 40, far past the old silent 20-round
+    // 1-hop cap. With jumping from round 0, O(log 40) rounds suffice —
+    // enforced by the tight maxIters.
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.llm.Dedup
+      .connectedComponents(pairs, maxIters = 12, jumpAfter = 0).collect()
+    assert(labels.length === 41)
     assert(labels.forall(_.getLong(1) === 0L), "every node must reach label 0")
+    // default adaptive path (propagate-only warmup, then jumps) on two
+    // components: each keeps its own minimum
+    val two = (pairs.as[(Long, Long)].collect().toSeq ++
+      Seq((100L, 101L), (101L, 102L))).toDF("doc_a", "doc_b")
+    val l2 = graft.llm.Dedup.connectedComponents(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2(102L) === 100L && l2(40L) === 0L)
   }
 
   test("connectedComponents fails loudly when the iteration cap is hit") {
     import spark.implicits._
-    val pairs = (0L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     assertThrows[IllegalStateException](
       graft.llm.Dedup.connectedComponents(pairs, maxIters = 2))
   }
