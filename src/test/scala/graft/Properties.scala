@@ -132,6 +132,56 @@ object SparkProperties extends Properties("spark-ops") {
       }
     }
 
+  // the UDTF must emit exactly the distinct HOF shingle set for ANY token
+  // stream (the unit spec pins a handful of cases; this sweeps shapes:
+  // repeats, short docs, empty-ish docs)
+  private val genDoc: Gen[List[String]] = Gen.choose(0, 8).flatMap(n =>
+    Gen.listOfN(n, Gen.resize(5, Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))))
+
+  property("graft_shingles == distinct HOF shingles on random token streams") =
+    forAll(Gen.listOfN(5, genDoc)) { docs =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.expr
+      graft.functions.GraftFunctions.register(spark)
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toDF("doc_id", "text")
+        .selectExpr("doc_id", s"${graft.llm.XHash.sparkWordHashes("text")} AS wh")
+      val viaHof = df.where(expr("size(wh) >= 3"))
+        .selectExpr("doc_id", s"explode(array_distinct(${graft.llm.XHash.sparkShingles("wh")})) AS sg")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val viaGen = df.selectExpr("doc_id", "graft_shingles(wh) AS sg")
+        .as[(Long, Long)].collect().sorted.toSeq
+      viaGen == viaHof
+    }
+
+  // connected components vs a union-find model: attaching the larger root
+  // under the smaller keeps every set's root at its minimum element, which
+  // is exactly the label connectedComponents must converge to. jumpAfter=2
+  // exercises the pointer-jump path on most cases.
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(20, Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+      .map(_.collect { case (a, b) if a != b => (a min b, a max b) })
+      .suchThat(_.nonEmpty)
+
+  property("connectedComponents labels == union-find component minima") =
+    forAll(genEdges) { edges =>
+      import spark.implicits._
+      val got = graft.llm.Dedup
+        .connectedComponents(edges.toDF("doc_a", "doc_b"), maxIters = 40, jumpAfter = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.forall(n => got(n) == find(n))
+    }
+
   property("upsert keeps exactly one row per key, preferring incoming") =
     forAll(batch, batch) { (existRows, inRows) =>
       import spark.implicits._
