@@ -45,6 +45,29 @@ object GraftKernels {
     }
     acc
   }
+
+  def simhash32(wh: ArrayData): Long = {
+    val n = wh.numElements()
+    val cnt = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = wh.getLong(i)
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) != 0L) cnt(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      // bit j set iff the +1/-1 vote sum is strictly positive: 2*cnt > n
+      if (2 * cnt(j) > n) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
 }
 
 /** `graft_charhash(str)`: rolling polynomial hash of a string, codegen'd. */
@@ -141,6 +164,61 @@ case class ShingleHashes(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(array<bigint>)`: 32-bit SimHash fingerprint of a
+  * word-hash array — per-bit majority vote (`bit j set iff
+  * sum((h>>j & 1)*2-1) > 0`), one compiled pass per document.
+  *
+  * Replaces the relational form (explode every word, 32 sum-aggregations,
+  * shuffle of 32 columns per doc): the vote is a per-document fold, so a
+  * scalar expression computes it where the word-hash array is already in
+  * hand — zero row explosion, zero aggregation shuffle. The DuckDB oracle
+  * keeps the unnest+sum form; both compute the same majority, so results
+  * stay hash-identical (asserted in spec and by the oracle gate). */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.simhash32(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $cnt = new int[32];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < 32; $j++) {
+         |    if ((($h >> $j) & 1L) != 0L) $cnt[$j]++;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < 32; $j++) {
+         |  if (2 * $cnt[$j] > $n) $fp |= 1L << $j;
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
 }
 

@@ -36,7 +36,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => ExactWeightedAvg(args(0), args(1))),
     ("graft_shingles",
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
-      (args: Seq[Expression]) => ShingleHashes(args.head)))
+      (args: Seq[Expression]) => ShingleHashes(args.head)),
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash32(args.head)))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -74,6 +74,33 @@ class ExpressionsSpec extends SparkSpec {
     assert(!viaGen.exists(_._1 == 3L), "short docs generate nothing")
   }
 
+  test("graft_simhash matches the explode + 32-sum majority-vote model") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a"),                       // single word: fingerprint = its low 32 bits
+      (3L, "x y"),                     // tie on every bit where the two differ -> 0 vote -> unset
+      (4L, "alpha beta gamma alpha"))  // repeats weight the vote
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", s"${XHash.sparkWordHashes("text")} AS wh")
+    val viaKernel = docs.selectExpr("doc_id", "graft_simhash(wh) AS fp")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val ex = docs.selectExpr("doc_id", "explode(wh) AS h")
+    val sums = (0 until 32).map(j => expr(s"sum((shiftright(h, $j) & 1) * 2 - 1)").as(s"s$j"))
+    val model = ex.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+      .selectExpr("doc_id",
+        (0 until 32).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END")
+          .mkString("", " + ", " AS fp"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(viaKernel === model)
+    // kernel matches the JVM reference too
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    assert(GraftKernels.simhash32(ArrayData.toArrayData(Array(5L))) === 5L)
+    assert(GraftKernels.simhash32(ArrayData.toArrayData(Array(1L, 2L))) === 0L)
+    assert(GraftKernels.simhash32(ArrayData.toArrayData(Array(3L, 1L))) === 1L)
+  }
+
   test("graft_dot matches the unrolled integer dot product in both eval paths") {
     import spark.implicits._
     GraftFunctions.register(spark)
