@@ -167,6 +167,71 @@ case class ShingleHashes(child: Expression)
     copy(child = newChild)
 }
 
+/** Word-hash kernel shared by eval and codegen. Top-level class (not
+  * nested in an object) so `addReferenceObj` can name it as a plain Java
+  * type in generated code; serializable so the expression ships to
+  * executors. Contract: identical values to the SQL form
+  * `transform(split(text, ' '), w -> conv(substring(md5(w),1,14),16,10) % P)`
+  * — per token, the first 56 bits (14 hex digits = 7 bytes, big-endian)
+  * of md5 over the token's UTF-8 bytes, mod P. Split semantics mirror
+  * Spark's `split(text, ' ')` exactly (limit -1: trailing empty tokens
+  * kept; '' yields ['']). */
+final class WordHashKernel extends Serializable {
+  @transient private lazy val mdTL =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def hash(s: UTF8String): ArrayData = {
+    val tokens = s.toString.split(" ", -1)
+    val md = mdTL.get()
+    val out = new Array[Long](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      md.reset()
+      val d = md.digest(tokens(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = v % GraftKernels.P // v < 2^56, so already non-negative
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+object WordHashKernel {
+  val instance = new WordHashKernel
+}
+
+/** `graft_wordhashes(text)`: the word-hash array primitive under every
+  * MinHash/SimHash/ngram pipeline, as one compiled pass per document —
+  * split on ' ', md5 each token, first 56 bits mod P. Value-identical to
+  * the HOF form `transform(split(text,' '), w -> conv(substring(md5(w),
+  * 1,14),16,10) % P)` (and the DuckDB mirror), but without the
+  * interpreted lambda, the per-token expression-tree evaluation, and the
+  * hex-string round-trip — the measured bottleneck of the whole dedup
+  * suite's scan stage. */
+case class WordHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_wordhashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordHashKernel.instance.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ker = ctx.addReferenceObj("wordHashKernel", WordHashKernel.instance,
+      classOf[WordHashKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ker.hash($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordHashes =
+    copy(child = newChild)
+}
+
 /** `graft_simhash(array<bigint>)`: 32-bit SimHash fingerprint of a
   * word-hash array — per-bit majority vote (`bit j set iff
   * sum((h>>j & 1)*2-1) > 0`), one compiled pass per document.

@@ -39,7 +39,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => ShingleHashes(args.head)),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimHash32(args.head)))
+      (args: Seq[Expression]) => SimHash32(args.head)),
+    ("graft_wordhashes",
+      new ExpressionInfo(classOf[WordHashes].getName, "graft_wordhashes"),
+      (args: Seq[Expression]) => WordHashes(args.head)))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -267,6 +267,7 @@ object Dedup {
     // the shuffle-only shape that holds at corpus scale, and every agg is
     // a pushdown barrier (see the ngram query's inlining note).
     "q_llm_dedup_chunks" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val ch = docs(s, dir)
         .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
         .where(expr("size(wh) >= 1"))

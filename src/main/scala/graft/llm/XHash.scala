@@ -78,8 +78,15 @@ object XHash {
       s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), " +
       s"(a, d) -> a * 16 + d) % $P"
 
-  /** Word-hash array of a space-tokenized text column. */
+  /** Word-hash array of a space-tokenized text column. The Spark side is
+    * the codegen kernel [[graft.functions.WordHashes]] (`graft_wordhashes`
+    * — callers must have run `GraftFunctions.register`); value-identical
+    * to the HOF form kept below for cross-checks. */
   def sparkWordHashes(text: String): String =
+    s"graft_wordhashes($text)"
+  /** The pre-kernel higher-order-function form — same values; kept as the
+    * independent model for parity specs/properties. */
+  def sparkWordHashesHof(text: String): String =
     s"transform(split($text, ' '), w -> ${sparkWordHash("w")})"
   def duckWordHashes(text: String): String =
     s"list_transform(string_split($text, ' '), w -> ${duckWordHash("w")})"

@@ -20,7 +20,10 @@ object Adhoc {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
     }
     val docs = Tables.load(s, dir, "documents")
-    time("wh only")(docs.selectExpr(s"${sparkWordHashes("text")} AS wh").count())
+    graft.functions.GraftFunctions.register(s)
+    time("wh cold")(docs.selectExpr(s"${sparkWordHashes("text")} AS wh").count())
+    time("wh kernel warm")(docs.selectExpr(s"${sparkWordHashes("text")} AS wh").count())
+    time("wh HOF warm")(docs.selectExpr(s"${sparkWordHashesHof("text")} AS wh").count())
     val sh = docs
       .selectExpr("doc_id", "lang", "source", s"${sparkWordHashes("text")} AS wh")
       .where(expr("size(wh) >= 3"))

@@ -74,6 +74,22 @@ class ExpressionsSpec extends SparkSpec {
     assert(!viaGen.exists(_._1 == 3L), "short docs generate nothing")
   }
 
+  test("graft_wordhashes matches the HOF md5 form incl. split edge cases") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val texts = Seq(
+      "the quick brown fox", "", " ", "a", "a ", " a", "a  b", // empty/trailing tokens
+      "word", "0123 4567 with-punct! and, more.")
+    val df = texts.toDF("text")
+      .selectExpr("text",
+        s"${XHash.sparkWordHashes("text")} AS native",
+        s"${XHash.sparkWordHashesHof("text")} AS hof")
+      .as[(String, Seq[Long], Seq[Long])].collect()
+    df.foreach { case (t, n, h) =>
+      assert(n === h, s"wordhash mismatch for '$t'")
+    }
+  }
+
   test("graft_simhash matches the explode + 32-sum majority-vote model") {
     import spark.implicits._
     GraftFunctions.register(spark)

@@ -23,6 +23,7 @@ class LlmSpec extends SparkSpec {
 
   test("minhash: identical token streams give identical signatures; supersets only lower minima") {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val df = Seq(
       ("a", "x y z w q r s t u v"),
       ("b", "x y z w q r s t u v"),          // identical
@@ -41,6 +42,7 @@ class LlmSpec extends SparkSpec {
 
   test("simhash-style bit arithmetic is order-independent (hash aggregation)") {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val fwd = Seq("alpha beta gamma delta").toDF("text")
     val rev = Seq("delta gamma beta alpha").toDF("text")
     def bits(df: org.apache.spark.sql.DataFrame): Seq[Long] = {

@@ -138,6 +138,25 @@ object SparkProperties extends Properties("spark-ops") {
   private val genDoc: Gen[List[String]] = Gen.choose(0, 8).flatMap(n =>
     Gen.listOfN(n, Gen.resize(5, Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))))
 
+  // text with arbitrary printable ASCII including runs of spaces — the
+  // kernel must reproduce Spark's split(text, ' ') edge cases exactly
+  private val genText: Gen[String] =
+    Gen.listOf(Gen.frequency(5 -> Gen.choose(33.toChar, 126.toChar), 1 -> Gen.const(' ')))
+      .map(_.mkString)
+
+  property("graft_wordhashes == HOF md5 word hashes on arbitrary text") =
+    forAll(Gen.listOfN(8, genText)) { texts =>
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .selectExpr("id",
+          s"${graft.llm.XHash.sparkWordHashes("text")} AS n",
+          s"${graft.llm.XHash.sparkWordHashesHof("text")} AS h")
+        .as[(Long, Seq[Long], Seq[Long])].collect()
+      rows.forall { case (_, n, h) => n == h }
+    }
+
   property("graft_shingles == distinct HOF shingles on random token streams") =
     forAll(Gen.listOfN(5, genDoc)) { docs =>
       import spark.implicits._
