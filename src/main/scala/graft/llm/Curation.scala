@@ -25,8 +25,9 @@ object Curation {
 
   /** Per-source mixture weights (a config literal in a real pipeline;
     * here a deterministic ramp over the test corpus's src0..src19 that
-    * sums to 1 — both engines embed the identical Scala-printed double
-    * literals, and Double→String→Double round-trips exactly). */
+    * sums to 1). Both engines consume the same Scala Doubles — Spark via
+    * `toDF`, the oracle via exact plain-decimal literals (see the
+    * formatting note in [[oracleSql]]). */
   val mixtureWeights: Seq[(String, Double)] =
     (0 until 20).map(i => (s"src$i", (i + 1) / 210.0))
 
@@ -81,8 +82,8 @@ object Curation {
     // Mixture weighting: per-source token mass vs target mixture weights →
     // the effective per-epoch sampling factor (how many times each
     // source's tokens repeat to hit its share of a fixed token budget
-    // equal to the corpus size). Broadcast 4-row literal weights table;
-    // exact fixed-point output.
+    // equal to the corpus size). Broadcast constant-row literal weights
+    // table (one row per source); exact fixed-point output.
     "q_llm_mixture_stats" -> { (s, dir) =>
       import s.implicits._
       val weights = mixtureWeights.toDF("source", "weight")
@@ -105,11 +106,17 @@ object Curation {
     })
 
   def oracleSql: Map[String, String] = {
-    // E-notation forces DuckDB to PARSE the literal as DOUBLE — a bare
-    // decimal literal goes through DECIMAL first (even under a CAST),
-    // which rounds differently from the Spark Double at the last ulp
+    // Two literal-formatting traps: (a) DuckDB parses a bare decimal
+    // literal as DECIMAL (even under CAST), which rounds differently from
+    // the Spark Double at the last ulp — the trailing e0 forces DOUBLE
+    // parsing; (b) Scala's Double.toString uses E-notation for small/huge
+    // values, which would corrupt the suffix — BigDecimal.toPlainString
+    // prints the double's exact decimal expansion, digit-for-digit
+    // parseable and round-tripping to the identical double.
     val weightValues = mixtureWeights
-      .map { case (s, w) => s"('$s', ${w}e0)" }.mkString(", ")
+      .map { case (s, w) =>
+        s"('$s', ${new java.math.BigDecimal(w).toPlainString}e0)" }
+      .mkString(", ")
     Map(
       "q_llm_split_assign" -> s"""
       WITH b AS (

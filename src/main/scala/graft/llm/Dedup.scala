@@ -71,15 +71,17 @@ object Dedup {
     * the reusable bounded pair generator (O(candidates), never O(N²)).
     * Also gates the edit-distance entry. The band table feeds a self-join:
     * checkpointed once instead of recomputing the hash pipeline per side. */
-  private[graft] def minhashCandidatesOf(corpus: DataFrame): DataFrame = {
-    val bands = minhashBandsOf(corpus).localCheckpoint()
+  private[graft] def minhashCandidatesOf(corpus: DataFrame): DataFrame =
+    candidatesFromBands(minhashBandsOf(corpus).localCheckpoint())
+
+  /** Band-bucket self-join over an already-materialized band table. */
+  private[llm] def candidatesFromBands(bands: DataFrame): DataFrame =
     bands.alias("a").join(bands.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
 
   /** LSH candidates verified by exact Jaccard >= 0.5, with the intersection
     * and set sizes kept: (doc_a, doc_b, i, na, nb). Candidates come ONLY
@@ -94,9 +96,15 @@ object Dedup {
     // over the capped universe — the oracle computes the same. The df
     // counts MUST come from the full stream (they define the capped
     // universe), so they are aggregated before any candidate gating.
+    // ONE shingle-generation scan: the checkpointed stream feeds df
+    // counts, the signature/band/candidate pipeline, AND verification
+    // (candidate generation from the corpus directly would re-run the
+    // wordhash+shingle scan — the suite's measured scan bottleneck).
     val raw = shingleStreamOf(corpus).localCheckpoint()
     val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
-    verifiedPairsFrom(minhashCandidatesOf(corpus), raw, dfreq)
+    val cand = candidatesFromBands(
+      bandsFromSigs(sigsFromShingles(raw)).localCheckpoint())
+    verifiedPairsFrom(cand, raw, dfreq)
   }
 
   /** The verification tail shared by the one-shot pipeline and the

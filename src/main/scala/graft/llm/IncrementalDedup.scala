@@ -31,29 +31,33 @@ import graft.llm.XHash._
   *     an UPSERT, so a re-crawled doc's new bands replace its old ones;
   *     for append-only arrivals the merge degrades to writing the touched
   *     buckets;
-  *  4. append the batch's per-doc distinct shingles and its shingle
-  *     doc-frequency PARTIAL counts (df is additive across batches).
+  *  4. store the batch's per-doc distinct shingles tagged with the tick
+  *     (verification later resolves each doc to its LATEST set, which is
+  *     what keeps re-crawls honest — see [[verifyAccumulated]]).
   *
   * Exactly-once without a transaction log: every per-batch output lands
   * under a `batch_<id>`-keyed path written with overwrite, so an
   * at-least-once replay after a crash overwrites its own previous output
   * (the standard idempotent-foreachBatch pattern); the band upsert is
-  * keyed, hence naturally idempotent. A crash-resume is spec-tested.
+  * keyed, hence naturally idempotent, and its bucket swap is per-bucket
+  * atomic with crash healing (see mergeByKeyBucket). Crash-resume and
+  * re-crawl are spec-tested.
   *
   * Final verification (the cheap part — O(candidate docs), not O(corpus)):
-  * merge the df partials, gate the shingle store down to candidate docs,
-  * exact capped Jaccard via [[Dedup.verifiedPairsFrom]]. Because candidate
-  * generation is order-independent (the union over ticks of co-bucket
-  * pairs equals the one-shot self-join) and df partials sum to the
-  * corpus-wide counts, the final state is BIT-IDENTICAL to the one-shot
-  * `q_llm_dedup_minhash_lsh` — the oracle for this entry IS the one-shot
-  * SQL, which makes the equivalence the driver-checked contract.
+  * resolve latest-tick shingle sets, derive corpus-wide df from them,
+  * gate by accumulated candidates, exact capped Jaccard via
+  * [[Dedup.verifiedPairsFrom]]. Because candidate generation is
+  * order-independent (the union over ticks of co-bucket pairs equals the
+  * one-shot self-join for append-only arrivals) and the resolved shingle
+  * store equals the corpus's, the final state is BIT-IDENTICAL to the
+  * one-shot `q_llm_dedup_minhash_lsh` — the oracle for this entry IS the
+  * one-shot SQL, which makes the equivalence the driver-checked contract.
   */
 object IncrementalDedup {
 
   /** Wipe all per-entry state (stream source, stores, checkpoint). */
   private[graft] def reset(base: String): Unit =
-    Seq("src", "bands", "cands", "shingles", "dfreq", "ckpt")
+    Seq("src", "bands", "cands", "shingles", "ckpt")
       .foreach(p => Sinks.truncate(s"$base/$p"))
 
   /** One maintenance tick: dedup `batch` against the stored index, then
@@ -88,12 +92,18 @@ object IncrementalDedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     nvs.union(nvn).distinct()
       .write.mode("overwrite").parquet(s"$base/cands/batch_$batchId")
-    // per-doc distinct shingles + df partials, batchId-keyed (idempotent)
-    sg.write.mode("overwrite").parquet(s"$base/shingles/batch_$batchId")
-    sg.groupBy(col("sg")).agg(count(lit(1)).as("f"))
-      .write.mode("overwrite").parquet(s"$base/dfreq/batch_$batchId")
+    // Per-doc distinct shingles tagged with their tick, batchId-keyed
+    // (idempotent). The tick tag is what makes RE-CRAWLS correct: a doc
+    // that arrives again in a later batch contributes two shingle sets to
+    // the store, and verification resolves each doc to its LATEST tick's
+    // set (additive df partials were dropped for exactly this reason — a
+    // replaced doc's old counts can't be subtracted from a running sum).
+    sg.withColumn("_tick", lit(batchId))
+      .write.mode("overwrite").parquet(s"$base/shingles/batch_$batchId")
     // band-index upsert LAST: a crash anywhere above replays the whole
-    // batch against an index that does not yet contain it
+    // batch against an index that does not yet contain it. Keyed by
+    // (doc, band), so a re-crawled doc's new band keys REPLACE its old
+    // ones in the live index.
     Sinks.mergeByKeyBucket(s, bandStore,
       bandsNew.withColumn("bkey", col("doc_id") * Bands + col("band_idx")),
       "bkey", Seq("band_key"))
@@ -113,14 +123,24 @@ object IncrementalDedup {
     q.awaitTermination()
   }
 
-  /** Verify ALL accumulated candidates against the merged df counts —
-    * O(candidate docs) compute; returns the same shape (and, by
-    * construction, the same rows) as the one-shot q_llm_dedup_minhash_lsh. */
+  /** Verify ALL accumulated candidates against each doc's CURRENT
+    * (latest-tick) shingle set. Per-doc winner resolution makes re-crawls
+    * correct: stale shingle sets never contribute to sizes, co-counts, or
+    * df. Candidates accumulated from stale bands remain a SUPERSET of the
+    * final corpus's one-shot candidates (every pair of latest versions
+    * that shares a band was joined when its later member arrived), and
+    * verification always scores current content — so for append-only
+    * arrivals (the registered entry; the driver-checked contract) the
+    * result is bit-identical to the one-shot, and under re-crawls recall
+    * is >= the one-shot's (stale-band candidates can only ADD pairs whose
+    * current Jaccard passes). */
   private[graft] def verifyAccumulated(s: SparkSession, base: String): DataFrame = {
     val cand = s.read.parquet(s"$base/cands/batch_*").distinct()
-    val sg = s.read.parquet(s"$base/shingles/batch_*")
-    val dfreq = s.read.parquet(s"$base/dfreq/batch_*")
-      .groupBy(col("sg")).agg(sum(col("f")).as("f"))
+    val sgAll = s.read.parquet(s"$base/shingles/batch_*")
+    val latest = sgAll.groupBy(col("doc_id")).agg(max(col("_tick")).as("_tick"))
+    val sg = sgAll.join(latest, Seq("doc_id", "_tick"))
+      .select(col("doc_id"), col("sg"))
+    val dfreq = sg.groupBy(col("sg")).agg(count(lit(1)).as("f"))
     Dedup.verifiedPairsFrom(cand, sg, dfreq)
       .selectExpr("doc_a", "doc_b", "CAST(i AS DOUBLE) / (na + nb - i) AS jaccard")
       .orderBy(col("doc_a"), col("doc_b"))

@@ -3,6 +3,8 @@ package graft.sinks
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -83,8 +85,22 @@ object Sinks {
     * (never by event time — an update with a changed timestamp would land
     * in a different partition and leave its stale twin behind). Each merge
     * reads ONLY the buckets the incoming batch touches, upserts, and
-    * rewrites ONLY those buckets via dynamic partition overwrite. A batch
-    * touching 1% of buckets rewrites 1% of the table. */
+    * rewrites ONLY those buckets. A batch touching 1% of buckets rewrites
+    * 1% of the table.
+    *
+    * Crash safety (per bucket, like [[writeAtomic]] per table): merged
+    * buckets are staged under `dest/_merge_staging` (underscore prefix —
+    * invisible to Spark readers), then swapped in with the two-rename
+    * pattern (`live → .old_bucket_N → delete`); [[healBuckets]] restores
+    * any bucket whose live dir vanished mid-swap before the next merge
+    * reads the store, so a replayed tick never merges against a damaged
+    * store. Readers always see each bucket's old or new content, never a
+    * partial file set. Batch atomicity is PER BUCKET: an external reader
+    * racing a merge may observe some buckets updated before others —
+    * per-key (within-bucket) consistency always holds, and the ETL's own
+    * sequential ticks resume correctly because the keyed upsert is
+    * idempotent. Cross-bucket snapshot atomicity is a table-format
+    * transaction log's job, out of scope for the filesystem expression. */
   def mergeByKeyBucket(s: SparkSession, dest: String, batch: DataFrame,
                        key: String, orderCols: Seq[String],
                        nBuckets: Int = 16): Unit = {
@@ -92,18 +108,58 @@ object Sinks {
     val bucketed = batch.withColumn("_bucket",
       pmod(col(key), lit(nBuckets)).cast("int"))
     if (!Files.exists(Paths.get(dest))) {
+      // first write: stage + single rename, so readers never see a
+      // half-written initial store
       Files.createDirectories(Paths.get(dest).getParent)
-      bucketed.write.partitionBy("_bucket").parquet(dest)
+      val init = dest + ".init"
+      deleteRec(init)
+      bucketed.write.partitionBy("_bucket").parquet(init)
+      Files.move(Paths.get(init), Paths.get(dest), StandardCopyOption.ATOMIC_MOVE)
     } else {
+      healBuckets(dest)
       // touched-bucket list is partition METADATA (<= nBuckets values)
       val touched = bucketed.select(col("_bucket")).distinct()
         .collect().map(_.getInt(0)).toIndexedSeq
       val existing = s.read.parquet(dest)
         .where(col("_bucket").isin(touched: _*))
       val merged = CommitEtl.upsert(existing, bucketed, key, orderCols)
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket").parquet(dest)
+      val staging = s"$dest/_merge_staging"
+      deleteRec(staging)
+      merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+      touched.foreach { b =>
+        val live = Paths.get(s"$dest/_bucket=$b")
+        val old = Paths.get(s"$dest/.old_bucket_$b")
+        val staged = Paths.get(s"$staging/_bucket=$b")
+        if (Files.exists(staged)) {
+          deleteRec(old.toString)
+          if (Files.exists(live))
+            Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
+          deleteRec(old.toString)
+        }
+      }
+      deleteRec(staging)
+    }
+  }
+
+  /** Restore any bucket whose live dir vanished between mergeByKeyBucket's
+    * two renames (crash window); discard `.old_bucket_*` leftovers whose
+    * swap completed. Safe to call any time; a no-op on a healthy store. */
+  def healBuckets(dest: String): Unit = {
+    val d = Paths.get(dest)
+    if (Files.exists(d)) {
+      val listing = Files.list(d)
+      try {
+        listing.iterator().asScala.toList
+          .filter(_.getFileName.toString.startsWith(".old_bucket_"))
+          .foreach { old =>
+            val b = old.getFileName.toString.stripPrefix(".old_bucket_")
+            val live = d.resolve(s"_bucket=$b")
+            if (!Files.exists(live))
+              Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+            else deleteRec(old.toString)
+          }
+      } finally listing.close()
     }
   }
 

@@ -29,7 +29,6 @@ object Adhoc {
       .where(expr("size(wh) >= 3"))
       .selectExpr("doc_id", "lang", "source", s"array_distinct(${sparkShingles("wh")}) AS shd")
     time("sh (shingled)")(sh.count())
-    graft.functions.GraftFunctions.register(s)
     val exGen = docs
       .selectExpr("doc_id", "lang", "source", s"${sparkWordHashes("text")} AS wh")
       .where(expr("size(wh) >= 3"))

@@ -58,4 +58,24 @@ class IncrementalDedupSpec extends SparkSpec {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted
     assert(replayed === oneShot, "replay must be idempotent")
   }
+
+  test("re-crawled docs are verified on CURRENT content, not double-counted") {
+    import spark.implicits._
+    val rbase = base + "_recrawl"
+    IncrementalDedup.reset(rbase)
+    val textA = "original content alpha beta gamma delta one two three four"
+    val textB = "replacement body epsilon zeta eta theta five six seven eight"
+    // tick 0: doc 1 has textA, doc 2 has textB (no pair: disjoint text)
+    IncrementalDedup.tick(spark,
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), 0L, rbase)
+    assert(IncrementalDedup.verifyAccumulated(spark, rbase).count() === 0)
+    // tick 1: doc 1 is RE-CRAWLED with textB — now an exact dup of doc 2
+    IncrementalDedup.tick(spark,
+      Seq((1L, textB)).toDF("doc_id", "text"), 1L, rbase)
+    val out = IncrementalDedup.verifyAccumulated(spark, rbase)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()
+    // one pair, at EXACTLY 1.0 — a double-counted shingle store would
+    // inflate sizes/co-counts and report jaccard 2.0 (or drop the pair)
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
 }

@@ -50,6 +50,29 @@ class SinksSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dest)))
   }
 
+  test("mergeByKeyBucket heals a crash inside the bucket swap") {
+    import spark.implicits._
+    val dest = s"$base/bucketcrash"
+    Sinks.truncate(dest)
+    val initial = (0L to 15L).map(k => (k, 1, "v1")).toDF("k", "ord", "v")
+    Sinks.mergeByKeyBucket(spark, dest, initial, "k", Seq("ord"), nBuckets = 4)
+    // simulate a crash BETWEEN the two renames of bucket 2's swap: the
+    // live dir is gone, only the .old copy remains (dot prefix keeps it
+    // invisible to readers)
+    Files.move(Paths.get(s"$dest/_bucket=2"), Paths.get(s"$dest/.old_bucket_2"))
+    // a plain reader sees the healthy buckets only — never a torn dir
+    assert(spark.read.parquet(dest).count() === 12)
+    // the next merge heals first, then applies its batch
+    val batch = Seq((1L, 2, "v2")).toDF("k", "ord", "v") // touches bucket 1 only
+    Sinks.mergeByKeyBucket(spark, dest, batch, "k", Seq("ord"), nBuckets = 4)
+    val got = spark.read.parquet(dest).as[(Long, Int, String, Int)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got.size === 16, "healed store must have all 16 keys back")
+    assert(got(1L) === "v2" && got(2L) === "v1" && got(6L) === "v1")
+    assert(!Files.exists(Paths.get(s"$dest/.old_bucket_2")))
+    assert(!Files.exists(Paths.get(s"$dest/_merge_staging")))
+  }
+
   test("mergeByKeyBucket rewrites only touched buckets, preserves the rest") {
     import spark.implicits._
     val dest = s"$base/bucketmerge"
