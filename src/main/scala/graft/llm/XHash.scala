@@ -17,10 +17,12 @@ package graft.llm
   * used via `expr`) and `duck` (DuckDB SQL for the oracle).
   *
   * Scale note: Spark evaluates higher-order functions (`aggregate`,
-  * `transform`) without whole-stage codegen. At true 100 TB scale the
-  * upgrade path is a custom codegen `Expression` for the char hash; the
-  * operator *shapes* (shuffle on band buckets, no all-pairs joins) are the
-  * part that must be right from the start, and are.
+  * `transform`) without whole-stage codegen, so every hot primitive has
+  * been promoted to a native codegen kernel — `graft_charhash`,
+  * `graft_wordhashes`, `graft_shingles` (Generator), `graft_simhash`,
+  * `graft_dot` (see [[graft.functions]]). The HOF forms remain here both
+  * as the DuckDB-oracle mirrors and as independent parity models for the
+  * kernel specs/properties.
   *
   * Reference anchor: generalizes the keyed idempotence of
   * `git_etl.ts:127-132` from exact keys to fuzzy (similarity) keys.
