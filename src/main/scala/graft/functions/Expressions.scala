@@ -24,6 +24,32 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftKernels {
   val P: Long = 1000000007L
 
+  // Hyperplane-LSH geometry (shared with graft.llm.XHash, which delegates
+  // here so the formula exists exactly once): NPlanes deterministic
+  // pseudo-random integer planes over EmbDim dims, Weyl-style, centered
+  // on 0 — both engines can embed them as literals.
+  val EmbDim = 64
+  val NPlanes = 32
+  def planeWeight(p: Int, d: Int): Long =
+    ((p.toLong * EmbDim + d) * 2654435761L) % 2000003L - 1000001L
+
+  def planeDots(se: ArrayData): ArrayData = {
+    val n = math.min(se.numElements(), EmbDim)
+    val out = new Array[Long](NPlanes)
+    var p = 0
+    while (p < NPlanes) {
+      var acc = 0L
+      var d = 0
+      while (d < n) {
+        acc += se.getLong(d) * planeWeight(p, d)
+        d += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def charPolyHash(s: String): Long = {
     var acc = 0L
     var i = 0
@@ -284,6 +310,61 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** `graft_planedots(se)`: all [[GraftKernels.NPlanes]] hyperplane dot
+  * products of a scaled-long embedding in one compiled pass per row —
+  * `dots[p] = Σ_d se[d] · w(p,d)` with the Weyl-formula weights computed
+  * inline (no plane table exists at all).
+  *
+  * Replaces the matrix-multiply-by-join shape (posexplode each vector to
+  * 64 rows, join a broadcast 2048-row plane table, two aggregations) that
+  * q_llm_dedup_embed used: that shape existed because a 32×64-term
+  * unrolled PROJECTION overflows the 64 KB codegen method limit — a
+  * compiled loop has no such limit and removes the explode and both
+  * aggregation shuffles. Exact long arithmetic; the DuckDB oracle keeps
+  * its unrolled literal-weight sums (integer addition is associative, so
+  * fold shape is irrelevant). */
+case class PlaneDots(child: Expression) extends UnaryExpression {
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_planedots"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.planeDots(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val w = ctx.freshName("w")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), ${GraftKernels.EmbDim});
+         |long[] $out = new long[${GraftKernels.NPlanes}];
+         |for (int $p = 0; $p < ${GraftKernels.NPlanes}; $p++) {
+         |  long $acc = 0L;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    long $w = (($p * ${GraftKernels.EmbDim}L + $d) * 2654435761L) % 2000003L - 1000001L;
+         |    $acc += $c.getLong($d) * $w;
+         |  }
+         |  $out[$p] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneDots =
     copy(child = newChild)
 }
 

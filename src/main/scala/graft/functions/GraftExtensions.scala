@@ -42,7 +42,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHash32(args.head)),
     ("graft_wordhashes",
       new ExpressionInfo(classOf[WordHashes].getName, "graft_wordhashes"),
-      (args: Seq[Expression]) => WordHashes(args.head)))
+      (args: Seq[Expression]) => WordHashes(args.head)),
+    ("graft_planedots",
+      new ExpressionInfo(classOf[PlaneDots].getName, "graft_planedots"),
+      (args: Seq[Expression]) => PlaneDots(args.head)))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -471,23 +471,23 @@ object Dedup {
         .selectExpr("vec_id", s"${sparkScaledEmb("embedding")} AS se")
         .selectExpr("vec_id", "se",
           "sqrt(CAST(graft_dot(se, se) AS DOUBLE)) AS nrm")
-      // All 32 plane dots as a matrix multiply BY JOIN: posexplode the
-      // vectors, broadcast the literal (plane, pos, weight) table, two
-      // map-side aggregations. Unlike a 32x64-term unrolled projection this
-      // stays inside codegen (a 2048-term expression tree overflows the
-      // 64 KB method limit and falls back to interpreted evaluation —
-      // measured 2.5x slower end-to-end).
-      val planes = (for { p <- 0 until NPlanes; d <- 0 until EmbDim }
-        yield (p, d, planeWeight(p, d))).toDF("p", "pos", "w")
-      val bands = se.select(col("vec_id"), posexplode(col("se")))
-        .join(broadcast(planes), "pos")
-        .groupBy(col("vec_id"), col("p"))
-        .agg(sum(col("col") * col("w")).as("dot"))
-        // band key = integer of the band's 8 sign bits
-        .select(col("vec_id"), expr("p div 8").as("band_idx"),
-          expr("IF(dot > 0L, shiftleft(1L, p % 8), 0L)").as("bitval"))
-        .groupBy(col("vec_id"), col("band_idx"))
-        .agg(sum(col("bitval")).as("band_key"))
+      // All 32 plane dots in ONE compiled pass per vector via the
+      // graft_planedots kernel (weights computed inline from the Weyl
+      // formula — no plane table exists). History: a 32x64-term unrolled
+      // PROJECTION overflows the 64 KB codegen method limit (measured
+      // 2.5x slower end-to-end interpreted), which forced a
+      // matrix-multiply-by-join (posexplode x broadcast weight table +
+      // two aggregations); the compiled loop has no method-size problem
+      // and removes the explode and both aggregation shuffles.
+      val bandKey = (bd: Int) => (0 until 8)
+        .map(r => s"IF(element_at(dots, ${bd * 8 + r + 1}) > 0L, ${1L << r}L, 0L)")
+        .mkString(" + ")
+      val bandStructs = (0 until 4)
+        .map(bd => s"named_struct('band_idx', $bd, 'band_key', ${bandKey(bd)})")
+        .mkString(", ")
+      val bands = se.selectExpr("vec_id", "graft_planedots(se) AS dots")
+        .selectExpr("vec_id", s"explode(array($bandStructs)) AS band")
+        .selectExpr("vec_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
       // band table and pair-dedup stay SLIM (ids only): the distinct then
       // shuffles 2 longs per candidate instead of two 64-long arrays; the
       // vectors re-attach afterwards via unhinted joins — AQE broadcasts

@@ -115,10 +115,12 @@ object XHash {
   // Near-dup banding is 4 bands x 8 sign bits: 256 buckets per band keeps
   // the candidate set O(N·bucket_load), not quadratic (4-bit bands were
   // measured at 23% of ALL pairs at sf0.1 — effectively all-pairs).
-  val EmbDim = 64
-  val NPlanes = 32 // 4 bands x 8 planes for near-dup; first 4 for ANN buckets
+  // Geometry lives in GraftKernels (single source of truth — the
+  // graft_planedots codegen kernel compiles the same formula inline).
+  val EmbDim: Int = graft.functions.GraftKernels.EmbDim
+  val NPlanes: Int = graft.functions.GraftKernels.NPlanes // 4 bands x 8 planes for near-dup; first 4 for ANN buckets
   def planeWeight(p: Int, d: Int): Long =
-    ((p.toLong * EmbDim + d) * 2654435761L) % 2000003L - 1000001L
+    graft.functions.GraftKernels.planeWeight(p, d)
 
   /** Embedding scaled to exact longs (floor(x*1e6+0.5)) — float→double is
     * exact, so both engines compute identical longs. */

@@ -117,6 +117,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(GraftKernels.simhash32(ArrayData.toArrayData(Array(3L, 1L))) === 1L)
   }
 
+  test("graft_planedots matches the per-plane unrolled dot sums") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val se = Array.tabulate(64)(d => (d * 1337L - 40000L))
+    val df = Seq(Tuple1(se)).toDF("se")
+    val viaKernel = df.selectExpr("graft_planedots(se) AS dots")
+      .head.getSeq[Long](0)
+    val model = (0 until XHash.NPlanes).map(p =>
+      (0 until XHash.EmbDim).map(d => se(d) * XHash.planeWeight(p, d)).sum)
+    assert(viaKernel === model)
+    // and the SQL unrolled form (used for the 4-plane ANN buckets) agrees
+    val sqlDots = df.selectExpr(
+        (0 until 4).map(p => s"${XHash.sparkPlaneDot("se", p)} AS d$p"): _*)
+      .head
+    (0 until 4).foreach(p => assert(sqlDots.getLong(p) === model(p)))
+  }
+
   test("graft_dot matches the unrolled integer dot product in both eval paths") {
     import spark.implicits._
     GraftFunctions.register(spark)
