@@ -258,6 +258,68 @@ case class WordHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_chunks(wh, width)` — Generator (UDTF tier): one output row per
+  * non-overlapping `width`-element chunk of a word-hash array, each
+  * hashed with the rolling fold `acc = (acc*131 + h) % P` (the CCNet-ish
+  * chunk key under q_llm_dedup_chunks). NOT deduplicated — chunk-level
+  * dedup counts repeats. `width` must be a foldable positive integer.
+  * Replaces the interpreted `transform(sequence(...),
+  * aggregate(slice(...)))` pipeline with a single compiled loop per doc;
+  * like [[ShingleHashes]], it is not an `ExplodeBase`, so
+  * `InferFiltersFromGenerate` cannot re-inline the word-hash pipeline
+  * into the scan. A ragged tail chunk hashes its remaining elements,
+  * matching `slice`'s truncation. Empty arrays generate nothing. */
+case class ChunkHashes(child: Expression, width: Expression)
+    extends BinaryExpression with Generator with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = width
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("ch", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      if (width.foldable && width.dataType == IntegerType &&
+          width.eval() != null && width.eval().asInstanceOf[Int] > 0)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable positive INT width")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${dt.catalogString}")
+  }
+  override def prettyName: String = "graft_chunks"
+
+  private lazy val w: Int = width.eval().asInstanceOf[Int]
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input)
+    if (arr == null) return Nil
+    val wh = arr.asInstanceOf[ArrayData]
+    val n = wh.numElements()
+    if (n == 0) return Nil
+    val p = GraftKernels.P
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]((n - 1) / w + 1)
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + w, n)
+      var acc = 0L
+      var i = start
+      while (i < end) {
+        acc = (acc * 131L + wh.getLong(i)) % p
+        i += 1
+      }
+      out += InternalRow(acc)
+      start += w
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ChunkHashes =
+    copy(child = newLeft, width = newRight)
+}
+
 /** `graft_simhash(array<bigint>)`: 32-bit SimHash fingerprint of a
   * word-hash array — per-bit majority vote (`bit j set iff
   * sum((h>>j & 1)*2-1) > 0`), one compiled pass per document.

@@ -45,7 +45,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => WordHashes(args.head)),
     ("graft_planedots",
       new ExpressionInfo(classOf[PlaneDots].getName, "graft_planedots"),
-      (args: Seq[Expression]) => PlaneDots(args.head)))
+      (args: Seq[Expression]) => PlaneDots(args.head)),
+    ("graft_chunks",
+      new ExpressionInfo(classOf[ChunkHashes].getName, "graft_chunks"),
+      (args: Seq[Expression]) => ChunkHashes(args(0), args(1))))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -270,18 +270,18 @@ object Dedup {
     },
 
     // Chunk-level dedup (CCNet-style paragraph dedup): docs split into
-    // 10-word chunks, chunk hashes counted globally, and each doc scored
-    // by its duplicated-chunk ratio. Explode -> two hash aggs -> join —
-    // the shuffle-only shape that holds at corpus scale, and every agg is
-    // a pushdown barrier (see the ngram query's inlining note).
+    // 10-word chunks (graft_chunks UDTF — one compiled rolling-hash loop
+    // per doc, no interpreted transform/aggregate/slice passes), chunk
+    // hashes counted globally, and each doc scored by its
+    // duplicated-chunk ratio. Generate -> two hash aggs -> join — the
+    // shuffle-only shape that holds at corpus scale, and every agg is a
+    // pushdown barrier (see the ngram query's inlining note).
     "q_llm_dedup_chunks" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val ch = docs(s, dir)
         .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
         .where(expr("size(wh) >= 1"))
-        .selectExpr("doc_id",
-          s"""explode_outer(transform(sequence(0, (size(wh) - 1) div 10),
-              c -> aggregate(slice(wh, c * 10 + 1, 10), 0L, (a, h) -> (a * 131 + h) % $P))) AS ch""")
+        .selectExpr("doc_id", "graft_chunks(wh, 10) AS ch")
       val freq = ch.groupBy(col("ch")).agg(count(lit(1)).as("f"))
       ch.join(freq, "ch")
         .groupBy(col("doc_id"))

@@ -117,6 +117,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(GraftKernels.simhash32(ArrayData.toArrayData(Array(3L, 1L))) === 1L)
   }
 
+  test("graft_chunks (UDTF) matches the HOF slice-fold chunk hashes") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // 25 elements at width 10 -> chunks of 10, 10, 5 (ragged tail)
+    val wh = Array.tabulate(25)(i => (i * 9973L + 7) % GraftKernels.P)
+    val df = Seq(Tuple1(wh)).toDF("wh")
+    val viaGen = df.selectExpr("graft_chunks(wh, 10) AS ch").as[Long].collect().toSeq
+    val viaHof = df.selectExpr(
+        s"""explode(transform(sequence(0, (size(wh) - 1) div 10),
+            c -> aggregate(slice(wh, c * 10 + 1, 10), 0L,
+                           (a, h) -> (a * 131 + h) % ${GraftKernels.P}))) AS ch""")
+      .as[Long].collect().toSeq
+    assert(viaGen === viaHof)
+    assert(viaGen.length === 3)
+    // repeats are KEPT (chunk dedup counts them)
+    val rep = Seq(Tuple1(Array.fill(20)(42L))).toDF("wh")
+      .selectExpr("graft_chunks(wh, 10) AS ch").as[Long].collect()
+    assert(rep.length === 2 && rep(0) === rep(1))
+    // non-literal width is rejected
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      df.selectExpr("graft_chunks(wh, size(wh))").collect())
+  }
+
   test("graft_planedots matches the per-plane unrolled dot sums") {
     import spark.implicits._
     GraftFunctions.register(spark)
