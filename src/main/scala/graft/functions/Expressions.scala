@@ -258,6 +258,60 @@ case class WordHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_scaledemb(embedding)`: float embedding → exact scaled longs
+  * (`floor(double(x) * 1e6 + 0.5)`), one compiled pass per row. The
+  * float→double widening is exact, so both engines compute identical
+  * longs (same contract as the HOF form in XHash.sparkScaledEmb, kept as
+  * the oracle mirror/parity model). Feeds every embedding scan (near-dup
+  * LSH, all three kNN indexes, k-means training). */
+case class ScaledEmb(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_scaledemb"
+
+  private lazy val isFloat = child.dataType == ArrayType(FloatType, true) ||
+    child.dataType == ArrayType(FloatType, false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = math.floor(d * 1000000.0 + 0.5).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val get = if (isFloat) s"(double) $c.getFloat($i)" else s"$c.getDouble($i)"
+      s"""
+         |int $n = $c.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $get;
+         |  $out[$i] = (long) java.lang.Math.floor($d * 1000000.0 + 0.5);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ScaledEmb =
+    copy(child = newChild)
+}
+
 /** `graft_chunks(wh, width)` — Generator (UDTF tier): one output row per
   * non-overlapping `width`-element chunk of a word-hash array, each
   * hashed with the rolling fold `acc = (acc*131 + h) % P` (the CCNet-ish

@@ -48,7 +48,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => PlaneDots(args.head)),
     ("graft_chunks",
       new ExpressionInfo(classOf[ChunkHashes].getName, "graft_chunks"),
-      (args: Seq[Expression]) => ChunkHashes(args(0), args(1))))
+      (args: Seq[Expression]) => ChunkHashes(args(0), args(1))),
+    ("graft_scaledemb",
+      new ExpressionInfo(classOf[ScaledEmb].getName, "graft_scaledemb"),
+      (args: Seq[Expression]) => ScaledEmb(args.head)))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -123,8 +123,12 @@ object XHash {
     graft.functions.GraftKernels.planeWeight(p, d)
 
   /** Embedding scaled to exact longs (floor(x*1e6+0.5)) — float→double is
-    * exact, so both engines compute identical longs. */
+    * exact, so both engines compute identical longs. Spark side is the
+    * codegen kernel [[graft.functions.ScaledEmb]] (callers must have run
+    * `GraftFunctions.register`); the HOF form below is the parity model. */
   def sparkScaledEmb(e: String): String =
+    s"graft_scaledemb($e)"
+  def sparkScaledEmbHof(e: String): String =
     s"transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"
   def duckScaledEmb(e: String): String =
     s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"

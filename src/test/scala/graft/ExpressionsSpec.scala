@@ -140,6 +140,20 @@ class ExpressionsSpec extends SparkSpec {
       df.selectExpr("graft_chunks(wh, size(wh))").collect())
   }
 
+  test("graft_scaledemb matches the HOF floor-scale form on float arrays") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Array.tabulate(64)(d => (math.sin(d * 1.7) * 0.9).toFloat)
+    val df = Seq(Tuple1(emb)).toDF("embedding")
+    val viaKernel = df.selectExpr(s"${XHash.sparkScaledEmb("embedding")} AS se")
+      .head.getSeq[Long](0)
+    val viaHof = df.selectExpr(s"${XHash.sparkScaledEmbHof("embedding")} AS se")
+      .head.getSeq[Long](0)
+    assert(viaKernel === viaHof)
+    // negative values floor toward -inf, exactly like the SQL form
+    assert(viaKernel.exists(_ < 0))
+  }
+
   test("graft_planedots matches the per-plane unrolled dot sums") {
     import spark.implicits._
     GraftFunctions.register(spark)
