@@ -33,6 +33,8 @@ object GraftKernels {
   def planeWeight(p: Int, d: Int): Long =
     ((p.toLong * EmbDim + d) * 2654435761L) % 2000003L - 1000001L
 
+  // null elements contribute 0 (defensive — scaled embeddings are
+  // non-null by construction; a null coordinate is "no contribution")
   def planeDots(se: ArrayData): ArrayData = {
     val n = math.min(se.numElements(), EmbDim)
     val out = new Array[Long](NPlanes)
@@ -41,7 +43,7 @@ object GraftKernels {
       var acc = 0L
       var d = 0
       while (d < n) {
-        acc += se.getLong(d) * planeWeight(p, d)
+        if (!se.isNullAt(d)) acc += se.getLong(d) * planeWeight(p, d)
         d += 1
       }
       out(p) = acc
@@ -262,8 +264,12 @@ case class WordHashes(child: Expression) extends UnaryExpression {
   * (`floor(double(x) * 1e6 + 0.5)`), one compiled pass per row. The
   * float→double widening is exact, so both engines compute identical
   * longs (same contract as the HOF form in XHash.sparkScaledEmb, kept as
-  * the oracle mirror/parity model). Feeds every embedding scan (near-dup
-  * LSH, all three kNN indexes, k-means training). */
+  * the oracle mirror/parity model). Null ELEMENTS propagate to null
+  * output elements, exactly as `transform` and the DuckDB
+  * `list_transform` mirror do — the output's containsNull mirrors the
+  * input's, so the common non-null schema keeps the primitive fast path.
+  * Feeds every embedding scan (near-dup LSH, all three kNN indexes,
+  * k-means training). */
 case class ScaledEmb(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -271,20 +277,22 @@ case class ScaledEmb(child: Expression) extends UnaryExpression {
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${dt.catalogString}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val inType = child.dataType.asInstanceOf[ArrayType]
+  private lazy val isFloat = inType.elementType == FloatType
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = inType.containsNull)
   override def prettyName: String = "graft_scaledemb"
-
-  private lazy val isFloat = child.dataType == ArrayType(FloatType, true) ||
-    child.dataType == ArrayType(FloatType, false)
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
-    val out = new Array[Long](n)
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val d = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      out(i) = math.floor(d * 1000000.0 + 0.5).toLong
+      if (!a.isNullAt(i)) {
+        val d = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = math.floor(d * 1000000.0 + 0.5).toLong
+      }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -299,10 +307,12 @@ case class ScaledEmb(child: Expression) extends UnaryExpression {
       val get = if (isFloat) s"(double) $c.getFloat($i)" else s"$c.getDouble($i)"
       s"""
          |int $n = $c.numElements();
-         |long[] $out = new long[$n];
+         |Object[] $out = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $get;
-         |  $out[$i] = (long) java.lang.Math.floor($d * 1000000.0 + 0.5);
+         |  if (!$c.isNullAt($i)) {
+         |    double $d = $get;
+         |    $out[$i] = (long) java.lang.Math.floor($d * 1000000.0 + 0.5);
+         |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
@@ -322,7 +332,9 @@ case class ScaledEmb(child: Expression) extends UnaryExpression {
   * like [[ShingleHashes]], it is not an `ExplodeBase`, so
   * `InferFiltersFromGenerate` cannot re-inline the word-hash pipeline
   * into the scan. A ragged tail chunk hashes its remaining elements,
-  * matching `slice`'s truncation. Empty arrays generate nothing. */
+  * matching `slice`'s truncation. Empty arrays generate nothing; a chunk
+  * containing a null element is skipped defensively (word-hash arrays
+  * are non-null by construction — same stance as [[ShingleHashes]]). */
 case class ChunkHashes(child: Expression, width: Expression)
     extends BinaryExpression with Generator with CodegenFallback {
 
@@ -358,12 +370,14 @@ case class ChunkHashes(child: Expression, width: Expression)
     while (start < n) {
       val end = math.min(start + w, n)
       var acc = 0L
+      var ok = true
       var i = start
       while (i < end) {
-        acc = (acc * 131L + wh.getLong(i)) % p
+        if (wh.isNullAt(i)) ok = false
+        else acc = (acc * 131L + wh.getLong(i)) % p
         i += 1
       }
-      out += InternalRow(acc)
+      if (ok) out += InternalRow(acc)
       start += w
     }
     out
@@ -471,8 +485,10 @@ case class PlaneDots(child: Expression) extends UnaryExpression {
          |for (int $p = 0; $p < ${GraftKernels.NPlanes}; $p++) {
          |  long $acc = 0L;
          |  for (int $d = 0; $d < $n; $d++) {
-         |    long $w = (($p * ${GraftKernels.EmbDim}L + $d) * 2654435761L) % 2000003L - 1000001L;
-         |    $acc += $c.getLong($d) * $w;
+         |    if (!$c.isNullAt($d)) {
+         |      long $w = (($p * ${GraftKernels.EmbDim}L + $d) * 2654435761L) % 2000003L - 1000001L;
+         |      $acc += $c.getLong($d) * $w;
+         |    }
          |  }
          |  $out[$p] = $acc;
          |}

@@ -465,7 +465,6 @@ object Dedup {
       // norms precomputed per vector (pre-join): keeps the pair stage to a
       // single unrolled dot (under the 64 KB codegen method limit) and does
       // O(N) norm work instead of O(candidates)
-      import s.implicits._
       graft.functions.GraftFunctions.register(s)
       val se = Tables.load(s, dir, "embeddings")
         .selectExpr("vec_id", s"${sparkScaledEmb("embedding")} AS se")

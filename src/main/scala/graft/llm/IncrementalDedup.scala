@@ -57,7 +57,7 @@ object IncrementalDedup {
 
   /** Wipe all per-entry state (stream source, stores, checkpoint). */
   private[graft] def reset(base: String): Unit =
-    Seq("src", "bands", "cands", "shingles", "ckpt")
+    Seq("src", "bands", "cands", "shingles", "docs", "ckpt")
       .foreach(p => Sinks.truncate(s"$base/$p"))
 
   /** One maintenance tick: dedup `batch` against the stored index, then
@@ -70,6 +70,11 @@ object IncrementalDedup {
     val sg = Dedup.shingleStreamOf(b).localCheckpoint()
     val bandsNew = Dedup.bandsFromSigs(Dedup.sigsFromShingles(sg)).localCheckpoint()
     val bandStore = s"$base/bands"
+    // heal BEFORE reading: a tick replayed after a crash inside the
+    // previous attempt's bucket swap must see the complete store, or the
+    // new-vs-stored join silently loses every pair against the damaged
+    // bucket (mergeByKeyBucket heals too, but that runs after this read)
+    Sinks.healBuckets(bandStore)
     val stored =
       if (Files.exists(Paths.get(bandStore)))
         s.read.parquet(bandStore).select(col("doc_id"), col("band_idx"), col("band_key"))
@@ -100,6 +105,13 @@ object IncrementalDedup {
     // replaced doc's old counts can't be subtracted from a running sum).
     sg.withColumn("_tick", lit(batchId))
       .write.mode("overwrite").parquet(s"$base/shingles/batch_$batchId")
+    // Doc-presence manifest for EVERY doc in the batch — including docs
+    // too short to shingle. Winner resolution reads this, not the shingle
+    // store: a re-crawl that shrinks a doc below 3 tokens must still win
+    // its doc_id (its pairs then cannot verify — current content has no
+    // shingles), or verification would silently score the STALE text.
+    b.select(col("doc_id")).withColumn("_tick", lit(batchId))
+      .write.mode("overwrite").parquet(s"$base/docs/batch_$batchId")
     // band-index upsert LAST: a crash anywhere above replays the whole
     // batch against an index that does not yet contain it. Keyed by
     // (doc, band), so a re-crawled doc's new band keys REPLACE its old
@@ -137,7 +149,15 @@ object IncrementalDedup {
   private[graft] def verifyAccumulated(s: SparkSession, base: String): DataFrame = {
     val cand = s.read.parquet(s"$base/cands/batch_*").distinct()
     val sgAll = s.read.parquet(s"$base/shingles/batch_*")
-    val latest = sgAll.groupBy(col("doc_id")).agg(max(col("_tick")).as("_tick"))
+    // winners come from the doc MANIFEST, not the shingle store: a doc
+    // whose latest version has no shingles (< 3 tokens) must still
+    // resolve to that version — it then contributes zero rows to `sg`,
+    // so its stale pairs cannot verify. (Its old bands may linger in the
+    // live index as candidate noise; verification always filters on
+    // current content, so that costs recall nothing and precision only
+    // candidates, never results.)
+    val latest = s.read.parquet(s"$base/docs/batch_*")
+      .groupBy(col("doc_id")).agg(max(col("_tick")).as("_tick"))
     val sg = sgAll.join(latest, Seq("doc_id", "_tick"))
       .select(col("doc_id"), col("sg"))
     val dfreq = sg.groupBy(col("sg")).agg(count(lit(1)).as("f"))

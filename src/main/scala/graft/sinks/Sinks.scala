@@ -94,13 +94,15 @@ object Sinks {
     * pattern (`live → .old_bucket_N → delete`); [[healBuckets]] restores
     * any bucket whose live dir vanished mid-swap before the next merge
     * reads the store, so a replayed tick never merges against a damaged
-    * store. Readers always see each bucket's old or new content, never a
-    * partial file set. Batch atomicity is PER BUCKET: an external reader
-    * racing a merge may observe some buckets updated before others —
-    * per-key (within-bucket) consistency always holds, and the ETL's own
-    * sequential ticks resume correctly because the keyed upsert is
-    * idempotent. Cross-bucket snapshot atomicity is a table-format
-    * transaction log's job, out of scope for the filesystem expression. */
+    * store (callers reading the store OUTSIDE a merge after a possible
+    * crash should call [[healBuckets]] first). Readers never see a
+    * partial FILE SET for a bucket — but a reader racing the swap itself
+    * can observe a bucket briefly ABSENT between the two renames, and
+    * may see some buckets updated before others. Per-key (within-bucket)
+    * consistency always holds, and the ETL's own sequential ticks resume
+    * correctly because the keyed upsert is idempotent. True
+    * reader-concurrent snapshot atomicity is a table-format transaction
+    * log's job, out of scope for the filesystem expression. */
   def mergeByKeyBucket(s: SparkSession, dest: String, batch: DataFrame,
                        key: String, orderCols: Seq[String],
                        nBuckets: Int = 16): Unit = {

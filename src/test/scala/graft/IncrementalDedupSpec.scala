@@ -77,5 +77,12 @@ class IncrementalDedupSpec extends SparkSpec {
     // one pair, at EXACTLY 1.0 — a double-counted shingle store would
     // inflate sizes/co-counts and report jaccard 2.0 (or drop the pair)
     assert(out.toSeq === Seq((1L, 2L, 1.0)))
+    // tick 2: doc 1 re-crawled BELOW the shingling floor (< 3 tokens) —
+    // the doc manifest must still resolve doc 1 to this version, so its
+    // stale pair with doc 2 vanishes (verification scores CURRENT
+    // content; a shingle-store-based winner would keep serving tick 1)
+    IncrementalDedup.tick(spark,
+      Seq((1L, "hi")).toDF("doc_id", "text"), 2L, rbase)
+    assert(IncrementalDedup.verifyAccumulated(spark, rbase).count() === 0)
   }
 }
