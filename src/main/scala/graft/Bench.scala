@@ -10,6 +10,17 @@ import java.nio.file.{Files, Paths}
   * under-measures sort-heavy queries). Queries run in sorted-name order so
   * timings are comparable across rounds; JVM/codegen warmup lands on a
   * fixed dummy query first.
+  *
+  * The JSON carries two trust signals beyond the timings:
+  *  - `warmup_sec`: wall time of the fixed warmup workload. The same code
+  *    measured on the same machine can differ 2x purely from concurrent
+  *    load (r4: builder 108.5 s vs driver 220.9 s, judged environmental) —
+  *    the warmup is identical every run, so readers can normalize two
+  *    artifacts by their warmup ratio before comparing query times.
+  *  - `failed`: names of queries whose execution threw. A failed query's
+  *    elapsed time is EXCLUDED from `value` (total), so a partially-failed
+  *    run can never masquerade as a fast one; per-query entries keep the
+  *    elapsed time (prefixed map `queries` holds only successes).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,7 +36,9 @@ object Bench {
     // Warmup with a REAL table read + agg: JVM, codegen, AND the parquet
     // reader/filesystem paths are warm before the first measured query —
     // a range()-only warmup left 3-4 s of reader init charged to whatever
-    // query sorted first alphabetically.
+    // query sorted first alphabetically. Its wall time doubles as the
+    // machine-load sentinel emitted below.
+    val warmT0 = System.nanoTime()
     try {
       spark.range(1000).selectExpr("sum(id) as s").write.format("noop")
         .mode("overwrite").save()
@@ -33,6 +46,7 @@ object Bench {
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // optional name filter for local perf iteration (driver runs all)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -41,16 +55,23 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val passed = results.filter(_._3)
+    val failed = results.filterNot(_._3)
+    val qs = passed.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val failedArr = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = passed.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""warmup_sec":$warmupSec,"failed":$failedArr,""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver (clean line: run/outputStrategy = StdoutOutput
     // in build.sbt keeps sbt's [info] prefix off forked output), plus a
     // file copy — defaulting to BENCH_LOCAL.json in the repo so every full

@@ -334,7 +334,15 @@ case class ScaledEmb(child: Expression) extends UnaryExpression {
   * into the scan. A ragged tail chunk hashes its remaining elements,
   * matching `slice`'s truncation. Empty arrays generate nothing; a chunk
   * containing a null element is skipped defensively (word-hash arrays
-  * are non-null by construction — same stance as [[ShingleHashes]]). */
+  * are non-null by construction — same stance as [[ShingleHashes]]).
+  *
+  * Contract note — the value-identity with the HOF form holds for n >= 1
+  * ONLY: for an EMPTY input array this generator emits zero rows, while
+  * `transform(sequence(0, (size-1) div 10), ...)` emits one chunk hash 0
+  * (`sequence(0, 0)` yields `[0]` when size = 0). Callers today always
+  * filter `size(wh) >= 1` first (split() yields at least one token), so
+  * the divergence is unreachable — but a future caller without the filter
+  * must not assume the two forms agree at n = 0. */
 case class ChunkHashes(child: Expression, width: Expression)
     extends BinaryExpression with Generator with CodegenFallback {
 

@@ -90,12 +90,13 @@ object Dedup {
     * J >= 0.5 necessarily shares shingles, so the inner join against
     * co-counts loses nothing). */
   private[graft] def minhashVerifiedPairsOf(corpus: DataFrame): DataFrame = {
-    // Stop-shingle cap (doc frequency > MaxDf dropped) BEFORE the
-    // pair-generating equi-join: kills the quadratic hot key a boilerplate
-    // shingle shared by 1M docs would otherwise create. Jaccard below is
-    // over the capped universe — the oracle computes the same. The df
-    // counts MUST come from the full stream (they define the capped
-    // universe), so they are aggregated before any candidate gating.
+    // Stop-shingle cap (doc frequency > greatest(MaxDf, N/MaxDfRatio)
+    // dropped) BEFORE the pair-generating equi-join: kills the quadratic
+    // hot key a boilerplate shingle shared by 1M docs would otherwise
+    // create. Jaccard below is over the capped universe — the oracle
+    // computes the same. The df counts MUST come from the full stream
+    // (they define the capped universe), so they are aggregated before any
+    // candidate gating.
     // ONE shingle-generation scan: the checkpointed stream feeds df
     // counts, the signature/band/candidate pipeline, AND verification
     // (candidate generation from the corpus directly would re-run the
@@ -104,17 +105,41 @@ object Dedup {
     val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
     val cand = candidatesFromBands(
       bandsFromSigs(sigsFromShingles(raw)).localCheckpoint())
-    verifiedPairsFrom(cand, raw, dfreq)
+    verifiedPairsFrom(cand, raw, dfreq, corpusCountOf(corpus))
   }
+
+  /** 1-row (n_corpus BIGINT) count aggregate — the corpus size N that the
+    * relative df cap is derived from, kept IN the plan (broadcast into the
+    * df filter) rather than collected: no extra driver action, and Spark
+    * runs the count as its own tiny stage feeding a 1-row broadcast. */
+  private[llm] def corpusCountOf(corpus: DataFrame): DataFrame =
+    corpus.agg(count(lit(1)).as("n_corpus"))
+
+  /** Relative stop-shingle cap applied to a (sg, f) df table: keep shingles
+    * with `f <= greatest(floor, n_corpus DIV ratio)`. `nCorpus` is a 1-row
+    * broadcast (see [[corpusCountOf]]); both engines embed the identical
+    * arithmetic (DuckDB mirrors with a scalar subquery + `//`, which also
+    * truncates toward zero on the non-negative count). */
+  private[llm] def cappedDfreq(dfreq: DataFrame, nCorpus: DataFrame,
+                               floor: Long = MaxDf,
+                               ratio: Long = MaxDfRatio): DataFrame =
+    dfreq.crossJoin(broadcast(nCorpus))
+      .where(expr(s"f <= greatest(${floor}L, n_corpus DIV ${ratio}L)"))
+      .select(col("sg"), col("f"))
 
   /** The verification tail shared by the one-shot pipeline and the
     * incremental index ([[IncrementalDedup]]): exact capped Jaccard over
     * candidate pairs, from (cand0: doc_a/doc_b), a per-doc distinct
-    * shingle stream (doc_id, sg), and corpus-wide doc frequencies
-    * (sg, f). Same inputs → bit-identical output, which is what makes the
-    * incremental entry's one-shot equivalence provable. */
+    * shingle stream (doc_id, sg), corpus-wide doc frequencies (sg, f),
+    * and the 1-row corpus count the relative df cap derives from. Same
+    * inputs → bit-identical output, which is what makes the incremental
+    * entry's one-shot equivalence provable. `floor`/`ratio` default to
+    * the production cap; specs override `ratio` to fire the relative arm
+    * at test scale. */
   private[llm] def verifiedPairsFrom(cand0: DataFrame, sgStream: DataFrame,
-                                     dfreq: DataFrame): DataFrame = {
+                                     dfreq: DataFrame, nCorpus: DataFrame,
+                                     floor: Long = MaxDf,
+                                     ratio: Long = MaxDfRatio): DataFrame = {
     // checkpointed: referenced by the semi-join gate AND the final join
     val cand = cand0.localCheckpoint()
     // Candidate gate: only docs that appear in some LSH candidate pair can
@@ -126,7 +151,7 @@ object Dedup {
     // O(candidate-doc shingles) instead of O(corpus shingles).
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val ex = sgStream.join(dfreq.where(col("f") <= MaxDf), "sg")
+    val ex = sgStream.join(cappedDfreq(dfreq, nCorpus, floor, ratio), "sg")
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("sg")).localCheckpoint()
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -411,12 +436,12 @@ object Dedup {
         .where(expr("size(wh) >= 3"))
         .selectExpr("doc_id", "lang", "source", "graft_shingles(wh) AS sg")
         .localCheckpoint()
-      // stop-shingle cap: shingles in > MaxDf docs are boilerplate; dropping
-      // them before the pair join removes the quadratic hot-key risk (one
-      // shared shingle across 1M docs = 10^12 join rows). Jaccard is over
-      // the capped universe in both engines.
+      // stop-shingle cap (corpus-relative, see XHash.MaxDf): boilerplate
+      // shingles are dropped before the pair join, removing the quadratic
+      // hot-key risk (one shared shingle across 1M docs = 10^12 join
+      // rows). Jaccard is over the capped universe in both engines.
       val dfreq = ex0.groupBy(col("sg")).agg(count(lit(1)).as("f"))
-      val ex = ex0.join(dfreq.where(col("f") <= MaxDf), "sg")
+      val ex = ex0.join(cappedDfreq(dfreq, corpusCountOf(docs(s, dir))), "sg")
         .select(col("doc_id"), col("lang"), col("source"), col("sg"))
         .localCheckpoint()
       // per-doc CAPPED set sizes from the exploded stream: an aggregation

@@ -40,21 +40,30 @@ object XHash {
 
   /** Stop-shingle document-frequency cap for the inverted-index
     * verification joins (PPJoin-style prefix filtering, coarse-grained):
-    * shingles appearing in more than MaxDf documents are boilerplate and
-    * are dropped BEFORE the pair-generating equi-join. Without the cap one
-    * shingle shared by 1M docs creates a quadratic hot key — the #1 skew
-    * risk at corpus scale. Jaccard is then defined over the capped shingle
-    * universe in BOTH engines, so results stay hash-identical.
+    * shingles appearing in more than the cap's document count are
+    * boilerplate and are dropped BEFORE the pair-generating equi-join.
+    * Without the cap one shingle shared by 1M docs creates a quadratic hot
+    * key — the #1 skew risk at corpus scale. Jaccard is then defined over
+    * the capped shingle universe in BOTH engines, so results stay
+    * hash-identical.
     *
-    * The cap is ABSOLUTE, which implies a documented recall cliff: at
-    * billion-doc scale virtually every legitimate shingle exceeds 100 docs,
-    * the capped universe collapses, and near-dup recall with it. A
-    * production deployment should scale this with corpus size (e.g.
-    * `max(100, 1e-4 * N)`) — kept constant here because the oracle must
-    * embed the same literal, and the constant lets tests exercise the
-    * capped path (LlmSpec's boilerplate-corpus fixture drives df past the
-    * cap on purpose). */
+    * The cap is CORPUS-RELATIVE: `greatest(MaxDf, N DIV MaxDfRatio)` where
+    * N is the corpus row count, computed inside the plan (a 1-row count
+    * aggregate broadcast into the df filter — no driver action) and
+    * embedded as the identical scalar subquery in the oracle SQL. A purely
+    * absolute cap has a recall cliff: at billion-doc scale virtually every
+    * legitimate shingle exceeds 100 docs, the capped universe collapses,
+    * and near-dup recall with it. The relative term grows the cap with the
+    * corpus (one doc per [[MaxDfRatio]]), while the floor keeps small-
+    * corpus behavior identical — at the test SFs N/ratio < 100, so results
+    * are unchanged and LlmSpec's boilerplate fixture still drives df past
+    * the floor on purpose; the relative arm is spec-fired with a small
+    * ratio override. */
   val MaxDf = 100L
+  /** Relative arm of the df cap: cap grows by one doc per MaxDfRatio
+    * corpus docs (0.01% boilerplate tolerance — conservative: a shingle in
+    * more than 1 in 10k docs is template text at any scale). */
+  val MaxDfRatio = 10000L
   val A: IndexedSeq[Long] = (0 until K).map(i => (i * 2654435761L + 1) % P)
   val B: IndexedSeq[Long] = (0 until K).map(i => (i * 40503L + 17) % P)
 

@@ -92,8 +92,10 @@ object Aggregates {
     // HLL++ sketch: the raw estimate differs from DuckDB's sketch by
     // design, so the checkable contract is the ERROR BOUND, not the value —
     // each engine computes its own approx count and the shared boolean
-    // `within_5pct` (HLL++ standard error is ~1.6% at default precision,
-    // so 5% holds with wide margin in both engines). This turns the last
+    // `within_10pct` (HLL++ standard error is ~1.6% at default precision;
+    // the bound sits 6 sigma out so a new scale factor or an engine's
+    // sketch-version change cannot plausibly flip it — approximation drift
+    // must never masquerade as an oracle failure). This turns the last
     // rows-only entry into a full hash-checked one.
     "q_agg_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -101,7 +103,7 @@ object Aggregates {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .selectExpr("l_returnflag", "exact_parts",
-          "CAST(abs(approx_parts - exact_parts) AS DOUBLE) / exact_parts <= 0.05 AS within_5pct")
+          "CAST(abs(approx_parts - exact_parts) AS DOUBLE) / exact_parts <= 0.10 AS within_10pct")
         .orderBy(col("l_returnflag"))),
 
     "q_agg_custom_wavg" -> { (s, dir) =>
@@ -144,7 +146,7 @@ object Aggregates {
     "q_agg_approx_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
              CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) AS DOUBLE)
-               / count(DISTINCT l_partkey) <= 0.05 AS within_5pct
+               / count(DISTINCT l_partkey) <= 0.10 AS within_10pct
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_agg_multi_distinct" -> """
@@ -195,13 +197,19 @@ object Aggregates {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // rows with a null qty OR price are ignored entirely, mirroring the
-    // null-safe updateExpressions in graft.functions.ExactWeightedAvg
+    // null-safe updateExpressions in graft.functions.ExactWeightedAvg;
+    // the outer coalesce mirrors its sumQty==0 branch (evaluateExpression
+    // returns 0.0 on an all-null group, where DuckDB's sum-of-no-rows
+    // division yields NULL) — no TPC-H group hits it, but the two engines
+    // now agree on empty groups by construction
     "q_agg_declarative_wavg" -> """
       SELECT l_returnflag,
-             sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-                 THEN CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END)
-               / CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-                          THEN CAST(l_quantity AS BIGINT) END) AS DOUBLE) / 100.0 AS wavg_price,
+             coalesce(
+               sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                   THEN CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END)
+                 / CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                            THEN CAST(l_quantity AS BIGINT) END) AS DOUBLE) / 100.0,
+               0.0) AS wavg_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
