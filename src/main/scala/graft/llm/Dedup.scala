@@ -89,7 +89,9 @@ object Dedup {
     * co-occurrence counting (no arrays cross any join; a pair with
     * J >= 0.5 necessarily shares shingles, so the inner join against
     * co-counts loses nothing). */
-  private[graft] def minhashVerifiedPairsOf(corpus: DataFrame): DataFrame = {
+  private[graft] def minhashVerifiedPairsOf(corpus: DataFrame,
+                                            floor: Long = MaxDf,
+                                            ratio: Long = MaxDfRatio): DataFrame = {
     // Stop-shingle cap (doc frequency > greatest(MaxDf, N/MaxDfRatio)
     // dropped) BEFORE the pair-generating equi-join: kills the quadratic
     // hot key a boilerplate shingle shared by 1M docs would otherwise
@@ -105,7 +107,7 @@ object Dedup {
     val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
     val cand = candidatesFromBands(
       bandsFromSigs(sigsFromShingles(raw)).localCheckpoint())
-    verifiedPairsFrom(cand, raw, dfreq, corpusCountOf(corpus))
+    verifiedPairsFrom(cand, raw, dfreq, corpusCountOf(corpus), floor, ratio)
   }
 
   /** 1-row (n_corpus BIGINT) count aggregate — the corpus size N that the
@@ -560,12 +562,16 @@ object Dedup {
          AND a.doc_id < b.doc_id)"""
     // Mirror of minhashVerifiedPairsOf: candidates verified by exact
     // Jaccard >= 0.5 over the stop-shingle-capped universe (doc frequency
-    // <= MaxDf), computed relationally exactly as the Spark side does.
+    // <= greatest(MaxDf, N // MaxDfRatio), the same corpus-relative cap
+    // the Spark side computes — the scalar subquery mirrors
+    // corpusCountOf, and DuckDB's `//` truncates toward zero on the
+    // non-negative count exactly like Spark's DIV).
     def verifiedPairCtes(src: String): String = s"""
       ${candCtes(src)},
       ex AS (SELECT doc_id, unnest(shd) AS sg FROM shing),
       dfreq AS (SELECT sg, count(*) AS f FROM ex GROUP BY sg),
-      exc AS (SELECT doc_id, sg FROM ex JOIN dfreq USING (sg) WHERE f <= $MaxDf),
+      exc AS (SELECT doc_id, sg FROM ex JOIN dfreq USING (sg)
+              WHERE f <= greatest($MaxDf, (SELECT count(*) FROM $src) // $MaxDfRatio)),
       szs AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY doc_id),
       co AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -722,7 +728,8 @@ object Dedup {
       dfreq AS (SELECT sg, count(*) AS f FROM ex GROUP BY sg),
       exc AS (
         SELECT doc_id, lang, source, sg
-        FROM ex JOIN dfreq USING (sg) WHERE f <= $MaxDf),
+        FROM ex JOIN dfreq USING (sg)
+        WHERE f <= greatest($MaxDf, (SELECT count(*) FROM documents) // $MaxDfRatio)),
       szs AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY doc_id),
       co AS (
         SELECT a.lang AS lang, a.source AS source,

@@ -161,7 +161,11 @@ object IncrementalDedup {
     val sg = sgAll.join(latest, Seq("doc_id", "_tick"))
       .select(col("doc_id"), col("sg"))
     val dfreq = sg.groupBy(col("sg")).agg(count(lit(1)).as("f"))
-    Dedup.verifiedPairsFrom(cand, sg, dfreq)
+    // corpus count for the relative df cap = LATEST-winner doc manifest
+    // size (every doc that ever arrived, resolved to one row each,
+    // including docs too short to shingle) — exactly the one-shot
+    // pipeline's count(corpus), which keeps the equivalence oracle exact.
+    Dedup.verifiedPairsFrom(cand, sg, dfreq, Dedup.corpusCountOf(latest))
       .selectExpr("doc_a", "doc_b", "CAST(i AS DOUBLE) / (na + nb - i) AS jaccard")
       .orderBy(col("doc_a"), col("doc_b"))
   }

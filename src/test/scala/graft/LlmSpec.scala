@@ -109,6 +109,21 @@ class LlmSpec extends SparkSpec {
     assert(graft.llm.Dedup.minhashVerifiedPairsOf(small).count() === 10L)
   }
 
+  test("relative df-cap arm: n_corpus DIV ratio lifts the cap past the floor") {
+    import spark.implicits._
+    // Same 102-doc boilerplate corpus that the absolute floor drops (test
+    // above), but with ratio=1 the cap is greatest(100, 102 DIV 1) = 102
+    // >= df, so the shingle SURVIVES and every pair verifies: C(102,2).
+    // This is the billion-doc recall-cliff fix scaled down to test size.
+    val n = XHash.MaxDf.toInt + 2
+    val big = (1 to n).map(i => (i.toLong, "alpha beta gamma")).toDF("doc_id", "text")
+    val pairs = graft.llm.Dedup.minhashVerifiedPairsOf(big, ratio = 1L)
+    assert(pairs.count() === n.toLong * (n - 1) / 2)
+    // ratio high enough that N DIV ratio = 0 falls back to the floor:
+    // identical to the absolute-cap behavior (0 pairs)
+    assert(graft.llm.Dedup.minhashVerifiedPairsOf(big, ratio = 100000L).count() === 0L)
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
