@@ -39,7 +39,7 @@ object SparkEntry {
       graft.llm.Dedup.queries ++ graft.llm.IncrementalDedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.TextAnalysis.queries ++ graft.llm.Multimodal.queries ++
-      graft.llm.Curation.queries ++
+      graft.llm.Curation.queries ++ graft.llm.Safety.queries ++
       graft.sinks.Sinks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,6 +51,6 @@ object SparkEntry {
       graft.llm.Dedup.oracleSql ++ graft.llm.IncrementalDedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++ graft.llm.Multimodal.oracleSql ++
-      graft.llm.Curation.oracleSql ++
+      graft.llm.Curation.oracleSql ++ graft.llm.Safety.oracleSql ++
       graft.sinks.Sinks.oracleSql
 }

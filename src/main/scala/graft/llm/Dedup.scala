@@ -39,7 +39,7 @@ object Dedup {
     * of three interpreted HOF passes, and immune to the
     * InferFiltersFromGenerate inlining trap by construction (see its
     * scaladoc and the note on q_llm_dedup_ngram_jaccard). */
-  private[llm] def shingleStreamOf(corpus: DataFrame): DataFrame = {
+  private[graft] def shingleStreamOf(corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus
       .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")

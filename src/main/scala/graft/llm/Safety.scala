@@ -1,0 +1,162 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.llm.XHash._
+import graft.util.Exact
+
+/** Safety/compliance curation operators (north-star suite): the two
+  * passes every real training-data pipeline runs between dedup and
+  * training that the dedup suite itself doesn't cover —
+  *
+  *  - benchmark DECONTAMINATION: flag training documents whose n-gram
+  *    content overlaps a held-out evaluation slice (a contaminated doc
+  *    inflates eval scores without improving the model);
+  *  - PII REDACTION: strip emails / phone numbers / IPv4 addresses
+  *    before text reaches a training shard.
+  *
+  * Both are built from cross-engine-exact primitives: the shared shingle
+  * machinery ([[XHash]]) for decontamination, and pure `regexp_replace` /
+  * `regexp_extract_all` built-ins (codegen'd, no UDFs) for redaction, so
+  * the DuckDB oracle matches bit-for-bit.
+  *
+  * Reference anchor: the reference pipeline normalizes and filters every
+  * record before upsert (`git_etl.ts:160-190` field mapping); these ops
+  * are that per-record hygiene stage generalized to corpus curation.
+  */
+object Safety {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Eval-slice selector: every 97th doc id. Deterministic (no RNG — the
+    * same property q_llm_split_assign documents) and engine-portable. */
+  val EvalMod = 97L
+
+  /** Verdict threshold: contaminated when >= 1/4 of a doc's distinct
+    * shingles appear in the eval set. Compared in integer arithmetic
+    * (4*hits >= n) — no float threshold to diverge on. */
+  val ContamFrac = 4L
+
+  // --- PII patterns ------------------------------------------------------
+  // One pattern string per PII class, valid VERBATIM in both engines'
+  // regex dialects (Java util.regex and DuckDB's RE2) AND in both SQL
+  // string parsers: `[.]` is used for literal dots because Spark's SQL
+  // parser eats lone backslashes in string literals while DuckDB's does
+  // not — a `\.` pattern would silently become "any char" on the Spark
+  // side only. No backslash appears in any pattern for this reason.
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  val PhonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** Deterministic PII injection: the synthetic corpus contains no PII
+    * (verified: zero rows match `[0-9@]`), so the registered entry seeds
+    * a derived `dirty` column from doc_id arithmetic — identical SQL text
+    * in both engines — and redacts THAT. This keeps the regex pipeline
+    * oracle-checked with non-zero counts instead of trivially passing on
+    * an all-clean corpus; redaction of genuinely dirty text is additionally
+    * spec-tested on handcrafted fixtures (LlmSpec). */
+  def dirtyExpr(text: String): String = s"""concat($text,
+      CASE WHEN doc_id % 3 = 0 THEN concat(' reach me at user', CAST(doc_id AS STRING), '@example.com') ELSE '' END,
+      CASE WHEN doc_id % 4 = 0 THEN concat(' call 415-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,
+      CASE WHEN doc_id % 5 = 0 THEN concat(' from 10.0.', CAST(doc_id % 256 AS STRING), '.', CAST(doc_id % 100 AS STRING)) ELSE '' END)"""
+
+  /** Redaction chain over a text expression — email first (its pattern
+    * can contain dotted digit runs an IPv4 scan would claim), then phone,
+    * then IP. Spark's regexp_replace is replace-all by default; the
+    * oracle passes RE2's 'g' flag for the same semantics. */
+  def cleanExprSpark(dirty: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($dirty, '$EmailPat', '<EMAIL>'), '$PhonePat', '<PHONE>'), '$Ipv4Pat', '<IP>')"
+  def cleanExprDuck(dirty: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($dirty, '$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g'), '$Ipv4Pat', '<IP>', 'g')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benchmark decontamination: per-doc overlap of distinct word-3-gram
+    // shingle hashes against the eval slice's shingle universe. Scale
+    // shape: ONE shingle-generation scan (the compiled graft_shingles
+    // UDTF) feeds both sides via a cheap doc_id % filter; the eval
+    // shingle set is a distinct-agg of a ~1% slice; the overlap is a
+    // LEFT join on the shingle hash + one hash agg — no per-pair work,
+    // no arrays crossing joins, and no broadcast hint (the eval universe
+    // is small relative to the corpus but still O(corpus/100) — AQE
+    // broadcasts it while it fits and degrades to shuffle when it
+    // doesn't, the same deliberate non-hint as the dedup sizes table).
+    "q_llm_decontaminate" -> { (s, dir) =>
+      val sg = Dedup.shingleStreamOf(docs(s, dir).select(col("doc_id"), col("text")))
+        .localCheckpoint() // one UDTF scan feeds eval set AND train side
+      val evalSet = sg.where(col("doc_id") % EvalMod === 0)
+        .select(col("sg")).distinct().withColumn("hit", lit(1L))
+      val train = sg.where(col("doc_id") % EvalMod =!= 0)
+      train.join(evalSet, Seq("sg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+          Exact.fix(col("n_contaminated").cast("double") / col("n_ngrams"), 6).as("ratio"),
+          expr(s"CASE WHEN $ContamFrac * n_contaminated >= n_ngrams THEN 'contaminated' " +
+            "WHEN n_contaminated > 0 THEN 'flagged' ELSE 'clean' END").as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII redaction: seed deterministic PII, redact with the three-stage
+    // regexp_replace chain, report per-source counts + exact chars
+    // removed. Pure codegen built-ins over one scan + one hash agg — the
+    // cheapest possible shape at 100 TB (same class as token_stats).
+    "q_llm_pii_redact" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("source", "doc_id", s"${dirtyExpr("text")} AS dirty")
+        .selectExpr("source",
+          s"size(regexp_extract_all(dirty, '$EmailPat', 0)) AS n_email",
+          s"size(regexp_extract_all(dirty, '$PhonePat', 0)) AS n_phone",
+          s"size(regexp_extract_all(dirty, '$Ipv4Pat', 0)) AS n_ip",
+          s"length(dirty) - length(${cleanExprSpark("dirty")}) AS delta")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("emails_redacted"),
+          sum(col("n_phone")).as("phones_redacted"),
+          sum(col("n_ip")).as("ips_redacted"),
+          sum(col("delta")).as("chars_removed"))
+        .orderBy(col("source"))
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "q_llm_decontaminate" -> s"""
+      WITH toks AS (
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
+      shing AS (
+        SELECT doc_id, list_distinct(${duckShingles("wh")}) AS shd
+        FROM toks WHERE len(wh) >= 3),
+      ex AS (SELECT doc_id, unnest(shd) AS sg FROM shing),
+      ev AS (SELECT DISTINCT sg FROM ex WHERE doc_id % $EvalMod = 0),
+      tr AS (SELECT doc_id, sg FROM ex WHERE doc_id % $EvalMod <> 0),
+      sc AS (
+        SELECT t.doc_id, count(*) AS n_ngrams, count(e.sg) AS n_contaminated
+        FROM tr t LEFT JOIN ev e ON t.sg = e.sg
+        GROUP BY t.doc_id)
+      SELECT doc_id, n_ngrams, n_contaminated,
+             ${Exact.sqlFix("CAST(n_contaminated AS DOUBLE) / n_ngrams", 6)} AS ratio,
+             CASE WHEN $ContamFrac * n_contaminated >= n_ngrams THEN 'contaminated'
+                  WHEN n_contaminated > 0 THEN 'flagged' ELSE 'clean' END AS verdict
+      FROM sc ORDER BY doc_id""",
+
+    "q_llm_pii_redact" -> s"""
+      WITH dirty AS (
+        SELECT source, doc_id, ${dirtyExpr("text")} AS dirty
+        FROM documents),
+      c AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(dirty, '$EmailPat')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(dirty, '$PhonePat')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(dirty, '$Ipv4Pat')) AS BIGINT) AS n_ip,
+               CAST(length(dirty) - length(${cleanExprDuck("dirty")}) AS BIGINT) AS delta
+        FROM dirty)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+             CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+             CAST(sum(n_ip) AS BIGINT) AS ips_redacted,
+             CAST(sum(delta) AS BIGINT) AS chars_removed
+      FROM c GROUP BY source ORDER BY source""")
+}

@@ -124,6 +124,44 @@ class LlmSpec extends SparkSpec {
     assert(graft.llm.Dedup.minhashVerifiedPairsOf(big, ratio = 100000L).count() === 0L)
   }
 
+  test("PII redaction: each pattern class fires on handcrafted dirty text") {
+    import spark.implicits._
+    import graft.llm.Safety
+    val fixtures = Seq(
+      ("mail me at bob.smith+x@corp.example.org today", "mail me at <EMAIL> today"),
+      ("call 415-555-0123 or 212-555-9876 now", "call <PHONE> or <PHONE> now"),
+      ("server at 192.168.1.254 is up", "server at <IP> is up"),
+      ("a@b.io and 10.0.0.1 and 800-555-1212", "<EMAIL> and <IP> and <PHONE>"),
+      ("nothing sensitive here", "nothing sensitive here"))
+    val got = fixtures.map(_._1).toDF("t")
+      .selectExpr(s"${Safety.cleanExprSpark("t")} AS c").as[String].collect()
+    got.zip(fixtures.map(_._2)).foreach { case (g, e) => assert(g === e) }
+  }
+
+  test("decontamination verdicts: eval doc's clone is contaminated, disjoint doc is clean") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.llm.{Dedup, Safety, XHash}
+    // doc 0 (id % 97 == 0) is the eval doc; doc 1 is its verbatim clone
+    // (ratio 1 -> contaminated); doc 2 shares no trigram (clean)
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val sg = Dedup.shingleStreamOf(d).localCheckpoint()
+    val ev = sg.where(col("doc_id") % Safety.EvalMod === 0)
+      .select(col("sg")).distinct().withColumn("hit", lit(1L))
+    val v = sg.where(col("doc_id") % Safety.EvalMod =!= 0)
+      .join(ev, Seq("sg"), "left").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("h"))
+      .selectExpr("doc_id",
+        s"CASE WHEN ${Safety.ContamFrac} * h >= n THEN 'contaminated' " +
+          "WHEN h > 0 THEN 'flagged' ELSE 'clean' END AS verdict")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(1L) === "contaminated")
+    assert(v(2L) === "clean")
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
