@@ -49,6 +49,12 @@ object Similarity {
   val Cells = 16
   val LloydRounds = 2
 
+  /** SemDeDup drop threshold: within-cell pairs at or above this cosine
+    * are semantic duplicates. Both engines compare the identical IEEE
+    * double (same long dot, same sqrt, same division), so the boundary
+    * cannot diverge. */
+  val SemThreshold = 0.25
+
   /** Deterministic k-means over the scaled-long embeddings, entirely as
     * DataFrame aggregations (no driver-side loops over data): seeded init
     * assigns each vector to cell `hash(vec_id) mod Cells`, then
@@ -152,6 +158,34 @@ object Similarity {
 
     "q_llm_knn_recall" -> recallEntry,
 
+    // SemDeDup-style semantic dedup (cluster-level): within each trained
+    // k-means cell, a vector is DROPPED when a lower-id vector in the same
+    // cell is semantically near-identical (cosine >= SemThreshold); the
+    // minimum id of each near-dup group survives as its representative.
+    // Pair generation is PER CELL — an equi-join on the trained cell id,
+    // never a global self-join — so the quadratic is bounded by the
+    // largest cell (N²/Cells expected; at 100 TB Cells scales ~sqrt(N),
+    // which keeps per-cell work ~constant as the corpus grows). The
+    // composition is exactly kmeansCentroids + assignCells (shared with
+    // IVF — same trained cells, so dedup groups align with ANN geometry)
+    // + the slim-pair cosine verify shape from q_llm_dedup_embed.
+    "q_llm_dedup_semantic" -> { (s, dir) =>
+      val se = scaledEmb(s, dir)
+      val assigned = assignCells(se, kmeansCentroids(se), 1)
+        .select(col("vec_id"), col("se"), col("nrm"), col("cent_id").as("cell"))
+        .localCheckpoint() // both sides of the pair join + the final verdict scan
+      val drops = assigned.alias("a").join(assigned.alias("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .selectExpr("b.vec_id AS vec_id",
+          s"${cosExpr("a.se", "b.se", "a.nrm", "b.nrm")} AS cos_raw")
+        .where(col("cos_raw") >= SemThreshold)
+        .select(col("vec_id")).distinct().withColumn("_drop", lit(1))
+      assigned.join(drops, Seq("vec_id"), "left")
+        .selectExpr("vec_id", "cell",
+          "CASE WHEN _drop IS NULL THEN 1 ELSE 0 END AS kept")
+        .orderBy(col("vec_id"))
+    },
+
     // LSH-bucketed ANN: candidates restricted to the query's sign-bit
     // bucket (planes 0..3), exact cosine re-rank, top-3.
     "q_llm_knn_lsh" -> { (s, dir) =>
@@ -201,42 +235,50 @@ object Similarity {
       .orderBy(col("index_name"), col("q_id"))
   }
 
-  /** DuckDB mirror of the k-means IVF entry. Centroid training is the same
-    * exact integer arithmetic as the Spark side: HUGEINT sums divided by
-    * counts with `//` (truncates toward zero, like Spark's DIV) and cast
-    * back to BIGINT, so every Lloyd round lands on identical centroids. */
-  private def duckIvfSql: String = {
+  // --- DuckDB k-means mirror --------------------------------------------
+  // Centroid training is the same exact integer arithmetic as the Spark
+  // side: HUGEINT sums divided by counts with `//` (truncates toward zero,
+  // like Spark's DIV) and cast back to BIGINT, so every Lloyd round lands
+  // on identical centroids. Shared by the IVF and SemDeDup oracles.
+  private def duckCent(src: String): String = {
     val meanList = (1 to EmbDim)
       .map(i => s"CAST(sum(se[$i]) // count(*) AS BIGINT)")
       .mkString("[", ", ", "]")
-    def cent(src: String): String =
-      s"""SELECT cell AS cent_id, $meanList AS cse FROM $src GROUP BY cell"""
-    def centN(src: String): String =
-      s"SELECT cent_id, cse, ${duckPairDot("cse", "cse")} AS cn2 FROM $src"
-    // n nearest cells by |c|^2 - 2*a.c (|a|^2 constant per row)
-    def assign(centsCte: String, where: String, nProbe: Int): String =
-      s"""SELECT vec_id, se, nrm, cell FROM (
-        SELECT e.vec_id, e.se, e.nrm, c.cent_id AS cell,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 c.cn2 - 2 * (${duckPairDot("e.se", "c.cse")}), c.cent_id) AS rn
-        FROM e CROSS JOIN $centsCte c $where) WHERE rn <= $nProbe"""
-    s"""
-      WITH e0 AS (
+    s"""SELECT cell AS cent_id, $meanList AS cse FROM $src GROUP BY cell"""
+  }
+  private def duckCentN(src: String): String =
+    s"SELECT cent_id, cse, ${duckPairDot("cse", "cse")} AS cn2 FROM $src"
+  // n nearest cells by |c|^2 - 2*a.c (|a|^2 constant per row)
+  private def duckAssign(centsCte: String, where: String, nProbe: Int): String =
+    s"""SELECT vec_id, se, nrm, cell FROM (
+      SELECT e.vec_id, e.se, e.nrm, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               c.cn2 - 2 * (${duckPairDot("e.se", "c.cse")}), c.cent_id) AS rn
+      FROM e CROSS JOIN $centsCte c $where) WHERE rn <= $nProbe"""
+
+  /** CTE chain ending in `assigned` = every vector with its trained cell. */
+  private def duckKmeansCtes: String = s"""
+      e0 AS (
         SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
       e AS (
         SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
       a0 AS (
         SELECT vec_id, se, vec_id % $P * 2654435761 % $P % $Cells AS cell FROM e),
-      c0 AS (${cent("a0")}),
-      c0n AS (${centN("c0")}),
-      a1 AS (${assign("c0n", "", 1)}),
-      c1 AS (${cent("a1")}),
-      c1n AS (${centN("c1")}),
-      a2 AS (${assign("c1n", "", 1)}),
-      c2 AS (${cent("a2")}),
-      c2n AS (${centN("c2")}),
-      assigned AS (${assign("c2n", "", 1)}),
-      probes0 AS (${assign("c2n", "WHERE e.vec_id < 10", 2)}),
+      c0 AS (${duckCent("a0")}),
+      c0n AS (${duckCentN("c0")}),
+      a1 AS (${duckAssign("c0n", "", 1)}),
+      c1 AS (${duckCent("a1")}),
+      c1n AS (${duckCentN("c1")}),
+      a2 AS (${duckAssign("c1n", "", 1)}),
+      c2 AS (${duckCent("a2")}),
+      c2n AS (${duckCentN("c2")}),
+      assigned AS (${duckAssign("c2n", "", 1)})"""
+
+  /** DuckDB mirror of the k-means IVF entry. */
+  private def duckIvfSql: String = {
+    s"""
+      WITH $duckKmeansCtes,
+      probes0 AS (${duckAssign("c2n", "WHERE e.vec_id < 10", 2)}),
       probes AS (
         SELECT vec_id AS q_id, se AS qse, nrm AS qnrm, cell FROM probes0),
       scored AS (
@@ -277,6 +319,19 @@ object Similarity {
       FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
 
       "q_llm_knn_ivf" -> duckIvfSql,
+
+      "q_llm_dedup_semantic" -> s"""
+      WITH $duckKmeansCtes,
+      pairs AS (
+        SELECT b.vec_id AS vec_id,
+               CAST(${duckPairDot("a.se", "b.se")} AS DOUBLE) / (a.nrm * b.nrm) AS cos_raw
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      drops AS (SELECT DISTINCT vec_id FROM pairs WHERE cos_raw >= $SemThreshold)
+      SELECT s.vec_id, s.cell,
+             CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+      FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
+      ORDER BY s.vec_id""",
 
       "q_llm_knn_lsh" -> s"""
       WITH e0 AS (
