@@ -91,7 +91,9 @@ object Dedup {
     * co-counts loses nothing). */
   private[graft] def minhashVerifiedPairsOf(corpus: DataFrame,
                                             floor: Long = MaxDf,
-                                            ratio: Long = MaxDfRatio): DataFrame = {
+                                            ratio: Long = MaxDfRatio,
+                                            ckpt: graft.util.Checkpointer =
+                                              graft.util.Checkpointer.Local): DataFrame = {
     // Stop-shingle cap (doc frequency > greatest(MaxDf, N/MaxDfRatio)
     // dropped) BEFORE the pair-generating equi-join: kills the quadratic
     // hot key a boilerplate shingle shared by 1M docs would otherwise
@@ -103,11 +105,11 @@ object Dedup {
     // counts, the signature/band/candidate pipeline, AND verification
     // (candidate generation from the corpus directly would re-run the
     // wordhash+shingle scan — the suite's measured scan bottleneck).
-    val raw = shingleStreamOf(corpus).localCheckpoint()
+    val raw = ckpt(shingleStreamOf(corpus))
     val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
     val cand = candidatesFromBands(
-      bandsFromSigs(sigsFromShingles(raw)).localCheckpoint())
-    verifiedPairsFrom(cand, raw, dfreq, corpusCountOf(corpus), floor, ratio)
+      ckpt(bandsFromSigs(sigsFromShingles(raw))))
+    verifiedPairsFrom(cand, raw, dfreq, corpusCountOf(corpus), floor, ratio, ckpt)
   }
 
   /** 1-row (n_corpus BIGINT) count aggregate — the corpus size N that the
@@ -141,9 +143,11 @@ object Dedup {
   private[llm] def verifiedPairsFrom(cand0: DataFrame, sgStream: DataFrame,
                                      dfreq: DataFrame, nCorpus: DataFrame,
                                      floor: Long = MaxDf,
-                                     ratio: Long = MaxDfRatio): DataFrame = {
+                                     ratio: Long = MaxDfRatio,
+                                     ckpt: graft.util.Checkpointer =
+                                       graft.util.Checkpointer.Local): DataFrame = {
     // checkpointed: referenced by the semi-join gate AND the final join
-    val cand = cand0.localCheckpoint()
+    val cand = ckpt(cand0)
     // Candidate gate: only docs that appear in some LSH candidate pair can
     // contribute to verification, so the exploded stream is semi-joined
     // down to candidate docs BEFORE the heaviest aggregation (the
@@ -153,9 +157,9 @@ object Dedup {
     // O(candidate-doc shingles) instead of O(corpus shingles).
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val ex = sgStream.join(cappedDfreq(dfreq, nCorpus, floor, ratio), "sg")
+    val ex = ckpt(sgStream.join(cappedDfreq(dfreq, nCorpus, floor, ratio), "sg")
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("sg")).localCheckpoint()
+      .select(col("doc_id"), col("sg")))
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = ex.alias("a").join(ex.alias("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
@@ -192,16 +196,21 @@ object Dedup {
     * in ~30 rounds). Labels only decrease and never leave the component
     * (every label is a member's id), so the fixpoint is the component
     * minimum — matching the oracle's recursive transitive closure.
-    * `localCheckpoint` caps lineage at one materialization per round;
+    * The per-round materialization goes through `ckpt` (a
+    * [[graft.util.Checkpointer]]): `Local` for bench/test speed (the
+    * default), `Reliable(dir)` for executor-loss safety on a cluster,
+    * `Store(dir)` for driver-restart resumability — same results under
+    * all three (spec-asserted), so the knob is purely availability/cost.
     * `maxIters` is only a runaway guard and hitting it FAILS LOUDLY
     * instead of returning truncated labels. */
   private[graft] def connectedComponents(pairs: DataFrame, maxIters: Int = 60,
-                                         jumpAfter: Int = 8): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("label", col("doc")).localCheckpoint()
+                                         jumpAfter: Int = 8,
+                                         ckpt: graft.util.Checkpointer =
+                                           graft.util.Checkpointer.Local): DataFrame = {
+    val edges = ckpt(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc")))
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -216,9 +225,8 @@ object Dedup {
             .select(col("x.doc").as("doc"), col("p.llabel").as("label"))
           Seq(viaNeighbor, viaJump)
         }
-      val next = sources.foldLeft(labels.select(col("doc"), col("label")))(_ union _)
-        .groupBy(col("doc")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = ckpt(sources.foldLeft(labels.select(col("doc"), col("label")))(_ union _)
+        .groupBy(col("doc")).agg(min(col("label")).as("label")))
       changed = next.alias("n").join(labels.alias("o"), "doc")
         .where(col("n.label") =!= col("o.label")).count()
       labels = next

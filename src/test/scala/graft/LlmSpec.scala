@@ -124,6 +124,38 @@ class LlmSpec extends SparkSpec {
     assert(graft.llm.Dedup.minhashVerifiedPairsOf(big, ratio = 100000L).count() === 0L)
   }
 
+  test("Checkpointer strategies: identical results, reliable/store artifacts on disk") {
+    import spark.implicits._
+    import graft.util.Checkpointer
+    val base = java.nio.file.Files.createTempDirectory("ckpt_spec").toString
+    // deep chain — exercises the per-round checkpoint path many times
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    def labelsWith(c: Checkpointer): Map[Long, Long] =
+      graft.llm.Dedup.connectedComponents(pairs, jumpAfter = 0, ckpt = c)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labelsWith(Checkpointer.Local)
+    val reliable = labelsWith(Checkpointer.Reliable(s"$base/reliable"))
+    val store = labelsWith(Checkpointer.Store(s"$base/store"))
+    assert(local === reliable)
+    assert(local === store)
+    assert(local.values.forall(_ === 0L))
+    // the loss-safe strategies leave real artifacts behind
+    def nonEmpty(p: String) = {
+      val d = new java.io.File(p)
+      d.exists && d.listFiles != null && d.listFiles.nonEmpty
+    }
+    assert(nonEmpty(s"$base/reliable"), "reliable checkpoint dir is empty")
+    assert(nonEmpty(s"$base/store/step_1"), "store step_1 missing")
+    // the shared dedup pipeline accepts the same knob end-to-end
+    val docs = (1 to 5).map(i => (i.toLong, "alpha beta gamma")).toDF("doc_id", "text")
+    val viaStore = graft.llm.Dedup
+      .minhashVerifiedPairsOf(docs, ckpt = Checkpointer.Store(s"$base/dedup"))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLocal = graft.llm.Dedup.minhashVerifiedPairsOf(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStore === viaLocal)
+  }
+
   test("PII redaction: each pattern class fires on handcrafted dirty text") {
     import spark.implicits._
     import graft.llm.Safety
