@@ -182,6 +182,11 @@ object IncrementalDedup {
       val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
       d.repartitionByRange(3, col("doc_id")).write.parquet(s"$base/src")
       runTicks(s, base, d.schema)
+      // store maintenance between merge windows: coalesce the small files
+      // each bucket accumulated across ticks (results unaffected — the
+      // compaction spec asserts byte-identical contents; at 100 TB this
+      // is the pass that keeps per-bucket file counts bounded)
+      Sinks.compactBuckets(s, s"$base/bands")
       verifyAccumulated(s, base)
     })
 

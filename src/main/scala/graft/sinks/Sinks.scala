@@ -106,41 +106,119 @@ object Sinks {
   def mergeByKeyBucket(s: SparkSession, dest: String, batch: DataFrame,
                        key: String, orderCols: Seq[String],
                        nBuckets: Int = 16): Unit = {
-    // int-typed so it round-trips partition discovery with a stable type
-    val bucketed = batch.withColumn("_bucket",
-      pmod(col(key), lit(nBuckets)).cast("int"))
     if (!Files.exists(Paths.get(dest))) {
       // first write: stage + single rename, so readers never see a
-      // half-written initial store
+      // half-written initial store. The chosen bucket count is persisted
+      // as `_graft_buckets` INSIDE the staged dir (underscore-prefixed —
+      // invisible to Spark readers), so it is atomic with the data and
+      // every later merge buckets against the store's true layout.
+      // int-typed so it round-trips partition discovery with a stable type
+      val bucketed = batch.withColumn("_bucket",
+        pmod(col(key), lit(nBuckets)).cast("int"))
       Files.createDirectories(Paths.get(dest).getParent)
       val init = dest + ".init"
       deleteRec(init)
       bucketed.write.partitionBy("_bucket").parquet(init)
+      Files.write(Paths.get(init, "_graft_buckets"),
+        nBuckets.toString.getBytes("UTF-8"))
       Files.move(Paths.get(init), Paths.get(dest), StandardCopyOption.ATOMIC_MOVE)
     } else {
       healBuckets(dest)
+      // merge against the STORE's bucket count, not the caller's: a
+      // mismatched nBuckets would assign a key's new row to a different
+      // bucket than its stored twin, and the upsert (which only reads
+      // touched buckets) would leave the stale twin alive — silent
+      // duplicate keys. The metadata file makes the layout self-describing;
+      // pre-metadata stores fall back to the caller's value.
+      val n = storedBucketCount(dest).getOrElse(nBuckets)
+      val bucketed = batch.withColumn("_bucket",
+        pmod(col(key), lit(n)).cast("int"))
       // touched-bucket list is partition METADATA (<= nBuckets values)
       val touched = bucketed.select(col("_bucket")).distinct()
         .collect().map(_.getInt(0)).toIndexedSeq
       val existing = s.read.parquet(dest)
         .where(col("_bucket").isin(touched: _*))
       val merged = CommitEtl.upsert(existing, bucketed, key, orderCols)
-      val staging = s"$dest/_merge_staging"
-      deleteRec(staging)
-      merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
-      touched.foreach { b =>
-        val live = Paths.get(s"$dest/_bucket=$b")
-        val old = Paths.get(s"$dest/.old_bucket_$b")
-        val staged = Paths.get(s"$staging/_bucket=$b")
-        if (Files.exists(staged)) {
-          deleteRec(old.toString)
-          if (Files.exists(live))
-            Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
-          Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
-          deleteRec(old.toString)
-        }
+      stageAndSwap(s, dest, merged, touched)
+    }
+  }
+
+  /** Write `df` (which carries an int `_bucket` column) to the store's
+    * staging dir, then swap each touched bucket live with the crash-safe
+    * two-rename pattern (see [[mergeByKeyBucket]]'s scaladoc). */
+  private def stageAndSwap(s: SparkSession, dest: String, df: DataFrame,
+                           touched: Seq[Int]): Unit = {
+    val staging = s"$dest/_merge_staging"
+    deleteRec(staging)
+    df.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+    touched.foreach { b =>
+      val live = Paths.get(s"$dest/_bucket=$b")
+      val old = Paths.get(s"$dest/.old_bucket_$b")
+      val staged = Paths.get(s"$staging/_bucket=$b")
+      if (Files.exists(staged)) {
+        deleteRec(old.toString)
+        if (Files.exists(live))
+          Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
+        deleteRec(old.toString)
       }
-      deleteRec(staging)
+    }
+    deleteRec(staging)
+  }
+
+  /** The store's bucket count from its `_graft_buckets` metadata file;
+    * None for stores predating the metadata (callers then supply it). */
+  def storedBucketCount(dest: String): Option[Int] = {
+    val meta = Paths.get(dest, "_graft_buckets")
+    if (Files.exists(meta))
+      Some(new String(Files.readAllBytes(meta), "UTF-8").trim.toInt)
+    else None
+  }
+
+  /** Bucket count sized from expected store rows: one bucket per
+    * `targetRowsPerBucket` (default 4M — a ~100-500 MB bucket rewrite at
+    * typical row widths), rounded up to a power of two (stable pmod
+    * distribution under doubling) and clamped to [16, 65536]. At 100 TB
+    * this yields thousands of buckets, so a touched-bucket rewrite stays
+    * ~GBs instead of the table/16 (~6 TB) a fixed 16 would cost. */
+  def bucketCountFor(nRows: Long, targetRowsPerBucket: Long = 4L << 20): Int = {
+    val want = math.max(1L, (nRows + targetRowsPerBucket - 1) / targetRowsPerBucket)
+    val pow = java.lang.Long.highestOneBit(math.max(1L, want - 1)) << 1
+    math.min(65536L, math.max(16L, pow)).toInt
+  }
+
+  /** Coalesce each bucket holding more than `maxFilesPerBucket` parquet
+    * files down to at most that many — the maintenance pass that stops
+    * small files accumulating across merges (each merge rewrites a
+    * touched bucket with up to `spark.sql.shuffle.partitions` files).
+    * Oversized buckets are rewritten via `repartition(_bucket)` (each
+    * bucket lands wholly in one task → one file) and swapped live with
+    * the same crash-safe two-rename pattern as the merge; untouched
+    * buckets are never read. Contents are byte-identical (spec-asserted),
+    * so compaction can run any time between merges. */
+  def compactBuckets(s: SparkSession, dest: String,
+                     maxFilesPerBucket: Int = 1): Unit = {
+    healBuckets(dest)
+    val d = Paths.get(dest)
+    if (!Files.exists(d)) return
+    def parquetCount(b: Path): Int = {
+      val listing = Files.list(b)
+      try listing.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally listing.close()
+    }
+    val listing = Files.list(d)
+    val oversized =
+      try listing.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith("_bucket="))
+        .filter(parquetCount(_) > maxFilesPerBucket)
+        .map(_.getFileName.toString.stripPrefix("_bucket=").toInt)
+      finally listing.close()
+    if (oversized.nonEmpty) {
+      val df = s.read.parquet(dest)
+        .where(col("_bucket").isin(oversized: _*))
+        .repartition(math.max(1, oversized.size / math.max(1, maxFilesPerBucket)),
+          col("_bucket"))
+      stageAndSwap(s, dest, df, oversized)
     }
   }
 

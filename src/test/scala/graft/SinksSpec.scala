@@ -91,6 +91,70 @@ class SinksSpec extends SparkSpec {
     assert(got(12L) === "v1") // bucket-0 key NOT in batch keeps old value
   }
 
+  test("compactBuckets coalesces accumulated small files without changing contents") {
+    import spark.implicits._
+    val dest = s"$base/compact"
+    Sinks.truncate(dest)
+    // 4 merges, each fanning rows across many shuffle tasks -> multi-file
+    // buckets (AQE partition coalescing is disabled for the fixture; at
+    // real scale the merge stage has many non-empty tasks per bucket
+    // without any help)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      (0 until 4).foreach { g =>
+        val batch = (0 until 64).map(i => (i.toLong, s"v${g}_$i")).toDF("k", "v")
+          .repartition(8)
+        Sinks.mergeByKeyBucket(spark, dest, batch, "k", Seq("v"), nBuckets = 4)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    def filesPerBucket: Map[Int, Int] = (0 until 4).map { b =>
+      val d = new java.io.File(s"$dest/_bucket=$b")
+      b -> Option(d.listFiles).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    }.toMap
+    assert(filesPerBucket.values.max > 1, "merges should have left multi-file buckets")
+    val before = spark.read.parquet(dest).as[(Long, String, Int)].collect().sortBy(_._1)
+    Sinks.compactBuckets(spark, dest)
+    assert(filesPerBucket.values.forall(_ == 1),
+      s"compaction must leave exactly 1 file per bucket, got $filesPerBucket")
+    val after = spark.read.parquet(dest).as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(after === before, "compaction must not change contents")
+    // second compaction is a no-op on an already-tight store
+    Sinks.compactBuckets(spark, dest)
+    assert(filesPerBucket.values.forall(_ == 1))
+  }
+
+  test("merges use the store's persisted bucket count, not the caller's") {
+    import spark.implicits._
+    val dest = s"$base/bucketmeta"
+    Sinks.truncate(dest)
+    Sinks.mergeByKeyBucket(spark, dest, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      "k", Seq("v"), nBuckets = 4)
+    assert(Sinks.storedBucketCount(dest) === Some(4))
+    // caller passes a WRONG count on merge: key 5 would pmod to a
+    // different bucket under 7 than under the store's 4 — detection must
+    // keep the layout at 4 so the upsert still dedups correctly
+    Sinks.mergeByKeyBucket(spark, dest, Seq((1L, "a2"), (5L, "c")).toDF("k", "v"),
+      "k", Seq("v"), nBuckets = 7)
+    val got = spark.read.parquet(dest).as[(Long, String, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 === "a2", "upsert must replace the stored row")
+    assert(got.size === 3)
+    assert(got.values.forall { case (_, b) => b >= 0 && b < 4 },
+      "every row must live in one of the store's 4 buckets")
+    assert(got(5L)._2 === (5L % 4).toInt)
+  }
+
+  test("bucketCountFor: power-of-two sizing clamped to [16, 65536]") {
+    assert(Sinks.bucketCountFor(0L) === 16)
+    assert(Sinks.bucketCountFor(1000L) === 16)
+    // 1B rows / 4M per bucket = ~239 -> next power of two = 256
+    assert(Sinks.bucketCountFor(1000000000L) === 256)
+    // 1T rows -> clamped at 65536
+    assert(Sinks.bucketCountFor(1000000000000L) === 65536)
+    // exact power boundary stays put
+    assert(Sinks.bucketCountFor(64L * (4L << 20)) === 64)
+  }
+
   test("partitionBy layout prunes: partition filter appears in the scan (O7)") {
     import spark.implicits._
     val dest = s"$base/parts"
