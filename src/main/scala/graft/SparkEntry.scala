@@ -37,7 +37,7 @@ object SparkEntry {
       Windows.queries ++ Scalars.queries ++ Extras.queries ++ Typed.queries ++
       AsOf.queries ++ TimeWindows.queries ++ StreamOps.queries ++
       graft.llm.Dedup.queries ++ graft.llm.IncrementalDedup.queries ++
-      graft.llm.Similarity.queries ++
+      graft.llm.Similarity.queries ++ graft.llm.IncrementalAnn.queries ++
       graft.llm.TextAnalysis.queries ++ graft.llm.Multimodal.queries ++
       graft.llm.Curation.queries ++ graft.llm.Safety.queries ++
       graft.sinks.Sinks.queries
@@ -49,7 +49,7 @@ object SparkEntry {
       Windows.oracleSql ++ Scalars.oracleSql ++ Extras.oracleSql ++ Typed.oracleSql ++
       AsOf.oracleSql ++ TimeWindows.oracleSql ++ StreamOps.oracleSql ++
       graft.llm.Dedup.oracleSql ++ graft.llm.IncrementalDedup.oracleSql ++
-      graft.llm.Similarity.oracleSql ++
+      graft.llm.Similarity.oracleSql ++ graft.llm.IncrementalAnn.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++ graft.llm.Multimodal.oracleSql ++
       graft.llm.Curation.oracleSql ++ graft.llm.Safety.oracleSql ++
       graft.sinks.Sinks.oracleSql

@@ -1,0 +1,183 @@
+package graft.llm
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.sinks.Sinks
+import graft.sources.Tables
+import graft.llm.XHash._
+import graft.util.Exact
+
+/** Persisted, incrementally-maintained ANN index — the reference's
+  * persisted-store identity (`git_etl.ts:127-132`, `:319-326`) applied to
+  * the embedding IVF index, closing the one component that q_llm_knn_ivf
+  * still rebuilt per query.
+  *
+  * The index is three bucket/atomic stores:
+  *  - `vecs`:   vec_id → scaled-long embedding (keyed upsert store — a
+  *              re-ingested vector replaces its old version);
+  *  - `cents`:  the [[Similarity.Cells]]-row trained centroid table;
+  *  - `assign`: vec_id → trained cell.
+  *
+  * Maintenance has two tiers, exactly the production IVF pattern:
+  *
+  *  - **Fold tick** (every arrival batch, cheap): scale the batch, assign
+  *    ONLY the batch against the CURRENT stored centroids (an O(batch ×
+  *    Cells) broadcast pass — the corpus is not touched), and keyed-merge
+  *    batch vectors + assignments into the stores. Between re-trains the
+  *    centroids are stale-but-useful — new vectors are searchable
+  *    immediately, at slightly degraded cell quality. The first batch
+  *    bootstraps the centroids by training on itself.
+  *  - **Re-train tick** (periodic, corpus-sized): deterministic k-means
+  *    ([[Similarity.kmeansCentroids]] — seeded init + Lloyd rounds as
+  *    exact integer aggregations, so training is arrival-order- and
+  *    partition-independent) over the FULL vector store, then one
+  *    re-assignment pass, atomically swapping `cents` and `assign`.
+  *
+  * **Serving never trains**: [[serve]] reads the three stores, assigns
+  *    query vectors to their nprobe nearest STORED centroids, and
+  *    re-ranks by exact cosine inside the probed cells.
+  *
+  * Equivalence contract (what makes the one-shot SQL the oracle): after
+  * the last re-train tick, `vecs` holds exactly the corpus (keyed upsert;
+  * append-only in the registered entry), so the re-trained centroids,
+  * assignments, and served results are BIT-IDENTICAL to the one-shot
+  * q_llm_knn_ivf pipeline on the same corpus — deterministic training has
+  * no memory of arrival order. Crash-resume and replay idempotence are
+  * spec-tested ([[graft.IncrementalAnnSpec]]): every store write is a
+  * keyed upsert or an atomic swap, so at-least-once foreachBatch replays
+  * converge to the same state.
+  */
+object IncrementalAnn {
+
+  /** Wipe all per-entry state (stream source, stores, checkpoint). */
+  private[graft] def reset(base: String): Unit =
+    Seq("src", "vecs", "cents", "assign", "ckpt")
+      .foreach(p => Sinks.truncate(s"$base/$p"))
+
+  private def scaled(batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    batch.selectExpr("vec_id", s"${sparkScaledEmb("embedding")} AS se")
+  }
+
+  private def withNrm(se: DataFrame): DataFrame =
+    se.selectExpr("vec_id", "se",
+      "sqrt(CAST(graft_dot(se, se) AS DOUBLE)) AS nrm")
+
+  /** Fold one arrival batch into the persisted index. Idempotent per
+    * (batch, batchId): both merges are keyed upserts and the bootstrap
+    * train is an atomic overwrite. */
+  private[graft] def tick(s: SparkSession, batch: DataFrame, batchId: Long,
+                          base: String): Unit = {
+    // register on BOTH sessions: the micro-batch clone (scaled() does it)
+    // and the outer session whose reads feed assignCells/kmeansCentroids
+    graft.functions.GraftFunctions.register(s)
+    val se = scaled(batch.select(col("vec_id"), col("embedding"))).localCheckpoint()
+    val centsPath = s"$base/cents"
+    // bootstrap: the first batch trains the initial quantizer on itself
+    // (there is nothing else to train on); later batches fold against the
+    // stored centroids untouched
+    if (!Files.exists(Paths.get(centsPath)))
+      Sinks.writeAtomic(Similarity.kmeansCentroids(se), centsPath)
+    val cents = s.read.parquet(centsPath)
+    // assign ONLY the batch: O(batch x Cells) against the 16-row broadcast
+    val assigned = Similarity.assignCells(se, cents, 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    // keyed upserts, latest tick wins — a re-ingested vector replaces its
+    // old embedding AND its old cell in one maintenance pass
+    Sinks.mergeByKeyBucket(s, s"$base/vecs",
+      se.withColumn("_tick", lit(batchId)), "vec_id", Seq("_tick"))
+    Sinks.mergeByKeyBucket(s, s"$base/assign",
+      assigned.withColumn("_tick", lit(batchId)), "vec_id", Seq("_tick"))
+  }
+
+  /** Periodic re-train: deterministic k-means over the FULL vector store,
+    * one re-assignment pass, atomic swap of both derived stores. After
+    * this tick the index is bit-identical to a from-scratch build on the
+    * store's current contents. */
+  private[graft] def retrain(s: SparkSession, base: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    Sinks.healBuckets(s"$base/vecs")
+    val all = s.read.parquet(s"$base/vecs")
+      .select(col("vec_id"), col("se")).localCheckpoint()
+    val cents = Similarity.kmeansCentroids(all)
+    Sinks.writeAtomic(cents, s"$base/cents")
+    val assigned = Similarity.assignCells(all, s.read.parquet(s"$base/cents"), 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+      .withColumn("_tick", lit(Long.MaxValue))
+    // atomic overwrite (not a merge): a re-train re-derives EVERY row
+    Sinks.truncate(s"$base/assign")
+    Sinks.mergeByKeyBucket(s, s"$base/assign", assigned, "vec_id", Seq("_tick"))
+  }
+
+  /** Serve top-k probes from the STORES — no training, no corpus-wide
+    * argmin: queries assign to their `nprobe` nearest stored centroids
+    * (broadcast of a 16-row table), candidates come from the cell
+    * equi-join against the stored assignment, exact cosine re-ranks.
+    * Output shape/typing matches q_llm_knn_ivf exactly. */
+  private[graft] def serve(s: SparkSession, base: String,
+                           queryPred: String = "vec_id < 10",
+                           nProbe: Int = 2, topK: Int = 3): DataFrame = {
+    Seq("vecs", "assign").foreach(p => Sinks.healBuckets(s"$base/$p"))
+    graft.functions.GraftFunctions.register(s)
+    val vecs = withNrm(s.read.parquet(s"$base/vecs").select(col("vec_id"), col("se")))
+      .localCheckpoint() // corpus side AND query side read it
+    val cents = s.read.parquet(s"$base/cents")
+    val corpus = vecs.join(
+      s.read.parquet(s"$base/assign").select(col("vec_id"), col("cell")), "vec_id")
+    val probes = Similarity.assignCells(vecs.where(expr(queryPred)), cents, nProbe)
+      .select(col("vec_id").as("q_id"), col("se").as("qse"),
+        col("nrm").as("qnrm"), col("cent_id").as("cell"))
+    val scored = corpus.join(probes, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS neighbor_id",
+        "CAST(graft_dot(qse, se) AS DOUBLE) / (qnrm * nrm) AS cos_raw")
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("neighbor_id"))))
+      .where(col("rank") <= topK)
+      .withColumn("cos", Exact.fix(col("cos_raw"), 6))
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Drain the file-stream of vector batches through [[tick]]; resumes
+    * from the checkpoint after a crash, processing only unseen batches. */
+  private[graft] def runTicks(s: SparkSession, base: String, schema: StructType): Unit = {
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch((b: DataFrame, id: Long) => tick(s, b, id, base))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The reference's runtime shape (multi-tick incremental sync) applied
+    // to the ANN index: 3 arrival batches fold into the persisted stores
+    // (assign-only-the-batch), a re-train tick runs after the last one
+    // (the periodic maintenance a production IVF schedules), and probes
+    // are SERVED from the stores without any training. The oracle is the
+    // one-shot IVF SQL — rebuild equivalence is the driver-checked
+    // contract, exactly the IncrementalDedup pattern.
+    "q_llm_knn_ivf_incremental" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/ann_inc"
+      reset(base)
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      e.repartitionByRange(3, col("vec_id")).write.parquet(s"$base/src")
+      runTicks(s, base, e.schema)
+      retrain(s, base)
+      serve(s, base)
+    })
+
+  /** Identical to the one-shot IVF entry's SQL by design (rebuild
+    * equivalence after the re-train tick, driver-checked). */
+  def oracleSql: Map[String, String] = Map(
+    "q_llm_knn_ivf_incremental" -> Similarity.oracleSql("q_llm_knn_ivf"))
+}

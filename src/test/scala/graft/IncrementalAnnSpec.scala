@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.IncrementalAnn
+import graft.sinks.Sinks
+
+/** Persisted ANN index maintenance: rebuild equivalence after the
+  * re-train tick, crash-resume from the checkpoint, replay idempotence,
+  * and stale-centroid serving between re-trains — the four properties
+  * that make the entry's oracle (the one-shot IVF SQL) valid. */
+class IncrementalAnnSpec extends SparkSpec {
+
+  private val base = Sinks.tmpBase + "/spec_ann"
+
+  /** 30 deterministic embeddings-shaped vectors (vec_id, array<float>). */
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    (0 until 30).map { i =>
+      val emb = (0 until graft.llm.XHash.EmbDim)
+        .map(j => math.sin(i * 13 + j * 7).toFloat).toArray
+      (i.toLong, emb)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** One-shot truth: the registered IVF entry over the same vectors,
+    * via a temp table dir (the exact path the oracle also reads). */
+  private def oneShot(dir: String): Array[(Long, Int, Long, Double)] = {
+    import spark.implicits._
+    graft.llm.Similarity.queries("q_llm_knn_ivf")(spark, dir)
+      .as[(Long, Int, Long, Double)].collect()
+  }
+
+  test("incremental index equals one-shot across crash-resume, replay, and re-train") {
+    import spark.implicits._
+    IncrementalAnn.reset(base)
+    val d = corpus.localCheckpoint()
+    val tdir = Sinks.tmpBase + "/spec_ann_table"
+    Sinks.truncate(tdir)
+    d.write.parquet(s"$tdir/embeddings.parquet")
+    val truth = oneShot(tdir)
+
+    // arrival in 3 files; only the FIRST is present before the "crash"
+    def writeSlice(cond: org.apache.spark.sql.Column): Unit =
+      d.where(cond).coalesce(1).write.mode("append").parquet(s"$base/src")
+    writeSlice($"vec_id" < 10)
+    IncrementalAnn.runTicks(spark, base, d.schema) // tick 1, then "crash"
+    // between re-trains the index SERVES (bootstrap centroids are
+    // stale-but-useful): probes return ranked neighbors right away
+    assert(IncrementalAnn.serve(spark, base).count() > 0)
+    // resume: remaining batches arrive, SAME checkpoint picks up only them
+    writeSlice($"vec_id" >= 10 && $"vec_id" < 20)
+    writeSlice($"vec_id" >= 20)
+    IncrementalAnn.runTicks(spark, base, d.schema)
+    IncrementalAnn.retrain(spark, base)
+    val inc = IncrementalAnn.serve(spark, base)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(inc === truth, "re-trained incremental index must equal one-shot")
+
+    // at-least-once replay: re-folding an already-folded batch against
+    // the now-complete index must not change served results (keyed
+    // upserts + assignment against the final centroids)
+    IncrementalAnn.tick(spark, d.where($"vec_id" < 10), 0L, base)
+    val replayed = IncrementalAnn.serve(spark, base)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(replayed === truth, "replay must be idempotent")
+
+    // crash INSIDE retrain (after cents swap, before assign rebuild):
+    // re-running retrain heals — it re-derives everything
+    Sinks.truncate(s"$base/assign")
+    IncrementalAnn.retrain(spark, base)
+    val healed = IncrementalAnn.serve(spark, base)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(healed === truth, "retrain must be re-runnable after a crash")
+  }
+
+  test("fold tick re-assigns ONLY the batch; re-ingested vectors move cells") {
+    import spark.implicits._
+    val rbase = base + "_reingest"
+    IncrementalAnn.reset(rbase)
+    IncrementalAnn.tick(spark, corpus, 0L, rbase)
+    val before = spark.read.parquet(s"$rbase/assign")
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    // re-ingest vector 5 with vector 25's embedding: its stored cell must
+    // become 25's (assignment is content-determined, upsert replaces)
+    val moved = corpus.where($"vec_id" === 25L)
+      .select(lit(5L).as("vec_id"), $"embedding")
+    IncrementalAnn.tick(spark, moved, 1L, rbase)
+    val after = spark.read.parquet(s"$rbase/assign")
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    assert(after(5L) === before(25L), "re-ingested vector must land in its content's cell")
+    assert(after.filterNot(_._1 == 5L) === before.filterNot(_._1 == 5L),
+      "no other assignment may change")
+  }
+}
