@@ -55,10 +55,10 @@ import graft.util.Exact
   */
 object IncrementalAnn {
 
-  /** Wipe all per-entry state (stream source, stores, checkpoint). */
-  private[graft] def reset(base: String): Unit =
-    Seq("src", "vecs", "cents", "assign", "ckpt")
-      .foreach(p => Sinks.truncate(s"$base/$p"))
+  /** Wipe all per-entry state (stream source, stores, checkpoint).
+    * Wipes the dir itself: both index variants (IVF and LSH band-table)
+    * keep all state under their own base. */
+  private[graft] def reset(base: String): Unit = Sinks.truncate(base)
 
   private def scaled(batch: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(batch.sparkSession)
@@ -145,17 +145,72 @@ object IncrementalAnn {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Drain the file-stream of vector batches through [[tick]]; resumes
+  /** Drain the file-stream of vector batches through `tickFn`; resumes
     * from the checkpoint after a crash, processing only unseen batches. */
-  private[graft] def runTicks(s: SparkSession, base: String, schema: StructType): Unit = {
+  private[graft] def runTicks(s: SparkSession, base: String, schema: StructType,
+                              tickFn: (SparkSession, DataFrame, Long, String) => Unit = tick)
+      : Unit = {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch((b: DataFrame, id: Long) => tick(s, b, id, base))
+      .foreachBatch((b: DataFrame, id: Long) => tickFn(s, b, id, base))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  // --- LSH band-table store ----------------------------------------------
+  // The hyperplane-LSH variant of the persisted index. Unlike IVF, the
+  // "model" (the 32 Weyl-derived planes) is a CONSTANT: a vector's sign
+  // bucket never depends on the rest of the corpus, so the incremental
+  // story needs NO re-train tick at all — fold ticks are the whole
+  // maintenance surface, and the store equals the one-shot's bucketed
+  // corpus after any arrival order (the same corpus-independence argument
+  // as the MinHash band index, `IncrementalDedup`).
+
+  /** Sign-bit bucket over planes 0..3 — the same expression the one-shot
+    * q_llm_knn_lsh computes inline. */
+  private def withBucket(se: DataFrame): DataFrame =
+    se.selectExpr(Seq("vec_id", "se") ++
+        (0 until 4).map(p => s"IF(${sparkPlaneDot("se", p)} > 0L, 1, 0) AS bit$p"): _*)
+      .selectExpr("vec_id", "se", "concat_ws('', bit0, bit1, bit2, bit3) AS bucket")
+
+  /** Fold one arrival batch into the band-table store: bucket the batch
+    * (per-row compiled kernel work, corpus untouched) and keyed-merge.
+    * Idempotent per (batch, batchId). */
+  private[graft] def tickLsh(s: SparkSession, batch: DataFrame, batchId: Long,
+                             base: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val se = scaled(batch.select(col("vec_id"), col("embedding")))
+    Sinks.mergeByKeyBucket(s, s"$base/vecs",
+      withBucket(se).withColumn("_tick", lit(batchId)), "vec_id", Seq("_tick"))
+  }
+
+  /** Serve top-k from the band-table store: bucket equi-join of stored
+    * queries against the stored corpus, exact cosine re-rank. No model to
+    * load — the planes are compiled into the kernel. */
+  private[graft] def serveLsh(s: SparkSession, base: String,
+                              queryPred: String = "vec_id < 10",
+                              topK: Int = 3): DataFrame = {
+    Sinks.healBuckets(s"$base/vecs")
+    graft.functions.GraftFunctions.register(s)
+    val bucketed = s.read.parquet(s"$base/vecs")
+      .selectExpr("vec_id", "se", "bucket",
+        "sqrt(CAST(graft_dot(se, se) AS DOUBLE)) AS nrm")
+    val qs = bucketed.where(expr(queryPred))
+      .select(col("vec_id").as("q_id"), col("se").as("qse"),
+        col("nrm").as("qnrm"), col("bucket"))
+    val scored = bucketed.join(broadcast(qs), Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS neighbor_id",
+        "CAST(graft_dot(qse, se) AS DOUBLE) / (qnrm * nrm) AS cos_raw")
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("neighbor_id"))))
+      .where(col("rank") <= topK)
+      .withColumn("cos", Exact.fix(col("cos_raw"), 6))
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -174,10 +229,26 @@ object IncrementalAnn {
       runTicks(s, base, e.schema)
       retrain(s, base)
       serve(s, base)
+    },
+
+    // The band-table variant: same arrival stream, but the persisted
+    // index is the hyperplane-LSH bucket table — no re-train tick exists
+    // because the planes are constants (per-vector buckets are
+    // corpus-independent), so fold ticks alone maintain an index that is
+    // bit-identical to the one-shot bucketed corpus under any arrival
+    // order. Oracle = the one-shot LSH SQL.
+    "q_llm_knn_lsh_incremental" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/ann_lsh_inc"
+      reset(base)
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      e.repartitionByRange(3, col("vec_id")).write.parquet(s"$base/src")
+      runTicks(s, base, e.schema, tickLsh)
+      serveLsh(s, base)
     })
 
   /** Identical to the one-shot IVF entry's SQL by design (rebuild
     * equivalence after the re-train tick, driver-checked). */
   def oracleSql: Map[String, String] = Map(
-    "q_llm_knn_ivf_incremental" -> Similarity.oracleSql("q_llm_knn_ivf"))
+    "q_llm_knn_ivf_incremental" -> Similarity.oracleSql("q_llm_knn_ivf"),
+    "q_llm_knn_lsh_incremental" -> Similarity.oracleSql("q_llm_knn_lsh"))
 }

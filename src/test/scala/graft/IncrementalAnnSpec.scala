@@ -75,6 +75,33 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(healed === truth, "retrain must be re-runnable after a crash")
   }
 
+  test("LSH band-table store: fold-only maintenance equals one-shot across crash-resume") {
+    import spark.implicits._
+    val lbase = base + "_lsh"
+    IncrementalAnn.reset(lbase)
+    val d = corpus.localCheckpoint()
+    val tdir = Sinks.tmpBase + "/spec_ann_lsh_table"
+    Sinks.truncate(tdir)
+    d.write.parquet(s"$tdir/embeddings.parquet")
+    val truth = graft.llm.Similarity.queries("q_llm_knn_lsh")(spark, tdir)
+      .as[(Long, Int, Long, Double)].collect()
+
+    def writeSlice(cond: org.apache.spark.sql.Column): Unit =
+      d.where(cond).coalesce(1).write.mode("append").parquet(s"$lbase/src")
+    writeSlice($"vec_id" < 12)
+    IncrementalAnn.runTicks(spark, lbase, d.schema, IncrementalAnn.tickLsh) // then "crash"
+    writeSlice($"vec_id" >= 12)
+    IncrementalAnn.runTicks(spark, lbase, d.schema, IncrementalAnn.tickLsh)
+    // NO retrain exists for this index — fold ticks are the whole
+    // maintenance surface (plane signatures are corpus-independent)
+    val inc = IncrementalAnn.serveLsh(spark, lbase).as[(Long, Int, Long, Double)].collect()
+    assert(inc === truth, "band-table store must equal one-shot LSH")
+    // replay idempotence
+    IncrementalAnn.tickLsh(spark, d.where($"vec_id" < 12), 0L, lbase)
+    val replayed = IncrementalAnn.serveLsh(spark, lbase).as[(Long, Int, Long, Double)].collect()
+    assert(replayed === truth, "replay must be idempotent")
+  }
+
   test("fold tick re-assigns ONLY the batch; re-ingested vectors move cells") {
     import spark.implicits._
     val rbase = base + "_reingest"
