@@ -23,6 +23,9 @@ object Curation {
   /** Context length for concat-and-chop packing (whitespace tokens). */
   val CtxLen = 512L
 
+  /** Frequency cap: max docs kept per (source, lang) group. */
+  val CapPerGroup = 10L
+
   /** Per-source mixture weights (a config literal in a real pipeline;
     * here a deterministic ramp over the test corpus's src0..src19 that
     * sums to 1). Both engines consume the same Scala Doubles — Spark via
@@ -103,6 +106,90 @@ object Curation {
           col("weight"),
           Exact.fix(col("rep_raw"), 6).as("repetition_factor"))
         .orderBy(col("source"))
+    },
+
+    // Intra-document repetition scoring (Gopher-style quality rules): the
+    // filter that catches looping/boilerplate generators the CROSS-doc
+    // dedup suite can't see. Per doc: repeated-word fraction
+    // (1 - distinct/total tokens) and repeated-3-gram fraction over the
+    // shingle hashes; verdicts in integer arithmetic (no float
+    // thresholds). Pure per-row array built-ins — one scan, no joins, no
+    // explode; the cheapest possible shape at 100 TB.
+    "q_llm_repetition" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      docs(s, dir)
+        .selectExpr("doc_id", "split(text, ' ') AS t",
+          s"${sparkWordHashes("text")} AS wh")
+        .selectExpr("doc_id",
+          "size(t) AS n_tok", "size(array_distinct(t)) AS n_uniq",
+          s"IF(size(wh) >= 3, ${sparkShingles("wh")}, array()) AS sh")
+        .selectExpr("doc_id", "n_tok", "n_uniq",
+          "size(sh) AS n_sh", "size(array_distinct(sh)) AS n_sh_uniq")
+        .selectExpr("doc_id", "n_tok", "n_uniq", "n_sh", "n_sh_uniq",
+          "CAST(n_tok - n_uniq AS DOUBLE) / n_tok AS repw_raw",
+          "IF(n_sh > 0, CAST(n_sh - n_sh_uniq AS DOUBLE) / n_sh, CAST(0 AS DOUBLE)) AS rep3_raw",
+          // repeated when >= 1/2 of words repeat OR >= 1/5 of 3-grams
+          "CASE WHEN 2 * (n_tok - n_uniq) >= n_tok THEN 'repetitive' " +
+            "WHEN n_sh > 0 AND 5 * (n_sh - n_sh_uniq) >= n_sh THEN 'looping' " +
+            "ELSE 'ok' END AS verdict")
+        .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+          col("n_sh"), col("n_sh_uniq"),
+          Exact.fix(col("repw_raw"), 6).as("rep_word_ratio"),
+          Exact.fix(col("rep3_raw"), 6).as("rep_3gram_ratio"),
+          col("verdict"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic stratified sampling toward the mixture weights: keep
+    // probability per source = 5x its weight (2%..48% across src0..19),
+    // decided by a salted doc-id hash — reproducible across engines,
+    // cluster sizes, and runs; new docs never flip old keep decisions
+    // (the same property as the split). One scan + one agg. The hash is
+    // the md5-based wordHash, NOT the rolling charhash: a polynomial
+    // rolling hash maps consecutive ids to consecutive values (runs of
+    // ~10 share a prefix), so `h < threshold` quantizes kept-rates
+    // instead of tracking the per-source weights — measured: every
+    // source kept exactly 5/25 under charhash vs a proper 2%..48% ramp
+    // under md5. (The split entry's `% 100` over the rolling hash is
+    // immune: consecutive ids sweep all residues uniformly.)
+    "q_llm_sample_stratified" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val thresholds = mixtureWeights
+        .map { case (src, w) => (src, math.floor(w * 50000.0).toLong) }
+        .toDF("source", "keep_below")
+      docs(s, dir)
+        .selectExpr("source", "doc_id", "size(split(text, ' ')) AS n_tok",
+          s"${sparkWordHash("concat('samp-v1:', CAST(doc_id AS STRING))")} % 10000 AS h")
+        .join(broadcast(thresholds), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("IF(h < keep_below, 1, 0)")).as("n_kept"),
+          sum(expr("IF(h < keep_below, n_tok, 0)")).as("kept_tokens"))
+        .selectExpr("source", "n_docs", "n_kept", "kept_tokens",
+          "CAST(n_kept AS DOUBLE) / n_docs AS rate_raw")
+        .select(col("source"), col("n_docs"), col("n_kept"), col("kept_tokens"),
+          Exact.fix(col("rate_raw"), 6).as("kept_rate"))
+        .orderBy(col("source"))
+    },
+
+    // Per-group frequency cap: keep at most CapPerGroup docs per
+    // (source, lang), smallest doc_ids win (deterministic) — the
+    // over-represented-host capping every crawl pipeline runs. The
+    // row_number window partitions by the group key, so the shuffle is
+    // one hash exchange on (source, lang) and the cap is applied
+    // map-side-after-sort within each partition; Spark's
+    // WindowGroupLimit pushes the rank<=K filter below the final sort.
+    "q_llm_cap_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy(col("source"), col("lang")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .selectExpr("source", "lang", "doc_id", "size(split(text, ' ')) AS n_tok")
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr(s"IF(rn <= $CapPerGroup, 1, 0)")).as("n_kept"),
+          sum(expr(s"IF(rn <= $CapPerGroup, n_tok, 0)")).as("kept_tokens"))
+        .orderBy(col("source"), col("lang"))
     })
 
   def oracleSql: Map[String, String] = {
@@ -165,6 +252,59 @@ object Curation {
              w.weight,
              ${Exact.sqlFix("w.weight * total_tokens / per.tokens", 6)} AS repetition_factor
       FROM per JOIN w USING (source) CROSS JOIN tot
-      ORDER BY per.source""")
+      ORDER BY per.source""",
+
+      "q_llm_repetition" -> s"""
+      WITH b AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               ${duckWordHashes("text")} AS wh
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               CAST(len(t) AS INT) AS n_tok,
+               CAST(len(list_distinct(t)) AS INT) AS n_uniq,
+               CASE WHEN len(wh) >= 3 THEN ${duckShingles("wh")}
+                    ELSE CAST([] AS BIGINT[]) END AS sh
+        FROM b),
+      d AS (
+        SELECT doc_id, n_tok, n_uniq,
+               CAST(len(sh) AS INT) AS n_sh,
+               CAST(len(list_distinct(sh)) AS INT) AS n_sh_uniq
+        FROM c)
+      SELECT doc_id, n_tok, n_uniq, n_sh, n_sh_uniq,
+             ${Exact.sqlFix("CAST(n_tok - n_uniq AS DOUBLE) / n_tok", 6)} AS rep_word_ratio,
+             ${Exact.sqlFix("CASE WHEN n_sh > 0 THEN CAST(n_sh - n_sh_uniq AS DOUBLE) / n_sh ELSE CAST(0 AS DOUBLE) END", 6)} AS rep_3gram_ratio,
+             CASE WHEN 2 * (n_tok - n_uniq) >= n_tok THEN 'repetitive'
+                  WHEN n_sh > 0 AND 5 * (n_sh - n_sh_uniq) >= n_sh THEN 'looping'
+                  ELSE 'ok' END AS verdict
+      FROM d ORDER BY doc_id""",
+
+      "q_llm_sample_stratified" -> {
+        val thresholdValues = mixtureWeights
+          .map { case (src, w) => s"('$src', ${math.floor(w * 50000.0).toLong})" }
+          .mkString(", ")
+        s"""
+      WITH th(source, keep_below) AS (VALUES $thresholdValues),
+      b AS (
+        SELECT source, len(string_split(text, ' ')) AS n_tok,
+               ${duckWordHash("concat('samp-v1:', CAST(doc_id AS VARCHAR))")} % 10000 AS h
+        FROM documents)
+      SELECT b.source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN h < keep_below THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN h < keep_below THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+             ${Exact.sqlFix("CAST(sum(CASE WHEN h < keep_below THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS kept_rate
+      FROM b JOIN th USING (source)
+      GROUP BY b.source ORDER BY b.source"""
+      },
+
+      "q_llm_cap_per_group" -> s"""
+      WITH b AS (
+        SELECT source, lang, doc_id, len(string_split(text, ' ')) AS n_tok,
+               row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+        FROM documents)
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN rn <= $CapPerGroup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN rn <= $CapPerGroup THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM b GROUP BY source, lang ORDER BY source, lang""")
   }
 }

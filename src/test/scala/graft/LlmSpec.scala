@@ -194,6 +194,34 @@ class LlmSpec extends SparkSpec {
     assert(v(2L) === "clean")
   }
 
+  test("repetition verdicts: all three bands fire on handcrafted docs") {
+    import spark.implicits._
+    import graft.llm.XHash
+    // ok: all-distinct words. repetitive: one word is >= half the tokens
+    // (word arm, checked first). looping: a 4-word cycle repeated 2.5x +
+    // unique tail — 14 tokens / 8 uniq keeps the word arm SILENT
+    // (2*6 < 14), while 4 of 12 shingles repeat (5*4 >= 12) -> looping.
+    val d = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "spam spam spam spam eggs"),
+      (3L, "a b c d a b c d a b e f g h")).toDF("doc_id", "text")
+    graft.functions.GraftFunctions.register(spark)
+    val v = d
+      .selectExpr("doc_id", "split(text, ' ') AS t", s"${XHash.sparkWordHashes("text")} AS wh")
+      .selectExpr("doc_id", "size(t) AS n_tok", "size(array_distinct(t)) AS n_uniq",
+        s"IF(size(wh) >= 3, ${XHash.sparkShingles("wh")}, array()) AS sh")
+      .selectExpr("doc_id", "n_tok", "n_uniq", "size(sh) AS n_sh",
+        "size(array_distinct(sh)) AS n_sh_uniq")
+      .selectExpr("doc_id",
+        "CASE WHEN 2 * (n_tok - n_uniq) >= n_tok THEN 'repetitive' " +
+          "WHEN n_sh > 0 AND 5 * (n_sh - n_sh_uniq) >= n_sh THEN 'looping' " +
+          "ELSE 'ok' END AS verdict")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(1L) === "ok")
+    assert(v(2L) === "repetitive")
+    assert(v(3L) === "looping")
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
