@@ -549,14 +549,17 @@ object Dedup {
     // MinHash-LSH above is the generic fuzzy-pair generator.
     )
 
-  def oracleSql: Map[String, String] = {
-    val sigExprs = (0 until K).map(k => s"${duckMinhash("sh", k)} AS m$k").mkString(",\n               ")
-    val bandUnion = (0 until Bands).map { bd =>
-      val ms = (0 until RowsPerBand).map(r => s"m${bd * RowsPerBand + r}").mkString(", ")
-      s"SELECT doc_id, $bd AS band_idx, concat_ws('_', $ms) AS band_key FROM sig"
-    }.mkString("\n        UNION ALL ")
-    // Mirror of minhashCandidatesOf: distinct band-bucket candidate pairs.
-    def candCtes(src: String): String = s"""
+  private val sigExprs =
+    (0 until K).map(k => s"${duckMinhash("sh", k)} AS m$k").mkString(",\n               ")
+  private val bandUnion = (0 until Bands).map { bd =>
+    val ms = (0 until RowsPerBand).map(r => s"m${bd * RowsPerBand + r}").mkString(", ")
+    s"SELECT doc_id, $bd AS band_idx, concat_ws('_', $ms) AS band_key FROM sig"
+  }.mkString("\n        UNION ALL ")
+
+  // Mirror of minhashCandidatesOf: distinct band-bucket candidate pairs.
+  // Object-level (not local to oracleSql) so [[IncrementalDedup]] can build
+  // its equivalence oracles over a filtered corpus CTE.
+  private[llm] def candCtes(src: String): String = s"""
       ${duckShingleCtes(src)},
       sig AS (
         SELECT doc_id, $sigExprs
@@ -568,13 +571,14 @@ object Dedup {
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id)"""
-    // Mirror of minhashVerifiedPairsOf: candidates verified by exact
-    // Jaccard >= 0.5 over the stop-shingle-capped universe (doc frequency
-    // <= greatest(MaxDf, N // MaxDfRatio), the same corpus-relative cap
-    // the Spark side computes — the scalar subquery mirrors
-    // corpusCountOf, and DuckDB's `//` truncates toward zero on the
-    // non-negative count exactly like Spark's DIV).
-    def verifiedPairCtes(src: String): String = s"""
+
+  // Mirror of minhashVerifiedPairsOf: candidates verified by exact
+  // Jaccard >= 0.5 over the stop-shingle-capped universe (doc frequency
+  // <= greatest(MaxDf, N // MaxDfRatio), the same corpus-relative cap
+  // the Spark side computes — the scalar subquery mirrors
+  // corpusCountOf, and DuckDB's `//` truncates toward zero on the
+  // non-negative count exactly like Spark's DIV).
+  private[llm] def verifiedPairCtes(src: String): String = s"""
       ${candCtes(src)},
       ex AS (SELECT doc_id, unnest(shd) AS sg FROM shing),
       dfreq AS (SELECT sg, count(*) AS f FROM ex GROUP BY sg),
@@ -592,6 +596,8 @@ object Dedup {
         JOIN szs sa ON sa.doc_id = c.doc_a
         JOIN szs sb ON sb.doc_id = c.doc_b
         WHERE 2 * co.i >= sa.n + sb.n - co.i)"""
+
+  def oracleSql: Map[String, String] = {
     val simhashSums = (0 until 32)
       .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n               ")
     val simhashVal = (0 until 32)

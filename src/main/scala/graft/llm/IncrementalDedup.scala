@@ -110,7 +110,9 @@ object IncrementalDedup {
     // store: a re-crawl that shrinks a doc below 3 tokens must still win
     // its doc_id (its pairs then cannot verify — current content has no
     // shingles), or verification would silently score the STALE text.
+    // `_del` is the tombstone flag [[forgetTick]] sets; arrivals are live.
     b.select(col("doc_id")).withColumn("_tick", lit(batchId))
+      .withColumn("_del", lit(false))
       .write.mode("overwrite").parquet(s"$base/docs/batch_$batchId")
     // band-index upsert LAST: a crash anywhere above replays the whole
     // batch against an index that does not yet contain it. Keyed by
@@ -119,6 +121,37 @@ object IncrementalDedup {
     Sinks.mergeByKeyBucket(s, bandStore,
       bandsNew.withColumn("bkey", col("doc_id") * Bands + col("band_idx")),
       "bkey", Seq("band_key"))
+  }
+
+  /** Right-to-be-forgotten: purge `deleted` doc_ids from the live index.
+    * Two writes, both idempotent:
+    *  1. a TOMBSTONE manifest batch (`_del = true`) at `tickId`, which must
+    *     exceed every arrival tick so the tombstone wins per-doc latest-
+    *     tick resolution — the doc then resolves to "no current content",
+    *     exactly like a re-crawl below shingle length, and is excluded
+    *     from the corpus count, the df universe, and every verified pair;
+    *  2. a keyed delete of the doc's [[XHash.Bands]] band rows from the
+    *     live band store ([[Sinks.deleteByKeyBucket]] — touched-bucket
+    *     rewrite only), so FUTURE arrival ticks generate no candidates
+    *     against the forgotten doc. The delete list is tiny relative to
+    *     the corpus; at 100 TB the rewrite cost is |deleted| × Bands rows
+    *     hashed into a few buckets, never a table scan.
+    * Shingle-store batches are left in place (append-only history); they
+    * are unreachable once the tombstone wins the manifest, and a later
+    * [[Sinks.compactBuckets]]-style retention pass can drop them.
+    * Accumulated candidate pairs touching the doc die in verification
+    * (its current shingle set is empty), so `verifyAccumulated` equals the
+    * one-shot pipeline over the corpus WITHOUT the forgotten docs. */
+  private[graft] def forgetTick(s: SparkSession, base: String,
+                                deleted: DataFrame, tickId: Long): Unit = {
+    val ids = deleted.select(col("doc_id"))
+    ids.withColumn("_tick", lit(tickId)).withColumn("_del", lit(true))
+      .write.mode("overwrite").parquet(s"$base/docs/batch_$tickId")
+    val bandKeys = ids
+      .select(explode(array((0 until Bands).map(lit): _*)).as("band_idx"),
+        col("doc_id"))
+      .select((col("doc_id") * Bands + col("band_idx")).as("bkey"))
+    Sinks.deleteByKeyBucket(s, s"$base/bands", bandKeys, "bkey")
   }
 
   /** Drain the file-stream of document batches through [[tick]]; resumes
@@ -156,8 +189,15 @@ object IncrementalDedup {
     // live index as candidate noise; verification always filters on
     // current content, so that costs recall nothing and precision only
     // candidates, never results.)
+    // per-doc winner = the row with the max tick; its `_del` decides
+    // whether the doc is still part of the corpus (a tombstone from
+    // [[forgetTick]] always carries the highest tick, so a forgotten doc
+    // resolves to "deleted" and drops out of count, df, and pairs)
     val latest = s.read.parquet(s"$base/docs/batch_*")
-      .groupBy(col("doc_id")).agg(max(col("_tick")).as("_tick"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("_tick"), col("_del"))).as("w"))
+      .where(!col("w._del"))
+      .select(col("doc_id"), col("w._tick").as("_tick"))
     val sg = sgAll.join(latest, Seq("doc_id", "_tick"))
       .select(col("doc_id"), col("sg"))
     val dfreq = sg.groupBy(col("sg")).agg(count(lit(1)).as("f"))
@@ -188,10 +228,35 @@ object IncrementalDedup {
       // is the pass that keeps per-bucket file counts bounded)
       Sinks.compactBuckets(s, s"$base/bands")
       verifyAccumulated(s, base)
+    },
+
+    // Right-to-be-forgotten over the same store: build the index with 3
+    // arrival ticks, then purge a deterministic delete list (doc_id % 7 =
+    // 3 — a GDPR request hitting ~14% of the corpus) via [[forgetTick]]:
+    // tombstone the manifest + keyed-delete the live band rows. The oracle
+    // is the ONE-SHOT pipeline over the KEPT corpus — equivalence proves
+    // the deletion propagated through count, df universe, candidates, and
+    // verification, not just the manifest.
+    "q_llm_forget" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/neardup_forget"
+      reset(base)
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.repartitionByRange(3, col("doc_id")).write.parquet(s"$base/src")
+      runTicks(s, base, d.schema)
+      forgetTick(s, base, d.where(col("doc_id") % 7 === 3), tickId = 1L << 40)
+      verifyAccumulated(s, base)
     })
 
   /** Identical to the one-shot entry's SQL by design (SURVEY §5.2
-    * incremental-equals-batch equivalence, driver-checked). */
+    * incremental-equals-batch equivalence, driver-checked); the forget
+    * entry's oracle is the same SQL over the kept (non-deleted) corpus. */
   def oracleSql: Map[String, String] = Map(
-    "q_llm_dedup_incremental" -> Dedup.oracleSql("q_llm_dedup_minhash_lsh"))
+    "q_llm_dedup_incremental" -> Dedup.oracleSql("q_llm_dedup_minhash_lsh"),
+    "q_llm_forget" -> s"""
+      WITH kept AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+      ${Dedup.verifiedPairCtes("kept")}
+      SELECT doc_a, doc_b,
+             CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+      FROM vpairs
+      ORDER BY doc_a, doc_b""")
 }

@@ -107,6 +107,46 @@ object TextAnalysis {
         .withColumn("n_same_fp", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
         .orderBy(col("doc_id"))
+    },
+
+    // Statistical-LM quality filter (the CCNet / Wikipedia-LM perplexity
+    // stage): train an add-1-smoothed bigram LM on the corpus itself, then
+    // score each doc by average negative log-likelihood — boilerplate and
+    // fluent text score low, token soup scores high. Everything is counts
+    // (bigram/context/vocab) + one ln() per DISTINCT (doc, bigram), with
+    // the log terms converted to scaled longs BEFORE the per-doc sum so
+    // aggregation is partition-order-independent and the oracle matches
+    // bit-for-bit. Scale shape: one token scan, per-doc bigram multiset
+    // agg (map-side combinable), two slim count tables joined back on
+    // long keys, one per-doc agg — no self-joins, no windows, no driver.
+    "q_llm_lm_score" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val toks = docs(s, dir)
+        .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
+        .where(expr("size(wh) >= 2"))
+      // per-doc bigram multiset: (doc_id, h1, h2, m) — the repeated-bigram
+      // collapse cuts both count-table inputs and the join fan-in
+      val bgd = toks.selectExpr("doc_id",
+          "explode(transform(sequence(1, size(wh) - 1), i -> " +
+            "named_struct('h1', element_at(wh, i), 'h2', element_at(wh, i + 1)))) AS bg")
+        .groupBy(col("doc_id"), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+        .agg(count(lit(1)).as("m"))
+      val c2 = bgd.groupBy(col("h1"), col("h2")).agg(sum(col("m")).as("c2"))
+      val c1 = bgd.groupBy(col("h1")).agg(sum(col("m")).as("c1"))
+      val vocab = toks.selectExpr("explode(wh) AS h")
+        .agg(countDistinct(col("h")).as("v"))
+      val per = bgd.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("t6",
+          Exact.scaled(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))), 6))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m") * col("t6")).as("s6"), sum(col("m")).as("nb"))
+      per.select(col("doc_id"), col("nb").as("n_bigrams"),
+          ((-col("s6")).cast("double") / col("nb") / lit(1000000.0)).as("avg_nll"),
+          Exact.fix(exp((-col("s6")).cast("double") / col("nb") / lit(1000000.0)), 4).as("ppl"),
+          // keep/drop on the exact integers: avg_nll > 7 nats (ppl ~1100)
+          expr("CASE WHEN -s6 > 7000000 * nb THEN 'drop' ELSE 'keep' END").as("verdict"))
+        .orderBy(col("doc_id"))
     })
 
   def oracleSql: Map[String, String] = {
@@ -179,6 +219,35 @@ object TextAnalysis {
                ${duckCharHash("substring(text, 1, 64)")} AS fp_prefix
         FROM documents)
       SELECT doc_id, fp, fp_prefix, count(*) OVER (PARTITION BY fp) AS n_same_fp
-      FROM fp ORDER BY doc_id""")
+      FROM fp ORDER BY doc_id""",
+
+      // mirror of q_llm_lm_score: identical counts, identical ln()
+      // argument (the double division (c2+1.0)/(c1+v) on identical
+      // integer inputs), scaled to longs before any aggregation
+      "q_llm_lm_score" -> s"""
+      WITH toks AS (
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
+      t2 AS (SELECT doc_id, wh FROM toks WHERE len(wh) >= 2),
+      bg AS (
+        SELECT doc_id, unnest(wh[1:len(wh)-1]) AS h1, unnest(wh[2:len(wh)]) AS h2
+        FROM t2),
+      bgd AS (SELECT doc_id, h1, h2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+      c2 AS (SELECT h1, h2, CAST(sum(m) AS BIGINT) AS c2 FROM bgd GROUP BY 1, 2),
+      c1 AS (SELECT h1, CAST(sum(m) AS BIGINT) AS c1 FROM bgd GROUP BY 1),
+      vocab AS (
+        SELECT count(DISTINCT h) AS v FROM (SELECT unnest(wh) AS h FROM t2)),
+      terms AS (
+        SELECT doc_id, m,
+               ${Exact.sqlScaled("ln((c2 + 1.0) / (c1 + v))", 6)} AS t6
+        FROM bgd JOIN c2 USING (h1, h2) JOIN c1 USING (h1), vocab),
+      per AS (
+        SELECT doc_id, CAST(sum(m * t6) AS BIGINT) AS s6,
+               CAST(sum(m) AS BIGINT) AS nb
+        FROM terms GROUP BY doc_id)
+      SELECT doc_id, nb AS n_bigrams,
+             CAST(-s6 AS DOUBLE) / nb / 1000000.0 AS avg_nll,
+             ${Exact.sqlFix("exp(CAST(-s6 AS DOUBLE) / nb / 1000000.0)", 4)} AS ppl,
+             CASE WHEN -s6 > 7000000 * nb THEN 'drop' ELSE 'keep' END AS verdict
+      FROM per ORDER BY doc_id""")
   }
 }

@@ -143,11 +143,40 @@ object Sinks {
     }
   }
 
+  /** Keyed DELETE from a [[mergeByKeyBucket]] store: remove every row whose
+    * `key` appears in `keys`, rewriting only the touched buckets (same
+    * crash-safe two-rename swap as the merge). The GDPR / right-to-be-
+    * forgotten primitive: at 100 TB a delete list of any size costs only
+    * the buckets it hashes into, never a full-table rewrite. Idempotent —
+    * replaying a delete finds no matching keys and rewrites the same
+    * (already-clean) buckets. A bucket whose rows are all deleted is
+    * dropped from the store (readers of `dest` see the remaining buckets;
+    * partition discovery needs no placeholder). */
+  def deleteByKeyBucket(s: SparkSession, dest: String, keys: DataFrame,
+                        key: String): Unit = {
+    if (!Files.exists(Paths.get(dest))) return
+    healBuckets(dest)
+    val n = storedBucketCount(dest).getOrElse(16)
+    val del = keys.select(col(key)).distinct()
+      .withColumn("_bucket", pmod(col(key), lit(n)).cast("int"))
+    val touched = del.select(col("_bucket")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    if (touched.isEmpty) return
+    val remaining = s.read.parquet(dest)
+      .where(col("_bucket").isin(touched: _*))
+      .join(del.select(col(key)), Seq(key), "left_anti")
+    stageAndSwap(s, dest, remaining, touched, dropMissing = true)
+  }
+
   /** Write `df` (which carries an int `_bucket` column) to the store's
     * staging dir, then swap each touched bucket live with the crash-safe
-    * two-rename pattern (see [[mergeByKeyBucket]]'s scaladoc). */
+    * two-rename pattern (see [[mergeByKeyBucket]]'s scaladoc).
+    * `dropMissing`: a touched bucket with NO staged output (every row
+    * deleted) is removed from the live store instead of left stale —
+    * the delete path sets it; merge/compact paths never shrink a bucket
+    * to zero rows, so for them a missing staged dir means untouched. */
   private def stageAndSwap(s: SparkSession, dest: String, df: DataFrame,
-                           touched: Seq[Int]): Unit = {
+                           touched: Seq[Int], dropMissing: Boolean = false): Unit = {
     val staging = s"$dest/_merge_staging"
     deleteRec(staging)
     df.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
@@ -161,6 +190,8 @@ object Sinks {
           Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
         Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
         deleteRec(old.toString)
+      } else if (dropMissing && Files.exists(live)) {
+        deleteRec(live.toString)
       }
     }
     deleteRec(staging)
@@ -220,6 +251,101 @@ object Sinks {
           col("_bucket"))
       stageAndSwap(s, dest, df, oversized)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Versioned commit-log store (time travel). The reference's store keeps
+  // only the latest row per key (`git_etl.ts:127-132`); a training-data
+  // pipeline also needs "what did the table look like at version V" —
+  // reproducing the exact corpus a model was trained on. Merge-on-read:
+  // each commit is an immutable keyed delta dir `delta_v=N` (staged +
+  // atomic rename = the commit point), and a snapshot read resolves each
+  // key to its highest version <= V. Version listing is directory
+  // METADATA (one fs listing, never a data scan), so pruning newer
+  // versions costs nothing at 100 TB; periodic [[compactVersions]] folds
+  // old deltas into a materialized `base_v=N` snapshot so read fan-in
+  // stays bounded (the retention horizon moves up to N).
+  // ---------------------------------------------------------------------
+
+  private def versionsOf(store: String, prefix: String): Seq[Long] = {
+    val d = Paths.get(store)
+    if (!Files.exists(d)) Nil
+    else {
+      val listing = Files.list(d)
+      try listing.iterator().asScala.toList
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(prefix + "="))
+        .map(_.stripPrefix(prefix + "=").toLong)
+      finally listing.close()
+    }
+  }
+
+  /** Highest committed version, or None for an empty store. */
+  def latestVersion(store: String): Option[Long] =
+    (versionsOf(store, "delta_v") ++ versionsOf(store, "base_v"))
+      .maxOption
+
+  /** Append `batch` (keyed by `key`; duplicate keys within the batch are
+    * collapsed arbitrarily-last) as the next version. The staged-dir
+    * rename IS the commit: a crash before it leaves only an invisible
+    * `.staging` dir (cleaned on the next commit attempt), never a
+    * half-visible version. Returns the committed version number. */
+  def commitVersion(s: SparkSession, store: String, batch: DataFrame,
+                    key: String): Long = {
+    Files.createDirectories(Paths.get(store))
+    val v = latestVersion(store).map(_ + 1).getOrElse(0L)
+    val stage = s"$store/.staging_delta_$v"
+    deleteRec(stage)
+    batch.dropDuplicates(key).withColumn("_v", lit(v)).write.parquet(stage)
+    Files.move(Paths.get(stage), Paths.get(s"$store/delta_v=$v"),
+      StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** The table as of version `v`: union the base snapshot at or below `v`
+    * (if compaction produced one) with every delta in scope, then resolve
+    * each key to its highest `_v`. Tolerates compaction crash leftovers
+    * by construction: a delta at or below the base's version only
+    * re-offers rows the base's winners already supersede, so including it
+    * changes nothing (resolution is idempotent) — no repair step needed
+    * before reads. Versions below the compaction horizon are gone;
+    * asking for one is an error, not a silently-wrong answer. */
+  def snapshotAt(s: SparkSession, store: String, v: Long, key: String): DataFrame = {
+    val baseV = versionsOf(store, "base_v").filter(_ <= v).maxOption
+    val deltas = versionsOf(store, "delta_v").filter(_ <= v)
+    require(baseV.nonEmpty || deltas.contains(0L),
+      s"version $v predates the compaction horizon of $store")
+    val paths = baseV.map(b => s"$store/base_v=$b").toSeq ++
+      deltas.map(d => s"$store/delta_v=$d")
+    if (paths.isEmpty) throw new IllegalArgumentException(s"empty store $store")
+    val all = s.read.parquet(paths: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("_v").desc)
+    all.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Fold every delta at or below `upTo` into a materialized base
+    * snapshot `base_v=upTo`, then drop the folded deltas and any older
+    * base. Reads at versions > `upTo` are unaffected (they resolve
+    * base + remaining deltas); versions < `upTo` become unreadable —
+    * compaction IS the retention policy. Crash-safe: the base rename
+    * lands before any delta is deleted, and until the deletes finish a
+    * lingering delta is harmless to [[snapshotAt]] (see its scaladoc),
+    * so the next compaction simply finishes the cleanup. */
+  def compactVersions(s: SparkSession, store: String, upTo: Long,
+                      key: String): Unit = {
+    val snap = snapshotAt(s, store, upTo, key)
+    val stage = s"$store/.staging_base_$upTo"
+    deleteRec(stage)
+    snap.write.parquet(stage)
+    val dest = Paths.get(s"$store/base_v=$upTo")
+    deleteRec(dest.toString)
+    Files.move(Paths.get(stage), dest, StandardCopyOption.ATOMIC_MOVE)
+    versionsOf(store, "delta_v").filter(_ <= upTo)
+      .foreach(d => deleteRec(s"$store/delta_v=$d"))
+    versionsOf(store, "base_v").filter(_ < upTo)
+      .foreach(b => deleteRec(s"$store/base_v=$b"))
   }
 
   /** Restore any bucket whose live dir vanished between mergeByKeyBucket's
@@ -357,6 +483,31 @@ object Sinks {
         org.apache.spark.sql.types.StructField("max_ts", org.apache.spark.sql.types.TimestampType),
         org.apache.spark.sql.types.StructField("sum_value", org.apache.spark.sql.types.DoubleType)))
       s.createDataFrame(java.util.Arrays.asList(row), schema)
+    },
+
+    // Time travel: three commits (full load, then two keyed update
+    // waves), compaction folding v0+v1 into a base snapshot, then reads
+    // at v1 (served by the base alone) and v2 (base + one delta) — the
+    // "reproduce the corpus a model was trained on" read. Both snapshots
+    // are aggregated with a literal `version` tag so one result exercises
+    // both read paths; the oracle replays the update waves relationally.
+    "q_sink_time_travel" -> { (s, dir) =>
+      val store = s"$tmpBase/orders_versioned"
+      deleteRec(store)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey").as("val"))
+      commitVersion(s, store, orders, "o_orderkey")                     // v0
+      commitVersion(s, store, orders.where(col("o_orderkey") % 3 === 0) // v1
+        .withColumn("val", col("val") + 1000000L), "o_orderkey")
+      commitVersion(s, store, orders.where(col("o_orderkey") % 5 === 0) // v2
+        .withColumn("val", lit(-1L)), "o_orderkey")
+      compactVersions(s, store, upTo = 1L, key = "o_orderkey")
+      def agg(v: Long) = snapshotAt(s, store, v, "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
+        .withColumn("version", lit(v).cast("int"))
+      agg(1L).unionByName(agg(2L))
+        .orderBy(col("version"), col("o_orderstatus"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -396,5 +547,29 @@ object Sinks {
     "q_sink_observe_metrics" -> s"""
       SELECT count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts,
              ${sqlSumFix("value", 2)} AS sum_value
-      FROM events""")
+      FROM events""",
+
+    // v1 = base load with the %3 update wave applied; v2 additionally
+    // applies the %5 wave (which wins over %3 on keys divisible by 15 —
+    // higher version per key)
+    "q_sink_time_travel" -> """
+      WITH v1 AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS val
+        FROM orders),
+      v2 AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN -1
+                    WHEN o_orderkey % 3 = 0 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS val
+        FROM orders)
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(val) AS BIGINT) AS sum_val, 1 AS version
+      FROM v1 GROUP BY o_orderstatus
+      UNION ALL
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(val) AS BIGINT) AS sum_val, 2 AS version
+      FROM v2 GROUP BY o_orderstatus
+      ORDER BY version, o_orderstatus""")
 }

@@ -85,4 +85,75 @@ class IncrementalDedupSpec extends SparkSpec {
       Seq((1L, "hi")).toDF("doc_id", "text"), 2L, rbase)
     assert(IncrementalDedup.verifyAccumulated(spark, rbase).count() === 0)
   }
+
+  test("forgetTick purges a doc from results AND the live band index") {
+    import spark.implicits._
+    val fbase = base + "_forget"
+    IncrementalDedup.reset(fbase)
+    val t1 = "shared template alpha beta gamma delta one two three four"
+    val t2 = "other template epsilon zeta eta theta five six seven eight"
+    // docs 1=2 and 3=4 are dup pairs; doc 5 unrelated
+    IncrementalDedup.tick(spark, Seq(
+      (1L, t1), (2L, t1), (3L, t2), (4L, t2),
+      (5L, "independent body q w e r t y u i o p")).toDF("doc_id", "text"),
+      0L, fbase)
+    assert(IncrementalDedup.verifyAccumulated(spark, fbase)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted
+      === Seq((1L, 2L), (3L, 4L)))
+
+    // forget doc 2: its pair disappears, 3-4 survives
+    IncrementalDedup.forgetTick(spark, fbase, Seq(2L).toDF("doc_id"), 100L)
+    assert(IncrementalDedup.verifyAccumulated(spark, fbase)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted
+      === Seq((3L, 4L)))
+    // the LIVE index no longer holds any band row for doc 2 — future
+    // arrival ticks can never generate a candidate against it
+    assert(spark.read.parquet(s"$fbase/bands")
+      .where($"doc_id" === 2L).count() === 0)
+    assert(spark.read.parquet(s"$fbase/bands").where($"doc_id" === 1L).count() > 0)
+
+    // a NEW arrival with doc 2's exact text pairs with doc 1 but NOT with
+    // the forgotten doc 2 (no stale-band candidates)
+    IncrementalDedup.tick(spark, Seq((6L, t1)).toDF("doc_id", "text"), 1L, fbase)
+    assert(IncrementalDedup.verifyAccumulated(spark, fbase)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted
+      === Seq((1L, 6L), (3L, 4L)))
+
+    // replaying the SAME forget is a no-op (idempotent delete)
+    IncrementalDedup.forgetTick(spark, fbase, Seq(2L).toDF("doc_id"), 100L)
+    assert(IncrementalDedup.verifyAccumulated(spark, fbase)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted
+      === Seq((1L, 6L), (3L, 4L)))
+    // re-arrival AFTER forgetting: a re-crawl of doc 2 at a later tick
+    // outranks the tombstone — the doc rejoins the corpus
+    IncrementalDedup.tick(spark, Seq((2L, t2)).toDF("doc_id", "text"), 200L, fbase)
+    assert(IncrementalDedup.verifyAccumulated(spark, fbase)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted
+      === Seq((1L, 6L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("deleteByKeyBucket drops rows, empty buckets, and survives replay") {
+    import spark.implicits._
+    val store = Sinks.tmpBase + "/spec_delstore"
+    Sinks.truncate(store)
+    // 64 keys over 16 buckets: bucket b holds keys b, b+16, b+32, b+48
+    Sinks.mergeByKeyBucket(spark, store,
+      (0L until 64L).map(k => (k, s"v$k")).toDF("k", "v"), "k", Seq("v"))
+    // delete all 4 keys of bucket 3 (empties it) + one key of bucket 5
+    Sinks.deleteByKeyBucket(spark, store,
+      Seq(3L, 19L, 35L, 51L, 5L).toDF("k"), "k")
+    val left = spark.read.parquet(store).select($"k").as[Long].collect().sorted
+    assert(left.length === 59 && !left.exists(Set(3L, 19L, 35L, 51L, 5L)))
+    // bucket 3's dir is gone entirely, not left stale
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$store/_bucket=3")))
+    // replay of the same delete list: unchanged
+    Sinks.deleteByKeyBucket(spark, store, Seq(3L, 5L).toDF("k"), "k")
+    assert(spark.read.parquet(store).count() === 59)
+    // a later merge can re-create the emptied bucket
+    Sinks.mergeByKeyBucket(spark, store, Seq((3L, "v3b")).toDF("k", "v"),
+      "k", Seq("v"))
+    assert(spark.read.parquet(store).where($"k" === 3L)
+      .select($"v").as[String].head() === "v3b")
+  }
 }

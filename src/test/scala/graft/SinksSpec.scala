@@ -155,6 +155,50 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.bucketCountFor(64L * (4L << 20)) === 64)
   }
 
+  test("versioned store: commit/snapshotAt/compactVersions with retention") {
+    import spark.implicits._
+    val store = s"$base/versioned"
+    Sinks.deleteRec(store)
+    assert(Sinks.latestVersion(store).isEmpty)
+    assert(Sinks.commitVersion(spark, store,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "k") === 0L)
+    assert(Sinks.commitVersion(spark, store,
+      Seq((2L, "b2")).toDF("k", "v"), "k") === 1L)
+    assert(Sinks.commitVersion(spark, store,
+      Seq((1L, "a3"), (4L, "d3")).toDF("k", "v"), "k") === 2L)
+
+    def snap(v: Long): Map[Long, String] =
+      Sinks.snapshotAt(spark, store, v, "k")
+        .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(snap(0) === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(snap(1) === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(snap(2) === Map(1L -> "a3", 2L -> "b2", 3L -> "c", 4L -> "d3"))
+
+    // compaction folds v0+v1 into a base; snapshots at and above the
+    // horizon are unchanged, below it becomes an explicit error
+    Sinks.compactVersions(spark, store, upTo = 1L, key = "k")
+    assert(Files.exists(Paths.get(s"$store/base_v=1")))
+    assert(!Files.exists(Paths.get(s"$store/delta_v=0")))
+    assert(snap(1) === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(snap(2) === Map(1L -> "a3", 2L -> "b2", 3L -> "c", 4L -> "d3"))
+    intercept[IllegalArgumentException](snap(0))
+
+    // commits continue past compaction; a lingering folded delta (the
+    // compaction-crash window: base renamed, delete unfinished) is
+    // harmless to reads — winner resolution already supersedes it
+    assert(Sinks.commitVersion(spark, store,
+      Seq((3L, "c3")).toDF("k", "v"), "k") === 3L)
+    Seq((2L, "b0-stale")).toDF("k", "v")
+      .withColumn("_v", org.apache.spark.sql.functions.lit(0L))
+      .write.parquet(s"$store/delta_v=0")
+    assert(snap(3) === Map(1L -> "a3", 2L -> "b2", 3L -> "c3", 4L -> "d3"))
+    // the next compaction finishes the cleanup
+    Sinks.compactVersions(spark, store, upTo = 2L, key = "k")
+    assert(!Files.exists(Paths.get(s"$store/delta_v=0")))
+    assert(!Files.exists(Paths.get(s"$store/base_v=1")))
+    assert(snap(3) === Map(1L -> "a3", 2L -> "b2", 3L -> "c3", 4L -> "d3"))
+  }
+
   test("partitionBy layout prunes: partition filter appears in the scan (O7)") {
     import spark.implicits._
     val dest = s"$base/parts"
