@@ -23,6 +23,9 @@ object Curation {
   /** Context length for concat-and-chop packing (whitespace tokens). */
   val CtxLen = 512L
 
+  /** Per-source token budget for [[q_llm_token_budget]]'s greedy fill. */
+  val TokenBudget = 2000L
+
   /** Frequency cap: max docs kept per (source, lang) group. */
   val CapPerGroup = 10L
 
@@ -80,6 +83,29 @@ object Curation {
         .selectExpr("source", "n_docs", "tokens", "n_chunks", "n_boundary_docs",
           s"CAST(cum_max - (n_chunks - 1) * $CtxLen AS BIGINT) AS last_chunk_fill")
         .orderBy(col("source"))
+    },
+
+    // Token-budget subcorpus selection: each source contributes documents
+    // in deterministic hash-priority order until its token budget fills —
+    // the "give me ~N tokens per source" sampling step of mixture
+    // construction, RNG-free for the same reproducibility reasons as
+    // q_llm_split_assign (stable under re-partitioning; adding docs only
+    // displaces lower-priority ones). The running fill is a per-source
+    // window cumsum (shard-local, no global ordering), and docs whose
+    // cumulative fill exceeds the budget are cut — so the selection is a
+    // prefix of the hash order, not a size-biased sample.
+    "q_llm_token_budget" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("pri"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .selectExpr("doc_id", "source", "size(split(text, ' ')) AS n_tok",
+          "graft_charhash(concat('budget-v1:', CAST(doc_id AS STRING))) AS pri")
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .where(col("cum") <= lit(TokenBudget))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cum"))
+        .orderBy(col("source"), col("cum"))
     },
 
     // Mixture weighting: per-source token mass vs target mixture weights →
@@ -214,6 +240,20 @@ object Curation {
              CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
              count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
       FROM b GROUP BY 1, 2 ORDER BY source, split""",
+
+      "q_llm_token_budget" -> s"""
+      WITH b AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+               ${duckCharHash("concat('budget-v1:', CAST(doc_id AS VARCHAR))")} AS pri
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM b)
+      SELECT doc_id, source, n_tok, cum
+      FROM c WHERE cum <= $TokenBudget ORDER BY source, cum""",
 
       "q_llm_pack_sequences" -> s"""
       WITH t AS (

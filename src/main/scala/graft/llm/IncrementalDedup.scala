@@ -241,7 +241,10 @@ object IncrementalDedup {
       val base = s"${Sinks.tmpBase}/neardup_forget"
       reset(base)
       val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-      d.repartitionByRange(3, col("doc_id")).write.parquet(s"$base/src")
+      // 2 arrival ticks (vs the 3 of q_llm_dedup_incremental): the forget
+      // semantics need an index built incrementally, not a specific tick
+      // count, and each tick costs a full stream trigger + merges
+      d.repartitionByRange(2, col("doc_id")).write.parquet(s"$base/src")
       runTicks(s, base, d.schema)
       forgetTick(s, base, d.where(col("doc_id") % 7 === 3), tickId = 1L << 40)
       verifyAccumulated(s, base)

@@ -55,6 +55,12 @@ object Similarity {
     * cannot diverge. */
   val SemThreshold = 0.25
 
+  /** Product-quantization shape: [[PqM]] subspaces of EmbDim/PqM dims,
+    * [[PqKs]] codes per subspace codebook, one Lloyd refinement round. */
+  val PqM = 4
+  val PqKs = 8
+  private val SubDim = EmbDim / PqM
+
   /** Deterministic k-means over the scaled-long embeddings, entirely as
     * DataFrame aggregations (no driver-side loops over data): seeded init
     * assigns each vector to cell `hash(vec_id) mod Cells`, then
@@ -103,6 +109,44 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= n)
       .drop("cse", "cn2", "dscore", "rn")
+  }
+
+  /** Per-subspace codebooks (m, code, cse, cn2): the same deterministic
+    * integer k-means as [[kmeansCentroids]], run on sub-vectors with the
+    * subspace id in the grouping key — one aggregation trains all PqM
+    * codebooks at once (no per-subspace passes). Salted seeded init, one
+    * Lloyd round, truncated integer means; the PqM × PqKs result is a
+    * constant-size broadcast. */
+  private[llm] def pqCodebooks(subs: DataFrame): DataFrame = {
+    val sums = (1 to SubDim).map(i => sum(expr(s"element_at(sub, $i)")).as(s"s$i"))
+    val mean = (1 to SubDim).map(i => s"s$i DIV n").mkString("array(", ", ", ")")
+    def codebooksOf(assigned: DataFrame): DataFrame =
+      assigned.groupBy(col("m"), col("cell").as("code"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .selectExpr("m", "code", s"$mean AS cse")
+        .selectExpr("m", "code", "cse", "graft_dot(cse, cse) AS cn2")
+    val init = subs.selectExpr("vec_id", "m", "sub",
+      s"(vec_id + m * 40503L) % $P * 2654435761L % $P % $PqKs AS cell")
+    var cb = codebooksOf(init).localCheckpoint()
+    for (_ <- 1 to 1) {
+      val re = pqEncode(subs, cb)
+        .select(col("vec_id"), col("m"), col("sub"), col("code").as("cell"))
+      cb = codebooksOf(re).localCheckpoint()
+    }
+    cb
+  }
+
+  /** Nearest-code assignment per (vector, subspace): integer squared-
+    * Euclidean argmin (|c|² − 2·a·c, |a|² constant per row) against the
+    * broadcast codebooks; the rank-1 filter hits WindowGroupLimit. */
+  private[llm] def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dscore"), col("code"))
+    subs.join(broadcast(cb), Seq("m"))
+      .withColumn("dscore", expr("cn2 - 2L * graft_dot(sub, cse)"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("sub"), col("code"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -186,6 +230,45 @@ object Similarity {
         .orderBy(col("vec_id"))
     },
 
+    // Product-quantization ANN (the third index family, after IVF and
+    // LSH): each vector is compressed to PqM codebook codes (PqM × 3 bits
+    // here; PqM bytes in production), and queries rank neighbors by the
+    // asymmetric-distance (ADC) sum of per-subspace lookup-table entries.
+    // The ranking drops each query's constant Σ|q_m|² term, so the ADC
+    // score is PURE LONG ARITHMETIC end to end — training (integer
+    // k-means per subspace), encoding, and scoring all hash-match the
+    // oracle with no floats anywhere. The 100 TB shape is the whole
+    // point of PQ: the served index is the slim (vec_id, m, code) table
+    // (PqM longs per vector instead of EmbDim), the per-query LUT is a
+    // queries × PqM × PqKs broadcast, and scoring is one map-side join +
+    // one (q_id, vec_id) hash agg — the corpus embeddings are never
+    // shuffled or even read at query time.
+    "q_llm_knn_pq" -> { (s, dir) =>
+      val se = scaledEmb(s, dir)
+      // (vec_id, m, sub): one row per vector per subspace, reused by
+      // init, the Lloyd round, and the final encode
+      val subs = se.selectExpr("vec_id",
+          s"explode(transform(sequence(0, ${PqM - 1}), m -> named_struct(" +
+            s"'m', m, 'sub', slice(se, m * $SubDim + 1, $SubDim)))) AS z")
+        .selectExpr("vec_id", "z.m AS m", "z.sub AS sub")
+        .localCheckpoint()
+      val cb = pqCodebooks(subs)
+      val codes = pqEncode(subs, cb).localCheckpoint()
+      val lut = subs.where(col("vec_id") < 10)
+        .join(broadcast(cb), Seq("m"))
+        .selectExpr("vec_id AS q_id", "m", "code",
+          "cn2 - 2L * graft_dot(sub, cse) AS d")
+      val scored = codes.join(broadcast(lut), Seq("m", "code"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("d")).as("adc"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("adc"), col("neighbor_id"))))
+        .where(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("adc"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // LSH-bucketed ANN: candidates restricted to the query's sign-bit
     // bucket (planes 0..3), exact cosine re-rank, top-3.
     "q_llm_knn_lsh" -> { (s, dir) =>
@@ -232,6 +315,7 @@ object Similarity {
     }
     evalIndex("ivf", queries("q_llm_knn_ivf")(s, dir))
       .unionByName(evalIndex("lsh", queries("q_llm_knn_lsh")(s, dir)))
+      .unionByName(evalIndex("pq", queries("q_llm_knn_pq")(s, dir)))
       .orderBy(col("index_name"), col("q_id"))
   }
 
@@ -295,6 +379,64 @@ object Similarity {
       FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
   }
 
+  // --- DuckDB PQ mirror -------------------------------------------------
+  // Same exact integer arithmetic as pqCodebooks/pqEncode: salted seeded
+  // init, truncated-integer-mean codebooks, |c|²−2·a·c argmin encode, and
+  // a pure-BIGINT ADC sum (no floats anywhere in the PQ path).
+  private def duckSubDot(a: String, b: String): String =
+    (1 to SubDim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+
+  private def duckPqCtes: String = {
+    val subUnion = (0 until PqM).map(m =>
+      s"SELECT vec_id, $m AS m, se[${m * SubDim + 1}:${(m + 1) * SubDim}] AS sub FROM e")
+      .mkString("\n        UNION ALL ")
+    val meanList = (1 to SubDim)
+      .map(i => s"CAST(sum(sub[$i]) // count(*) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    def cbOf(src: String, cellCol: String) =
+      s"SELECT m, $cellCol AS code, $meanList AS cse FROM $src GROUP BY m, $cellCol"
+    def cbN(src: String) =
+      s"SELECT m, code, cse, ${duckSubDot("cse", "cse")} AS cn2 FROM $src"
+    def enc(cbn: String) = s"""SELECT vec_id, m, sub, code FROM (
+        SELECT s.vec_id, s.m, s.sub, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 c.cn2 - 2 * (${duckSubDot("s.sub", "c.cse")}), c.code) AS rn
+        FROM subs s JOIN $cbn c ON s.m = c.m) WHERE rn = 1"""
+    s"""
+      e0 AS (SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e AS (SELECT vec_id, se FROM e0),
+      subs AS (
+        $subUnion),
+      pa0 AS (
+        SELECT vec_id, m, sub,
+               (vec_id + m * 40503) % $P * 2654435761 % $P % $PqKs AS cell
+        FROM subs),
+      pc0 AS (${cbOf("pa0", "cell")}),
+      pc0n AS (${cbN("pc0")}),
+      pa1 AS (${enc("pc0n")}),
+      pc1 AS (${cbOf("pa1", "code")}),
+      pc1n AS (${cbN("pc1")}),
+      encf AS (${enc("pc1n")}),
+      lut AS (
+        SELECT s.vec_id AS q_id, s.m, c.code,
+               c.cn2 - 2 * (${duckSubDot("s.sub", "c.cse")}) AS d
+        FROM subs s JOIN pc1n c ON s.m = c.m WHERE s.vec_id < 10),
+      pqscored AS (
+        SELECT l.q_id, en.vec_id AS neighbor_id, CAST(sum(l.d) AS BIGINT) AS adc
+        FROM encf en JOIN lut l ON en.m = l.m AND en.code = l.code
+        WHERE en.vec_id <> l.q_id GROUP BY 1, 2),
+      pqr AS (
+        SELECT q_id, neighbor_id, adc,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc, neighbor_id) AS INT) AS rank
+        FROM pqscored)"""
+  }
+
+  private def duckPqSql: String = s"""
+      WITH $duckPqCtes
+      SELECT q_id, rank, neighbor_id, adc
+      FROM pqr WHERE rank <= 3 ORDER BY q_id, rank"""
+
   def oracleSql: Map[String, String] = {
     val duckBits = (0 until 4)
       .map(p => s"CASE WHEN ${duckPlaneDot("se", p)} > 0 THEN 1 ELSE 0 END AS bit$p")
@@ -319,6 +461,8 @@ object Similarity {
       FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
 
       "q_llm_knn_ivf" -> duckIvfSql,
+
+      "q_llm_knn_pq" -> duckPqSql,
 
       "q_llm_dedup_semantic" -> s"""
       WITH $duckKmeansCtes,
@@ -370,6 +514,8 @@ object Similarity {
       s"""${recallFor("ivf", base("q_llm_knn_ivf"))}
       UNION ALL
       ${recallFor("lsh", base("q_llm_knn_lsh"))}
+      UNION ALL
+      ${recallFor("pq", base("q_llm_knn_pq"))}
       ORDER BY index_name, q_id""")
   }
 }

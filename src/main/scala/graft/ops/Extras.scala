@@ -72,6 +72,21 @@ object Extras {
         .orderBy(col("s_nationkey"))
     },
 
+    // ORC source/sink: columnar roundtrip through Spark's second native
+    // columnar format (predicate pushdown + column pruning work the same
+    // as parquet — the point is the format surface, not a new plan
+    // shape). The pushed filter and pruned schema land in the OrcScan.
+    "q_orc_scan" -> { (s, dir) =>
+      val dest = s"${graft.sinks.Sinks.tmpBase}/orders_orc"
+      graft.sinks.Sinks.truncate(dest)
+      t(s, dir, "orders").write.orc(dest)
+      s.read.orc(dest)
+        .where(col("o_orderstatus") =!= "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumFix(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Full outer join with non-overlapping key ranges on both sides.
     "q_full_outer_join" -> { (s, dir) =>
       val cust = t(s, dir, "customer").where(col("c_custkey") <= 600)
@@ -240,6 +255,11 @@ object Extras {
       SELECT r_name, count(*) AS n_nations
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name""",
+
+    "q_orc_scan" -> s"""
+      SELECT o_orderpriority, count(*) AS n, ${sqlSumFix("o_totalprice", 2)} AS total
+      FROM orders WHERE o_orderstatus <> 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_json_scan" -> s"""
       SELECT s_nationkey, count(*) AS n, ${sqlSumFix("s_acctbal", 2)} AS bal

@@ -485,6 +485,37 @@ object Sinks {
       s.createDataFrame(java.util.Arrays.asList(row), schema)
     },
 
+    // Z-order clustered layout: interleave the bits of two join/filter
+    // dimensions into one clustering key, range-partition + sort the
+    // write on it, and the stored files become locality-preserving in
+    // BOTH dimensions at once — the data-layout optimization that makes
+    // min/max (or partition) pruning work for 2-D predicates at 100 TB,
+    // where clustering by either single key leaves the other unprunable.
+    // The result audits the property the layout promises: each z-range
+    // bucket spans a narrow window of orderkey AND partkey (sum of spans
+    // << the full domain), all in exact integer arithmetic the oracle
+    // reproduces.
+    "q_sink_zorder" -> { (s, dir) =>
+      val dest = s"$tmpBase/lineitem_zorder"
+      truncate(dest)
+      val zbits = (0 until 6)
+        .map(i => s"(((bx >> $i) & 1) << ${2 * i + 1}) + (((by >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      val clustered = Tables.load(s, dir, "lineitem")
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+          "least(l_orderkey DIV 256, 63) AS bx", "least(l_partkey DIV 64, 63) AS by")
+        .selectExpr("l_orderkey", "l_partkey", "l_quantity", s"$zbits AS z")
+      clustered.repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.parquet(dest)
+      s.read.parquet(dest)
+        .groupBy(expr("CAST(z DIV 512 AS INT)").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("ok_min"), max(col("l_orderkey")).as("ok_max"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"))
+        .orderBy(col("zbucket"))
+    },
+
     // Time travel: three commits (full load, then two keyed update
     // waves), compaction folding v0+v1 into a base snapshot, then reads
     // at v1 (served by the base alone) and v2 (base + one delta) — the
@@ -548,6 +579,23 @@ object Sinks {
       SELECT count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts,
              ${sqlSumFix("value", 2)} AS sum_value
       FROM events""",
+
+    "q_sink_zorder" -> {
+      val zbits = (0 until 6)
+        .map(i => s"(((bx >> $i) & 1) << ${2 * i + 1}) + (((by >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""
+      WITH b AS (
+        SELECT l_orderkey, l_partkey,
+               least(l_orderkey // 256, 63) AS bx,
+               least(l_partkey // 64, 63) AS by
+        FROM lineitem),
+      zt AS (SELECT l_orderkey, l_partkey, $zbits AS z FROM b)
+      SELECT CAST(z // 512 AS INT) AS zbucket, count(*) AS n,
+             min(l_orderkey) AS ok_min, max(l_orderkey) AS ok_max,
+             min(l_partkey) AS pk_min, max(l_partkey) AS pk_max
+      FROM zt GROUP BY 1 ORDER BY zbucket"""
+    },
 
     // v1 = base load with the %3 update wave applied; v2 additionally
     // applies the %5 wave (which wins over %3 on keys divisible by 15 —

@@ -22,7 +22,8 @@ class PlanShapeSpec extends SparkSpec {
   test("no CartesianProduct in any dedup/ANN final stage") {
     for (q <- Seq("q_llm_dedup_minhash_lsh", "q_llm_dedup_simhash_pairs",
         "q_llm_dedup_ngram_jaccard", "q_llm_dedup_embed", "q_llm_knn_lsh",
-        "q_llm_dedup_semantic", "q_llm_decontaminate")) {
+        "q_llm_dedup_semantic", "q_llm_decontaminate", "q_llm_knn_pq",
+        "q_llm_lm_score")) {
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
     }
   }
