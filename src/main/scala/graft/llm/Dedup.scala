@@ -279,6 +279,41 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Passage-level dedup with document RECONSTRUCTION (the CCNet /
+    // Common Crawl "remove duplicated paragraphs, keep the rest" stage —
+    // q_llm_dedup_chunks only SCORES duplication; this one rewrites the
+    // corpus): docs split into 10-word segments, segments whose hash
+    // repeats anywhere in the corpus are dropped, survivors reassemble in
+    // order. The reassembly is a per-doc sort_array over collected
+    // (index, segment) structs — deterministic under any partitioning —
+    // and the output carries the rebuilt text's fingerprint, not the
+    // text, so the result stays slim. Scale shape: one segment explode
+    // (O(tokens/10) rows), one hash-count agg, one per-doc regroup; no
+    // joins wider than the segment stream.
+    "q_llm_dedup_passages" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val segs = docs(s, dir).selectExpr("doc_id", "split(text, ' ') AS t")
+        .selectExpr("doc_id",
+          "explode(transform(sequence(0, (size(t) - 1) DIV 10), i -> " +
+            "named_struct('i', i, 'seg', array_join(slice(t, i * 10 + 1, 10), ' ')))) AS z")
+        .selectExpr("doc_id", "z.i AS i", "z.seg AS seg")
+        .withColumn("h", expr("graft_charhash(seg)"))
+        .localCheckpoint() // feeds the freq agg, the kept join, and n_seg
+      val f = segs.groupBy(col("h")).agg(count(lit(1)).as("f"))
+      val kept = segs.join(f, "h").where(col("f") < 2)
+      val nseg = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg"))
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(sort_array(collect_list(struct(i, seg)))," +
+            " x -> x.seg), ' ')").as("nt"))
+      nseg.join(rebuilt, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "n_seg",
+          "coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept",
+          "graft_charhash(coalesce(nt, '')) AS new_fp",
+          "length(coalesce(nt, '')) AS n_chars_new")
+        .orderBy(col("doc_id"))
+    },
+
     // End-to-end training-data prep: the operators composed the way a real
     // corpus pipeline runs them — language filter -> quality gate -> exact
     // dedup (keep min doc_id per content hash) -> near-dup removal (drop
@@ -654,6 +689,28 @@ object Dedup {
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
              sha256(lower(trim(text))) AS h
       FROM documents GROUP BY h ORDER BY doc_id""",
+
+      "q_llm_dedup_passages" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      ix AS (
+        SELECT doc_id, t, unnest(range(0, ((len(t) - 1) // 10) + 1)) AS i FROM t),
+      segs AS (
+        SELECT doc_id, CAST(i AS INT) AS i,
+               array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ') AS seg
+        FROM ix),
+      h AS (SELECT doc_id, i, seg, ${duckCharHash("seg")} AS h FROM segs),
+      f AS (SELECT h, count(*) AS f FROM h GROUP BY h),
+      kept AS (SELECT doc_id, i, seg FROM h JOIN f USING (h) WHERE f < 2),
+      nseg AS (SELECT doc_id, count(*) AS n_seg FROM h GROUP BY doc_id),
+      rebuilt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               array_to_string(list(seg ORDER BY i), ' ') AS nt
+        FROM kept GROUP BY doc_id)
+      SELECT n.doc_id, n.n_seg,
+             coalesce(r.n_kept, 0) AS n_kept,
+             ${duckCharHash("coalesce(r.nt, '')")} AS new_fp,
+             CAST(length(coalesce(r.nt, '')) AS INT) AS n_chars_new
+      FROM nseg n LEFT JOIN rebuilt r USING (doc_id) ORDER BY n.doc_id""",
 
       "q_llm_minhash_sig" -> s"""
       WITH ${duckShingleCtes()},

@@ -39,6 +39,15 @@ object Similarity {
         "sqrt(CAST(graft_dot(se, se) AS DOUBLE)) AS nrm")
   }
 
+  /** [[scaledEmb]] plus the `label` column (for per-class audits). */
+  private def scaledEmbWithLabel(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id", "label", s"${sparkScaledEmb("embedding")} AS se")
+      .selectExpr("vec_id", "label", "se",
+        "sqrt(CAST(graft_dot(se, se) AS DOUBLE)) AS nrm")
+  }
+
   private def cosExpr(a: String, b: String, na: String, nb: String): String =
     s"CAST(graft_dot($a, $b) AS DOUBLE) / ($na * $nb)"
 
@@ -228,6 +237,81 @@ object Similarity {
         .selectExpr("vec_id", "cell",
           "CASE WHEN _drop IS NULL THEN 1 ELSE 0 END AS kept")
         .orderBy(col("vec_id"))
+    },
+
+    // Filtered ANN (hybrid metadata + vector search): neighbors are
+    // restricted to vectors whose DOCUMENT passes a relational predicate
+    // (lang + length here) — the retrieval shape every RAG/curation
+    // pipeline runs. The predicate side reduces to a slim id list
+    // semi-joined into the corpus BEFORE any scoring, so at 100 TB the
+    // vector math runs only over the filtered subset (pre-filtering, not
+    // post-filtering — a post-filter of a top-k can return < k rows).
+    "q_llm_knn_filtered" -> { (s, dir) =>
+      val se = scaledEmb(s, dir)
+      val keep = Tables.load(s, dir, "documents")
+        .where(col("lang") === "en" && col("n_chars") >= 200)
+        .select(col("doc_id").as("vec_id"))
+      val cand = se.join(keep, Seq("vec_id"), "left_semi")
+      val qs = se.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("se").as("qse"), col("nrm").as("qnrm"))
+      val scored = cand.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id AS neighbor_id",
+          s"${cosExpr("qse", "se", "qnrm", "nrm")} AS cos_raw")
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("neighbor_id"))))
+        .where(col("rank") <= 3)
+        .withColumn("cos", Exact.fix(col("cos_raw"), 6))
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // Hard-negative mining for contrastive training: per query, the
+    // top-3 most-similar vectors with a DIFFERENT label — the negatives
+    // that actually move a contrastive loss (easy negatives are free but
+    // useless; hard ones need exactly this "nearest wrong-class" search).
+    // Same broadcast-queries shape as brute; the label inequality is one
+    // more pushed predicate on the pair stream.
+    "q_llm_hard_negatives" -> { (s, dir) =>
+      val se = scaledEmbWithLabel(s, dir)
+      val qs = se.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("se").as("qse"),
+          col("nrm").as("qnrm"), col("label").as("qlabel"))
+      val scored = se.crossJoin(broadcast(qs))
+        .where(col("label") =!= col("qlabel"))
+        .selectExpr("q_id", "qlabel", "vec_id AS neighbor_id", "label",
+          s"${cosExpr("qse", "se", "qnrm", "nrm")} AS cos_raw")
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("neighbor_id"))))
+        .where(col("rank") <= 3)
+        .withColumn("cos", Exact.fix(col("cos_raw"), 6))
+        .select(col("q_id"), col("qlabel"), col("rank"),
+          col("neighbor_id"), col("label"), col("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // Label-centroid audit over the embeddings' `label` column: mean
+    // embedding per label (truncated integer means, the kmeansCentroids
+    // idiom) and each vector's cosine to its OWN label centroid,
+    // aggregated to per-label cohesion stats — the embedding-quality
+    // audit (class compactness) run before training a classifier head.
+    // One scan + one 3-row broadcast join; exact scaled-long sums.
+    "q_llm_label_centroids" -> { (s, dir) =>
+      val se = scaledEmbWithLabel(s, dir)
+      val sums = (1 to EmbDim).map(i => sum(expr(s"element_at(se, $i)")).as(s"s$i"))
+      val mean = (1 to EmbDim).map(i => s"s$i DIV n").mkString("array(", ", ", ")")
+      val cents = se.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .selectExpr("label", "n", s"$mean AS cse")
+        .selectExpr("label", "n", "cse",
+          "sqrt(CAST(graft_dot(cse, cse) AS DOUBLE)) AS cnrm")
+      se.join(broadcast(cents), Seq("label"))
+        .selectExpr("label", "n",
+          s"${cosExpr("se", "cse", "nrm", "cnrm")} AS cos_raw")
+        .groupBy(col("label"), col("n").as("n_vecs"))
+        .agg(Exact.avgFix(col("cos_raw"), 6).as("mean_cos"),
+          Exact.fix(min(col("cos_raw")), 6).as("min_cos"))
+        .orderBy(col("label"))
     },
 
     // Product-quantization ANN (the third index family, after IVF and
@@ -463,6 +547,75 @@ object Similarity {
       "q_llm_knn_ivf" -> duckIvfSql,
 
       "q_llm_knn_pq" -> duckPqSql,
+
+      "q_llm_knn_filtered" -> s"""
+      WITH e0 AS (
+        SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e AS (
+        SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
+      keep AS (
+        SELECT doc_id AS vec_id FROM documents
+        WHERE lang = 'en' AND n_chars >= 200),
+      cand AS (SELECT e.* FROM e JOIN keep USING (vec_id)),
+      q AS (SELECT vec_id AS q_id, se AS qse, nrm AS qnrm FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q_id, cand.vec_id AS neighbor_id,
+               ${duckCosExpr("qse", "se", "qnrm", "nrm")} AS cos_raw
+        FROM cand CROSS JOIN q WHERE cand.vec_id <> q.q_id),
+      r AS (
+        SELECT q_id, neighbor_id, cos_raw,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
+      FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+
+      "q_llm_hard_negatives" -> s"""
+      WITH e0 AS (
+        SELECT vec_id, label, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e AS (
+        SELECT vec_id, label, se,
+               sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
+      q AS (
+        SELECT vec_id AS q_id, se AS qse, nrm AS qnrm, label AS qlabel
+        FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q_id, qlabel, e.vec_id AS neighbor_id, e.label AS label,
+               ${duckCosExpr("qse", "se", "qnrm", "nrm")} AS cos_raw
+        FROM e CROSS JOIN q WHERE e.label <> q.qlabel),
+      r AS (
+        SELECT q_id, qlabel, neighbor_id, label, cos_raw,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, qlabel, rank, neighbor_id, label, ${Exact.sqlFix("cos_raw", 6)} AS cos
+      FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+
+      "q_llm_label_centroids" -> {
+        val meanList = (1 to EmbDim)
+          .map(i => s"CAST(sum(se[$i]) // count(*) AS BIGINT)")
+          .mkString("[", ", ", "]")
+        s"""
+      WITH e0 AS (
+        SELECT vec_id, label, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e AS (
+        SELECT vec_id, label, se,
+               sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
+      cents AS (
+        SELECT label, count(*) AS n, $meanList AS cse FROM e GROUP BY label),
+      cn AS (
+        SELECT label, n, cse,
+               sqrt(CAST(${duckPairDot("cse", "cse")} AS DOUBLE)) AS cnrm
+        FROM cents),
+      j AS (
+        SELECT e.label AS label, cn.n AS n,
+               CAST(${duckPairDot("e.se", "cn.cse")} AS DOUBLE) / (e.nrm * cn.cnrm) AS cos_raw
+        FROM e JOIN cn ON e.label = cn.label)
+      SELECT label, n AS n_vecs,
+             ${Exact.sqlAvgFix("cos_raw", 6)} AS mean_cos,
+             ${Exact.sqlFix("min(cos_raw)", 6)} AS min_cos
+      FROM j GROUP BY label, n ORDER BY label"""
+      },
 
       "q_llm_dedup_semantic" -> s"""
       WITH $duckKmeansCtes,
