@@ -277,6 +277,35 @@ object Dedup {
                list_distinct(${duckShingles("wh")}) AS shd
         FROM toks WHERE len(wh) >= 3)"""
 
+  /** Passage-level dedup with document RECONSTRUCTION: split into
+    * 10-word segments, drop segments whose hash repeats anywhere in the
+    * corpus, reassemble the survivors in order (deterministic sort_array
+    * over collected (index, segment) structs). Output carries rebuilt
+    * fingerprints, not text. See the q_llm_dedup_passages entry note. */
+  private[graft] def passagesOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    val segs = d.selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(0, (size(t) - 1) DIV 10), i -> " +
+          "named_struct('i', i, 'seg', array_join(slice(t, i * 10 + 1, 10), ' ')))) AS z")
+      .selectExpr("doc_id", "z.i AS i", "z.seg AS seg")
+      .withColumn("h", expr("graft_charhash(seg)"))
+      .localCheckpoint() // feeds the freq agg, the kept join, and n_seg
+    val f = segs.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val kept = segs.join(f, "h").where(col("f") < 2)
+    val nseg = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(sort_array(collect_list(struct(i, seg)))," +
+          " x -> x.seg), ' ')").as("nt"))
+    nseg.join(rebuilt, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_seg",
+        "coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept",
+        "graft_charhash(coalesce(nt, '')) AS new_fp",
+        "length(coalesce(nt, '')) AS n_chars_new")
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Passage-level dedup with document RECONSTRUCTION (the CCNet /
@@ -290,29 +319,7 @@ object Dedup {
     // text, so the result stays slim. Scale shape: one segment explode
     // (O(tokens/10) rows), one hash-count agg, one per-doc regroup; no
     // joins wider than the segment stream.
-    "q_llm_dedup_passages" -> { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val segs = docs(s, dir).selectExpr("doc_id", "split(text, ' ') AS t")
-        .selectExpr("doc_id",
-          "explode(transform(sequence(0, (size(t) - 1) DIV 10), i -> " +
-            "named_struct('i', i, 'seg', array_join(slice(t, i * 10 + 1, 10), ' ')))) AS z")
-        .selectExpr("doc_id", "z.i AS i", "z.seg AS seg")
-        .withColumn("h", expr("graft_charhash(seg)"))
-        .localCheckpoint() // feeds the freq agg, the kept join, and n_seg
-      val f = segs.groupBy(col("h")).agg(count(lit(1)).as("f"))
-      val kept = segs.join(f, "h").where(col("f") < 2)
-      val nseg = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg"))
-      val rebuilt = kept.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          expr("array_join(transform(sort_array(collect_list(struct(i, seg)))," +
-            " x -> x.seg), ' ')").as("nt"))
-      nseg.join(rebuilt, Seq("doc_id"), "left")
-        .selectExpr("doc_id", "n_seg",
-          "coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept",
-          "graft_charhash(coalesce(nt, '')) AS new_fp",
-          "length(coalesce(nt, '')) AS n_chars_new")
-        .orderBy(col("doc_id"))
-    },
+    "q_llm_dedup_passages" -> ((s, dir) => passagesOf(docs(s, dir))),
 
     // End-to-end training-data prep: the operators composed the way a real
     // corpus pipeline runs them — language filter -> quality gate -> exact

@@ -126,7 +126,7 @@ object Similarity {
     * codebooks at once (no per-subspace passes). Salted seeded init, one
     * Lloyd round, truncated integer means; the PqM × PqKs result is a
     * constant-size broadcast. */
-  private[llm] def pqCodebooks(subs: DataFrame): DataFrame = {
+  private[graft] def pqCodebooks(subs: DataFrame): DataFrame = {
     val sums = (1 to SubDim).map(i => sum(expr(s"element_at(sub, $i)")).as(s"s$i"))
     val mean = (1 to SubDim).map(i => s"s$i DIV n").mkString("array(", ", ", ")")
     def codebooksOf(assigned: DataFrame): DataFrame =
@@ -148,7 +148,7 @@ object Similarity {
   /** Nearest-code assignment per (vector, subspace): integer squared-
     * Euclidean argmin (|c|² − 2·a·c, |a|² constant per row) against the
     * broadcast codebooks; the rank-1 filter hits WindowGroupLimit. */
-  private[llm] def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dscore"), col("code"))
     subs.join(broadcast(cb), Seq("m"))

@@ -222,6 +222,72 @@ class LlmSpec extends SparkSpec {
     assert(v(3L) === "looping")
   }
 
+  test("passage removal: the shared segment is dropped, unique text survives in order") {
+    import spark.implicits._
+    // docs 1 and 2 share segment [w0..w9] exactly (same 10-word window at
+    // index 0); their tails differ. doc 3 is fully unique.
+    val shared = (0 until 10).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$shared a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 b1 b2"),
+      (2L, s"$shared c1 c2 c3"),
+      (3L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.passagesOf(d)
+      .select($"doc_id", $"n_seg", $"n_kept", $"n_chars_new")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    // doc 1: 3 segments (10+10+2 words), shared one dropped -> 2 kept
+    assert(out(0) === ((1L, 3L, 2L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 b1 b2".length)))
+    // doc 2: 2 segments, shared dropped -> "c1 c2 c3" survives
+    assert(out(1) === ((2L, 2L, 1L, "c1 c2 c3".length)))
+    // doc 3: untouched — rebuilt text is the original
+    assert(out(2) === ((3L, 1L, 1L, "u1 u2 u3 u4 u5".length)))
+    // reconstruction preserves segment ORDER: doc 3's fingerprint equals
+    // the charhash of its original text
+    val fp3 = graft.llm.Dedup.passagesOf(d).where($"doc_id" === 3L)
+      .select($"new_fp").as[Long].head()
+    val want = d.sparkSession.range(1)
+      .selectExpr(s"${graft.llm.XHash.sparkCharHash("'u1 u2 u3 u4 u5'")} AS h")
+      .as[Long].head()
+    assert(fp3 === want)
+  }
+
+  test("PQ: identical vectors encode to identical codes; ADC ranks the clone first") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dim = graft.llm.XHash.EmbDim
+    // vec 0 and vec 100 identical; vecs 1..9 pseudo-random noise
+    def v(seed: Long): Seq[Float] =
+      (0 until dim).map(i => (((seed * 31 + i) * 2654435761L % 1000L) - 500L) / 250.0f)
+    val rows = Seq((0L, v(7)), (100L, v(7))) ++ (1L to 9L).map(i => (i, v(i)))
+    val se = rows.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", s"${graft.llm.XHash.sparkScaledEmb("embedding")} AS se")
+    val subDim = dim / graft.llm.Similarity.PqM
+    val subs = se.selectExpr("vec_id",
+        s"explode(transform(sequence(0, ${graft.llm.Similarity.PqM - 1}), m -> " +
+          s"named_struct('m', m, 'sub', slice(se, m * $subDim + 1, $subDim)))) AS z")
+      .selectExpr("vec_id", "z.m AS m", "z.sub AS sub")
+    val cb = graft.llm.Similarity.pqCodebooks(subs)
+    val codes = graft.llm.Similarity.pqEncode(subs, cb)
+      .select($"vec_id", $"m", $"code").as[(Long, Int, Long)].collect()
+    val byVec = codes.groupBy(_._1).map { case (k, a) =>
+      k -> a.sortBy(_._2).map(_._3).toSeq }
+    assert(byVec(0L) === byVec(100L), "identical vectors must share codes")
+    assert(byVec.keySet.size === 11)
+    // ADC: vec 0's nearest neighbor by LUT distance must be its clone
+    val lut = subs.where($"vec_id" === 0L)
+      .join(org.apache.spark.sql.functions.broadcast(cb), Seq("m"))
+      .selectExpr("m", "code", "cn2 - 2L * graft_dot(sub, cse) AS d")
+    // ADC is code-resolution-limited: any vector sharing all PqM codes
+    // with the query ties the clone exactly, so the guaranteed property
+    // is minimality, not strict rank-1
+    val adcs = graft.llm.Similarity.pqEncode(subs, cb)
+      .where($"vec_id" =!= 0L)
+      .join(lut, Seq("m", "code"))
+      .groupBy($"vec_id").agg(org.apache.spark.sql.functions.sum($"d").as("adc"))
+      .select($"vec_id", $"adc").as[(Long, Long)].collect().toMap
+    assert(adcs(100L) === adcs.values.min,
+      "the exact clone must sit at the minimum ADC distance")
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
