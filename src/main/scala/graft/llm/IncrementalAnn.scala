@@ -213,6 +213,85 @@ object IncrementalAnn {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // --- PQ code-table store -----------------------------------------------
+  // The product-quantization variant of the persisted index: stores are
+  // the exploded sub-vector table (`subs`, keyed by vec_id·PqM + m), the
+  // trained codebooks (`cb`, a PqM × PqKs atomic-swap table), and the
+  // encoded code table (`codes`, same key as subs). Like IVF, the model
+  // is corpus-trained, so maintenance has both tiers: cheap fold ticks
+  // (encode ONLY the batch against the stored codebooks) and a periodic
+  // re-train tick (codebooks + full re-encode, atomic swap) after which
+  // the index is bit-identical to a from-scratch build — the serve path
+  // reads the code table and never touches corpus embeddings.
+
+  private def subsOf(se: DataFrame): DataFrame = {
+    val subDim = EmbDim / Similarity.PqM
+    se.selectExpr("vec_id",
+        s"explode(transform(sequence(0, ${Similarity.PqM - 1}), m -> named_struct(" +
+          s"'m', m, 'sub', slice(se, m * $subDim + 1, $subDim)))) AS z")
+      .selectExpr("vec_id", "z.m AS m", "z.sub AS sub")
+  }
+
+  /** Fold one arrival batch into the PQ stores. Idempotent per batch. */
+  private[graft] def tickPq(s: SparkSession, batch: DataFrame, batchId: Long,
+                            base: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val subs = subsOf(scaled(batch.select(col("vec_id"), col("embedding"))))
+      .localCheckpoint()
+    val cbPath = s"$base/cb"
+    if (!Files.exists(Paths.get(cbPath)))
+      Sinks.writeAtomic(Similarity.pqCodebooks(subs), cbPath)
+    val cb = s.read.parquet(cbPath)
+    val codes = Similarity.pqEncode(subs, cb)
+      .select(col("vec_id"), col("m"), col("code"))
+    val key = expr(s"vec_id * ${Similarity.PqM} + m")
+    Sinks.mergeByKeyBucket(s, s"$base/subs",
+      subs.withColumn("k", key).withColumn("_tick", lit(batchId)), "k", Seq("_tick"))
+    Sinks.mergeByKeyBucket(s, s"$base/codes",
+      codes.withColumn("k", key).withColumn("_tick", lit(batchId)), "k", Seq("_tick"))
+  }
+
+  /** Periodic re-train: codebooks over the FULL sub-vector store, full
+    * re-encode, atomic swap of both derived stores. */
+  private[graft] def retrainPq(s: SparkSession, base: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    Sinks.healBuckets(s"$base/subs")
+    val subs = s.read.parquet(s"$base/subs")
+      .select(col("vec_id"), col("m"), col("sub")).localCheckpoint()
+    Sinks.writeAtomic(Similarity.pqCodebooks(subs), s"$base/cb")
+    val codes = Similarity.pqEncode(subs, s.read.parquet(s"$base/cb"))
+      .select(col("vec_id"), col("m"), col("code"))
+      .withColumn("k", expr(s"vec_id * ${Similarity.PqM} + m"))
+      .withColumn("_tick", lit(Long.MaxValue))
+    Sinks.truncate(s"$base/codes")
+    Sinks.mergeByKeyBucket(s, s"$base/codes", codes, "k", Seq("_tick"))
+  }
+
+  /** Serve ADC top-k from the stores: per-query LUT against the stored
+    * codebooks, joined to the stored code table — corpus sub-vectors are
+    * read only for the QUERY rows. Output matches q_llm_knn_pq. */
+  private[graft] def servePq(s: SparkSession, base: String,
+                             queryPred: String = "vec_id < 10",
+                             topK: Int = 3): DataFrame = {
+    Seq("subs", "codes").foreach(p => Sinks.healBuckets(s"$base/$p"))
+    graft.functions.GraftFunctions.register(s)
+    val cb = s.read.parquet(s"$base/cb")
+    val lut = s.read.parquet(s"$base/subs").where(expr(queryPred))
+      .join(broadcast(cb), Seq("m"))
+      .selectExpr("vec_id AS q_id", "m", "code",
+        "cn2 - 2L * graft_dot(sub, cse) AS d")
+    val scored = s.read.parquet(s"$base/codes")
+      .join(broadcast(lut), Seq("m", "code"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d")).as("adc"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("neighbor_id"))))
+      .where(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("adc"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The reference's runtime shape (multi-tick incremental sync) applied
     // to the ANN index: 3 arrival batches fold into the persisted stores
@@ -244,11 +323,27 @@ object IncrementalAnn {
       e.repartitionByRange(3, col("vec_id")).write.parquet(s"$base/src")
       runTicks(s, base, e.schema, tickLsh)
       serveLsh(s, base)
+    },
+
+    // The PQ variant: fold ticks encode only the batch against stored
+    // codebooks; a re-train tick after the last arrival rebuilds
+    // codebooks + code table (the periodic maintenance a production PQ
+    // schedules); serving reads the code table only. Oracle = the
+    // one-shot PQ SQL — rebuild equivalence, driver-checked.
+    "q_llm_knn_pq_incremental" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/ann_pq_inc"
+      reset(base)
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      e.repartitionByRange(2, col("vec_id")).write.parquet(s"$base/src")
+      runTicks(s, base, e.schema, tickPq)
+      retrainPq(s, base)
+      servePq(s, base)
     })
 
-  /** Identical to the one-shot IVF entry's SQL by design (rebuild
+  /** Identical to the one-shot entries' SQL by design (rebuild
     * equivalence after the re-train tick, driver-checked). */
   def oracleSql: Map[String, String] = Map(
     "q_llm_knn_ivf_incremental" -> Similarity.oracleSql("q_llm_knn_ivf"),
-    "q_llm_knn_lsh_incremental" -> Similarity.oracleSql("q_llm_knn_lsh"))
+    "q_llm_knn_lsh_incremental" -> Similarity.oracleSql("q_llm_knn_lsh"),
+    "q_llm_knn_pq_incremental" -> Similarity.oracleSql("q_llm_knn_pq"))
 }

@@ -102,6 +102,41 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(replayed === truth, "replay must be idempotent")
   }
 
+  test("PQ code-table store: re-train equivalence, crash-resume, replay") {
+    import spark.implicits._
+    val pbase = base + "_pq"
+    IncrementalAnn.reset(pbase)
+    val d = corpus.localCheckpoint()
+    val tdir = Sinks.tmpBase + "/spec_ann_pq_table"
+    Sinks.truncate(tdir)
+    d.write.parquet(s"$tdir/embeddings.parquet")
+    val truth = graft.llm.Similarity.queries("q_llm_knn_pq")(spark, tdir)
+      .as[(Long, Int, Long, Long)].collect()
+
+    def writeSlice(cond: org.apache.spark.sql.Column): Unit =
+      d.where(cond).coalesce(1).write.mode("append").parquet(s"$pbase/src")
+    writeSlice($"vec_id" < 12)
+    IncrementalAnn.runTicks(spark, pbase, d.schema, IncrementalAnn.tickPq) // then "crash"
+    // stale-codebook serving between re-trains still answers probes
+    assert(IncrementalAnn.servePq(spark, pbase).count() > 0)
+    writeSlice($"vec_id" >= 12)
+    IncrementalAnn.runTicks(spark, pbase, d.schema, IncrementalAnn.tickPq)
+    IncrementalAnn.retrainPq(spark, pbase)
+    val inc = IncrementalAnn.servePq(spark, pbase)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(inc === truth, "re-trained PQ store must equal one-shot PQ")
+    // replay idempotence against the final codebooks
+    IncrementalAnn.tickPq(spark, d.where($"vec_id" < 12), 0L, pbase)
+    val replayed = IncrementalAnn.servePq(spark, pbase)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(replayed === truth, "replay must be idempotent")
+    // crash INSIDE retrain (codes store gone): re-running heals
+    Sinks.truncate(s"$pbase/codes")
+    IncrementalAnn.retrainPq(spark, pbase)
+    assert(IncrementalAnn.servePq(spark, pbase)
+      .as[(Long, Int, Long, Long)].collect() === truth)
+  }
+
   test("fold tick re-assigns ONLY the batch; re-ingested vectors move cells") {
     import spark.implicits._
     val rbase = base + "_reingest"
