@@ -266,6 +266,28 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // Embedding outlier detection for curation: a vector whose cosine to
+    // its OWN trained cell centroid falls below the threshold sits far
+    // from every dense region — mislabeled/garbage/adversarial points
+    // that a curation pipeline quarantines before training. Rides on the
+    // shared k-means (same trained cells as IVF/SemDeDup); cost = one
+    // assignment pass + one 16-row broadcast join, no pair generation.
+    "q_llm_outliers" -> { (s, dir) =>
+      val se = scaledEmb(s, dir)
+      val trained = kmeansCentroids(se) // one training run, two readers
+      val cents = trained.selectExpr("cent_id AS cell", "cse",
+        "sqrt(CAST(cn2 AS DOUBLE)) AS cnrm")
+      val assigned = assignCells(se, trained, 1)
+        .select(col("vec_id"), col("se"), col("nrm"), col("cent_id").as("cell"))
+      assigned.join(broadcast(cents), Seq("cell"))
+        .selectExpr("vec_id", "cell",
+          s"${cosExpr("se", "cse", "nrm", "cnrm")} AS cos_raw")
+        .select(col("vec_id"), col("cell"),
+          Exact.fix(col("cos_raw"), 6).as("cos_centroid"),
+          (col("cos_raw") < 0.05).as("is_outlier"))
+        .orderBy(col("vec_id"))
+    },
+
     // Hard-negative mining for contrastive training: per query, the
     // top-3 most-similar vectors with a DIFFERENT label — the negatives
     // that actually move a contrastive loss (easy negatives are free but
@@ -569,6 +591,18 @@ object Similarity {
         FROM scored)
       SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
       FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+
+      "q_llm_outliers" -> s"""
+      WITH $duckKmeansCtes,
+      cnn AS (
+        SELECT cent_id AS cell, cse, sqrt(CAST(cn2 AS DOUBLE)) AS cnrm FROM c2n),
+      j AS (
+        SELECT a.vec_id, a.cell,
+               CAST(${duckPairDot("a.se", "cnn.cse")} AS DOUBLE) / (a.nrm * cnn.cnrm) AS cos_raw
+        FROM assigned a JOIN cnn ON a.cell = cnn.cell)
+      SELECT vec_id, cell, ${Exact.sqlFix("cos_raw", 6)} AS cos_centroid,
+             cos_raw < 0.05 AS is_outlier
+      FROM j ORDER BY vec_id""",
 
       "q_llm_hard_negatives" -> s"""
       WITH e0 AS (

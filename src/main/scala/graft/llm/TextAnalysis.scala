@@ -109,6 +109,41 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Count-min-sketch heavy hitters: a 3×1024 integer sketch of the
+    // corpus word-frequency distribution, then the top-20 true-frequency
+    // words audited against their sketch estimates (est = min over the 3
+    // rows; always >= truth, the CMS guarantee — `overcount` shows the
+    // collision error actually incurred). The sketch is the 100 TB
+    // artifact: fixed 3×1024 cells regardless of corpus size, built by
+    // one token scan + one hash agg (counts are sums, so partial sketches
+    // merge associatively across partitions/days), then served as a
+    // broadcast. Every hash is the shared affine family (XHash.A/B mod
+    // P), so the oracle reproduces the sketch cell-for-cell.
+    "q_llm_heavy_hitters" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val ex = docs(s, dir)
+        .selectExpr(s"explode(${sparkWordHashes("text")}) AS h")
+        .localCheckpoint() // feeds the sketch build AND the truth counts
+      val rows = 3
+      val bucketsOf = (r: Int) => s"(h * ${A(r)} + ${B(r)}) % $P % 1024"
+      val sketch = ex
+        .selectExpr(s"explode(array(${(0 until rows).map(r =>
+          s"named_struct('r', $r, 'b', ${bucketsOf(r)})").mkString(", ")})) AS z")
+        .groupBy(col("z.r").as("r"), col("z.b").as("b"))
+        .agg(count(lit(1)).as("cell"))
+      val truth = ex.groupBy(col("h")).agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("h")).limit(20)
+      val probes = truth.selectExpr("h", "true_n",
+        s"explode(array(${(0 until rows).map(r =>
+          s"named_struct('r', $r, 'b', ${bucketsOf(r)})").mkString(", ")})) AS z")
+        .select(col("h"), col("true_n"), col("z.r").as("r"), col("z.b").as("b"))
+      probes.join(broadcast(sketch), Seq("r", "b"))
+        .groupBy(col("h"), col("true_n"))
+        .agg(min(col("cell")).as("est_n"))
+        .selectExpr("h", "true_n", "est_n", "est_n - true_n AS overcount")
+        .orderBy(col("true_n").desc, col("h"))
+    },
+
     // Statistical-LM quality filter (the CCNet / Wikipedia-LM perplexity
     // stage): train an add-1-smoothed bigram LM on the corpus itself, then
     // score each doc by average negative log-likelihood — boilerplate and
@@ -121,16 +156,21 @@ object TextAnalysis {
     // long keys, one per-doc agg — no self-joins, no windows, no driver.
     "q_llm_lm_score" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
+      // materialized once: referenced by bgd AND the vocab count — an
+      // unmaterialized stream would re-tokenize the corpus per use
       val toks = docs(s, dir)
         .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
         .where(expr("size(wh) >= 2"))
+        .localCheckpoint()
       // per-doc bigram multiset: (doc_id, h1, h2, m) — the repeated-bigram
-      // collapse cuts both count-table inputs and the join fan-in
+      // collapse cuts both count-table inputs and the join fan-in.
+      // Materialized once: c2, c1, and the scoring join all read it.
       val bgd = toks.selectExpr("doc_id",
           "explode(transform(sequence(1, size(wh) - 1), i -> " +
             "named_struct('h1', element_at(wh, i), 'h2', element_at(wh, i + 1)))) AS bg")
         .groupBy(col("doc_id"), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
         .agg(count(lit(1)).as("m"))
+        .localCheckpoint()
       val c2 = bgd.groupBy(col("h1"), col("h2")).agg(sum(col("m")).as("c2"))
       val c1 = bgd.groupBy(col("h1")).agg(sum(col("m")).as("c1"))
       val vocab = toks.selectExpr("explode(wh) AS h")
@@ -220,6 +260,31 @@ object TextAnalysis {
         FROM documents)
       SELECT doc_id, fp, fp_prefix, count(*) OVER (PARTITION BY fp) AS n_same_fp
       FROM fp ORDER BY doc_id""",
+
+      "q_llm_heavy_hitters" -> {
+        val bucketsOf = (r: Int) => s"(h * ${A(r)} + ${B(r)}) % $P % 1024"
+        val cellUnion = (0 until 3)
+          .map(r => s"SELECT $r AS r, ${bucketsOf(r)} AS b FROM ex")
+          .mkString("\n        UNION ALL ")
+        val probeUnion = (0 until 3)
+          .map(r => s"SELECT h, true_n, $r AS r, ${bucketsOf(r)} AS b FROM truth")
+          .mkString("\n        UNION ALL ")
+        s"""
+      WITH ex AS (
+        SELECT unnest(${duckWordHashes("text")}) AS h FROM documents),
+      cells AS (
+        SELECT r, b, CAST(count(*) AS BIGINT) AS cell FROM (
+        $cellUnion) GROUP BY r, b),
+      truth AS (
+        SELECT h, CAST(count(*) AS BIGINT) AS true_n FROM ex
+        GROUP BY h ORDER BY true_n DESC, h LIMIT 20),
+      probes AS (
+        $probeUnion)
+      SELECT h, true_n, min(cell) AS est_n, min(cell) - true_n AS overcount
+      FROM probes JOIN cells USING (r, b)
+      GROUP BY h, true_n
+      ORDER BY true_n DESC, h"""
+      },
 
       // mirror of q_llm_lm_score: identical counts, identical ln()
       // argument (the double division (c2+1.0)/(c1+v) on identical

@@ -138,6 +138,28 @@ object Aggregates {
           fix(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
           fix(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
           count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // Mergeable quantile sketch with a bounded-error contract (the
+    // q_agg_approx_distinct pattern applied to percentiles): Spark's
+    // percentile_approx (Greenwald-Khanna, rank error <= n/accuracy =
+    // n/10000 here) must land between the exact 48th and 52nd
+    // percentiles — a ~200x slack over the guarantee, so the boolean is
+    // robust, and a broken sketch still hash-mismatches the oracle's
+    // TRUE. Exact values ride along as the cross-engine-checked payload.
+    // At 100 TB the sketch (not the exact sort-based percentile) is the
+    // servable artifact: fixed size, partial-aggregate mergeable.
+    "q_agg_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_p50"),
+          fix(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
+          expr("percentile(l_extendedprice, 0.48)").as("lo"),
+          expr("percentile(l_extendedprice, 0.52)").as("hi"),
+          count(lit(1)).as("n"))
+        .selectExpr("l_returnflag", "exact_p50", "n",
+          "approx_p50 >= lo AND approx_p50 <= hi AS within_bound")
         .orderBy(col("l_returnflag"))))
 
   def oracleSql: Map[String, String] = Map(
@@ -219,5 +241,13 @@ object Aggregates {
              ${sqlFix("quantile_cont(l_quantity, 0.5)", 6)} AS median_qty,
              ${sqlFix("quantile_cont(l_extendedprice, 0.9)", 6)} AS p90_price,
              count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // the bound check is Spark-side (DuckDB has no GK sketch); the oracle
+    // pins the exact payload and asserts the contract held (TRUE)
+    "q_agg_approx_percentile" -> s"""
+      SELECT l_returnflag,
+             ${sqlFix("quantile_cont(l_extendedprice, 0.5)", 6)} AS exact_p50,
+             count(*) AS n, TRUE AS within_bound
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }
