@@ -44,6 +44,72 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "expected broadcast dims")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    val s = spark
+    // thresholds lowered so test-scale partitions qualify as "skewed";
+    // restored after — session-shared confs
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 80% of fact rows collapse onto one hot key — the classic skew.
+      // The payload is an md5 string so the hot partition's shuffle bytes
+      // don't compress away (skew detection reads MapOutputStatistics).
+      val fact = (0L until 60000L)
+        .map(i => (if (i % 10 < 8) 0L else i, i)).toDF("jk", "v")
+        .selectExpr("jk", "md5(CAST(v AS STRING)) AS payload")
+      val dim = (0L until 60000L by 7L).map(i => (i, s"d$i")).toDF("jk", "name")
+        .union(Seq((0L, "hot")).toDF("jk", "name"))
+      // max(payload) keeps the wide column alive through the join (a bare
+      // count would let Catalyst prune it back down to compressible longs)
+      val joined = fact.join(dim, "jk").groupBy($"name")
+        .agg(org.apache.spark.sql.functions.count($"*").as("n"),
+          org.apache.spark.sql.functions.max($"payload").as("p"))
+      joined.collect() // AQE decides skew handling at runtime
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE to mark the skewed SMJ partition; got:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    import spark.implicits._
+    val s = spark
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // test-scale scans qualify as "large enough to be worth filtering"
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join
+      val fact = graft.sources.Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+      val dim = graft.sources.Tables.load(s, dir, "orders")
+        .where($"o_orderpriority" === "1-URGENT") // selective creation side
+        .select($"o_orderkey", $"o_orderpriority")
+      val j = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").count()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a runtime bloom filter (might_contain) on the fact scan; got:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   test("shingle streams use the custom Generator, not interpreted HOFs") {
     val p = plan("q_llm_minhash_sig")
     assert(p.contains("graft_shingles"), "expected the UDTF in the plan")
