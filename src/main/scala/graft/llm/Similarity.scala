@@ -83,7 +83,9 @@ object Similarity {
     * lineage stays flat however deep the refinement goes, and the two
     * downstream uses (corpus assignment, query probing) don't re-run
     * training. */
-  private[llm] def kmeansCentroids(se: DataFrame): DataFrame = {
+  private[graft] def kmeansCentroids(se: DataFrame,
+                                   ckpt: graft.util.Checkpointer =
+                                     graft.util.Checkpointer.Local): DataFrame = {
     val sums = (1 to EmbDim).map(i => sum(expr(s"element_at(se, $i)")).as(s"s$i"))
     val mean = (1 to EmbDim).map(i => s"s$i DIV n").mkString("array(", ", ", ")")
     def centroidsOf(assigned: DataFrame): DataFrame =
@@ -93,14 +95,16 @@ object Similarity {
         .selectExpr("cent_id", "cse", "graft_dot(cse, cse) AS cn2")
     val init = se.selectExpr("vec_id", "se",
       s"vec_id % $P * 2654435761L % $P % $Cells AS cell")
-    // per-round localCheckpoint: each round's 16-row centroid table is
-    // materialized, so round r+1's plan never re-embeds rounds 1..r —
-    // lineage (and recompute-on-reference) stays flat at any LloydRounds
-    var cents = centroidsOf(init).localCheckpoint()
+    // per-round materialization (through the Checkpointer knob — Local
+    // for bench/test speed, Reliable/Store when executor loss must be
+    // survivable): each round's 16-row centroid table is materialized, so
+    // round r+1's plan never re-embeds rounds 1..r — lineage (and
+    // recompute-on-reference) stays flat at any LloydRounds
+    var cents = ckpt(centroidsOf(init))
     for (_ <- 1 to LloydRounds) {
       val re = assignCells(se.select(col("vec_id"), col("se")), cents, 1)
         .select(col("vec_id"), col("se"), col("cent_id").as("cell"))
-      cents = centroidsOf(re).localCheckpoint()
+      cents = ckpt(centroidsOf(re))
     }
     cents
   }
@@ -126,7 +130,9 @@ object Similarity {
     * codebooks at once (no per-subspace passes). Salted seeded init, one
     * Lloyd round, truncated integer means; the PqM × PqKs result is a
     * constant-size broadcast. */
-  private[graft] def pqCodebooks(subs: DataFrame): DataFrame = {
+  private[graft] def pqCodebooks(subs: DataFrame,
+                                 ckpt: graft.util.Checkpointer =
+                                   graft.util.Checkpointer.Local): DataFrame = {
     val sums = (1 to SubDim).map(i => sum(expr(s"element_at(sub, $i)")).as(s"s$i"))
     val mean = (1 to SubDim).map(i => s"s$i DIV n").mkString("array(", ", ", ")")
     def codebooksOf(assigned: DataFrame): DataFrame =
@@ -136,11 +142,11 @@ object Similarity {
         .selectExpr("m", "code", "cse", "graft_dot(cse, cse) AS cn2")
     val init = subs.selectExpr("vec_id", "m", "sub",
       s"(vec_id + m * 40503L) % $P * 2654435761L % $P % $PqKs AS cell")
-    var cb = codebooksOf(init).localCheckpoint()
+    var cb = ckpt(codebooksOf(init))
     for (_ <- 1 to 1) {
       val re = pqEncode(subs, cb)
         .select(col("vec_id"), col("m"), col("sub"), col("code").as("cell"))
-      cb = codebooksOf(re).localCheckpoint()
+      cb = ckpt(codebooksOf(re))
     }
     cb
   }

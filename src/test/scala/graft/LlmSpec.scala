@@ -154,6 +154,33 @@ class LlmSpec extends SparkSpec {
     val viaLocal = graft.llm.Dedup.minhashVerifiedPairsOf(docs)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaStore === viaLocal)
+    // ...and so do both iterative trainers (k-means + PQ codebooks):
+    // deterministic training must land on identical models under any
+    // materialization strategy
+    graft.functions.GraftFunctions.register(spark)
+    val dim = graft.llm.XHash.EmbDim
+    val emb = (0 until 20).map { i =>
+      (i.toLong, (0 until dim).map(j => math.sin(i * 13 + j * 7).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", s"${graft.llm.XHash.sparkScaledEmb("embedding")} AS se")
+    def centsWith(c: Checkpointer): Set[String] =
+      graft.llm.Similarity.kmeansCentroids(emb, ckpt = c)
+        .selectExpr("cent_id", "CAST(cse AS STRING) AS s")
+        .collect().map(r => r.getLong(0) + ":" + r.getString(1)).toSet
+    assert(centsWith(Checkpointer.Local)
+      === centsWith(Checkpointer.Reliable(s"$base/kmeans")))
+    assert(nonEmpty(s"$base/kmeans"), "kmeans reliable checkpoint dir is empty")
+    val subDim = dim / graft.llm.Similarity.PqM
+    val subs = emb.selectExpr("vec_id",
+        s"explode(transform(sequence(0, ${graft.llm.Similarity.PqM - 1}), m -> " +
+          s"named_struct('m', m, 'sub', slice(se, m * $subDim + 1, $subDim)))) AS z")
+      .selectExpr("vec_id", "z.m AS m", "z.sub AS sub")
+    def cbWith(c: Checkpointer): Set[String] =
+      graft.llm.Similarity.pqCodebooks(subs, ckpt = c)
+        .selectExpr("m", "code", "CAST(cse AS STRING) AS s")
+        .collect().map(r => r.getInt(0) + "/" + r.getLong(1) + ":" + r.getString(2)).toSet
+    assert(cbWith(Checkpointer.Local)
+      === cbWith(Checkpointer.Store(s"$base/pqcb")))
   }
 
   test("PII redaction: each pattern class fires on handcrafted dirty text") {
