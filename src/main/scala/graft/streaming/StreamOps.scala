@@ -55,7 +55,34 @@ object StreamOps {
     s.read.parquet(dest)
   }
 
+  /** Streaming read of the documents table (schema is static). */
+  private def documentsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(Tables.documents)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The LLM curation filters run AS A STREAM — the shape a continuous
+    // crawl-ingest pipeline has: documents arrive, the quality gate
+    // (token floor + stopword evidence + repetition cap, all per-row
+    // projections) admits or rejects each one, and admitted docs append
+    // to the durable store with their token counts. Per-row filters are
+    // stateless, so append mode needs no watermark and replays are
+    // idempotent on the batch-keyed sink. Oracle = the same filter as
+    // batch SQL — the unified-API guarantee the engine is built on.
+    "stream_llm_quality" -> { (s, dir) =>
+      val gated = documentsStream(s, dir)
+        .selectExpr("doc_id", "source", "split(text, ' ') AS t")
+        .selectExpr("doc_id", "source",
+          "size(t) AS n_tok", "size(array_distinct(t)) AS n_uniq")
+        .where(expr("n_tok >= 30 AND n_tok <= 2 * n_uniq"))
+      runToParquet(s, "llm_quality", gated, complete = false)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+          sum(col("n_uniq")).as("uniq_tokens"))
+        .orderBy(col("source"))
+    },
 
     // tumbling event-time window agg under a real stream; complete mode
     // emits final window state => equals the batch computation exactly
@@ -195,6 +222,18 @@ object StreamOps {
     })
 
   def oracleSql: Map[String, String] = Map(
+    "stream_llm_quality" -> """
+      WITH g AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tokens,
+             CAST(sum(n_uniq) AS BIGINT) AS uniq_tokens
+      FROM g WHERE n_tok >= 30 AND n_tok <= 2 * n_uniq
+      GROUP BY source ORDER BY source""",
+
     "stream_tumbling_agg" -> s"""
       SELECT time_bucket(INTERVAL '12 hours', ts) AS ws, event_type,
              count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
