@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Exact._
+
+/** Behavioral analytics over the `events` stream table: ordered funnels and
+  * cohort retention — the two query shapes every product-analytics user of
+  * the reference's commit stream would ask next ("how many repos that saw a
+  * first commit also saw a release?"). Generalizes the watermark max-agg
+  * lineage (`git_etl.ts:141-153`): each funnel stage is a keyed min-ts
+  * aggregate constrained by the previous stage's watermark.
+  *
+  * Scale shape (100 TB): every stage is a hash aggregate + equi-join on
+  * `user_id` — the same shuffle key throughout, so Spark reuses the
+  * exchange across stages (no re-partitioning between funnel steps), and
+  * AQE picks broadcast when a stage's survivor set collapses. No windows
+  * over the full corpus, no self-join of events against itself: each join's
+  * left side is pre-filtered to ONE event type before shuffling.
+  */
+object Analytics {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Funnel stages, in order. `view -> click -> purchase` on the test
+    * table; any ordered list of event types works. */
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  /** Ordered-sequence funnel: a user converts at step k iff they have an
+    * event of type k at-or-after their step-(k-1) conversion time. Each
+    * stage = filter one type, join the previous stage's per-user
+    * watermark, keep events past it, min-ts aggregate. Counts + percent
+    * converted from step 1 (exact integer scaling — oracle-identical). */
+  def funnel(e: DataFrame, steps: Seq[String]): DataFrame = {
+    val stage1 = e.where(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val stages = steps.tail.scanLeft(stage1) { (prev, step) =>
+      e.where(col("event_type") === step)
+        .join(prev, "user_id")
+        .where(col("ts") >= col("t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    val counts = stages.zip(steps.zipWithIndex).map {
+      case (df, (name, i)) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+            col("n_users"))
+    }.reduce(_ unionByName _)
+    val base = counts.where(col("step") === 1)
+      .select(col("n_users").as("n0"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("step_name"), col("n_users"),
+        fix(col("n_users") * lit(100.0) / col("n0"), 2).as("conv_pct"))
+      .orderBy(col("step"))
+  }
+
+  /** Cohort retention: cohort = Monday of the user's first-event week;
+    * cell (cohort, k) = distinct users of that cohort active in week
+    * cohort+k, as a percentage of the cohort's size. Week offsets use
+    * integer division of whole days between two week-truncated dates —
+    * exact in both engines (never a float divide + cast, which rounds in
+    * DuckDB but truncates in Spark; see PERF.md round-7 trap). */
+  def cohortRetention(e: DataFrame): DataFrame = {
+    val first = e.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort"))
+    val cells = e.join(first, "user_id")
+      .select(col("user_id"), col("cohort"),
+        expr("datediff(date_trunc('week', ts), cohort) DIV 7").cast("int")
+          .as("week_offset"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val base = cells.where(col("week_offset") === 0)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    cells.join(base, "cohort")
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        fix(col("n_active") * lit(100.0) / col("cohort_size"), 2)
+          .as("retention_pct"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> ((s, dir) => funnel(ev(s, dir), FunnelSteps)),
+    "q_cohort_retention" -> ((s, dir) => cohortRetention(ev(s, dir))))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_funnel" -> {
+      val s1 =
+        s"""SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = '${FunnelSteps(0)}' GROUP BY user_id"""
+      val stageCtes = FunnelSteps.tail.zipWithIndex.map { case (step, i) =>
+        s"""s${i + 2} AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s${i + 1} ON e.user_id = s${i + 1}.user_id
+              WHERE e.event_type = '$step' AND e.ts >= s${i + 1}.t
+              GROUP BY e.user_id)"""
+      }.mkString(",\n          ")
+      val unions = FunnelSteps.zipWithIndex.map { case (name, i) =>
+        s"SELECT ${i + 1} AS step, '$name' AS step_name, count(*) AS n_users FROM s${i + 1}"
+      }.mkString("\n          UNION ALL ")
+      s"""
+      WITH s1 AS ($s1),
+          $stageCtes,
+          counts AS ($unions),
+          base AS (SELECT n_users AS n0 FROM counts WHERE step = 1)
+      SELECT step, step_name, n_users,
+             ${sqlFix("n_users * 100.0 / n0", 2)} AS conv_pct
+      FROM counts, base ORDER BY step"""
+    },
+
+    "q_cohort_retention" -> s"""
+      WITH first AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT cohort,
+               CAST(date_diff('day', cohort,
+                 CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS week_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM events e JOIN first ON e.user_id = first.user_id
+        GROUP BY cohort, week_offset),
+      base AS (
+        SELECT cohort, n_active AS cohort_size FROM cells WHERE week_offset = 0)
+      SELECT c.cohort, c.week_offset, c.n_active, b.cohort_size,
+             ${sqlFix("c.n_active * 100.0 / b.cohort_size", 2)} AS retention_pct
+      FROM cells c JOIN base b ON c.cohort = b.cohort
+      ORDER BY c.cohort, c.week_offset""")
+}

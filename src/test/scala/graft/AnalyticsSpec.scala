@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Analytics
+
+/** Funnel ordering semantics and cohort retention arithmetic. */
+class AnalyticsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.map { case (u, t, et) => (u, ts(t), et) }
+      .toDF("user_id", "ts", "event_type")
+  }
+
+  test("funnel counts only in-order conversions (inclusive bound)") {
+    val e = events(
+      // u1: full in-order funnel
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 12:00:00", "purchase"),
+      // u2: click BEFORE view -> stops at step 1; purchase without
+      // an in-order click must NOT count either
+      (2L, "2024-01-01 09:00:00", "click"),
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 11:00:00", "purchase"),
+      // u3: view+click simultaneous (inclusive >=) then purchase
+      (3L, "2024-01-02 08:00:00", "view"),
+      (3L, "2024-01-02 08:00:00", "click"),
+      (3L, "2024-01-02 09:00:00", "purchase"),
+      // u4: never views -> in no stage
+      (4L, "2024-01-03 10:00:00", "click"),
+      (4L, "2024-01-03 11:00:00", "purchase"))
+    val out = Analytics.funnel(e, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1, "view", 3L, 100.0),      // u1,u2,u3
+      (2, "click", 2L, 66.67),     // u1,u3 (u2's click predates view)
+      (3, "purchase", 2L, 66.67))) // u1,u3
+  }
+
+  test("cohort retention: week offsets and percentages are exact") {
+    val e = events(
+      // cohort week of Mon 2024-01-01: u1 (weeks 0,1), u2 (week 0 only)
+      (1L, "2024-01-02 10:00:00", "view"),
+      (1L, "2024-01-09 10:00:00", "click"),
+      (2L, "2024-01-03 10:00:00", "view"),
+      // cohort week of Mon 2024-01-08: u3 (weeks 0 and 2)
+      (3L, "2024-01-08 10:00:00", "view"),
+      (3L, "2024-01-22 10:00:00", "purchase"))
+    val out = Analytics.cohortRetention(e)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0, 2L, 100.0),
+      ("2024-01-01", 1, 1L, 50.0),
+      ("2024-01-08", 0, 1L, 100.0),
+      ("2024-01-08", 2, 1L, 100.0)))
+  }
+}
