@@ -1,0 +1,234 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Exact
+import XHash._
+
+/** Lexical (BM25) retrieval and lexical+semantic hybrid search over the
+  * corpus — the retrieval stages a curation pipeline runs for
+  * decontamination lookups, targeted corpus audits, and RAG-style eval-set
+  * construction. Complements the ANN family in [[Similarity]]: BM25 is the
+  * inverted-index arm, cosine kNN the embedding arm, and reciprocal-rank
+  * fusion (RRF) combines them rank-wise (no score calibration needed —
+  * the reason RRF is the default fusion in production search).
+  *
+  * Queries are pseudo-queries: documents with `doc_id < `[[QMax]] retrieve
+  * against the rest of the corpus (the doc-as-query protocol; `vec_id`
+  * aligns 1:1 with `doc_id` in the test tables, so both arms rank the
+  * same id space).
+  *
+  * Cross-engine exactness: BM25's idf and length-normalized tf terms are
+  * IEEE doubles computed with the identical operation order in both
+  * engines, scaled to longs per (query, doc, term) BEFORE the per-doc sum
+  * (the [[Exact]] discipline — also what makes the 100 TB sum
+  * partition-order-independent); RRF contributions are `1/(60+rank)`
+  * scaled likewise.
+  *
+  * Scale shape: one tokenize pass builds postings `(doc, term, tf)`; the
+  * query-term table is tiny and broadcast, so the postings join never
+  * shuffles the corpus; document-frequency and doc-length attach on slim
+  * long keys. Terms in more than half the corpus are dropped from scoring
+  * (idf ≈ 0 but join fan-out ∝ df — the same quadratic-hot-key argument
+  * as [[XHash.MaxDf]]); the cap is corpus-relative and mirrored in the
+  * oracle. Reference anchor: generalizes the keyed point-lookup of
+  * `git_etl.ts:141-153` to ranked retrieval.
+  */
+object Retrieval {
+
+  /** BM25 shape parameters (standard Robertson defaults). */
+  val K1 = 1.2
+  val B = 0.75
+  /** Pseudo-query docs: doc_id < QMax. */
+  val QMax = 8
+  /** Per-arm candidate depth feeding RRF. */
+  val ArmK = 10
+  /** RRF dampening constant (Cormack et al.'s 60). */
+  val RrfK0 = 60
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** BM25 contributions summed per (query, candidate): `(q_id, doc_id,
+    * s6)` with s6 = sum of scaled-long per-term scores. Shared by the
+    * standalone entry and the hybrid's lexical arm. */
+  private[llm] def bm25Scores(s: SparkSession, dir: String): DataFrame =
+    bm25ScoresOf(docs(s, dir))
+
+  /** [[bm25Scores]] over an arbitrary `(doc_id, text, ...)` corpus. */
+  private[graft] def bm25ScoresOf(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // toks feeds dl, tf, and (via tf) query terms — materialize once
+    val toks = corpus
+      .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
+      .where(expr("size(wh) >= 1"))
+      .localCheckpoint()
+    val dl = toks.selectExpr("doc_id", "CAST(size(wh) AS BIGINT) AS dl")
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
+    val tf = toks.selectExpr("doc_id", "explode(wh) AS h")
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    // df per term, stop-term capped at half the corpus (corpus-relative)
+    val dfc = tf.groupBy(col("h")).agg(count(lit(1)).as("f"))
+      .crossJoin(broadcast(stats))
+      .where(expr("f <= n_docs DIV 2"))
+      .select(col("h"), col("f"), col("n_docs"), col("avgdl"))
+    // query terms: distinct per pseudo-query doc (tf is already distinct
+    // per (doc, term)); tiny — broadcast into the postings join
+    val qt = tf.where(col("doc_id") < QMax)
+      .select(col("doc_id").as("q_id"), col("h"))
+    val contrib = tf.join(broadcast(qt), "h")
+      .where(col("doc_id") =!= col("q_id"))
+      .join(dfc, "h")
+      .join(dl, "doc_id")
+      .withColumn("c6", Exact.scaled(
+        expr("log((n_docs - f + 0.5) / (f + 0.5) + 1.0)") *
+          expr(s"(CAST(m AS DOUBLE) * ${1.0 + K1}) / (CAST(m AS DOUBLE) + " +
+            s"$K1 * (${1.0 - B} + $B * (CAST(dl AS DOUBLE) / avgdl)))"), 6))
+    contrib.groupBy(col("q_id"), col("doc_id")).agg(sum(col("c6")).as("s6"))
+  }
+
+  /** Exact-cosine semantic arm: `(q_id, id, rank_a)`, top [[ArmK]] per
+    * query, self excluded — the brute-kNN shape from [[Similarity]]. */
+  private def annRanks(s: SparkSession, dir: String): DataFrame = {
+    val se = Similarity.scaledEmb(s, dir)
+    val qs = se.where(col("vec_id") < QMax)
+      .select(col("vec_id").as("q_id"), col("se").as("qse"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("id"))
+    se.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS id",
+        "CAST(graft_dot(qse, se) AS DOUBLE) / (qnrm * nrm) AS cos_raw")
+      .withColumn("rank_a", row_number().over(w))
+      .where(col("rank_a") <= ArmK)
+      .select(col("q_id"), col("id"), col("rank_a"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Standalone BM25 top-5 per pseudo-query.
+    "q_llm_bm25" -> { (s, dir) =>
+      val w = Window.partitionBy(col("q_id")).orderBy(col("s6").desc, col("doc_id"))
+      bm25Scores(s, dir)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("doc_id"),
+          (col("s6") / lit(1000000.0)).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // Hybrid search: RRF over the BM25 and exact-cosine arms. Each arm
+    // contributes 1/(60+rank) for its top-10; a candidate absent from an
+    // arm contributes 0 (full outer join of the two slim rank lists —
+    // arm outputs are O(queries × 10), so the fusion is trivially small
+    // however large the corpus). in_lex/in_sem flag arm membership.
+    "q_llm_hybrid_search" -> { (s, dir) =>
+      val wb = Window.partitionBy(col("q_id")).orderBy(col("s6").desc, col("id"))
+      val lex = bm25Scores(s, dir)
+        .withColumn("id", col("doc_id"))
+        .withColumn("rank_b", row_number().over(wb))
+        .where(col("rank_b") <= ArmK)
+        .select(col("q_id"), col("id"), col("rank_b"))
+      val sem = annRanks(s, dir)
+      val fused = lex.join(sem, Seq("q_id", "id"), "full_outer")
+        .withColumn("rb6", when(col("rank_b").isNull, lit(0L))
+          .otherwise(Exact.scaled(expr(s"1.0 / ($RrfK0 + rank_b)"), 6)))
+        .withColumn("ra6", when(col("rank_a").isNull, lit(0L))
+          .otherwise(Exact.scaled(expr(s"1.0 / ($RrfK0 + rank_a)"), 6)))
+        .withColumn("rrf6", col("rb6") + col("ra6"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("rrf6").desc, col("id"))
+      fused.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("id").as("doc_id"),
+          (col("rrf6") / lit(1000000.0)).as("rrf"),
+          col("rank_b").isNotNull.cast("int").as("in_lex"),
+          col("rank_a").isNotNull.cast("int").as("in_sem"))
+        .orderBy(col("q_id"), col("rank"))
+    })
+
+  /** Shared oracle CTE chain computing BM25 s6 per (q_id, doc_id). */
+  private def duckBm25Ctes: String = s"""
+      toks AS (
+        SELECT doc_id, wh FROM (
+          SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents)
+        WHERE len(wh) >= 1),
+      d AS (SELECT doc_id, CAST(len(wh) AS BIGINT) AS dl FROM toks),
+      stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM d),
+      tf AS (
+        SELECT doc_id, h, count(*) AS m
+        FROM (SELECT doc_id, unnest(wh) AS h FROM toks) GROUP BY doc_id, h),
+      dfc AS (
+        SELECT h, f, n_docs, avgdl FROM
+          (SELECT h, count(*) AS f FROM tf GROUP BY h), stats
+        WHERE f <= n_docs // 2),
+      qt AS (SELECT doc_id AS q_id, h FROM tf WHERE doc_id < $QMax),
+      contrib AS (
+        SELECT qt.q_id, tf.doc_id,
+               ${Exact.sqlScaled(
+                 s"(ln((n_docs - f + 0.5) / (f + 0.5) + 1.0)) * " +
+                 s"((CAST(m AS DOUBLE) * ${1.0 + K1}) / (CAST(m AS DOUBLE) + " +
+                 s"$K1 * (${1.0 - B} + $B * (CAST(dl AS DOUBLE) / avgdl))))", 6)} AS c6
+        FROM tf
+        JOIN qt USING (h)
+        JOIN dfc USING (h)
+        JOIN d ON tf.doc_id = d.doc_id
+        WHERE tf.doc_id <> qt.q_id),
+      sc AS (SELECT q_id, doc_id, sum(c6) AS s6 FROM contrib GROUP BY q_id, doc_id)"""
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_llm_bm25" -> s"""
+      WITH $duckBm25Ctes,
+      r AS (
+        SELECT q_id, doc_id, s6,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY s6 DESC, doc_id) AS INT) AS rank
+        FROM sc)
+      SELECT q_id, rank, doc_id, s6 / 1000000.0 AS score
+      FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "q_llm_hybrid_search" -> s"""
+      WITH $duckBm25Ctes,
+      lex AS (
+        SELECT q_id, doc_id AS id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY s6 DESC, doc_id) AS INT) AS rank_b
+        FROM sc QUALIFY rank_b <= $ArmK),
+      e0 AS (SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e AS (
+        SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm
+        FROM e0),
+      q AS (SELECT vec_id AS q_id, se AS qse, nrm AS qnrm FROM e WHERE vec_id < $QMax),
+      sem AS (
+        SELECT q_id, id, rank_a FROM (
+          SELECT q_id, e.vec_id AS id,
+                 CAST(row_number() OVER (PARTITION BY q_id ORDER BY
+                   CAST(${duckPairDot("qse", "se")} AS DOUBLE) / (qnrm * nrm) DESC,
+                   e.vec_id) AS INT) AS rank_a
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+        WHERE rank_a <= $ArmK),
+      fused AS (
+        SELECT COALESCE(lex.q_id, sem.q_id) AS q_id,
+               COALESCE(lex.id, sem.id) AS id,
+               rank_b, rank_a,
+               (CASE WHEN rank_b IS NULL THEN 0
+                     ELSE ${Exact.sqlScaled(s"1.0 / ($RrfK0 + rank_b)", 6)} END
+                + CASE WHEN rank_a IS NULL THEN 0
+                       ELSE ${Exact.sqlScaled(s"1.0 / ($RrfK0 + rank_a)", 6)} END) AS rrf6
+        FROM lex FULL JOIN sem ON lex.q_id = sem.q_id AND lex.id = sem.id),
+      rr AS (
+        SELECT q_id, id, rrf6, rank_b, rank_a,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf6 DESC, id) AS INT) AS rank
+        FROM fused)
+      SELECT q_id, rank, id AS doc_id, rrf6 / 1000000.0 AS rrf,
+             CAST(rank_b IS NOT NULL AS INT) AS in_lex,
+             CAST(rank_a IS NOT NULL AS INT) AS in_sem
+      FROM rr WHERE rank <= 5 ORDER BY q_id, rank""")
+}
