@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import XHash._
+
+/** Graph centrality over the verified near-dup pair graph: a fixed number
+  * of degree-normalized PageRank iterations picks each duplicate
+  * cluster's MEDOID — the doc most linked into its cluster — as the
+  * representative to keep. Min-id canonical picks (the
+  * [[Dedup.connectedComponents]] label) keep an arbitrary member;
+  * centrality keeps the member most similar to the rest, which is what a
+  * curation pipeline actually wants to retain when a template family has
+  * drifted.
+  *
+  * All arithmetic is scaled-long INTEGER (rank mass [[Scale]] = 1e12,
+  * damping 85/100, truncating division on non-negative operands — Spark
+  * `DIV` and DuckDB `//` agree bit-for-bit), so the iteration is
+  * cross-engine exact with no float accumulation anywhere — which is
+  * also what makes it partition-order-independent at 100 TB.
+  *
+  * Scale shape: each iteration is one equi-join of the edge list against
+  * the current rank table (both keyed by doc id — the shuffle key never
+  * changes, so the exchange is reused) plus a per-node sum; rounds are
+  * materialized through the [[graft.util.Checkpointer]] knob so lineage
+  * stays flat (Local for bench, Reliable/Store on a cluster). The
+  * iteration count is FIXED ([[Iters]]) — centrality ordering inside a
+  * cluster stabilizes in a few rounds on near-dup graphs (shallow,
+  * clique-ish; see the adaptive-jump cost model on
+  * [[Dedup.connectedComponents]]) — so the oracle unrolls the same
+  * rounds as chained CTEs. Reference anchor: upgrades the keyed
+  * one-winner-per-key dedup of `git_etl.ts:127-132` to a
+  * similarity-weighted winner.
+  */
+object Graph {
+
+  /** Total rank mass (scaled long). */
+  val Scale = 1000000000000L
+  /** Damping numerator/denominator: d = 85/100. */
+  val DampNum = 85L
+  /** Fixed PageRank rounds (unrolled identically in the oracle). */
+  val Iters = 3
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Integer PageRank over an undirected `(doc_a, doc_b)` pair graph.
+    * Returns `(doc_id, deg, pr12)` — pr12 is the scaled-long rank. Every
+    * node of the pair graph has degree >= 1, so there are no dangling
+    * nodes and the incoming-sum join is inner on both engines. */
+  private[graft] def pagerank(pairs: DataFrame, iters: Int = Iters,
+                              ckpt: graft.util.Checkpointer =
+                                graft.util.Checkpointer.Local): DataFrame = {
+    val edges = ckpt(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val deg = edges.groupBy(col("src").as("doc")).agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    // init: every node starts at Scale DIV n (deg and n ride along so the
+    // loop never re-joins the degree table)
+    var r = ckpt(deg.crossJoin(broadcast(nn))
+      .selectExpr("doc", "deg", "n_nodes", s"$Scale DIV n_nodes AS pr12"))
+    for (_ <- 1 to iters) {
+      val incoming = edges
+        .join(r.selectExpr("doc AS src", "pr12 DIV deg AS c"), "src")
+        .groupBy(col("dst").as("doc")).agg(sum(col("c")).as("inc"))
+      r = ckpt(r.select(col("doc"), col("deg"), col("n_nodes"))
+        .join(incoming, "doc")
+        .selectExpr("doc", "deg", "n_nodes",
+          s"((($Scale DIV n_nodes) * ${100 - DampNum}) DIV 100) + " +
+            s"((inc * $DampNum) DIV 100) AS pr12"))
+    }
+    r.select(col("doc").as("doc_id"), col("deg"), col("pr12"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Near-dup medoid election: PageRank over the MinHash-verified pair
+    // graph, components from the shared CC fixpoint, medoid = the
+    // component's max-rank member (ties -> min id). Both the pair
+    // generation and the iteration are banded/keyed — no all-pairs work.
+    "q_llm_centrality" -> { (s, dir) =>
+      val pairs = Dedup.minhashVerifiedPairsOf(docs(s, dir))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val pr = pagerank(pairs)
+      val cc = Dedup.connectedComponents(pairs)
+      val w = Window.partitionBy(col("canonical"))
+        .orderBy(col("pr12").desc, col("doc_id"))
+      pr.join(cc, "doc_id")
+        .withColumn("medoid", first(col("doc_id")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("doc_id"), col("canonical"), col("deg"), col("pr12"),
+          col("medoid"))
+        .orderBy(col("doc_id"))
+    })
+
+  def oracleSql: Map[String, String] = {
+    // unrolled PageRank rounds: pr0 -> pr1 -> ... -> prIters
+    val rounds = (1 to Iters).map { k =>
+      s"""pr$k AS (
+        SELECT p.doc, p.deg, p.n_nodes,
+               ((($Scale // p.n_nodes) * ${100 - DampNum}) // 100) +
+                 ((i.inc * $DampNum) // 100) AS pr12
+        FROM (SELECT doc, deg, n_nodes FROM pr${k - 1}) p
+        JOIN (SELECT e.dst AS doc, CAST(sum(q.pr12 // q.deg) AS BIGINT) AS inc
+              FROM edges e JOIN pr${k - 1} q ON e.src = q.doc
+              GROUP BY e.dst) i ON i.doc = p.doc)"""
+    }.mkString(",\n      ")
+    Map(
+      "q_llm_centrality" -> s"""
+      WITH RECURSIVE ${Dedup.verifiedPairCtes("documents")},
+      pairs AS (SELECT doc_a, doc_b FROM vpairs),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      degt AS (SELECT src AS doc, count(*) AS deg FROM edges GROUP BY src),
+      pr0 AS (
+        SELECT doc, deg, (SELECT count(*) FROM degt) AS n_nodes,
+               $Scale // (SELECT count(*) FROM degt) AS pr12
+        FROM degt),
+      $rounds,
+      ue AS (SELECT src AS a, dst AS b FROM edges),
+      reach(a, b) AS (
+        SELECT a, b FROM ue
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN ue e ON r.b = e.a),
+      canon AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical
+        FROM reach GROUP BY a),
+      scored AS (
+        SELECT p.doc AS doc_id, c.canonical, p.deg, p.pr12
+        FROM pr$Iters p JOIN canon c ON c.doc_id = p.doc),
+      med AS (
+        SELECT canonical, doc_id AS medoid FROM (
+          SELECT canonical, doc_id,
+                 row_number() OVER (PARTITION BY canonical
+                   ORDER BY pr12 DESC, doc_id) AS rn
+          FROM scored) WHERE rn = 1)
+      SELECT s.doc_id, s.canonical, s.deg, s.pr12, m.medoid
+      FROM scored s JOIN med m ON m.canonical = s.canonical
+      ORDER BY s.doc_id""")
+  }
+}
