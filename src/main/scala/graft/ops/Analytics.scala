@@ -82,9 +82,39 @@ object Analytics {
       .orderBy(col("cohort"), col("week_offset"))
   }
 
+  /** Blocked entity resolution over `customer`: candidate pairs come ONLY
+    * from equi-joining on a blocking key (nation, market segment) — never
+    * a global self-join — then fuzzy-verify with `levenshtein <= 2` on
+    * the name, and transitively merge matches into entities via the
+    * shared [[graft.llm.Dedup.connectedComponents]] fixpoint. Singletons
+    * keep their own key. The per-block quadratic is bounded by the
+    * largest block (pick keys so blocks stay small as data grows — the
+    * record-linkage analog of LSH bands; same scaling argument as the
+    * per-cell SemDeDup join). */
+  def entityResolution(c: DataFrame): DataFrame = {
+    val pairs = c.alias("a").join(c.alias("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.c_custkey") < col("b.c_custkey") &&
+          levenshtein(col("a.c_name"), col("b.c_name")) <= 2)
+      .select(col("a.c_custkey").as("doc_a"), col("b.c_custkey").as("doc_b"))
+    val cc = graft.llm.Dedup.connectedComponents(pairs)
+    c.select(col("c_custkey"))
+      .join(cc, col("c_custkey") === col("doc_id"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("canonical"), col("c_custkey")).as("entity"))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("entity"))))
+      .orderBy(col("c_custkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> ((s, dir) => funnel(ev(s, dir), FunnelSteps)),
-    "q_cohort_retention" -> ((s, dir) => cohortRetention(ev(s, dir))))
+    "q_cohort_retention" -> ((s, dir) => cohortRetention(ev(s, dir))),
+    "q_entity_resolution" -> ((s, dir) =>
+      entityResolution(Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment")))))
 
   def oracleSql: Map[String, String] = Map(
 
@@ -111,6 +141,33 @@ object Analytics {
              ${sqlFix("n_users * 100.0 / n0", 2)} AS conv_pct
       FROM counts, base ORDER BY step"""
     },
+
+    "q_entity_resolution" -> """
+      WITH RECURSIVE cust AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer),
+      pairs AS (
+        SELECT a.c_custkey AS pa, b.c_custkey AS pb
+        FROM cust a JOIN cust b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 2),
+      edges AS (
+        SELECT pa AS a, pb AS b FROM pairs
+        UNION SELECT pb, pa FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      canon AS (
+        SELECT a AS k, least(a, min(b)) AS canonical FROM reach GROUP BY a),
+      ent AS (
+        SELECT c.c_custkey,
+               COALESCE(canon.canonical, c.c_custkey) AS entity
+        FROM cust c LEFT JOIN canon ON canon.k = c.c_custkey)
+      SELECT c_custkey, entity,
+             count(*) OVER (PARTITION BY entity) AS n_members
+      FROM ent ORDER BY c_custkey""",
 
     "q_cohort_retention" -> s"""
       WITH first AS (

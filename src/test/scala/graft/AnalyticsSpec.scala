@@ -41,6 +41,23 @@ class AnalyticsSpec extends SparkSpec {
       (3, "purchase", 2L, 66.67))) // u1,u3
   }
 
+  test("entity resolution: blocks gate candidates, typos merge, singletons stay") {
+    import spark.implicits._
+    val c = Seq(
+      // same block, 1-char typo -> one entity
+      (1L, "Acme Corp", 7, "BUILDING"),
+      (2L, "Acme Oorp", 7, "BUILDING"),
+      // identical name but DIFFERENT block -> never compared
+      (3L, "Acme Corp", 8, "BUILDING"),
+      // same block, name too far -> singleton
+      (4L, "Zenith Ltd", 7, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val out = Analytics.entityResolution(c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 1L)))
+  }
+
   test("cohort retention: week offsets and percentages are exact") {
     val e = events(
       // cohort week of Mon 2024-01-01: u1 (weeks 0,1), u2 (week 0 only)
