@@ -402,6 +402,37 @@ object Dedup {
         .selectExpr("doc_a", "doc_b", "CAST(i AS DOUBLE) / (na + nb - i) AS jaccard")
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Cross-corpus near-dup: dedup an incoming corpus AGAINST an existing
+    // one (the "does the new crawl overlap my training set" question).
+    // Same MinHash machinery, but the band join is BIPARTITE — side A
+    // (single-digit sources) only ever joins side B, so within-corpus
+    // pairs are never generated and the candidate volume is bounded by
+    // cross-corpus bucket overlap, not either corpus's own duplication.
+    // df counts and the relative cap stay corpus-wide (the Jaccard
+    // universe is the union — the same universe the one-shot pipeline
+    // uses, so verdicts agree between the two entries).
+    "q_llm_dedup_crosscorpus" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val raw = shingleStreamOf(d).localCheckpoint()
+      val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
+      val bands = bandsFromSigs(sigsFromShingles(raw)).localCheckpoint()
+      val sides = d.selectExpr("doc_id", "length(source) = 4 AS in_a")
+      val ba = bands.join(sides.where(col("in_a")).select("doc_id"), "doc_id")
+      val bb = bands.join(sides.where(!col("in_a")).select("doc_id"), "doc_id")
+      val cand = ba.alias("a").join(bb.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        .distinct()
+      verifiedPairsFrom(cand, raw, dfreq, corpusCountOf(d))
+        .join(d.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .selectExpr("doc_a", "doc_b", "src_a", "src_b",
+          "CAST(i AS DOUBLE) / (na + nb - i) AS jaccard")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Global "most similar pairs" report: the LSH-verified pairs ranked by
     // similarity — the audit view a dedup operator ships with.
     "q_llm_top_similar_pairs" -> ((s, dir) =>
@@ -620,8 +651,15 @@ object Dedup {
   // the Spark side computes — the scalar subquery mirrors
   // corpusCountOf, and DuckDB's `//` truncates toward zero on the
   // non-negative count exactly like Spark's DIV).
-  private[llm] def verifiedPairCtes(src: String): String = s"""
-      ${candCtes(src)},
+  private[llm] def verifiedPairCtes(src: String): String =
+    verifiedPairCtesFrom(candCtes(src), src)
+
+  /** The ex/dfreq/exc/szs/co/vpairs verification chain over an arbitrary
+    * candidate-CTE prefix (must define `shing` and `cpairs`) — lets the
+    * cross-corpus entry swap in a bipartite candidate join while keeping
+    * verification identical to the one-shot pipeline. */
+  private[llm] def verifiedPairCtesFrom(candSql: String, src: String): String = s"""
+      $candSql,
       ex AS (SELECT doc_id, unnest(shd) AS sg FROM shing),
       dfreq AS (SELECT sg, count(*) AS f FROM ex GROUP BY sg),
       exc AS (SELECT doc_id, sg FROM ex JOIN dfreq USING (sg)
@@ -735,6 +773,29 @@ object Dedup {
              CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
       FROM vpairs
       ORDER BY doc_a, doc_b""",
+
+      "q_llm_dedup_crosscorpus" -> s"""
+      WITH ${verifiedPairCtesFrom(s"""
+      ${duckShingleCtes("documents")},
+      sig AS (
+        SELECT doc_id, $sigExprs
+        FROM shing),
+      bands AS (
+        $bandUnion),
+      srcs AS (SELECT doc_id, length(source) = 4 AS in_a FROM documents),
+      cpairs AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+               greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM bands a
+        JOIN srcs sa ON sa.doc_id = a.doc_id AND sa.in_a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        JOIN srcs sb ON sb.doc_id = b.doc_id AND NOT sb.in_a)""", "documents")}
+      SELECT v.doc_a, v.doc_b, da.source AS src_a, db.source AS src_b,
+             CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+      FROM vpairs v
+      JOIN documents da ON da.doc_id = v.doc_a
+      JOIN documents db ON db.doc_id = v.doc_b
+      ORDER BY v.doc_a, v.doc_b""",
 
       "q_llm_top_similar_pairs" -> s"""
       WITH ${verifiedPairCtes("documents")}
