@@ -96,6 +96,23 @@ object StreamOps {
         .orderBy(col("ws"), col("event_type"))
     },
 
+    // session windows under a real stream: gap-based state merge is the
+    // one windowed agg whose state is UNBOUNDED-per-key until the gap
+    // closes — the watermark is what lets the store evict closed
+    // sessions at scale; complete mode emits final merged state, which
+    // equals the batch gap-island computation exactly.
+    "stream_session_window" -> { (s, dir) =>
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
+        .select(col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"),
+          col("user_id"), col("n"), col("sum_value"))
+      runToParquet(s, "session", agg, complete = true)
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+
     // streaming keyed dedup (reference O8: duplicate deliveries collapse);
     // event_id is the primary key, append emissions are replay-independent
     "stream_dedup" -> { (s, dir) =>
@@ -243,6 +260,25 @@ object StreamOps {
       SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
       FROM (SELECT DISTINCT event_id, event_type, value FROM events)
       GROUP BY event_type ORDER BY event_type""",
+
+    // same gap-island emulation as the batch q_session_window oracle —
+    // final streamed session state must equal the batch computation
+    "stream_session_window" -> s"""
+      WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      islands AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM marked)
+      SELECT min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end,
+             user_id, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
+      FROM islands GROUP BY user_id, sess_id ORDER BY user_id, sess_start""",
 
     "stream_incremental_ticks" -> s"""
       WITH keyed AS (
