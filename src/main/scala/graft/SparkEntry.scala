@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
 import graft.ingest.CommitEtl
-import graft.ops.{Aggregates, Analytics, AsOf, Extras, Relational, Scalars, TimeWindows, Typed, Windows}
+import graft.ops.{Aggregates, Analytics, AsOf, Extras, Quality, Relational, Scalars, TimeWindows, Typed, Windows}
 import graft.sources.Tables
 import graft.streaming.StreamOps
 
@@ -36,7 +36,7 @@ object SparkEntry {
     CommitEtl.queries ++ Relational.queries ++ Aggregates.queries ++
       Windows.queries ++ Scalars.queries ++ Extras.queries ++ Typed.queries ++
       AsOf.queries ++ TimeWindows.queries ++ Analytics.queries ++
-      StreamOps.queries ++
+      Quality.queries ++ StreamOps.queries ++
       graft.llm.Dedup.queries ++ graft.llm.IncrementalDedup.queries ++
       graft.llm.Similarity.queries ++ graft.llm.IncrementalAnn.queries ++
       graft.llm.TextAnalysis.queries ++ graft.llm.Multimodal.queries ++
@@ -50,7 +50,7 @@ object SparkEntry {
     CommitEtl.oracleSql ++ Relational.oracleSql ++ Aggregates.oracleSql ++
       Windows.oracleSql ++ Scalars.oracleSql ++ Extras.oracleSql ++ Typed.oracleSql ++
       AsOf.oracleSql ++ TimeWindows.oracleSql ++ Analytics.oracleSql ++
-      StreamOps.oracleSql ++
+      Quality.oracleSql ++ StreamOps.oracleSql ++
       graft.llm.Dedup.oracleSql ++ graft.llm.IncrementalDedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++ graft.llm.IncrementalAnn.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++ graft.llm.Multimodal.oracleSql ++

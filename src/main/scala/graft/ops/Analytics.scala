@@ -108,7 +108,28 @@ object Analytics {
       .orderBy(col("c_custkey"))
   }
 
+  /** Time-series anomaly flags over daily event volume, in EXACT integer
+    * arithmetic: day d is anomalous iff |x_d - mean| > 2*stddev, tested as
+    * `(x*n - S)^2 > 4*(n*Q - S^2)` with S = sum(x), Q = sum(x^2) over the
+    * full series — the z-score inequality cross-multiplied so neither
+    * engine ever divides (float mean/variance would diverge across
+    * engines and across partition orders at scale). Stats are one tiny
+    * aggregate broadcast back over the daily series: two scans of an
+    * already-aggregated O(days) table, never of raw events. */
+  def anomalies(e: DataFrame): DataFrame = {
+    val daily = e.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q"))
+    daily.crossJoin(broadcast(stats))
+      .select(col("day"), col("x").as("n_events"),
+        ((col("x") * col("n") - col("s")) * (col("x") * col("n") - col("s")) >
+          lit(4L) * (col("n") * col("q") - col("s") * col("s"))).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_zscore" -> ((s, dir) => anomalies(ev(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(ev(s, dir), FunnelSteps)),
     "q_cohort_retention" -> ((s, dir) => cohortRetention(ev(s, dir))),
     "q_entity_resolution" -> ((s, dir) =>
@@ -117,6 +138,18 @@ object Analytics {
           col("c_mktsegment")))))
 
   def oracleSql: Map[String, String] = Map(
+
+    // HUGEINT intermediates are fine — only the boolean leaves the CTE,
+    // and the values are small enough that BIGINT (Spark) and INT128
+    // (DuckDB) agree exactly
+    "q_anomaly_zscore" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS x
+        FROM events GROUP BY 1),
+      st AS (SELECT count(*) AS n, sum(x) AS s, sum(x*x) AS q FROM daily)
+      SELECT day, CAST(x AS BIGINT) AS n_events,
+             (x*n - s)*(x*n - s) > 4*(n*q - s*s) AS is_anomaly
+      FROM daily, st ORDER BY day""",
 
     "q_funnel" -> {
       val s1 =

@@ -296,7 +296,29 @@ object Sinks {
     val v = latestVersion(store).map(_ + 1).getOrElse(0L)
     val stage = s"$store/.staging_delta_$v"
     deleteRec(stage)
-    batch.dropDuplicates(key).withColumn("_v", lit(v)).write.parquet(stage)
+    batch.dropDuplicates(key).withColumn("_tombstone", lit(false))
+      .withColumn("_v", lit(v)).write.parquet(stage)
+    Files.move(Paths.get(stage), Paths.get(s"$store/delta_v=$v"),
+      StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Commit a DELETE wave as the next version: a tombstone delta holding
+    * only (key, _tombstone=true). Snapshot reads resolve each key to its
+    * highest version as usual and then drop tombstone winners, so a delete
+    * costs O(|deleted keys|) on write and nothing extra on read — never a
+    * rewrite of live data (the versioned-store counterpart of
+    * [[deleteByKeyBucket]]). Deleting an absent key is a harmless no-op
+    * row. Same staged-rename commit point as [[commitVersion]]. */
+  def commitDeletes(s: SparkSession, store: String, keys: DataFrame,
+                    key: String): Long = {
+    Files.createDirectories(Paths.get(store))
+    val v = latestVersion(store).map(_ + 1).getOrElse(0L)
+    val stage = s"$store/.staging_delta_$v"
+    deleteRec(stage)
+    keys.select(col(key)).dropDuplicates(key)
+      .withColumn("_tombstone", lit(true)).withColumn("_v", lit(v))
+      .write.parquet(stage)
     Files.move(Paths.get(stage), Paths.get(s"$store/delta_v=$v"),
       StandardCopyOption.ATOMIC_MOVE)
     v
@@ -310,7 +332,21 @@ object Sinks {
     * changes nothing (resolution is idempotent) — no repair step needed
     * before reads. Versions below the compaction horizon are gone;
     * asking for one is an error, not a silently-wrong answer. */
-  def snapshotAt(s: SparkSession, store: String, v: Long, key: String): DataFrame = {
+  def snapshotAt(s: SparkSession, store: String, v: Long, key: String): DataFrame =
+    snapshotRawAt(s, store, v, key)
+      .where(!col("_tombstone")).drop("_tombstone")
+
+  /** Winner rows at version `v` INCLUDING tombstone markers. Compaction
+    * materializes THIS (not the tombstone-filtered view) into the base:
+    * if a deleted key's marker were dropped from the base, a delta below
+    * the base version lingering from a compaction crash would have no
+    * higher-version winner to supersede it and the deleted row would
+    * resurrect. Keeping the marker (O(|deleted keys|) rows) preserves the
+    * "lingering deltas are harmless" invariant unconditionally.
+    * Tombstone deltas carry only (key, _tombstone, _v), so the read is
+    * schema-merged and payload columns of markers are null. */
+  private def snapshotRawAt(s: SparkSession, store: String, v: Long,
+                            key: String): DataFrame = {
     val baseV = versionsOf(store, "base_v").filter(_ <= v).maxOption
     val deltas = versionsOf(store, "delta_v").filter(_ <= v)
     require(baseV.nonEmpty || deltas.contains(0L),
@@ -318,11 +354,64 @@ object Sinks {
     val paths = baseV.map(b => s"$store/base_v=$b").toSeq ++
       deltas.map(d => s"$store/delta_v=$d")
     if (paths.isEmpty) throw new IllegalArgumentException(s"empty store $store")
-    val all = s.read.parquet(paths: _*)
+    val all = s.read.option("mergeSchema", "true").parquet(paths: _*)
+    val tomb = // stores written before tombstone support lack the column
+      if (all.columns.contains("_tombstone"))
+        coalesce(col("_tombstone"), lit(false))
+      else lit(false)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(col("_v").desc)
-    all.withColumn("_rn", row_number().over(w))
+    all.withColumn("_tombstone", tomb)
+      .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Change feed (CDC) of the versioned store over `(vFrom, vTo]`: one row
+    * per key whose winner changed in the window, classified as
+    * insert / update / delete against the snapshot at `vFrom`. Cost is
+    * O(rows in the window's deltas) plus one keyed lookup into the old
+    * snapshot that is semi-join-pruned to touched keys — NEVER a diff of
+    * two full snapshots, which is what makes the feed serveable off a
+    * 100 TB store whose daily delta is ~0.1%. Notes: a re-upsert with an
+    * unchanged payload still reports as `update` (delta semantics, not
+    * value-diff semantics); a delete of a key absent at `vFrom` that was
+    * not inserted in-window is dropped (it changed nothing); payload
+    * columns of `delete` rows are null. */
+  def changesBetween(s: SparkSession, store: String, vFrom: Long, vTo: Long,
+                     key: String): DataFrame = {
+    val ds = versionsOf(store, "delta_v").filter(d => d > vFrom && d <= vTo)
+    require(ds.nonEmpty, s"no deltas in ($vFrom, $vTo] of $store")
+    val all = s.read.option("mergeSchema", "true")
+      .parquet(ds.map(d => s"$store/delta_v=$d"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("_v").desc)
+    val winners = all
+      .withColumn("_tombstone", coalesce(col("_tombstone"), lit(false)))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn", "_v")
+    val before = snapshotAt(s, store, vFrom, key)
+    val existed = before
+      .join(winners.select(col(key)), Seq(key), "left_semi")
+      .select(col(key), lit(true).as("_existed"))
+    // payload schema is STABLE across windows: the union of the store's
+    // columns at vFrom and the window's — a tombstone-only window (whose
+    // deltas carry no payload at all) still emits every payload column,
+    // null-typed from the snapshot's schema
+    val winTypes = winners.schema.map(f => f.name -> f.dataType).toMap
+    val befTypes = before.schema.map(f => f.name -> f.dataType).toMap
+    val payload = (winners.columns ++ before.columns).distinct
+      .filter(c => c != key && c != "_tombstone" && c != "_v")
+      .map(c => if (winTypes.contains(c)) col(c)
+                else lit(null).cast(befTypes(c)).as(c))
+    winners.join(existed, Seq(key), "left")
+      .withColumn("_existed", coalesce(col("_existed"), lit(false)))
+      .withColumn("change_type",
+        when(col("_tombstone") && col("_existed"), lit("delete"))
+          .when(col("_tombstone"), lit(null))
+          .when(col("_existed"), lit("update"))
+          .otherwise(lit("insert")))
+      .where(col("change_type").isNotNull)
+      .select((col("change_type") +: col(key) +: payload.toIndexedSeq): _*)
   }
 
   /** Fold every delta at or below `upTo` into a materialized base
@@ -335,7 +424,9 @@ object Sinks {
     * so the next compaction simply finishes the cleanup. */
   def compactVersions(s: SparkSession, store: String, upTo: Long,
                       key: String): Unit = {
-    val snap = snapshotAt(s, store, upTo, key)
+    // raw winners: tombstone markers MUST survive into the base (see
+    // snapshotRawAt's scaladoc for the crash-window resurrection argument)
+    val snap = snapshotRawAt(s, store, upTo, key)
     val stage = s"$store/.staging_base_$upTo"
     deleteRec(stage)
     snap.write.parquet(stage)
@@ -539,6 +630,66 @@ object Sinks {
         .withColumn("version", lit(v).cast("int"))
       agg(1L).unionByName(agg(2L))
         .orderBy(col("version"), col("o_orderstatus"))
+    },
+
+    // CDC over the versioned store: v0 full load, v1 an update wave (%3,
+    // value bump) plus an insert wave (%11, shifted keys), v2 a tombstone
+    // delete wave (%7). The feed over (v0, v2] must classify every touched
+    // key — including %21 keys whose in-window update is superseded by the
+    // delete — and costs only the window's deltas + a pruned lookup at v0.
+    "q_sink_changefeed" -> { (s, dir) =>
+      val store = s"$tmpBase/orders_cdc"
+      deleteRec(store)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey").as("val"))
+      commitVersion(s, store, base, "o_orderkey")                         // v0
+      val upd = base.where(col("o_orderkey") % 3 === 0)
+        .withColumn("val", col("val") + 1000000L)
+      val ins = base.where(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      commitVersion(s, store, upd.unionByName(ins), "o_orderkey")         // v1
+      commitDeletes(s, store,
+        base.where(col("o_orderkey") % 7 === 0).select(col("o_orderkey")),
+        "o_orderkey")                                                     // v2
+      changesBetween(s, store, vFrom = 0L, vTo = 2L, key = "o_orderkey")
+        .orderBy(col("change_type"), col("o_orderkey"))
+    },
+
+    // Incrementally-maintained materialized aggregate: the streaming
+    // groupBy holds running (n, cents) per (event_type, day) in the state
+    // store; update-mode emits ONLY keys whose aggregate changed each
+    // tick, and the keyed bucket merge upserts those rows — tick cost is
+    // O(changed keys + touched buckets), never O(history), the
+    // materialized-view generalization of the reference's persisted
+    // watermark (git_etl.ts:141-153, which recomputes its one aggregate
+    // from the full store every tick). Replays are safe: counts only
+    // grow, so max-n upsert resolution is idempotent under re-delivery.
+    // Oracle = the one-shot GROUP BY (maintenance ≡ recompute).
+    "q_sink_incremental_agg" -> { (s, dir) =>
+      val src = s"$tmpBase/events_mv_src"
+      val store = s"$tmpBase/events_mv_store"
+      val ckpt = store + ".ckpt"
+      truncate(src); truncate(store); truncate(ckpt)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          graft.util.Exact.scaled(col("value"), 2).as("cents"))
+      ev.repartitionByRange(4, col("day")).write.parquet(src)
+      val agg = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("mv_key", xxhash64(col("event_type"), col("day")))
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          mergeByKeyBucket(s, store, b, "mv_key", Seq("n"))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(store)
+        .select(col("event_type"), col("day"), col("n"),
+          (col("cents") / lit(100.0)).as("sum_value"))
+        .orderBy(col("event_type"), col("day"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -619,5 +770,28 @@ object Sinks {
       SELECT o_orderstatus, count(*) AS n,
              CAST(sum(val) AS BIGINT) AS sum_val, 2 AS version
       FROM v2 GROUP BY o_orderstatus
-      ORDER BY version, o_orderstatus""")
+      ORDER BY version, o_orderstatus""",
+
+    // inserts: the shifted %11 keys (never in the v0 keyspace); updates:
+    // %3 keys except those the later %7 delete supersedes; deletes: every
+    // %7 key (all existed at v0), payload null
+    "q_sink_changefeed" -> """
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus, o_custkey AS val FROM orders)
+      SELECT 'insert' AS change_type, k + 10000000 AS o_orderkey,
+             o_orderstatus, CAST(val AS BIGINT) AS val
+      FROM base WHERE k % 11 = 0
+      UNION ALL
+      SELECT 'update', k, o_orderstatus, CAST(val + 1000000 AS BIGINT)
+      FROM base WHERE k % 3 = 0 AND k % 7 <> 0
+      UNION ALL
+      SELECT 'delete', k, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      FROM base WHERE k % 7 = 0
+      ORDER BY change_type, o_orderkey""",
+
+    "q_sink_incremental_agg" -> s"""
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+             ${sqlSumFix("value", 2)} AS sum_value
+      FROM events GROUP BY event_type, day
+      ORDER BY event_type, day""")
 }

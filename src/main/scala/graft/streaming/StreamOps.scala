@@ -162,6 +162,26 @@ object StreamOps {
         .orderBy(col("event_type"))
     },
 
+    // Stream-static join: the streaming fact joined to a broadcast
+    // dimension INSIDE the stream (the dimension is re-resolvable per
+    // micro-batch — the enrichment shape of a continuous ingest that
+    // tags each arriving event with dimension attributes). Stateless per
+    // row, so append mode needs no watermark; the dimension is a
+    // broadcast-hash side in every tick's plan, never shuffled.
+    "stream_static_join" -> { (s, dir) =>
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = eventsStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .withColumn("c_custkey", lit(1L) + col("user_id") % 100)
+        .join(broadcast(dim), "c_custkey")
+        .select(col("event_id"), col("c_mktsegment"), col("value"))
+      runToParquet(s, "static_join", joined, complete = false)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // Stream-stream inner join: clicks joined to purchases of the same
     // user within the preceding hour, both sides watermarked so the state
     // store can evict rows outside the join window — the bounded-state
@@ -289,6 +309,12 @@ object StreamOps {
       SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
       FROM keyed WHERE rn = 1
       GROUP BY event_type ORDER BY event_type""",
+
+    "stream_static_join" -> s"""
+      SELECT c_mktsegment, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
+      FROM events e JOIN customer c ON c.c_custkey = 1 + e.user_id % 100
+      WHERE e.event_type = 'purchase'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "stream_stream_join" -> """
       WITH c AS (SELECT user_id AS u, ts AS cts, event_id AS cid

@@ -199,6 +199,56 @@ class SinksSpec extends SparkSpec {
     assert(snap(3) === Map(1L -> "a3", 2L -> "b2", 3L -> "c3", 4L -> "d3"))
   }
 
+  test("versioned store: tombstone deletes, CDC feed, compaction keeps markers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val store = s"$base/cdc"
+    Sinks.deleteRec(store)
+    Sinks.commitVersion(spark, store,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "k")          // v0
+    Sinks.commitVersion(spark, store,
+      Seq((2L, "b1"), (4L, "d1")).toDF("k", "v"), "k")                   // v1
+    // delete an original key (3), an in-window insert (4), and an
+    // absent key (99) — the last must be a harmless no-op everywhere
+    Sinks.commitDeletes(spark, store, Seq(3L, 4L, 99L).toDF("k"), "k")   // v2
+
+    def snap(v: Long): Map[Long, String] =
+      Sinks.snapshotAt(spark, store, v, "k")
+        .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(snap(1) === Map(1L -> "a", 2L -> "b1", 3L -> "c", 4L -> "d1"))
+    assert(snap(2) === Map(1L -> "a", 2L -> "b1"))
+
+    def feed(vFrom: Long, vTo: Long): Set[(String, Long, Option[String])] =
+      Sinks.changesBetween(spark, store, vFrom, vTo, "k")
+        .select($"change_type", $"k", $"v")
+        .as[(String, Long, Option[String])].collect().toSet
+    // over (0,2]: 2 updated; 4's insert+delete nets out to nothing; 99
+    // never existed; 3 deleted with null payload
+    assert(feed(0L, 2L) === Set(("update", 2L, Some("b1")), ("delete", 3L, None)))
+    // over (1,2]: both 3 and 4 existed at v1, so both report as deletes
+    assert(feed(1L, 2L) === Set(("delete", 3L, None), ("delete", 4L, None)))
+    // over (0,1]: pure upsert window — 2 updates, 4 inserts
+    assert(feed(0L, 1L) === Set(("update", 2L, Some("b1")), ("insert", 4L, Some("d1"))))
+
+    // compaction folds the tombstones but KEEPS their markers in the base
+    Sinks.compactVersions(spark, store, upTo = 2L, key = "k")
+    assert(snap(2) === Map(1L -> "a", 2L -> "b1"))
+    // resurrection guard: a folded delta lingering from a compaction
+    // crash re-offers key 3's old row — the base's marker must win
+    Seq((3L, "c-stale")).toDF("k", "v")
+      .withColumn("_tombstone", lit(false)).withColumn("_v", lit(0L))
+      .write.parquet(s"$store/delta_v=0")
+    assert(snap(2) === Map(1L -> "a", 2L -> "b1"),
+      "tombstone marker in the base must supersede a lingering folded delta")
+    Sinks.deleteRec(s"$store/delta_v=0")
+
+    // delete-then-reinsert: the key comes back and the feed calls it an
+    // insert (it was absent in the vFrom snapshot)
+    Sinks.commitVersion(spark, store, Seq((3L, "c-back")).toDF("k", "v"), "k") // v3
+    assert(snap(3) === Map(1L -> "a", 2L -> "b1", 3L -> "c-back"))
+    assert(feed(2L, 3L) === Set(("insert", 3L, Some("c-back"))))
+  }
+
   test("partitionBy layout prunes: partition filter appears in the scan (O7)") {
     import spark.implicits._
     val dest = s"$base/parts"
