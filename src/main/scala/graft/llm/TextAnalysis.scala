@@ -144,6 +144,92 @@ object TextAnalysis {
         .orderBy(col("true_n").desc, col("h"))
     },
 
+    // Text normalization (the canonical pre-dedup pass): lowercase, map
+    // every non-[a-z0-9 ] char to a space, collapse space runs, trim.
+    // Output carries before/after lengths, the removal ratio, and the
+    // fingerprint of the NORMALIZED text with its collision count — i.e.
+    // normalization-equivalent dedup for free ("Hello,  World!" and
+    // "hello world" collide after normalization, not before). One scan,
+    // codegen regexes + the charhash kernel; no joins.
+    "q_llm_normalize" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      docs(s, dir)
+        .selectExpr("doc_id", "length(text) AS len_raw",
+          "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')) AS norm")
+        .selectExpr("doc_id", "len_raw", "length(norm) AS len_norm",
+          "graft_charhash(norm) AS fp_norm")
+        .withColumn("removed_pct", Exact.fix(
+          (col("len_raw") - col("len_norm")).cast("double") * lit(100.0) / col("len_raw"), 4))
+        .withColumn("n_same_norm", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp_norm"))))
+        .orderBy(col("doc_id"))
+    },
+
+    // Hash-feature linear classifier (the fastText-style quality-filter
+    // shape): each token hashes into one of 256 feature buckets; bucket b
+    // carries a fixed deterministic integer weight in [-1000, 1000]
+    // (derived from the shared affine family, so the oracle reproduces the
+    // whole weight table without shipping it); doc score = Σ token
+    // weights, verdict = sign. In production the weights come from a
+    // trained model — the ENGINE-side contract (hash → bucket → weight
+    // lookup → integer sum per doc, one explode + one hash agg, no joins,
+    // no floats until the final margin division) is exactly this plan.
+    "q_llm_classifier" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val w = s"(((h % 256) * ${A(1)} + ${B(1)}) % $P) % 2001 - 1000"
+      docs(s, dir)
+        .selectExpr("doc_id", s"explode(${sparkWordHashes("text")}) AS h")
+        .selectExpr("doc_id", s"$w AS w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score"))
+        .withColumn("margin", Exact.fix(col("score").cast("double") / col("n_tok"), 4))
+        .withColumn("verdict", expr("CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Bloom-filter membership (the "have we crawled this before?" gate):
+    // a 2048-bit filter over the fingerprints of the docs from sources
+    // src0-src9, stored as 64 words of 32 bits (32-bit shifts only — a
+    // 63-bit shift's sign behavior is not worth cross-engine risk), k=3
+    // probes from the shared affine family. Probe docs (src10-src19 plus
+    // any cross-source duplicates) test all 3 bits against the broadcast
+    // filter and are audited against TRUE membership (an fp equi-join):
+    // outcome ∈ {tp, fp, tn} — 'fn' is structurally impossible (the Bloom
+    // guarantee; the oracle proves it by producing none either). The
+    // filter is the 100 TB artifact: fixed 64 rows regardless of corpus
+    // size, built by one scan + one bit_or agg (associative ⇒ partial
+    // filters merge across partitions/days), served as a broadcast.
+    "q_llm_bloom" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val d = docs(s, dir)
+        .selectExpr("doc_id", "source", "graft_charhash(text) AS fp")
+        .localCheckpoint() // feeds build, probe, and truth sides
+      val isSeen = "CAST(substring(source, 4) AS INT) < 10"
+      val posOf = (r: Int) => s"(fp * ${A(r)} + ${B(r)}) % $P % 2048"
+      val probesOf = (0 until 3).map(r =>
+        s"named_struct('w', ${posOf(r)} DIV 32, 'b', ${posOf(r)} % 32)")
+      val words = d.where(expr(isSeen))
+        .selectExpr(s"explode(array(${probesOf.mkString(", ")})) AS z")
+        .groupBy(col("z.w").as("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), z.b))").as("wv"))
+      val seenFps = d.where(expr(isSeen)).select(col("fp")).distinct()
+        .withColumn("true_member", lit(true))
+      val probes = d.where(expr(s"NOT ($isSeen)"))
+        .selectExpr("doc_id", "fp", s"explode(array(${probesOf.mkString(", ")})) AS z")
+        .select(col("doc_id"), col("fp"), col("z.w").as("w"), col("z.b").as("b"))
+      probes.join(broadcast(words), Seq("w"), "left")
+        .withColumn("hit", expr("(coalesce(wv, CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), b)) != 0"))
+        .groupBy(col("doc_id"), col("fp"))
+        .agg(expr("bool_and(hit)").as("bloom_hit"))
+        .join(seenFps, Seq("fp"), "left")
+        .withColumn("true_member", coalesce(col("true_member"), lit(false)))
+        .selectExpr("doc_id", "bloom_hit", "true_member",
+          """CASE WHEN bloom_hit AND true_member THEN 'tp'
+                  WHEN bloom_hit THEN 'fp'
+                  WHEN true_member THEN 'fn' ELSE 'tn' END AS outcome""")
+        .orderBy(col("doc_id"))
+    },
+
     // Statistical-LM quality filter (the CCNet / Wikipedia-LM perplexity
     // stage): train an add-1-smoothed bigram LM on the corpus itself, then
     // score each doc by average negative log-likelihood — boilerplate and
@@ -284,6 +370,67 @@ object TextAnalysis {
       FROM probes JOIN cells USING (r, b)
       GROUP BY h, true_n
       ORDER BY true_n DESC, h"""
+      },
+
+      "q_llm_normalize" -> s"""
+      WITH n AS (
+        SELECT doc_id, CAST(length(text) AS INT) AS len_raw,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents),
+      f AS (
+        SELECT doc_id, len_raw, CAST(length(norm) AS INT) AS len_norm,
+               ${duckCharHash("norm")} AS fp_norm
+        FROM n)
+      SELECT doc_id, len_raw, len_norm, fp_norm,
+             ${Exact.sqlFix("CAST(len_raw - len_norm AS DOUBLE) * 100.0 / len_raw", 4)} AS removed_pct,
+             count(*) OVER (PARTITION BY fp_norm) AS n_same_norm
+      FROM f ORDER BY doc_id""",
+
+      "q_llm_classifier" -> s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(${duckWordHashes("text")}) AS h FROM documents),
+      w AS (
+        SELECT doc_id, (((h % 256) * ${A(1)} + ${B(1)}) % $P) % 2001 - 1000 AS w FROM tok),
+      agg AS (
+        SELECT doc_id, count(*) AS n_tok, CAST(sum(w) AS BIGINT) AS score
+        FROM w GROUP BY doc_id)
+      SELECT doc_id, n_tok, score,
+             ${Exact.sqlFix("CAST(score AS DOUBLE) / n_tok", 4)} AS margin,
+             CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS verdict
+      FROM agg ORDER BY doc_id""",
+
+      "q_llm_bloom" -> {
+        val posOf = (r: Int) => s"(fp * ${A(r)} + ${B(r)}) % $P % 2048"
+        val buildUnion = (0 until 3)
+          .map(r => s"SELECT ${posOf(r)} AS p FROM seen")
+          .mkString("\n        UNION ALL ")
+        val probeUnion = (0 until 3)
+          .map(r => s"SELECT doc_id, fp, ${posOf(r)} AS p FROM d WHERE NOT (CAST(substring(source, 4) AS INT) < 10)")
+          .mkString("\n        UNION ALL ")
+        s"""
+      WITH d AS (
+        SELECT doc_id, source, ${duckCharHash("text")} AS fp FROM documents),
+      seen AS (SELECT * FROM d WHERE CAST(substring(source, 4) AS INT) < 10),
+      pos AS (
+        $buildUnion),
+      words AS (
+        SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS wv
+        FROM pos GROUP BY 1),
+      seenfps AS (SELECT DISTINCT fp FROM seen),
+      probes AS (
+        $probeUnion),
+      hits AS (
+        SELECT doc_id, fp,
+               bool_and((coalesce(wv, CAST(0 AS BIGINT)) & (CAST(1 AS BIGINT) << CAST(p % 32 AS INT))) <> 0) AS bloom_hit
+        FROM probes LEFT JOIN words ON probes.p // 32 = words.w
+        GROUP BY doc_id, fp)
+      SELECT h.doc_id, h.bloom_hit,
+             (s.fp IS NOT NULL) AS true_member,
+             CASE WHEN h.bloom_hit AND s.fp IS NOT NULL THEN 'tp'
+                  WHEN h.bloom_hit THEN 'fp'
+                  WHEN s.fp IS NOT NULL THEN 'fn' ELSE 'tn' END AS outcome
+      FROM hits h LEFT JOIN seenfps s ON h.fp = s.fp
+      ORDER BY h.doc_id"""
       },
 
       // mirror of q_llm_lm_score: identical counts, identical ln()

@@ -128,7 +128,46 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Distribution-drift detection (population stability index) between a
+    * reference window (first half of the month) and a current window: bin
+    * `value` into 10 fixed-width buckets, add-1-smooth the per-window
+    * proportions, PSI = Σ (p-q)·ln(p/q). The log terms become scaled
+    * longs BEFORE the total (the [[graft.util.Exact]] idiom), so the PSI
+    * sum is partition-order-independent and oracle-exact. Scale shape:
+    * two filtered scans collapse straight to 10-row aggregates; all the
+    * arithmetic happens on the O(bins) table — this is the monitoring
+    * query a 100 TB feed runs hourly, and it never shuffles raw events
+    * (count aggregation is map-side partial). */
+  def driftPsi(e: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val binned = e.select(
+      expr("least(9, CAST(floor(value / 50.0) AS INT))").as("bin"), col("ts"))
+    val cut = lit("2024-01-16").cast("timestamp")
+    val refc = binned.where(col("ts") < cut)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
+    val curc = binned.where(col("ts") >= cut)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+    // dense bin spine: a window absent from one side still contributes
+    // its smoothed term (that absence IS the drift signal)
+    val bins = e.sparkSession.range(0, 10)
+      .select(col("id").cast("int").as("bin"))
+    val j = bins.join(refc, Seq("bin"), "left").join(curc, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = j.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("pr", (col("n_ref") + lit(1)).cast("double") / (col("tr") + lit(10)))
+      .withColumn("pc", (col("n_cur") + lit(1)).cast("double") / (col("tc") + lit(10)))
+      .withColumn("t6", scaled((col("pr") - col("pc")) * log(col("pr") / col("pc")), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        (col("t6").cast("double") / lit(1000000.0)).as("psi_term"),
+        (sum(col("t6")).over(W.partitionBy(lit(1))).cast("double") / lit(1000000.0)).as("psi"))
+      .orderBy(col("bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drift_psi" -> ((s, dir) => driftPsi(ev(s, dir))),
     "q_anomaly_zscore" -> ((s, dir) => anomalies(ev(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(ev(s, dir), FunnelSteps)),
     "q_cohort_retention" -> ((s, dir) => cohortRetention(ev(s, dir))),
@@ -138,6 +177,40 @@ object Analytics {
           col("c_mktsegment")))))
 
   def oracleSql: Map[String, String] = Map(
+
+    // identical bin edges, identical smoothing, ln-term scaled to longs
+    // before the total (ulp-safe at 6 decimals — the lm_score pattern)
+    "q_drift_psi" -> s"""
+      WITH binned AS (
+        SELECT least(9, CAST(floor(value / 50.0) AS INT)) AS bin, ts FROM events),
+      refc AS (
+        SELECT bin, count(*) AS n_ref FROM binned
+        WHERE ts < TIMESTAMP '2024-01-16' GROUP BY bin),
+      curc AS (
+        SELECT bin, count(*) AS n_cur FROM binned
+        WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY bin),
+      bins AS (SELECT unnest(range(0, 10)) AS bin),
+      j AS (
+        SELECT CAST(b.bin AS INT) AS bin,
+               CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+               CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+        FROM bins b LEFT JOIN refc ON b.bin = refc.bin
+                    LEFT JOIN curc ON b.bin = curc.bin),
+      tot AS (
+        SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
+      terms AS (
+        SELECT bin, n_ref, n_cur,
+               CAST(n_ref + 1 AS DOUBLE) / (tr + 10) AS pr,
+               CAST(n_cur + 1 AS DOUBLE) / (tc + 10) AS pc
+        FROM j, tot),
+      t AS (
+        SELECT bin, n_ref, n_cur,
+               ${sqlScaled("(pr - pc) * ln(pr / pc)", 6)} AS t6
+        FROM terms)
+      SELECT bin, n_ref, n_cur,
+             CAST(t6 AS DOUBLE) / 1000000.0 AS psi_term,
+             CAST(sum(t6) OVER () AS DOUBLE) / 1000000.0 AS psi
+      FROM t ORDER BY bin""",
 
     // HUGEINT intermediates are fine — only the boolean leaves the CTE,
     // and the values are small enough that BIGINT (Spark) and INT128

@@ -87,6 +87,27 @@ object Extras {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Schema evolution: an old-schema batch (no o_totalprice column) and a
+    // new-schema batch land in the same dataset; `mergeSchema` unions the
+    // footers at read time and back-fills the missing column with NULL —
+    // the standard contract for a long-lived 100 TB table whose producers
+    // upgrade independently. Merge cost is O(files) footer metadata, not
+    // data; the read plan is an ordinary pruned scan afterwards.
+    "q_schema_evolution" -> { (s, dir) =>
+      val dest = s"${graft.sinks.Sinks.tmpBase}/orders_evo"
+      graft.sinks.Sinks.truncate(dest)
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      base.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.parquet(s"$dest/old")
+      base.where(col("o_orderkey") % 2 === 1)
+        .write.parquet(s"$dest/new")
+      s.read.option("mergeSchema", "true").parquet(s"$dest/old", s"$dest/new")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Full outer join with non-overlapping key ranges on both sides.
     "q_full_outer_join" -> { (s, dir) =>
       val cust = t(s, dir, "customer").where(col("c_custkey") <= 600)
@@ -264,6 +285,13 @@ object Extras {
     "q_json_scan" -> s"""
       SELECT s_nationkey, count(*) AS n, ${sqlSumFix("s_acctbal", 2)} AS bal
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    // expected result of the merged-schema read: the old-schema half
+    // surfaces NULL for the column it never wrote
+    "q_schema_evolution" -> """
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice
+      FROM orders ORDER BY o_orderkey""",
 
     "q_full_outer_join" -> """
       SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,

@@ -58,6 +58,27 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 1L)))
   }
 
+  test("drift PSI: identical windows score exactly zero") {
+    import spark.implicits._
+    val rows = for {
+      day <- Seq("2024-01-10", "2024-01-20") // ref and cur windows
+      v <- Seq.fill(10)(25.0) ++ Seq.fill(5)(75.0) // same shape both sides
+    } yield (v, ts(s"$day 10:00:00"))
+    val out = Analytics.driftPsi(rows.toDF("value", "ts")).collect()
+    assert(out.forall(_.getDouble(4) === 0.0), "psi must be 0 for identical windows")
+    assert(out.forall(_.getDouble(3) === 0.0), "every per-bin term must be 0")
+  }
+
+  test("drift PSI: a shifted bin yields positive terms and positive total") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(20)((25.0, ts("2024-01-10 10:00:00"))) ++ // ref: all bin 0
+        Seq.fill(20)((480.0, ts("2024-01-20 10:00:00"))) // cur: all bin 9
+    val out = Analytics.driftPsi(rows.toDF("value", "ts")).collect()
+    assert(out.forall(_.getDouble(3) >= 0.0), "PSI terms are individually non-negative")
+    assert(out.head.getDouble(4) > 1.0, "full bin shift is severe drift")
+  }
+
   test("cohort retention: week offsets and percentages are exact") {
     val e = events(
       // cohort week of Mon 2024-01-01: u1 (weeks 0,1), u2 (week 0 only)

@@ -315,6 +315,32 @@ class LlmSpec extends SparkSpec {
       "the exact clone must sit at the minimum ADC distance")
   }
 
+  test("bloom filter: no false negatives; hits imply set bits for every probe") {
+    val out = SparkEntry.queries("q_llm_bloom")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getString(3) == "fn"),
+      "a Bloom filter can never produce a false negative")
+    // every true member must be flagged (same guarantee, other direction)
+    assert(out.filter(_.getBoolean(2)).forall(_.getBoolean(1)))
+  }
+
+  test("classifier: score is the exact integer sum of bucket weights") {
+    import spark.implicits._
+    import graft.llm.XHash._
+    graft.functions.GraftFunctions.register(spark)
+    // independent model: HOF wordhashes + explicit weight formula
+    val expected = Seq("alpha beta beta gamma").toDF("text")
+      .selectExpr(s"explode(${sparkWordHashesHof("text")}) AS h")
+      .selectExpr(s"(((h % 256) * ${A(1)} + ${B(1)}) % $P) % 2001 - 1000 AS w")
+      .agg(org.apache.spark.sql.functions.sum("w")).as[Long].collect()(0)
+    val kernel = Seq("alpha beta beta gamma").toDF("text")
+      .selectExpr(s"explode(${sparkWordHashes("text")}) AS h")
+      .selectExpr(s"(((h % 256) * ${A(1)} + ${B(1)}) % $P) % 2001 - 1000 AS w")
+      .agg(org.apache.spark.sql.functions.sum("w")).as[Long].collect()(0)
+    assert(kernel === expected)
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
