@@ -101,6 +101,54 @@ object Safety {
         .orderBy(col("doc_id"))
     },
 
+    // Semantic (embedding-space) decontamination: the n-gram pass above
+    // misses paraphrased eval leakage; this one flags training vectors
+    // whose embedding is close to ANY held-out eval vector. Bipartite
+    // hyperplane-LSH (the q_llm_dedup_embed geometry, crosscorpus join
+    // shape): both sides band once, candidates come only from shared
+    // (band, key) buckets — never |train| × |eval| — then exact
+    // scaled-long cosine scores the survivors and every training vector
+    // reports its worst-case eval similarity. Verdicts are LSH-gated by
+    // construction (documented recall tradeoff); the oracle mirrors the
+    // identical pipeline, so both engines see the same candidates.
+    "q_llm_decontaminate_embed" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val se = Tables.load(s, dir, "embeddings")
+        .selectExpr("vec_id", s"${sparkScaledEmb("embedding")} AS se")
+        .selectExpr("vec_id", "se",
+          "sqrt(CAST(graft_dot(se, se) AS DOUBLE)) AS nrm")
+        .localCheckpoint() // feeds bands + both score-side re-attaches
+      val bandKey = (bd: Int) => (0 until 8)
+        .map(r => s"IF(element_at(dots, ${bd * 8 + r + 1}) > 0L, ${1L << r}L, 0L)")
+        .mkString(" + ")
+      val bandStructs = (0 until 4)
+        .map(bd => s"named_struct('band_idx', $bd, 'band_key', ${bandKey(bd)})")
+        .mkString(", ")
+      val bands = se.selectExpr("vec_id", "graft_planedots(se) AS dots")
+        .selectExpr("vec_id", s"explode(array($bandStructs)) AS band")
+        .selectExpr("vec_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
+      val cand = bands.where(col("vec_id") % EvalMod =!= 0).alias("a")
+        .join(bands.where(col("vec_id") % EvalMod === 0).alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key"))
+        .select(col("a.vec_id").as("vec"), col("b.vec_id").as("ev"))
+        .distinct()
+      val scored = cand
+        .join(se.select(col("vec_id").as("vec"), col("se").as("sa"), col("nrm").as("na")), "vec")
+        .join(se.select(col("vec_id").as("ev"), col("se").as("sb"), col("nrm").as("nb")), "ev")
+        .selectExpr("vec", "CAST(graft_dot(sa, sb) AS DOUBLE) / (na * nb) AS cos_raw")
+        .groupBy(col("vec"))
+        .agg(count(lit(1)).as("n_cand"), max(col("cos_raw")).as("max_raw"))
+      se.where(col("vec_id") % EvalMod =!= 0).select(col("vec_id"))
+        .join(scored, col("vec_id") === col("vec"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          Exact.fix(col("max_raw"), 6).as("max_cos"),
+          expr("CASE WHEN max_raw >= 0.4 THEN 'contaminated' " +
+            "WHEN n_cand IS NOT NULL THEN 'reviewed' ELSE 'clean' END").as("verdict"))
+        .orderBy(col("vec_id"))
+    },
+
     // PII redaction: seed deterministic PII, redact with the three-stage
     // regexp_replace chain, report per-source counts + exact chars
     // removed. Pure codegen built-ins over one scan + one hash agg — the
@@ -141,6 +189,46 @@ object Safety {
              CASE WHEN $ContamFrac * n_contaminated >= n_ngrams THEN 'contaminated'
                   WHEN n_contaminated > 0 THEN 'flagged' ELSE 'clean' END AS verdict
       FROM sc ORDER BY doc_id""",
+
+    "q_llm_decontaminate_embed" -> {
+      val embBits = (0 until NPlanes)
+        .map(p => s"CASE WHEN ${duckPlaneDot("se", p)} > 0 THEN 1 ELSE 0 END AS bit$p")
+        .mkString(",\n               ")
+      val bandUnion = (0 until 4).map { bd =>
+        val bs = (0 until 8).map(r => s"bit${bd * 8 + r} * ${1L << r}").mkString(" + ")
+        s"SELECT vec_id, $bd AS band_idx, CAST($bs AS BIGINT) AS band_key FROM bits"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH e0 AS (
+        SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e AS (
+        SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
+      bits AS (
+        SELECT vec_id, se, nrm,
+               $embBits
+        FROM e),
+      bands AS (
+        $bandUnion),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec, b.vec_id AS ev
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.vec_id % $EvalMod <> 0 AND b.vec_id % $EvalMod = 0),
+      scored AS (
+        SELECT vec, count(*) AS n_cand,
+               max(CAST(${duckPairDot("sa", "sb")} AS DOUBLE) / (na * nb)) AS max_raw
+        FROM cand
+        JOIN (SELECT vec_id AS vec, se AS sa, nrm AS na FROM e) ta USING (vec)
+        JOIN (SELECT vec_id AS ev, se AS sb, nrm AS nb FROM e) tb USING (ev)
+        GROUP BY vec)
+      SELECT t.vec_id, CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand,
+             ${Exact.sqlFix("max_raw", 6)} AS max_cos,
+             CASE WHEN max_raw >= 0.4 THEN 'contaminated'
+                  WHEN n_cand IS NOT NULL THEN 'reviewed' ELSE 'clean' END AS verdict
+      FROM (SELECT vec_id FROM e WHERE vec_id % $EvalMod <> 0) t
+      LEFT JOIN scored ON t.vec_id = scored.vec
+      ORDER BY t.vec_id"""
+    },
 
     "q_llm_pii_redact" -> s"""
       WITH dirty AS (

@@ -496,6 +496,29 @@ object Sinks {
         .orderBy(col("cohort"))
     },
 
+    // Dynamic partition pruning: the filter lives on the DIM side (its
+    // `cat` column doesn't exist on the fact table, so no static pushdown
+    // is possible); Catalyst turns the dim's surviving join keys into a
+    // runtime subquery filter on the fact's PARTITION column, so the scan
+    // reads only the matching directories. This is THE mechanism that
+    // makes star-schema joins survive 100 TB fact tables — without DPP
+    // this plan reads every partition; with it, 2 of 5. PlanShapeSpec
+    // asserts `dynamicpruning` actually appears in the scan.
+    "q_sink_dpp" -> { (s, dir) =>
+      val dest = s"$tmpBase/events_dpp"
+      writeAtomic(Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type")),
+        dest, partitionCols = Seq("event_type"))
+      val dim = Tables.load(s, dir, "events").select(col("event_type")).distinct()
+        .withColumn("cat", expr(
+          "CASE WHEN event_type IN ('click', 'view') THEN 'web' ELSE 'other' END"))
+      s.read.parquet(dest)
+        .join(dim.where(col("cat") === "web"), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+
     // Atomic overwrite: write a v1 snapshot, overwrite with v2; the read
     // must see ONLY v2 (no partial/mixed state).
     "q_sink_atomic_overwrite" -> { (s, dir) =>
@@ -705,6 +728,11 @@ object Sinks {
              ${sqlSumFix("value", 2)} AS sum_value
       FROM events WHERE event_type = 'click'
       GROUP BY cohort ORDER BY cohort""",
+
+    "q_sink_dpp" -> s"""
+      SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type ORDER BY event_type""",
 
     "q_sink_atomic_overwrite" -> s"""
       SELECT o_orderstatus, count(*) AS n, ${sqlSumFix("o_totalprice", 2)} AS total

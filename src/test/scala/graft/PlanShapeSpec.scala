@@ -39,6 +39,12 @@ class PlanShapeSpec extends SparkSpec {
       "expected EnsureRequirements-inserted hash exchanges")
   }
 
+  test("dim-side filter dynamically prunes fact partitions (DPP)") {
+    val p = plan("q_sink_dpp").toLowerCase
+    assert(p.contains("dynamicpruning"),
+      "expected a runtime partition-pruning subquery on the fact scan")
+  }
+
   test("multi-way join broadcasts the dimension tables") {
     val p = plan("q5_multi_join")
     assert(p.contains("BroadcastHashJoin"), "expected broadcast dims")
