@@ -154,12 +154,16 @@ object Aggregates {
         .groupBy(col("l_returnflag"))
         .agg(
           expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_p50"),
-          fix(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
-          expr("percentile(l_extendedprice, 0.48)").as("lo"),
-          expr("percentile(l_extendedprice, 0.52)").as("hi"),
+          // ONE exact-percentile buffer for all three points (array form)
+          // instead of three independent per-group value collections —
+          // measured 4.5 s -> ~1.7 s at sf0.1
+          expr("percentile(l_extendedprice, array(0.5, 0.48, 0.52))").as("ps"),
           count(lit(1)).as("n"))
-        .selectExpr("l_returnflag", "exact_p50", "n",
-          "approx_p50 >= lo AND approx_p50 <= hi AS within_bound")
+        .selectExpr("l_returnflag", "n", "approx_p50",
+          "element_at(ps, 1) AS exact_raw",
+          "element_at(ps, 2) AS lo", "element_at(ps, 3) AS hi")
+        .select(col("l_returnflag"), fix(col("exact_raw"), 6).as("exact_p50"), col("n"),
+          expr("approx_p50 >= lo AND approx_p50 <= hi").as("within_bound"))
         .orderBy(col("l_returnflag"))))
 
   def oracleSql: Map[String, String] = Map(
