@@ -187,6 +187,23 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // BPE merge discovery (the first tokenizer-training iteration): count
+    // every adjacent character pair inside every word across the corpus;
+    // the top pair is BPE's first merge, and iterating this exact
+    // aggregation IS the training loop. One scan, two explodes, one hash
+    // agg + partial top-k — the shape repeats per merge round at 100 TB,
+    // so the engine-side contract (map-side combinable pair counts, full
+    // tie-broken ordering) is what matters.
+    "q_llm_bpe_pairs" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .where(expr("length(w) >= 2"))
+        .selectExpr("explode(transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))) AS pair")
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)),
+
     // Bloom-filter membership (the "have we crawled this before?" gate):
     // a 2048-bit filter over the fingerprints of the docs from sources
     // src0-src9, stored as 64 words of 32 bits (32-bit shifts only — a
@@ -398,6 +415,15 @@ object TextAnalysis {
              ${Exact.sqlFix("CAST(score AS DOUBLE) / n_tok", 4)} AS margin,
              CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS verdict
       FROM agg ORDER BY doc_id""",
+
+      "q_llm_bpe_pairs" -> """
+      WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      p AS (
+        SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, CAST(i AS INT), 2))) AS pair
+        FROM w WHERE length(w) >= 2)
+      SELECT pair, count(*) AS n FROM p
+      GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
 
       "q_llm_bloom" -> {
         val posOf = (r: Int) => s"(fp * ${A(r)} + ${B(r)}) % $P % 2048"

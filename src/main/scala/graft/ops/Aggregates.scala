@@ -149,6 +149,35 @@ object Aggregates {
     // TRUE. Exact values ride along as the cross-engine-checked payload.
     // At 100 TB the sketch (not the exact sort-based percentile) is the
     // servable artifact: fixed size, partial-aggregate mergeable.
+    // HLL sketch LIFECYCLE (DataSketches): build one mergeable sketch per
+    // group, then derive the global distinct estimate by MERGING THE
+    // SKETCHES — the raw column is never re-scanned for the rollup. This
+    // is the 100 TB pattern the one-shot approx_count_distinct can't do:
+    // per-day/per-source sketch tables persisted once, any ad-hoc slice
+    // answered by unioning fixed-size binaries. Estimates are
+    // engine-specific, so (the established approx contract) the result
+    // carries the exact payload + a bounded-error boolean; the merged-ALL
+    // row asserts the union estimate stays within 10% of the true global
+    // distinct count.
+    "q_agg_sketch_lifecycle" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val sk = e.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("skt"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .localCheckpoint() // one build feeds per-group rows AND the merge
+      val per = sk.select(col("event_type"), col("exact_users"),
+        expr("hll_sketch_estimate(skt)").as("est"))
+      val global = e.agg(countDistinct(col("user_id")).as("exact_users"))
+      val all = sk.agg(expr("hll_union_agg(skt)").as("skt"))
+        .crossJoin(broadcast(global))
+        .select(lit("ALL").as("event_type"), col("exact_users"),
+          expr("hll_sketch_estimate(skt)").as("est"))
+      per.unionByName(all)
+        .selectExpr("event_type", "exact_users",
+          "CAST(abs(est - exact_users) AS DOUBLE) / exact_users <= 0.10 AS within_10pct")
+        .orderBy(col("event_type"))
+    },
+
     "q_agg_approx_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -246,6 +275,15 @@ object Aggregates {
              ${sqlFix("quantile_cont(l_extendedprice, 0.9)", 6)} AS p90_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // sketch estimates are engine-specific; the oracle pins the exact
+    // distinct counts and asserts the bounded-error contract held (TRUE)
+    "q_agg_sketch_lifecycle" -> """
+      SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_10pct
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+      ORDER BY event_type""",
 
     // the bound check is Spark-side (DuckDB has no GK sketch); the oracle
     // pins the exact payload and asserts the contract held (TRUE)
