@@ -294,6 +294,33 @@ object Similarity {
         .orderBy(col("vec_id"))
     },
 
+    // Topic labeling of embedding clusters (cross-modal): per trained
+    // k-means cell, the 3 most frequent content words of the DOCUMENTS
+    // whose vectors land in the cell — the human-readable audit every
+    // clustering pipeline ships next to its cluster ids. Joins the two
+    // modalities on doc_id = vec_id. Cost: the shared k-means training +
+    // one token scan + one (cell, word) hash agg with a partial top-k
+    // window — the document texts never shuffle (only exploded words),
+    // and the per-cell output is constant-size.
+    "q_llm_cluster_topics" -> { (s, dir) =>
+      val se = scaledEmb(s, dir)
+      val assigned = assignCells(se.select(col("vec_id"), col("se")),
+          kmeansCentroids(se), 1)
+        .select(col("vec_id"), col("cent_id").as("cell"))
+      val words = Tables.load(s, dir, "documents")
+        .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+        .where(expr("length(w) >= 4")) // drop function words cheaply
+      val counts = words.join(assigned, col("doc_id") === col("vec_id"))
+        .groupBy(col("cell"), col("w")).agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col("n").desc, col("w")))
+          .cast("int"))
+        .where(col("rank") <= 3)
+        .select(col("cell"), col("rank"), col("w").as("term"), col("n"))
+        .orderBy(col("cell"), col("rank"))
+    },
+
     // Hard-negative mining for contrastive training: per query, the
     // top-3 most-similar vectors with a DIFFERENT label — the negatives
     // that actually move a contrastive loss (easy negatives are free but
@@ -597,6 +624,24 @@ object Similarity {
         FROM scored)
       SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
       FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
+
+      "q_llm_cluster_topics" -> s"""
+      WITH $duckKmeansCtes,
+      cellmap AS (SELECT vec_id, cell FROM assigned),
+      w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wf AS (SELECT doc_id, w FROM w WHERE length(w) >= 4),
+      counts AS (
+        SELECT cell, w, count(*) AS n
+        FROM wf JOIN cellmap ON wf.doc_id = cellmap.vec_id
+        GROUP BY cell, w),
+      r AS (
+        SELECT cell, w, n,
+               CAST(row_number() OVER (PARTITION BY cell
+                 ORDER BY n DESC, w) AS INT) AS rank
+        FROM counts)
+      SELECT cell, rank, w AS term, n FROM r
+      WHERE rank <= 3 ORDER BY cell, rank""",
 
       "q_llm_outliers" -> s"""
       WITH $duckKmeansCtes,

@@ -23,9 +23,16 @@ class PlanShapeSpec extends SparkSpec {
     for (q <- Seq("q_llm_dedup_minhash_lsh", "q_llm_dedup_simhash_pairs",
         "q_llm_dedup_ngram_jaccard", "q_llm_dedup_embed", "q_llm_knn_lsh",
         "q_llm_dedup_semantic", "q_llm_decontaminate", "q_llm_knn_pq",
-        "q_llm_lm_score")) {
+        "q_llm_lm_score", "q_llm_decontaminate_embed", "q_llm_cluster_topics")) {
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
     }
+  }
+
+  test("bloom probe joins the broadcast filter; cluster topics keep the partial top-k") {
+    assert(plan("q_llm_bloom").contains("BroadcastHashJoin"),
+      "the 64-word filter table must broadcast to the probes")
+    assert(plan("q_llm_cluster_topics").contains("WindowGroupLimit"),
+      "rank<=3 must become a partial top-k before the per-cell shuffle")
   }
 
   test("brute-force kNN keeps the partial top-k (WindowGroupLimit)") {
