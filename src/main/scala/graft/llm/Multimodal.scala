@@ -86,6 +86,25 @@ object Multimodal {
           sum(col("frame_idx")).as("frame_idx_sum"))
         .orderBy(col("fmt"))),
 
+    // Exact media dedup by content hash — the first dedup stage of every
+    // multimodal pipeline (byte-identical re-crawls/re-encodes of the
+    // same asset): hash the raw payload BYTES (md5 + length, never the
+    // decoded content), elect the min-id copy canonical, flag the rest
+    // as drops. One scan + one hash-partitioned window; the payload
+    // itself never shuffles (only the 32-hex hash does).
+    "q_llm_media_dedup" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
+      Tables.load(s, dir, "documents")
+        .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+        .selectExpr("doc_id", "md5(payload) AS content_hash",
+          "length(payload) AS n_bytes")
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .selectExpr("doc_id", "content_hash", "n_bytes", "canonical_id",
+          "n_copies", "doc_id = canonical_id AS keep")
+        .orderBy(col("doc_id"))
+    },
+
     // Batched decode: synthesize payloads, run the mapPartitions decode
     // stub, return the feature table.
     "q_llm_media_decode" -> { (s, dir) =>
@@ -118,6 +137,17 @@ object Multimodal {
              CAST(sum(nf) AS BIGINT) AS n_frames_total,
              CAST(sum(nf * (nf - 1) / 2) AS BIGINT) AS frame_idx_sum
       FROM f GROUP BY fmt ORDER BY fmt""",
+
+    "q_llm_media_dedup" -> """
+      WITH h AS (
+        SELECT doc_id, md5(text) AS content_hash,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        FROM documents)
+      SELECT doc_id, content_hash, n_bytes,
+             min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+             count(*) OVER (PARTITION BY content_hash) AS n_copies,
+             doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS keep
+      FROM h ORDER BY doc_id""",
 
     "q_llm_media_decode" -> s"""
       WITH b AS (
