@@ -156,4 +156,24 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(spark.read.parquet(store).where($"k" === 3L)
       .select($"v").as[String].head() === "v3b")
   }
+
+  test("incremental CC: a later edge bridges two stored components; replay is idempotent") {
+    import spark.implicits._
+    val ccBase = Sinks.tmpBase + "/spec_cc_inc"
+    def labels: Map[Long, Long] =
+      spark.read.parquet(s"$ccBase/labels")
+        .select($"doc", $"label").as[(Long, Long)].collect().toMap
+    IncrementalDedup.ccReset(ccBase)
+    IncrementalDedup.ccTick(spark, Seq((1L, 2L)).toDF("doc_a", "doc_b"), 0L, ccBase)
+    IncrementalDedup.ccTick(spark, Seq((3L, 4L)).toDF("doc_a", "doc_b"), 1L, ccBase)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L),
+      "two separate components before the bridge")
+    // the bridge edge merges {1,2} and {3,4} — every member of the LOSING
+    // component (3,4) must be remapped, not just the endpoints
+    IncrementalDedup.ccTick(spark, Seq((2L, 3L)).toDF("doc_a", "doc_b"), 2L, ccBase)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // at-least-once replay of the bridge tick: same store afterwards
+    IncrementalDedup.ccTick(spark, Seq((2L, 3L)).toDF("doc_a", "doc_b"), 2L, ccBase)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }
