@@ -182,6 +182,49 @@ object IncrementalDedup {
     Sinks.mergeByKeyBucket(s, store, up, "doc", Seq("_tick"))
   }
 
+  /** Forget nodes from the incremental-CC store — the HARD direction of
+    * dynamic connectivity: deleting a node can SPLIT its component, and no
+    * label algebra can detect that locally, so the affected components are
+    * recomputed from their surviving edges (and only they — components are
+    * closed under edges, so an edge's endpoints always share a label, and
+    * the sub-CC can never leak outside the affected set):
+    *  1. affected = labels of the deleted docs; purge deleted rows
+    *     ([[Sinks.deleteByKeyBucket]], touched buckets only);
+    *  2. surviving members = remaining store rows with an affected label;
+    *  3. surviving edges = the accumulated edge batches, minus edges
+    *     touching a deleted doc, semi-joined to the surviving members;
+    *  4. CC over that subgraph relabels the members; members with no
+    *     surviving edge become singletons (label = self).
+    * Cost: O(deleted + affected members) writes; the edge re-read is
+    * O(all edges) I/O here — a production store would bucket the edge
+    * log by component label so step 3 prunes to the affected buckets.
+    * Idempotent: a replay deletes already-gone rows and recomputes the
+    * same labels. */
+  private[graft] def ccForget(s: SparkSession, base: String,
+                              deleted: DataFrame, tickId: Long): Unit = {
+    val store = s"$base/labels"
+    val del = deleted.select(col("doc_id")).localCheckpoint()
+    Sinks.healBuckets(store)
+    val affected = s.read.parquet(store)
+      .join(del, col("doc") === col("doc_id"))
+      .select(col("label")).distinct().localCheckpoint()
+    Sinks.deleteByKeyBucket(s, store,
+      del.select(col("doc_id").as("doc")), "doc")
+    val members = s.read.parquet(store)
+      .join(affected, Seq("label"), "left_semi")
+      .select(col("doc")).localCheckpoint()
+    val edges = s.read.parquet(s"$base/src")
+      .join(del.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(del.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .join(members.select(col("doc").as("doc_a")), Seq("doc_a"), "left_semi")
+    val sub = Dedup.connectedComponents(edges.select(col("doc_a"), col("doc_b")))
+    val up = members
+      .join(sub, col("doc") === col("doc_id"), "left")
+      .select(col("doc"), coalesce(col("canonical"), col("doc")).as("label"))
+      .withColumn("_tick", lit(tickId))
+    Sinks.mergeByKeyBucket(s, store, up, "doc", Seq("_tick"))
+  }
+
   /** Drain a file-stream of edge batches through [[ccTick]] (crash-safe
     * resume via the checkpoint, same contract as [[runTicks]]). */
   private[graft] def runCcTicks(s: SparkSession, base: String): Unit = {
@@ -330,6 +373,32 @@ object IncrementalDedup {
         .orderBy(col("doc_id"))
     },
 
+    // Node deletion over the incremental-CC store — the direction no
+    // label algebra handles locally (removing a cut vertex SPLITS its
+    // component): build the store over 3 ticks, forget doc_id % 7 = 3,
+    // recompute ONLY the affected components from surviving edges. The
+    // oracle is the transitive closure over the surviving edge set with
+    // orphaned members as singletons — graph-level semantics (the edge
+    // stream is fixed at ingest), deliberately distinct from
+    // q_llm_forget's corpus-level re-verification.
+    "q_llm_groups_forget" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/cc_forget"
+      ccReset(base)
+      val p = Dedup.minhashVerifiedPairsOf(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_a"), col("doc_b"))
+      p.repartitionByRange(3, col("doc_a")).write.parquet(s"$base/src")
+      runCcTicks(s, base)
+      val deleted = s.read.parquet(s"$base/labels")
+        .select(col("doc").as("doc_id")).where(col("doc_id") % 7 === 3)
+      ccForget(s, base, deleted, tickId = 1L << 40)
+      s.read.parquet(s"$base/labels")
+        .select(col("doc").as("doc_id"), col("label").as("canonical"))
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("canonical"))))
+        .orderBy(col("doc_id"))
+    },
+
     // Right-to-be-forgotten over the same store: build the index with 3
     // arrival ticks, then purge a deterministic delete list (doc_id % 7 =
     // 3 — a GDPR request hitting ~14% of the corpus) via [[forgetTick]]:
@@ -356,6 +425,35 @@ object IncrementalDedup {
   def oracleSql: Map[String, String] = Map(
     "q_llm_dedup_incremental" -> Dedup.oracleSql("q_llm_dedup_minhash_lsh"),
     "q_llm_groups_incremental" -> Dedup.oracleSql("q_llm_dedup_groups"),
+    // closure over the SURVIVING edges (edges minus deleted endpoints),
+    // with members orphaned by the deletion kept as singletons
+    "q_llm_groups_forget" -> s"""
+      WITH RECURSIVE ${Dedup.verifiedPairCtes("documents")},
+      -- DISTINCT-over-subquery, NOT a top-level UNION: inside WITH
+      -- RECURSIVE, DuckDB treats a CTE with a top-level UNION as a
+      -- recursive anchor/step pair and skips cross-branch dedup (the
+      -- edges CTEs survive only because their branches are disjoint)
+      orig_nodes AS (
+        SELECT DISTINCT d FROM (
+          SELECT doc_a AS d FROM vpairs UNION ALL SELECT doc_b FROM vpairs)),
+      kept_nodes AS (SELECT d FROM orig_nodes WHERE d % 7 <> 3),
+      kedges0 AS (
+        SELECT doc_a AS a, doc_b AS b FROM vpairs
+        WHERE doc_a % 7 <> 3 AND doc_b % 7 <> 3),
+      kedges AS (SELECT a, b FROM kedges0 UNION SELECT b, a FROM kedges0),
+      reach(a, b) AS (
+        SELECT a, b FROM kedges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN kedges e ON r.b = e.a),
+      canon AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical
+        FROM reach GROUP BY a),
+      final AS (
+        SELECT k.d AS doc_id, coalesce(c.canonical, k.d) AS canonical
+        FROM kept_nodes k LEFT JOIN canon c ON c.doc_id = k.d)
+      SELECT doc_id, canonical,
+             count(*) OVER (PARTITION BY canonical) AS cluster_size
+      FROM final ORDER BY doc_id""",
     "q_llm_forget" -> s"""
       WITH kept AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
       ${Dedup.verifiedPairCtes("kept")}

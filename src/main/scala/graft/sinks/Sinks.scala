@@ -696,7 +696,10 @@ object Sinks {
       val ev = Tables.load(s, dir, "events")
         .select(col("event_type"), to_date(col("ts")).as("day"),
           graft.util.Exact.scaled(col("value"), 2).as("cents"))
-      ev.repartitionByRange(4, col("day")).write.parquet(src)
+      // 3 arrival ticks — the suite-wide incremental convention; the MV
+      // semantics need multi-tick maintenance, not a specific tick count,
+      // and each tick costs a full stream trigger + bucket merge
+      ev.repartitionByRange(3, col("day")).write.parquet(src)
       val agg = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
         .groupBy(col("event_type"), col("day"))

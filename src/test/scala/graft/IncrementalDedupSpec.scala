@@ -176,4 +176,24 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.ccTick(spark, Seq((2L, 3L)).toDF("doc_a", "doc_b"), 2L, ccBase)
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("CC forget: deleting a cut vertex splits its component; leaves don't") {
+    import spark.implicits._
+    val ccBase = Sinks.tmpBase + "/spec_cc_forget"
+    def labels: Map[Long, Long] =
+      spark.read.parquet(s"$ccBase/labels")
+        .select($"doc", $"label").as[(Long, Long)].collect().toMap
+    IncrementalDedup.ccReset(ccBase)
+    // chain 1-2-3 plus leaf 4 on node 1 — all one component
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    edges.coalesce(1).write.parquet(s"$ccBase/src")
+    IncrementalDedup.ccTick(spark, edges, 0L, ccBase)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // deleting leaf 4 must NOT split {1,2,3}
+    IncrementalDedup.ccForget(spark, ccBase, Seq(4L).toDF("doc_id"), 100L)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // deleting cut vertex 2 splits the chain: 1 and 3 become singletons
+    IncrementalDedup.ccForget(spark, ccBase, Seq(2L).toDF("doc_id"), 101L)
+    assert(labels === Map(1L -> 1L, 3L -> 3L))
+  }
 }
