@@ -172,6 +172,41 @@ object Extras {
         GROUP BY b ORDER BY b""")
     },
 
+    // Correlated LATERAL subquery join (SQL parser path): per region, the
+    // top-2 nations by supplier account balance — the "top-N per outer
+    // row" shape LATERAL exists for. Catalyst decorrelates it into a
+    // ranked window + join, so the plan scales like any windowed top-k.
+    "q_lateral_join" -> { (s, dir) =>
+      t(s, dir, "region").createOrReplaceTempView("region_v")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+      s.sql("""
+        SELECT r.r_name, l.n_name, l.bal
+        FROM region_v r,
+        LATERAL (
+          SELECT n.n_name, CAST(sum(floor(s.s_acctbal * 100 + 0.5)) AS BIGINT) AS bal
+          FROM nation_v n JOIN supplier_v s ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY bal DESC, n.n_name LIMIT 2) l
+        ORDER BY r.r_name, l.bal DESC, l.n_name""")
+    },
+
+    // Aggregate FILTER clause: per-status order counts sliced by predicate
+    // inside ONE aggregation pass (no self-joins, no CASE pyramids).
+    "q_agg_filter_clause" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_vf")
+      s.sql("""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               CAST(sum(floor(o_totalprice * 100 + 0.5))
+                 FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent_cents
+        FROM orders_vf
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+
     // Unpivot/melt: wide metric columns to long (metric, value) rows.
     "q_unpivot" -> ((s, dir) =>
       t(s, dir, "lineitem").where(col("l_orderkey") <= 200)
@@ -328,6 +363,27 @@ object Extras {
       SELECT c_mktsegment, count(*) AS n, ${sqlSumFix("o_totalprice", 2)} AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_lateral_join" -> """
+      SELECT r.r_name, l.n_name, l.bal
+      FROM region r,
+      LATERAL (
+        SELECT n.n_name, CAST(sum(floor(s.s_acctbal * 100 + 0.5)) AS BIGINT) AS bal
+        FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY bal DESC, n.n_name LIMIT 2) l
+      ORDER BY r.r_name, l.bal DESC, l.n_name""",
+
+    "q_agg_filter_clause" -> """
+      SELECT o_orderstatus,
+             count(*) AS n,
+             count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+             CAST(sum(floor(o_totalprice * 100 + 0.5))
+               FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent_cents
+      FROM orders
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_sql_recursive_cte" -> """
       WITH RECURSIVE buckets(b) AS (
