@@ -74,6 +74,35 @@ object SparkProperties extends Properties("spark-ops") {
       a.sameElements(b)
     }
 
+  // incremental CC (edge batches folded via component contraction) must
+  // equal the one-shot fixpoint for ANY edge set and ANY batch split —
+  // including splits that bridge previously-separate stored components
+  private val ccCase: Gen[(List[(Long, Long)], Int)] = for {
+    n <- Gen.choose(1, 20)
+    raw <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+    k <- Gen.choose(1, 3)
+  } yield (raw.collect { case (a, b) if a != b =>
+    (math.min(a, b), math.max(a, b)) }.distinct, k)
+
+  property("incremental CC over any batch split == one-shot CC") =
+    forAll(ccCase) { case (edges, k) =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val base = graft.sinks.Sinks.tmpBase + "/prop_cc"
+        graft.llm.IncrementalDedup.ccReset(base)
+        edges.grouped(math.max(1, (edges.size + k - 1) / k)).zipWithIndex
+          .foreach { case (b, i) =>
+            graft.llm.IncrementalDedup.ccTick(
+              spark, b.toDF("doc_a", "doc_b"), i.toLong, base)
+          }
+        val inc = spark.read.parquet(s"$base/labels")
+          .select($"doc", $"label").as[(Long, Long)].collect().toMap
+        val one = graft.llm.Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .select($"doc_id", $"canonical").as[(Long, Long)].collect().toMap
+        inc == one
+      }
+    }
+
   property("upsert is idempotent: applying a batch twice == once") =
     forAll(batch, batch) { (existRows, inRows) =>
       import spark.implicits._
