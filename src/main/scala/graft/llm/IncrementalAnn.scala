@@ -310,6 +310,31 @@ object IncrementalAnn {
       serve(s, base)
     },
 
+    // GDPR delete through the ANN index: build incrementally, purge a
+    // deterministic delete list from BOTH stores (vector + assignment —
+    // touched-bucket rewrites, [[Sinks.deleteByKeyBucket]]), then the
+    // periodic re-train rebuilds centroids on the kept corpus. After the
+    // re-train the index is bit-identical to a from-scratch build on the
+    // kept vectors — the oracle is the one-shot IVF SQL over a kept CTE,
+    // so the driver checks that the deletion propagated through
+    // training, assignment, candidate generation, and serving (not just
+    // the vector store). Without the re-train, stale centroids would
+    // still carry the deleted vectors' mass — that's WHY delete + swap
+    // is a two-step maintenance pass in production too.
+    "q_llm_knn_ivf_forget" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/ann_forget"
+      reset(base)
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      e.repartitionByRange(2, col("vec_id")).write.parquet(s"$base/src")
+      runTicks(s, base, e.schema)
+      val del = e.select(col("vec_id"))
+        .where(expr("vec_id % 9 = 4 AND vec_id >= 10")) // queries stay live
+      Sinks.deleteByKeyBucket(s, s"$base/vecs", del, "vec_id")
+      Sinks.deleteByKeyBucket(s, s"$base/assign", del, "vec_id")
+      retrain(s, base)
+      serve(s, base)
+    },
+
     // The band-table variant: same arrival stream, but the persisted
     // index is the hyperplane-LSH bucket table — no re-train tick exists
     // because the planes are constants (per-vector buckets are
@@ -344,6 +369,12 @@ object IncrementalAnn {
     * equivalence after the re-train tick, driver-checked). */
   def oracleSql: Map[String, String] = Map(
     "q_llm_knn_ivf_incremental" -> Similarity.oracleSql("q_llm_knn_ivf"),
+    // one-shot IVF over the KEPT corpus — rebuild equivalence after the
+    // delete + re-train maintenance pass
+    "q_llm_knn_ivf_forget" -> s"""
+      WITH kept AS (
+        SELECT * FROM embeddings WHERE NOT (vec_id % 9 = 4 AND vec_id >= 10)),
+      ${Similarity.duckIvfSql("kept").trim.stripPrefix("WITH")}""",
     "q_llm_knn_lsh_incremental" -> Similarity.oracleSql("q_llm_knn_lsh"),
     "q_llm_knn_pq_incremental" -> Similarity.oracleSql("q_llm_knn_pq"))
 }

@@ -480,9 +480,9 @@ object Similarity {
       FROM e CROSS JOIN $centsCte c $where) WHERE rn <= $nProbe"""
 
   /** CTE chain ending in `assigned` = every vector with its trained cell. */
-  private def duckKmeansCtes: String = s"""
+  private[llm] def duckKmeansCtes(src: String = "embeddings"): String = s"""
       e0 AS (
-        SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+        SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM $src),
       e AS (
         SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
       a0 AS (
@@ -498,9 +498,9 @@ object Similarity {
       assigned AS (${duckAssign("c2n", "", 1)})"""
 
   /** DuckDB mirror of the k-means IVF entry. */
-  private def duckIvfSql: String = {
+  private[llm] def duckIvfSql(src: String = "embeddings"): String = {
     s"""
-      WITH $duckKmeansCtes,
+      WITH ${duckKmeansCtes(src)},
       probes0 AS (${duckAssign("c2n", "WHERE e.vec_id < 10", 2)}),
       probes AS (
         SELECT vec_id AS q_id, se AS qse, nrm AS qnrm, cell FROM probes0),
@@ -599,7 +599,7 @@ object Similarity {
       SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
       FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
 
-      "q_llm_knn_ivf" -> duckIvfSql,
+      "q_llm_knn_ivf" -> duckIvfSql(),
 
       "q_llm_knn_pq" -> duckPqSql,
 
@@ -626,7 +626,7 @@ object Similarity {
       FROM r WHERE rank <= 3 ORDER BY q_id, rank""",
 
       "q_llm_cluster_topics" -> s"""
-      WITH $duckKmeansCtes,
+      WITH ${duckKmeansCtes()},
       cellmap AS (SELECT vec_id, cell FROM assigned),
       w AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -644,7 +644,7 @@ object Similarity {
       WHERE rank <= 3 ORDER BY cell, rank""",
 
       "q_llm_outliers" -> s"""
-      WITH $duckKmeansCtes,
+      WITH ${duckKmeansCtes()},
       cnn AS (
         SELECT cent_id AS cell, cse, sqrt(CAST(cn2 AS DOUBLE)) AS cnrm FROM c2n),
       j AS (
@@ -703,7 +703,7 @@ object Similarity {
       },
 
       "q_llm_dedup_semantic" -> s"""
-      WITH $duckKmeansCtes,
+      WITH ${duckKmeansCtes()},
       pairs AS (
         SELECT b.vec_id AS vec_id,
                CAST(${duckPairDot("a.se", "b.se")} AS DOUBLE) / (a.nrm * b.nrm) AS cos_raw
