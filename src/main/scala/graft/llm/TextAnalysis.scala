@@ -204,6 +204,30 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair"))
         .limit(20)),
 
+    // Vocabulary coverage (tokenizer planning): rank whole words by
+    // corpus frequency and report each top-50 word's CUMULATIVE share of
+    // all token occurrences — the curve that decides vocab size (where
+    // it flattens, subword tokenization takes over). One token scan +
+    // one hash agg; the ranked cumsum runs over the (tiny) aggregated
+    // table, never the corpus.
+    "q_llm_vocab_coverage" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val counts = docs(s, dir)
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(
+          W.orderBy(col("n").desc, col("w"))).cast("int"))
+        .where(col("rank") <= 50)
+        .withColumn("cum_n", sum(col("n")).over(
+          W.orderBy(col("rank")).rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select(col("rank"), col("w").as("word"), col("n"),
+          Exact.fix(col("cum_n").cast("double") * lit(100.0) / col("total"), 4)
+            .as("cum_pct"))
+        .orderBy(col("rank"))
+    },
+
     // Bloom-filter membership (the "have we crawled this before?" gate):
     // a 2048-bit filter over the fingerprints of the docs from sources
     // src0-src9, stored as 64 words of 32 bits (32-bit shifts only — a
@@ -415,6 +439,25 @@ object TextAnalysis {
              ${Exact.sqlFix("CAST(score AS DOUBLE) / n_tok", 4)} AS margin,
              CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS verdict
       FROM agg ORDER BY doc_id""",
+
+      "q_llm_vocab_coverage" -> s"""
+      WITH counts AS (
+        SELECT w, count(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+      r AS (
+        SELECT w, n, CAST(row_number() OVER (ORDER BY n DESC, w) AS INT) AS rank
+        FROM counts),
+      top AS (SELECT * FROM r WHERE rank <= 50),
+      c AS (
+        SELECT rank, w, n,
+               CAST(sum(n) OVER (ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        FROM top)
+      SELECT rank, w AS word, n,
+             ${Exact.sqlFix("CAST(cum_n AS DOUBLE) * 100.0 / total", 4)} AS cum_pct
+      FROM c, tot ORDER BY rank""",
 
       "q_llm_bpe_pairs" -> """
       WITH w AS (
