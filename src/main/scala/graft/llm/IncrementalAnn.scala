@@ -363,7 +363,30 @@ object IncrementalAnn {
       runTicks(s, base, e.schema, tickPq)
       retrainPq(s, base)
       servePq(s, base)
-    })
+    },
+
+    // GDPR delete through the PQ index (the q_llm_knn_ivf_forget pattern
+    // on the code-table store): purge the (vec, subspace) rows from both
+    // keyed stores, re-train codebooks + re-encode on the kept corpus;
+    // oracle = one-shot PQ SQL over the kept CTE.
+    "q_llm_knn_pq_forget" -> pqForgetEntry)
+
+  private val pqForgetEntry: (SparkSession, String) => DataFrame = { (s, dir) =>
+    val base = s"${Sinks.tmpBase}/ann_pq_forget"
+    reset(base)
+    val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.repartitionByRange(2, col("vec_id")).write.parquet(s"$base/src")
+    runTicks(s, base, e.schema, tickPq)
+    // delete keys are (vec, subspace) pairs — PqM rows per forgotten vector
+    val delKeys = e.select(col("vec_id"))
+      .where(expr("vec_id % 9 = 4 AND vec_id >= 10")) // queries stay live
+      .selectExpr(s"explode(transform(sequence(0, ${Similarity.PqM - 1}), " +
+        s"m -> vec_id * ${Similarity.PqM} + m)) AS k")
+    Sinks.deleteByKeyBucket(s, s"$base/subs", delKeys, "k")
+    Sinks.deleteByKeyBucket(s, s"$base/codes", delKeys, "k")
+    retrainPq(s, base)
+    servePq(s, base)
+  }
 
   /** Identical to the one-shot entries' SQL by design (rebuild
     * equivalence after the re-train tick, driver-checked). */
@@ -376,5 +399,9 @@ object IncrementalAnn {
         SELECT * FROM embeddings WHERE NOT (vec_id % 9 = 4 AND vec_id >= 10)),
       ${Similarity.duckIvfSql("kept").trim.stripPrefix("WITH")}""",
     "q_llm_knn_lsh_incremental" -> Similarity.oracleSql("q_llm_knn_lsh"),
-    "q_llm_knn_pq_incremental" -> Similarity.oracleSql("q_llm_knn_pq"))
+    "q_llm_knn_pq_incremental" -> Similarity.oracleSql("q_llm_knn_pq"),
+    "q_llm_knn_pq_forget" -> s"""
+      WITH kept AS (
+        SELECT * FROM embeddings WHERE NOT (vec_id % 9 = 4 AND vec_id >= 10)),
+      ${Similarity.duckPqSql("kept").trim.stripPrefix("WITH")}""")
 }

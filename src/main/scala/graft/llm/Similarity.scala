@@ -525,7 +525,7 @@ object Similarity {
   private def duckSubDot(a: String, b: String): String =
     (1 to SubDim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
 
-  private def duckPqCtes: String = {
+  private def duckPqCtes(src: String = "embeddings"): String = {
     val subUnion = (0 until PqM).map(m =>
       s"SELECT vec_id, $m AS m, se[${m * SubDim + 1}:${(m + 1) * SubDim}] AS sub FROM e")
       .mkString("\n        UNION ALL ")
@@ -542,7 +542,7 @@ object Similarity {
                  c.cn2 - 2 * (${duckSubDot("s.sub", "c.cse")}), c.code) AS rn
         FROM subs s JOIN $cbn c ON s.m = c.m) WHERE rn = 1"""
     s"""
-      e0 AS (SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e0 AS (SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM $src),
       e AS (SELECT vec_id, se FROM e0),
       subs AS (
         $subUnion),
@@ -571,8 +571,8 @@ object Similarity {
         FROM pqscored)"""
   }
 
-  private def duckPqSql: String = s"""
-      WITH $duckPqCtes
+  private[llm] def duckPqSql(src: String = "embeddings"): String = s"""
+      WITH ${duckPqCtes(src)}
       SELECT q_id, rank, neighbor_id, adc
       FROM pqr WHERE rank <= 3 ORDER BY q_id, rank"""
 
@@ -601,7 +601,7 @@ object Similarity {
 
       "q_llm_knn_ivf" -> duckIvfSql(),
 
-      "q_llm_knn_pq" -> duckPqSql,
+      "q_llm_knn_pq" -> duckPqSql(),
 
       "q_llm_knn_filtered" -> s"""
       WITH e0 AS (
