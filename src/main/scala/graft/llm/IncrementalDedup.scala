@@ -387,7 +387,9 @@ object IncrementalDedup {
       val p = Dedup.minhashVerifiedPairsOf(
           Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
         .select(col("doc_a"), col("doc_b"))
-      p.repartitionByRange(3, col("doc_a")).write.parquet(s"$base/src")
+      // 2 arrival ticks (vs the 3 of q_llm_groups_incremental): forget
+      // semantics need an incrementally built store, not a tick count
+      p.repartitionByRange(2, col("doc_a")).write.parquet(s"$base/src")
       runCcTicks(s, base)
       val deleted = s.read.parquet(s"$base/labels")
         .select(col("doc").as("doc_id")).where(col("doc_id") % 7 === 3)
