@@ -177,6 +177,26 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("incremental CC stream resumes from its checkpoint (only unseen batches)") {
+    import spark.implicits._
+    val ccBase = Sinks.tmpBase + "/spec_cc_resume"
+    def labels: Map[Long, Long] =
+      spark.read.parquet(s"$ccBase/labels")
+        .select($"doc", $"label").as[(Long, Long)].collect().toMap
+    IncrementalDedup.ccReset(ccBase)
+    Seq((1L, 2L)).toDF("doc_a", "doc_b")
+      .coalesce(1).write.parquet(s"$ccBase/src")
+    IncrementalDedup.runCcTicks(spark, ccBase) // "crash" after draining batch 0
+    assert(labels === Map(1L -> 1L, 2L -> 1L))
+    // new edges arrive while the job is down; the restarted stream must
+    // process ONLY them (the checkpoint already covers batch 0) and the
+    // bridge must still merge against the STORED component
+    Seq((3L, 4L), (2L, 3L)).toDF("doc_a", "doc_b")
+      .coalesce(1).write.mode("append").parquet(s"$ccBase/src")
+    IncrementalDedup.runCcTicks(spark, ccBase)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("CC forget: deleting a cut vertex splits its component; leaves don't") {
     import spark.implicits._
     val ccBase = Sinks.tmpBase + "/spec_cc_forget"
