@@ -484,6 +484,38 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-aware canonical election: production dedup keeps the BEST
+    // copy of each near-dup group, not the lowest id — rank every cluster
+    // member by the shared quality score (scaled to a long, so the
+    // argmax is exact and tie-broken by id identically in both engines)
+    // and flag the winner. Same CC substrate as q_llm_dedup_groups; the
+    // score join is one O(members) hash join, never corpus-wide.
+    "q_llm_dedup_keep_best" -> { (s, dir) =>
+      val stops = TextAnalysis.markers.flatMap(_._2).distinct
+        .map("'" + _ + "'").mkString("array(", ", ", ")")
+      val pairs = minhashVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val cc = connectedComponents(pairs)
+      val scored = docs(s, dir)
+        .selectExpr("doc_id", "split(text, ' ') AS t")
+        .selectExpr("doc_id", "size(t) AS n_tok",
+          "size(array_distinct(t)) AS n_uniq",
+          s"size(filter(t, w -> array_contains($stops, w))) AS n_stop")
+        .selectExpr("doc_id",
+          "CAST(n_uniq AS DOUBLE) / n_tok AS ttr",
+          "CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio",
+          "least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS len_term")
+        .select(col("doc_id"), graft.util.Exact.scaled(
+          expr("0.4 * ttr + 0.3 * stop_ratio + 0.3 * len_term"), 6).as("s6"))
+      cc.join(scored, "doc_id")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("canonical"))
+            .orderBy(col("s6").desc, col("doc_id"))))
+        .select(col("doc_id"), col("canonical"),
+          (col("s6").cast("double") / lit(1000000.0)).as("score"),
+          (col("rn") === 1).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // 32-bit SimHash fingerprint: explode word hashes -> per-bit majority
     // vote as a partial+final hash agg (map-side combine; one shuffle of 32
     // small longs per doc). Duplicate-fingerprint count rides along.
@@ -852,6 +884,45 @@ object Dedup {
       SELECT doc_id, canonical,
              count(*) OVER (PARTITION BY canonical) AS cluster_size
       FROM canon ORDER BY doc_id""",
+
+      "q_llm_dedup_keep_best" -> {
+        val stops = TextAnalysis.markers.flatMap(_._2).distinct
+          .map("'" + _ + "'").mkString("[", ", ", "]")
+        s"""
+      WITH RECURSIVE ${verifiedPairCtes("documents")},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM vpairs
+        UNION SELECT doc_b, doc_a FROM vpairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      canon AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical
+        FROM reach GROUP BY a),
+      base AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      feats AS (
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tok,
+               CAST(len(list_distinct(t)) AS INT) AS n_uniq,
+               CAST(len(list_filter(t, w -> list_contains($stops, w))) AS INT) AS n_stop
+        FROM base),
+      q AS (
+        SELECT doc_id, ${graft.util.Exact.sqlScaled(
+          "0.4 * (CAST(n_uniq AS DOUBLE) / n_tok) + " +
+            "0.3 * (CAST(n_stop AS DOUBLE) / n_tok) + " +
+            "0.3 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)", 6)} AS s6
+        FROM feats),
+      r AS (
+        SELECT c.doc_id, c.canonical, q.s6,
+               row_number() OVER (PARTITION BY c.canonical
+                 ORDER BY q.s6 DESC, c.doc_id) AS rn
+        FROM canon c JOIN q ON q.doc_id = c.doc_id)
+      SELECT doc_id, canonical,
+             CAST(s6 AS DOUBLE) / 1000000.0 AS score,
+             rn = 1 AS keep
+      FROM r ORDER BY doc_id"""
+      },
 
       "q_llm_dedup_simhash_pairs" -> s"""
       WITH toks AS (
