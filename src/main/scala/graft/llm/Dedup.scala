@@ -248,10 +248,24 @@ object Dedup {
           .observe(obs, sum(when(col("label") < col("prev"), lit(1L))
             .otherwise(lit(0L))).as("chg"))
           .select(col("doc"), col("label")))
-        changed = obs.get.get("chg") match {
-          case Some(n: Number) => n.longValue
-          case _ => 0L // empty graph: zero rows observed
+        // bounded wait: metrics surfacing through the checkpoint action is
+        // listener behavior (empirically reliable, probe-verified — but not
+        // a documented contract), so never block the driver on it forever;
+        // if they don't arrive, fall back to the explicit count join the
+        // Reliable/Store path uses (next is already materialized, so the
+        // fallback costs one small join job, not a pipeline re-run)
+        val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+        var m = org.apache.spark.sql.GraftSqlShims.observedOrEmpty(obs)
+        while (m.isEmpty && System.nanoTime < deadline) {
+          Thread.sleep(50)
+          m = org.apache.spark.sql.GraftSqlShims.observedOrEmpty(obs)
         }
+        changed =
+          if (m.nonEmpty) m.get("chg") match {
+            case Some(n: Number) => n.longValue
+            case _ => 0L // empty graph: zero rows observed
+          } else next.alias("n").join(labels.alias("o"), "doc")
+            .where(col("n.label") =!= col("o.label")).count()
         labels = next
       } else {
         val next = ckpt(merged)

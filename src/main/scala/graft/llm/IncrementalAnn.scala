@@ -21,14 +21,14 @@ import graft.util.Exact
   * The index is three bucket/atomic stores:
   *  - `vecs`:   vec_id → scaled-long embedding (keyed upsert store — a
   *              re-ingested vector replaces its old version);
-  *  - `cents`:  the [[Similarity.Cells]]-row trained centroid table;
+  *  - `cents`:  the corpus-relative isqrt(N)-row trained centroid table;
   *  - `assign`: vec_id → trained cell.
   *
   * Maintenance has two tiers, exactly the production IVF pattern:
   *
   *  - **Fold tick** (every arrival batch, cheap): scale the batch, assign
   *    ONLY the batch against the CURRENT stored centroids (an O(batch ×
-  *    Cells) broadcast pass — the corpus is not touched), and keyed-merge
+  *    n_cells) broadcast pass — the corpus is not touched), and keyed-merge
   *    batch vectors + assignments into the stores. Between re-trains the
   *    centroids are stale-but-useful — new vectors are searchable
   *    immediately, at slightly degraded cell quality. The first batch
@@ -85,7 +85,7 @@ object IncrementalAnn {
     if (!Files.exists(Paths.get(centsPath)))
       Sinks.writeAtomic(Similarity.kmeansCentroids(se), centsPath)
     val cents = s.read.parquet(centsPath)
-    // assign ONLY the batch: O(batch x Cells) against the 16-row broadcast
+    // assign ONLY the batch: O(batch x n_cells) against the stored-centroid broadcast
     val assigned = Similarity.assignCells(se, cents, 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
     // keyed upserts, latest tick wins — a re-ingested vector replaces its
@@ -117,7 +117,7 @@ object IncrementalAnn {
 
   /** Serve top-k probes from the STORES — no training, no corpus-wide
     * argmin: queries assign to their `nprobe` nearest stored centroids
-    * (broadcast of a 16-row table), candidates come from the cell
+    * (broadcast of the stored isqrt(N)-row table), candidates come from the cell
     * equi-join against the stored assignment, exact cosine re-ranks.
     * Output shape/typing matches q_llm_knn_ivf exactly. */
   private[graft] def serve(s: SparkSession, base: String,
@@ -306,6 +306,10 @@ object IncrementalAnn {
       val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       e.repartitionByRange(3, col("vec_id")).write.parquet(s"$base/src")
       runTicks(s, base, e.schema)
+      // bound the per-bucket file sets the fold ticks accumulated (one
+      // file set per touched bucket per tick) before the corpus-sized
+      // re-train reads the store; results unaffected (spec-asserted)
+      Seq("vecs", "assign").foreach(p => Sinks.compactBuckets(s, s"$base/$p"))
       retrain(s, base)
       serve(s, base)
     },
@@ -347,6 +351,33 @@ object IncrementalAnn {
       val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       e.repartitionByRange(3, col("vec_id")).write.parquet(s"$base/src")
       runTicks(s, base, e.schema, tickLsh)
+      // store maintenance between merge windows: bound per-bucket file
+      // counts accumulated across the fold ticks (results unaffected —
+      // spec-asserted; the same pass q_llm_dedup_incremental runs)
+      Sinks.compactBuckets(s, s"$base/vecs")
+      serveLsh(s, base)
+    },
+
+    // GDPR delete through the LSH band-table index — the last cell of the
+    // forget matrix (MinHash: q_llm_forget; IVF: q_llm_knn_ivf_forget;
+    // PQ: q_llm_knn_pq_forget). The planes are corpus-independent
+    // constants, so deletion needs NO re-train tick: purging the
+    // forgotten vectors' rows from the keyed bucket store
+    // ([[Sinks.deleteByKeyBucket]] — touched-bucket rewrites only) fully
+    // removes them from candidate generation AND scoring, and the served
+    // index is immediately bit-identical to a from-scratch build on the
+    // kept corpus. Oracle = the one-shot LSH SQL over a kept CTE, so the
+    // driver checks the deletion propagated through bucketing, candidate
+    // join, and serving.
+    "q_llm_knn_lsh_forget" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/ann_lsh_forget"
+      reset(base)
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      e.repartitionByRange(2, col("vec_id")).write.parquet(s"$base/src")
+      runTicks(s, base, e.schema, tickLsh)
+      val del = e.select(col("vec_id"))
+        .where(expr("vec_id % 9 = 4 AND vec_id >= 10")) // queries stay live
+      Sinks.deleteByKeyBucket(s, s"$base/vecs", del, "vec_id")
       serveLsh(s, base)
     },
 
@@ -361,6 +392,8 @@ object IncrementalAnn {
       val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       e.repartitionByRange(2, col("vec_id")).write.parquet(s"$base/src")
       runTicks(s, base, e.schema, tickPq)
+      // small-file pass over both keyed stores before the re-train scan
+      Seq("subs", "codes").foreach(p => Sinks.compactBuckets(s, s"$base/$p"))
       retrainPq(s, base)
       servePq(s, base)
     },
@@ -399,6 +432,13 @@ object IncrementalAnn {
         SELECT * FROM embeddings WHERE NOT (vec_id % 9 = 4 AND vec_id >= 10)),
       ${Similarity.duckIvfSql("kept").trim.stripPrefix("WITH")}""",
     "q_llm_knn_lsh_incremental" -> Similarity.oracleSql("q_llm_knn_lsh"),
+    // one-shot LSH over the KEPT corpus — no re-train tier exists to wait
+    // for: bucket membership is per-vector, so the delete alone restores
+    // from-scratch equivalence
+    "q_llm_knn_lsh_forget" -> s"""
+      WITH kept AS (
+        SELECT * FROM embeddings WHERE NOT (vec_id % 9 = 4 AND vec_id >= 10)),
+      ${Similarity.duckLshSql("kept").trim.stripPrefix("WITH")}""",
     "q_llm_knn_pq_incremental" -> Similarity.oracleSql("q_llm_knn_pq"),
     "q_llm_knn_pq_forget" -> s"""
       WITH kept AS (

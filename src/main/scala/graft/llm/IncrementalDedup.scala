@@ -125,9 +125,17 @@ object IncrementalDedup {
 
   // --- Incremental connected components (union-find as a store) ---------
 
-  /** Wipe the incremental-CC state (edge stream, label store, checkpoint). */
+  /** Wipe the incremental-CC state (edge stream, label store, remap/forget
+    * recovery artifacts, checkpoint). */
   private[graft] def ccReset(base: String): Unit =
-    Seq("src", "labels", "ckpt").foreach(p => Sinks.truncate(s"$base/$p"))
+    Seq("src", "labels", "remaps", "forgets", "ckpt")
+      .foreach(p => Sinks.truncate(s"$base/$p"))
+
+  /** True iff a prior attempt COMPLETED the parquet write at `p` (the
+    * `_SUCCESS` marker is committed last, so a crash mid-write leaves no
+    * marker and the artifact is recomputed). */
+  private def committed(p: String): Boolean =
+    Files.exists(Paths.get(p, "_SUCCESS"))
 
   /** Fold one batch of NEW edges into the persisted label store via
     * COMPONENT CONTRACTION: the fixpoint CC runs on the label graph —
@@ -143,9 +151,19 @@ object IncrementalDedup {
     * rewrite only the buckets of their own endpoints, while a batch that
     * bridges two giant components pays for relabeling the smaller... and
     * that cost is the information-theoretic floor for maintaining
-    * explicit canonical labels. Replays are idempotent: a re-run tick
-    * reads post-update labels, finds no label inequalities, and upserts
-    * the same rows it already wrote. */
+    * explicit canonical labels.
+    *
+    * Replay idempotence is CRASH-WINDOW-SAFE, not just rerun-safe: the
+    * computed remap (label → canonical) is persisted to a
+    * `batch_<id>`-keyed path BEFORE the store merge, and a replay whose
+    * artifact is committed applies the PERSISTED remap instead of
+    * re-deriving it from current labels. Without this, a crash inside the
+    * merge's per-bucket swap leaves a mixed store (some members remapped,
+    * some stale); if the batch ENDPOINTS' buckets were among the swapped,
+    * the re-derived label edges are empty and the stale non-endpoint
+    * members would never heal. Applying the stored remap is idempotent on
+    * the mixed store: already-swapped rows carry canonical labels (not
+    * remap keys) and pass through; stale rows match and heal. */
   private[graft] def ccTick(s: SparkSession, batch: DataFrame, batchId: Long,
                             base: String): Unit = {
     val store = s"$base/labels"
@@ -161,15 +179,19 @@ object IncrementalDedup {
     val cur = nodes.join(stored, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("label"), col("doc")).as("label"))
       .localCheckpoint()
-    val lblEdges = edges
-      .join(cur.select(col("doc").as("doc_a"), col("label").as("la")), "doc_a")
-      .join(cur.select(col("doc").as("doc_b"), col("label").as("lb")), "doc_b")
-      .where(col("la") =!= col("lb"))
-      .select(col("la").as("doc_a"), col("lb").as("doc_b"))
-    val remap = Dedup.connectedComponents(lblEdges)
-      .where(col("doc_id") =!= col("canonical"))
-      .select(col("doc_id").as("label"), col("canonical"))
-      .localCheckpoint()
+    val remapPath = s"$base/remaps/batch_$batchId"
+    if (!committed(remapPath)) {
+      val lblEdges = edges
+        .join(cur.select(col("doc").as("doc_a"), col("label").as("la")), "doc_a")
+        .join(cur.select(col("doc").as("doc_b"), col("label").as("lb")), "doc_b")
+        .where(col("la") =!= col("lb"))
+        .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+      Dedup.connectedComponents(lblEdges)
+        .where(col("doc_id") =!= col("canonical"))
+        .select(col("doc_id").as("label"), col("canonical"))
+        .write.mode("overwrite").parquet(remapPath)
+    }
+    val remap = s.read.parquet(remapPath).localCheckpoint()
     // upsert = all stored members of merged components, remapped, plus the
     // batch endpoints at their (possibly remapped) labels
     val remappedStored = stored.join(remap, "label")
@@ -198,16 +220,28 @@ object IncrementalDedup {
     * Cost: O(deleted + affected members) writes; the edge re-read is
     * O(all edges) I/O here — a production store would bucket the edge
     * log by component label so step 3 prunes to the affected buckets.
-    * Idempotent: a replay deletes already-gone rows and recomputes the
-    * same labels. */
+    *
+    * Replay idempotence is CRASH-WINDOW-SAFE: the affected-label set is
+    * computed from the PRE-DELETE store and persisted to a
+    * `tick_<id>`-keyed path BEFORE the keyed delete runs. A naive replay
+    * that re-derived `affected` from store rows of the deleted docs would
+    * find nothing after a crash between the delete and the relabel merge
+    * (the rows are already gone), leaving survivors labeled by deleted
+    * doc_ids forever; the persisted artifact drives the recompute on any
+    * replay. Replays whose artifact is committed skip straight to the
+    * (idempotent) delete + relabel. */
   private[graft] def ccForget(s: SparkSession, base: String,
                               deleted: DataFrame, tickId: Long): Unit = {
     val store = s"$base/labels"
     val del = deleted.select(col("doc_id")).localCheckpoint()
     Sinks.healBuckets(store)
-    val affected = s.read.parquet(store)
-      .join(del, col("doc") === col("doc_id"))
-      .select(col("label")).distinct().localCheckpoint()
+    val affectedPath = s"$base/forgets/tick_$tickId"
+    if (!committed(affectedPath))
+      s.read.parquet(store)
+        .join(del, col("doc") === col("doc_id"))
+        .select(col("label")).distinct()
+        .write.mode("overwrite").parquet(affectedPath)
+    val affected = s.read.parquet(affectedPath).localCheckpoint()
     Sinks.deleteByKeyBucket(s, store,
       del.select(col("doc_id").as("doc")), "doc")
     val members = s.read.parquet(store)
@@ -226,7 +260,13 @@ object IncrementalDedup {
   }
 
   /** Drain a file-stream of edge batches through [[ccTick]] (crash-safe
-    * resume via the checkpoint, same contract as [[runTicks]]). */
+    * resume via the checkpoint, same contract as [[runTicks]]), then run
+    * the small-file maintenance pass over the label store: every tick's
+    * remap upsert rewrites its touched buckets with up to
+    * shuffle-partitions files each, and without compaction the per-bucket
+    * file count grows linearly in ticks — the classic streaming-store
+    * decay. Compaction is the same crash-safe staged swap as the merge and
+    * is spec-asserted result-identical. */
   private[graft] def runCcTicks(s: SparkSession, base: String): Unit = {
     val schema = StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
@@ -239,6 +279,7 @@ object IncrementalDedup {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    Sinks.compactBuckets(s, s"$base/labels")
   }
 
   /** Right-to-be-forgotten: purge `deleted` doc_ids from the live index.

@@ -54,9 +54,46 @@ object Similarity {
   private def duckCosExpr(a: String, b: String, na: String, nb: String): String =
     s"CAST(${duckPairDot(a, b)} AS DOUBLE) / ($na * $nb)"
 
-  /** IVF coarse-quantizer shape: cell count and Lloyd refinement rounds. */
-  val Cells = 16
+  /** IVF coarse-quantizer shape: cell-count FLOOR and Lloyd refinement
+    * rounds. The actual cell count is CORPUS-RELATIVE:
+    * `greatest(CellsFloor, isqrt(N))` (see [[cellsSql]]) — computed inside
+    * the plan from a 1-row count aggregate broadcast into the seeded init
+    * (no driver action), and embedded as the identical scalar subquery in
+    * the oracle. A fixed cell count has the same scale cliff the absolute
+    * df cap had: at 100× corpus, per-cell population grows 100× and every
+    * within-cell pair join (SemDeDup) degrades quadratically. With
+    * ~sqrt(N) cells, per-cell population grows as sqrt(N): assignment
+    * costs N·sqrt(N) dot products per Lloyd round (the standard IVF
+    * training trade — production trains on a sample when N·sqrt(N) bites)
+    * and the centroid broadcast stays tiny (isqrt(1e10) = 1e5 rows).
+    * The floor keeps small-corpus behavior stable; at the test SFs
+    * (N = 500/2000) the relative arm ALREADY fires (22/44 cells), so the
+    * driver's oracle gate exercises it at every scale. */
+  val CellsFloor = 16
   val LloydRounds = 2
+
+  /** Exact integer sqrt as engine-portable SQL: floor(sqrt(n)) in doubles,
+    * then a ±1 integer correction — IEEE sqrt is correctly rounded, so the
+    * double estimate is off by at most one for any n < 2^52, and the CASE
+    * repairs both directions with pure long arithmetic. floor-before-cast
+    * keeps DuckDB's round-on-cast out of play. */
+  private def isqrtSql(n: String): String = {
+    val s0 = s"CAST(floor(sqrt(CAST(($n) AS DOUBLE))) AS BIGINT)"
+    s"(CASE WHEN ($s0 + 1) * ($s0 + 1) <= ($n) THEN $s0 + 1 " +
+      s"WHEN $s0 * $s0 > ($n) THEN $s0 - 1 ELSE $s0 END)"
+  }
+
+  /** Corpus-relative cell count `greatest(floor, isqrt(n))` — one SQL text,
+    * valid in both engines (the MaxDfRatio pattern, XHash.scala:50-66). */
+  private[graft] def cellsSql(n: String, floor: Int): String =
+    s"greatest(CAST($floor AS BIGINT), ${isqrtSql(n)})"
+
+  /** 1-row (n_cells BIGINT) table derived from the corpus count — kept IN
+    * the plan (broadcast into the seeded init), mirroring
+    * [[Dedup.corpusCountOf]]'s no-driver-action idiom. */
+  private[graft] def cellCountOf(se: DataFrame, floor: Int = CellsFloor): DataFrame =
+    se.agg(count(lit(1)).as("n_vec"))
+      .selectExpr(s"${cellsSql("n_vec", floor)} AS n_cells")
 
   /** SemDeDup drop threshold: within-cell pairs at or above this cosine
     * are semantic duplicates. Both engines compare the identical IEEE
@@ -72,20 +109,23 @@ object Similarity {
 
   /** Deterministic k-means over the scaled-long embeddings, entirely as
     * DataFrame aggregations (no driver-side loops over data): seeded init
-    * assigns each vector to cell `hash(vec_id) mod Cells`, then
-    * [[LloydRounds]] reassign-and-recompute rounds. Centroid components are
+    * assigns each vector to cell `hash(vec_id) mod n_cells` — n_cells the
+    * corpus-relative [[cellCountOf]] broadcast — then [[LloydRounds]]
+    * reassign-and-recompute rounds. Centroid components are
     * truncated integer means (`sum DIV n` — both engines truncate toward
     * zero, so training is bit-reproducible in DuckDB; the long sum wraps
     * only past ~9e12 rows per cell at 1e6-magnitude components, far beyond
     * any realistic cell, while DuckDB sums to HUGEINT — the one documented
     * theoretical divergence). Each round costs one corpus scan + one hash
-    * aggregation; the 16-row result is `localCheckpoint`ed per round so
-    * lineage stays flat however deep the refinement goes, and the two
+    * aggregation; the isqrt(N)-row result is `localCheckpoint`ed per round
+    * so lineage stays flat however deep the refinement goes, and the two
     * downstream uses (corpus assignment, query probing) don't re-run
-    * training. */
+    * training. `floor` is the production [[CellsFloor]]; specs override it
+    * to fire the relative arm at tiny N (the df-cap ratio pattern). */
   private[graft] def kmeansCentroids(se: DataFrame,
                                    ckpt: graft.util.Checkpointer =
-                                     graft.util.Checkpointer.Local): DataFrame = {
+                                     graft.util.Checkpointer.Local,
+                                   floor: Int = CellsFloor): DataFrame = {
     val sums = (1 to EmbDim).map(i => sum(expr(s"element_at(se, $i)")).as(s"s$i"))
     val mean = (1 to EmbDim).map(i => s"s$i DIV n").mkString("array(", ", ", ")")
     def centroidsOf(assigned: DataFrame): DataFrame =
@@ -93,11 +133,12 @@ object Similarity {
         .agg(count(lit(1)).as("n"), sums: _*)
         .selectExpr("cent_id", s"$mean AS cse")
         .selectExpr("cent_id", "cse", "graft_dot(cse, cse) AS cn2")
-    val init = se.selectExpr("vec_id", "se",
-      s"vec_id % $P * 2654435761L % $P % $Cells AS cell")
+    val init = se.crossJoin(broadcast(cellCountOf(se, floor)))
+      .selectExpr("vec_id", "se",
+        s"vec_id % $P * 2654435761L % $P % n_cells AS cell")
     // per-round materialization (through the Checkpointer knob — Local
     // for bench/test speed, Reliable/Store when executor loss must be
-    // survivable): each round's 16-row centroid table is materialized, so
+    // survivable): each round's isqrt(N)-row centroid table is materialized, so
     // round r+1's plan never re-embeds rounds 1..r — lineage (and
     // recompute-on-reference) stays flat at any LloydRounds
     var cents = ckpt(centroidsOf(init))
@@ -112,7 +153,8 @@ object Similarity {
   /** Attach each vector's `n` nearest cells. Nearness is the integer
     * squared-Euclidean argmin — |a−c|² ordered by |c|² − 2·a·c since |a|²
     * is constant per row — so cell choice is exact long arithmetic. The
-    * centroid table is a constant [[Cells]]-row broadcast; the rank<=n
+    * centroid table is an isqrt(N)-row broadcast (1e5 rows at 1e10
+    * vectors — still a few MB); the rank<=n
     * filter hits Spark's WindowGroupLimit, so only ~n rows per vector
     * survive the map side of the window shuffle. */
   private[llm] def assignCells(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
@@ -188,13 +230,14 @@ object Similarity {
     // IVF ANN with a REAL trained coarse quantizer: deterministic k-means
     // (seeded init from hashed vec_ids, 2 Lloyd iterations, all as
     // DataFrame aggregations — no driver-side loops over data), one
-    // assignment pass (corpus x broadcast 16-row centroid table), queries
-    // probe their nprobe=2 nearest cells, exact cosine re-rank inside the
-    // probed cells. Assignment/probing use the INTEGER squared-Euclidean
-    // form |c|² − 2·a·c (a's own norm is constant per row), so training is
-    // exact long arithmetic in both engines. The scale path: corpus
-    // scanned once per Lloyd round + once for assignment; each query
-    // touches ~2/16ths of the corpus.
+    // assignment pass (corpus x broadcast isqrt(N)-row centroid table),
+    // queries probe their nprobe=2 nearest cells, exact cosine re-rank
+    // inside the probed cells. Assignment/probing use the INTEGER squared-
+    // Euclidean form |c|² − 2·a·c (a's own norm is constant per row), so
+    // training is exact long arithmetic in both engines. The scale path:
+    // corpus scanned once per Lloyd round + once for assignment; each
+    // query touches ~nprobe/isqrt(N) of the corpus — the probed fraction
+    // SHRINKS as the corpus grows.
     "q_llm_knn_ivf" -> { (s, dir) =>
       val se = scaledEmb(s, dir)
       val cents = kmeansCentroids(se)
@@ -223,8 +266,10 @@ object Similarity {
     // minimum id of each near-dup group survives as its representative.
     // Pair generation is PER CELL — an equi-join on the trained cell id,
     // never a global self-join — so the quadratic is bounded by the
-    // largest cell (N²/Cells expected; at 100 TB Cells scales ~sqrt(N),
-    // which keeps per-cell work ~constant as the corpus grows). The
+    // largest cell: with the corpus-relative greatest(16, isqrt(N)) cell
+    // count (see cellsSql), expected per-cell population is sqrt(N) and
+    // total pair work N^1.5, not N² — the cell count actually scales now,
+    // instead of a constant the comment merely promised would. The
     // composition is exactly kmeansCentroids + assignCells (shared with
     // IVF — same trained cells, so dedup groups align with ANN geometry)
     // + the slim-pair cosine verify shape from q_llm_dedup_embed.
@@ -479,14 +524,22 @@ object Similarity {
                c.cn2 - 2 * (${duckPairDot("e.se", "c.cse")}), c.cent_id) AS rn
       FROM e CROSS JOIN $centsCte c $where) WHERE rn <= $nProbe"""
 
-  /** CTE chain ending in `assigned` = every vector with its trained cell. */
-  private[llm] def duckKmeansCtes(src: String = "embeddings"): String = s"""
+  /** CTE chain ending in `assigned` = every vector with its trained cell.
+    * `nc` mirrors [[cellCountOf]] exactly (same cellsSql text, scalar
+    * subquery instead of a broadcast). */
+  private[llm] def duckKmeansCtes(src: String = "embeddings",
+                                  floor: Int = CellsFloor): String = s"""
       e0 AS (
         SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM $src),
       e AS (
         SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
+      nc AS (
+        SELECT ${cellsSql("n_vec", floor)} AS n_cells
+        FROM (SELECT count(*) AS n_vec FROM e) tnc),
       a0 AS (
-        SELECT vec_id, se, vec_id % $P * 2654435761 % $P % $Cells AS cell FROM e),
+        SELECT vec_id, se,
+               vec_id % $P * 2654435761 % $P % (SELECT n_cells FROM nc) AS cell
+        FROM e),
       c0 AS (${duckCent("a0")}),
       c0n AS (${duckCentN("c0")}),
       a1 AS (${duckAssign("c0n", "", 1)}),
@@ -576,10 +629,39 @@ object Similarity {
       SELECT q_id, rank, neighbor_id, adc
       FROM pqr WHERE rank <= 3 ORDER BY q_id, rank"""
 
-  def oracleSql: Map[String, String] = {
+  /** DuckDB mirror of the hyperplane-LSH entry, source-parameterized so the
+    * incremental/forget variants can run it over a kept CTE. */
+  private[llm] def duckLshSql(src: String = "embeddings"): String = {
     val duckBits = (0 until 4)
       .map(p => s"CASE WHEN ${duckPlaneDot("se", p)} > 0 THEN 1 ELSE 0 END AS bit$p")
       .mkString(",\n               ")
+    s"""
+      WITH e0 AS (
+        SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM $src),
+      e AS (
+        SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
+      bits AS (
+        SELECT vec_id, se, nrm,
+               $duckBits
+        FROM e),
+      bucketed AS (
+        SELECT vec_id, se, nrm, concat_ws('', bit0, bit1, bit2, bit3) AS bucket FROM bits),
+      q AS (SELECT vec_id AS q_id, se AS qse, nrm AS qnrm, bucket FROM bucketed WHERE vec_id < 10),
+      scored AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               ${duckCosExpr("qse", "se", "qnrm", "nrm")} AS cos_raw
+        FROM bucketed c JOIN q ON c.bucket = q.bucket
+        WHERE c.vec_id <> q.q_id),
+      r AS (
+        SELECT q_id, neighbor_id, cos_raw,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
+      FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
+  }
+
+  def oracleSql: Map[String, String] = {
     val base = Map(
       "q_llm_knn_brute" -> s"""
       WITH e0 AS (
@@ -715,30 +797,7 @@ object Similarity {
       FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
       ORDER BY s.vec_id""",
 
-      "q_llm_knn_lsh" -> s"""
-      WITH e0 AS (
-        SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
-      e AS (
-        SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
-      bits AS (
-        SELECT vec_id, se, nrm,
-               $duckBits
-        FROM e),
-      bucketed AS (
-        SELECT vec_id, se, nrm, concat_ws('', bit0, bit1, bit2, bit3) AS bucket FROM bits),
-      q AS (SELECT vec_id AS q_id, se AS qse, nrm AS qnrm, bucket FROM bucketed WHERE vec_id < 10),
-      scored AS (
-        SELECT q.q_id, c.vec_id AS neighbor_id,
-               ${duckCosExpr("qse", "se", "qnrm", "nrm")} AS cos_raw
-        FROM bucketed c JOIN q ON c.bucket = q.bucket
-        WHERE c.vec_id <> q.q_id),
-      r AS (
-        SELECT q_id, neighbor_id, cos_raw,
-               CAST(row_number() OVER (PARTITION BY q_id
-                 ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
-        FROM scored)
-      SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
-      FROM r WHERE rank <= 3 ORDER BY q_id, rank""")
+      "q_llm_knn_lsh" -> duckLshSql())
 
     def recallFor(name: String, annSql: String): String = s"""
       SELECT '$name' AS index_name, b.q_id, count(*) AS n_true,

@@ -158,8 +158,12 @@ object TextAnalysis {
           "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')) AS norm")
         .selectExpr("doc_id", "len_raw", "length(norm) AS len_norm",
           "graft_charhash(norm) AS fp_norm")
-        .withColumn("removed_pct", Exact.fix(
-          (col("len_raw") - col("len_norm")).cast("double") * lit(100.0) / col("len_raw"), 4))
+        // zero guard: an empty doc divides by len_raw=0 — NaN in Spark but
+        // setting-dependent in DuckDB, a latent cross-engine hash split;
+        // define empty docs as 0% removed identically on both sides
+        .withColumn("removed_pct", Exact.fix(expr(
+          "CASE WHEN len_raw = 0 THEN CAST(0.0 AS DOUBLE) " +
+            "ELSE CAST(len_raw - len_norm AS DOUBLE) * 100.0 / len_raw END"), 4))
         .withColumn("n_same_norm", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("fp_norm"))))
         .orderBy(col("doc_id"))
@@ -423,7 +427,8 @@ object TextAnalysis {
                ${duckCharHash("norm")} AS fp_norm
         FROM n)
       SELECT doc_id, len_raw, len_norm, fp_norm,
-             ${Exact.sqlFix("CAST(len_raw - len_norm AS DOUBLE) * 100.0 / len_raw", 4)} AS removed_pct,
+             ${Exact.sqlFix("CASE WHEN len_raw = 0 THEN CAST(0.0 AS DOUBLE) " +
+               "ELSE CAST(len_raw - len_norm AS DOUBLE) * 100.0 / len_raw END", 4)} AS removed_pct,
              count(*) OVER (PARTITION BY fp_norm) AS n_same_norm
       FROM f ORDER BY doc_id""",
 

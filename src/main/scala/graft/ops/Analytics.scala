@@ -144,8 +144,11 @@ object Analytics {
     * (count aggregation is map-side partial). */
   def driftPsi(e: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // symmetric clamp: negative values land in edge bin 0 (not a negative
+    // bin the 0..9 spine's left join would silently drop from both counts
+    // AND the totals — the PSI must attribute every event to some bin)
     val binned = e.select(
-      expr("least(9, CAST(floor(value / 50.0) AS INT))").as("bin"), col("ts"))
+      expr("greatest(0, least(9, CAST(floor(value / 50.0) AS INT)))").as("bin"), col("ts"))
     val cut = lit("2024-01-16").cast("timestamp")
     val refc = binned.where(col("ts") < cut)
       .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
@@ -186,7 +189,7 @@ object Analytics {
     // before the total (ulp-safe at 6 decimals — the lm_score pattern)
     "q_drift_psi" -> s"""
       WITH binned AS (
-        SELECT least(9, CAST(floor(value / 50.0) AS INT)) AS bin, ts FROM events),
+        SELECT greatest(0, least(9, CAST(floor(value / 50.0) AS INT))) AS bin, ts FROM events),
       refc AS (
         SELECT bin, count(*) AS n_ref FROM binned
         WHERE ts < TIMESTAMP '2024-01-16' GROUP BY bin),

@@ -14,4 +14,11 @@ object GraftSqlShims {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Non-blocking read of an [[Observation]]'s metrics: empty until the
+    * observed action completes. `private[sql]` upstream; exposed so the
+    * CC convergence fold can poll with a bounded wait instead of parking
+    * the driver on `get` forever if the listener never fires. */
+  def observedOrEmpty(obs: Observation): Map[String, Any] =
+    obs.getOrEmpty
 }

@@ -197,6 +197,61 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("ccTick replay heals a store crashed mid-bucket-swap (persisted remap)") {
+    import spark.implicits._
+    val ccBase = Sinks.tmpBase + "/spec_cc_midswap"
+    def labels: Map[Long, Long] =
+      spark.read.parquet(s"$ccBase/labels")
+        .select($"doc", $"label").as[(Long, Long)].collect().toMap
+    IncrementalDedup.ccReset(ccBase)
+    IncrementalDedup.ccTick(spark, Seq((1L, 2L), (1L, 5L)).toDF("doc_a", "doc_b"), 0L, ccBase)
+    IncrementalDedup.ccTick(spark, Seq((3L, 4L)).toDF("doc_a", "doc_b"), 1L, ccBase)
+    // construct the exact crash window of the bridge tick (batchId=2,
+    // edge 2-3 merging {1,2,5} and {3,4}): the remap {3 -> 1} was
+    // persisted and the per-bucket swap had reached endpoint 3's bucket
+    // (doc 3 remapped) but NOT doc 4's (stale label from tick 1) when the
+    // driver died
+    Seq((3L, 1L)).toDF("label", "canonical")
+      .coalesce(1).write.parquet(s"$ccBase/remaps/batch_2")
+    Sinks.mergeByKeyBucket(spark, s"$ccBase/labels",
+      Seq((3L, 1L)).toDF("doc", "label").withColumn("_tick", lit(2L)),
+      "doc", Seq("_tick"))
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 1L, 4L -> 3L),
+      "mixed store: endpoint swapped, non-endpoint stale")
+    // replay of the bridge tick: re-deriving from current labels would see
+    // la = lb = 1 (both endpoints already canonical) and never heal doc 4;
+    // the committed artifact must drive a store-wide remap instead
+    IncrementalDedup.ccTick(spark, Seq((2L, 3L)).toDF("doc_a", "doc_b"), 2L, ccBase)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 1L, 4L -> 1L),
+      "replay after mid-swap crash converges to the one-shot CC")
+  }
+
+  test("ccForget replay heals a store crashed between delete and relabel") {
+    import spark.implicits._
+    val ccBase = Sinks.tmpBase + "/spec_cc_forget_crash"
+    def labels: Map[Long, Long] =
+      spark.read.parquet(s"$ccBase/labels")
+        .select($"doc", $"label").as[(Long, Long)].collect().toMap
+    IncrementalDedup.ccReset(ccBase)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    edges.coalesce(1).write.parquet(s"$ccBase/src")
+    IncrementalDedup.ccTick(spark, edges, 0L, ccBase)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // construct the crash window of ccForget(del={2}, tickId=50): the
+    // affected-label artifact {1} was persisted and the keyed delete ran,
+    // but the driver died before the relabel merge
+    Seq(1L).toDF("label").coalesce(1).write.parquet(s"$ccBase/forgets/tick_50")
+    Sinks.deleteByKeyBucket(spark, s"$ccBase/labels", Seq(2L).toDF("doc"), "doc")
+    assert(labels === Map(1L -> 1L, 3L -> 1L),
+      "post-crash store: survivors still labeled by the pre-split component")
+    // replay: deriving `affected` from the (already-deleted) doc-2 rows
+    // would find nothing; the committed artifact must drive the recompute,
+    // splitting the chain into singletons
+    IncrementalDedup.ccForget(spark, ccBase, Seq(2L).toDF("doc_id"), 50L)
+    assert(labels === Map(1L -> 1L, 3L -> 3L),
+      "replay after delete-merge crash recomputes the affected components")
+  }
+
   test("CC forget: deleting a cut vertex splits its component; leaves don't") {
     import spark.implicits._
     val ccBase = Sinks.tmpBase + "/spec_cc_forget"

@@ -341,6 +341,43 @@ class LlmSpec extends SparkSpec {
     assert(kernel === expected)
   }
 
+  test("corpus-relative k-means cell count: isqrt(N) fires past the floor") {
+    import graft.llm.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    // isqrt exactness around perfect squares (the ±1 CASE repair), incl.
+    // the large-N regime where the double estimate is least trustworthy —
+    // evaluated on the formula text itself (what both engines embed)
+    for (n <- Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 15L, 16L, 17L, 24L, 25L,
+        26L, 288L, 289L, 290L, (1L << 26) * (1L << 26) - 1,
+        (1L << 26) * (1L << 26), (1L << 52) - 1)) {
+      // reference isqrt: float estimate repaired by the same ±1 walk
+      val s0 = math.sqrt(n.toDouble).toLong
+      val isq = if (s0 > 0 && s0 * s0 > n) s0 - 1
+                else if ((s0 + 1) * (s0 + 1) <= n) s0 + 1 else s0
+      val want = math.max(1L, isq)
+      assert(evalLong(Similarity.cellsSql(s"${n}L", 1)) === want, s"isqrt($n)")
+    }
+    // relative arm past the old constant: N=400, floor=2 -> 20 cells > 16;
+    // cellCountOf derives N from the corpus row count in-plan
+    def cellsFor(n: Long, floor: Int): Long =
+      Similarity.cellCountOf(
+        spark.range(n).selectExpr("id AS vec_id"), floor)
+        .collect()(0).getLong(0)
+    assert(cellsFor(400L, 2) === 20L)
+    // floor dominates small corpora: N=100, isqrt=10 < floor=16
+    assert(cellsFor(100L, 16) === 16L)
+    // the relative count propagates through TRAINING, not just the formula:
+    // 400 deterministic vectors, floor=2 -> the trained centroid table
+    // carries (up to Lloyd cell death) the 20-cell shape
+    val dim = XHash.EmbDim
+    val se = spark.range(400).selectExpr("id AS vec_id",
+      s"transform(sequence(1, $dim), i -> CAST((id * i) % 997 AS BIGINT)) AS se")
+    val nCents = Similarity.kmeansCentroids(se, floor = 2)
+      .select(col("cent_id")).distinct().count()
+    assert(nCents > 16L && nCents <= 20L,
+      s"expected the relative arm's 17..20 trained cells, got $nCents")
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
