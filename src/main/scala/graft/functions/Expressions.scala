@@ -96,6 +96,45 @@ object GraftKernels {
     }
     fp
   }
+
+  /** SimHash-32 over the rolling byte-3-gram hashes of a payload string
+    * (ASCII payloads: codepoint == byte — the [[graft.llm.Multimodal]]
+    * decodeStub contract), all in one pass: window hash
+    * `((b0*131 + b1) % P * 131 + b2) % P` (the shared shingle formula over
+    * byte values) feeds the per-bit majority vote directly — no
+    * intermediate array is ever materialized. Strings shorter than 3
+    * bytes have no 3-grams and fingerprint to 0. */
+  def byteSimHash32(s: String): Long = {
+    val cnt = new Array[Int](32)
+    var n = 0
+    var b0 = 0L
+    var b1 = 0L
+    var seen = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (seen >= 2) {
+        val sg = ((b0 * 131L + b1) % P * 131L + cp) % P
+        var j = 0
+        while (j < 32) {
+          if (((sg >> j) & 1L) != 0L) cnt(j) += 1
+          j += 1
+        }
+        n += 1
+      }
+      b0 = b1
+      b1 = cp
+      seen += 1
+      i += Character.charCount(cp)
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (2 * cnt(j) > n) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
 }
 
 /** `graft_charhash(str)`: rolling polynomial hash of a string, codegen'd. */
@@ -448,6 +487,75 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** `graft_bytesimhash(str)`: perceptual media fingerprint — SimHash-32
+  * over the payload's rolling byte-3-gram hashes, one compiled pass per
+  * row ([[GraftKernels.byteSimHash32]]). The content-level complement to
+  * `q_llm_media_dedup`'s exact md5: small byte perturbations (re-encode
+  * headers, trims, single-field edits) leave most 3-grams — and so most
+  * fingerprint bits — intact, which banded matching then catches. The
+  * DuckDB oracle reproduces it relationally (byte array → shingle unnest →
+  * 32 majority sums); a HOF composition of the same pieces
+  * (`graft_simhash` over the shingle-transform of the ascii array) is the
+  * in-Spark parity model (spec-asserted). */
+case class ByteSimHash32(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_bytesimhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.byteSimHash32(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val str = ctx.freshName("str")
+      val cnt = ctx.freshName("cnt")
+      val n = ctx.freshName("n")
+      val b0 = ctx.freshName("b0")
+      val b1 = ctx.freshName("b1")
+      val seen = ctx.freshName("seen")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val sg = ctx.freshName("sg")
+      val j = ctx.freshName("j")
+      val fp = ctx.freshName("fp")
+      s"""
+         |String $str = $c.toString();
+         |int[] $cnt = new int[32];
+         |int $n = 0;
+         |long $b0 = 0L, $b1 = 0L;
+         |int $seen = 0;
+         |int $i = 0;
+         |while ($i < $str.length()) {
+         |  int $cp = $str.codePointAt($i);
+         |  if ($seen >= 2) {
+         |    long $sg = (($b0 * 131L + $b1) % ${GraftKernels.P}L * 131L + $cp)
+         |      % ${GraftKernels.P}L;
+         |    for (int $j = 0; $j < 32; $j++) {
+         |      if ((($sg >> $j) & 1L) != 0L) $cnt[$j]++;
+         |    }
+         |    $n++;
+         |  }
+         |  $b0 = $b1;
+         |  $b1 = (long) $cp;
+         |  $seen++;
+         |  $i += Character.charCount($cp);
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < 32; $j++) {
+         |  if (2 * $cnt[$j] > $n) $fp |= 1L << $j;
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSimHash32 =
     copy(child = newChild)
 }
 

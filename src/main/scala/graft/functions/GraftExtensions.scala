@@ -51,7 +51,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => ChunkHashes(args(0), args(1))),
     ("graft_scaledemb",
       new ExpressionInfo(classOf[ScaledEmb].getName, "graft_scaledemb"),
-      (args: Seq[Expression]) => ScaledEmb(args.head)))
+      (args: Seq[Expression]) => ScaledEmb(args.head)),
+    ("graft_bytesimhash",
+      new ExpressionInfo(classOf[ByteSimHash32].getName, "graft_bytesimhash"),
+      (args: Seq[Expression]) => ByteSimHash32(args.head)))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -54,7 +54,48 @@ object Multimodal {
     in.mapPartitions(_.grouped(64).flatMap(_.map(decodeStub)))
   }
 
+  /** Perceptual (near-dup) media dedup: SimHash-32 over the payload's
+    * byte-3-gram rolling hashes (`graft_bytesimhash` — one compiled pass
+    * per payload), banded 4×8-bit for candidates, hamming ≤ 3 verify —
+    * the [[graft.llm.Dedup]] SimHash machinery applied to media BYTES, so
+    * re-encoded/trimmed/lightly-edited copies of the same asset match
+    * where `q_llm_media_dedup`'s exact md5 cannot (the case that actually
+    * occurs in crawled corpora). Candidates come ONLY from the band
+    * equi-join (never all-pairs); the payload itself never shuffles —
+    * only the 1-long fingerprint does. */
+  private[graft] def mediaNearDupOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    // ASCII payloads: byte stream == codepoint stream (decodeStub note),
+    // so the fingerprint reads the text column the payload was encoded
+    // from — one kernel call, no byte-array materialization
+    val fp = d.selectExpr("doc_id", "graft_bytesimhash(text) AS fp")
+      .localCheckpoint() // band self-join sides + two re-attach joins
+    val bandStructs = (0 until 4).map(bd =>
+      s"named_struct('band_idx', $bd, 'band_key', shiftright(fp, ${bd * 8}) & 255L)")
+      .mkString(", ")
+    val bands = fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
+      .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
+    val cand = bands.alias("a").join(bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fa")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fb")), "doc_b")
+      .selectExpr("doc_a", "doc_b", "CAST(bit_count(fa ^ fb) AS INT) AS hamming")
+      .where(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Perceptual media near-dup (see [[mediaNearDupOf]]): byte-level
+    // SimHash banding over payloads — catches byte-perturbed duplicates
+    // exact content hashing misses.
+    "q_llm_media_neardup" -> ((s, dir) =>
+      mediaNearDupOf(Tables.load(s, dir, "documents"))),
 
     // Media metadata projection: binary payload + typed metadata struct;
     // the scan only materializes payload length, format, and dimensions.
@@ -118,6 +159,51 @@ object Multimodal {
     })
 
   def oracleSql: Map[String, String] = Map(
+    // relational mirror of graft_bytesimhash + banding: byte array ->
+    // 3-gram shingle unnest -> 32 majority sums -> 4x8-bit bands ->
+    // hamming <= 3. Docs under 3 bytes have no 3-grams and fingerprint
+    // to 0 (the LEFT JOIN + coalesce arm).
+    "q_llm_media_neardup" -> {
+      val sums = (0 until 32)
+        .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n               ")
+      val fpVal = (0 until 32)
+        .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      val bandUnion = (0 until 4).map(bd =>
+        s"SELECT doc_id, $bd AS band_idx, (fp >> ${bd * 8}) & 255 AS band_key FROM fp")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH bv AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS bs
+        FROM documents),
+      sg AS (
+        SELECT doc_id, unnest(${XHash.duckShingles("bs")}) AS h
+        FROM bv WHERE len(bs) >= 3),
+      bitsums AS (
+        SELECT doc_id,
+               $sums
+        FROM sg GROUP BY doc_id),
+      fp0 AS (SELECT doc_id, $fpVal AS fp FROM bitsums),
+      fp AS (
+        SELECT d.doc_id, coalesce(f.fp, CAST(0 AS BIGINT)) AS fp
+        FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.doc_id),
+      bands AS (
+        $bandUnion),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+      FROM cand
+      JOIN fp fa ON fa.doc_id = doc_a
+      JOIN fp fb ON fb.doc_id = doc_b
+      WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+      ORDER BY doc_a, doc_b"""
+    },
+
     "q_llm_media_meta" -> """
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS fmt,

@@ -100,6 +100,35 @@ class IncrementalAnnSpec extends SparkSpec {
     IncrementalAnn.tickLsh(spark, d.where($"vec_id" < 12), 0L, lbase)
     val replayed = IncrementalAnn.serveLsh(spark, lbase).as[(Long, Int, Long, Double)].collect()
     assert(replayed === truth, "replay must be idempotent")
+
+    // store compaction (the maintenance pass the registered entries run
+    // after their fold ticks): strictly fewer parquet files, identical
+    // serves, and the forget delete still works on the compacted store
+    def parquetFiles(p: String): Int = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try {
+        val it = walk.iterator()
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.endsWith(".parquet")) n += 1
+        }
+        n
+      } finally walk.close()
+    }
+    // fan one replay tick across many shuffle tasks (AQE coalescing off,
+    // the SinksSpec fixture trick) so buckets actually accumulate files —
+    // tiny test batches otherwise land 1 file per bucket and compaction
+    // is a no-op
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try IncrementalAnn.tickLsh(spark, d.where($"vec_id" < 12).repartition(8), 0L, lbase)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val filesBefore = parquetFiles(s"$lbase/vecs")
+    Sinks.compactBuckets(spark, s"$lbase/vecs")
+    val filesAfter = parquetFiles(s"$lbase/vecs")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    val compacted = IncrementalAnn.serveLsh(spark, lbase).as[(Long, Int, Long, Double)].collect()
+    assert(compacted === truth, "compaction must not change serves")
   }
 
   test("PQ code-table store: re-train equivalence, crash-resume, replay") {

@@ -378,6 +378,37 @@ class LlmSpec extends SparkSpec {
       s"expected the relative arm's 17..20 trained cells, got $nCents")
   }
 
+  test("perceptual media fingerprint: kernel parity; perturbed copies match, unrelated don't") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // parity: the compiled one-pass kernel equals the HOF composition of
+    // the shared pieces (byte array -> shingle transform -> graft_simhash)
+    // — the same relational decomposition the DuckDB oracle runs
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "ab", "", "aaa", "x")
+    val parity = texts.toDF("t")
+      .selectExpr("graft_bytesimhash(t) AS k",
+        "CASE WHEN length(t) >= 3 THEN graft_simhash(" +
+          s"${XHash.sparkShingles("transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT))")}" +
+          ") ELSE 0L END AS m")
+      .collect()
+    parity.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // perceptual property: a byte-perturbed copy (one word edited in a
+    // ~180-byte payload) stays within hamming 3 of the original; an
+    // unrelated payload does not collide
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu"
+    val perturbed = base.replace("november", "nov3mber")
+    val other = "completely different payload bytes with nothing shared " +
+      "zq zw ze zr zt zy zu zi zo zp qa qs qd qf qg qh qj qk ql qz qx qc"
+    val docs = Seq((1L, base), (2L, perturbed), (3L, other)).toDF("doc_id", "text")
+    val pairs = graft.llm.Multimodal.mediaNearDupOf(docs)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "byte-perturbed copy must match")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated must not")
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
