@@ -498,6 +498,26 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // The SAME pipeline run end-to-end under Checkpointer.Store — every
+    // iterative materialization (shingle stream, band/candidate tables,
+    // each CC round) becomes an addressable parquet step table, the
+    // driver-restart-resumable strategy a 1000-executor run would pass
+    // (util/Checkpointer.scala). Registered under the driver's oracle so
+    // the fault-tolerant path is gate-checked, not just spec-equal: the
+    // oracle IS q_llm_dedup_groups', since strategy choice is
+    // availability/cost, never semantics.
+    "q_llm_dedup_groups_store" -> { (s, dir) =>
+      val ckDir = s"${graft.sinks.Sinks.tmpBase}/groups_store_ckpt"
+      graft.sinks.Sinks.truncate(ckDir)
+      val ck = graft.util.Checkpointer.Store(ckDir)
+      val pairs = minhashVerifiedPairsOf(docs(s, dir), ckpt = ck)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(pairs, ckpt = ck)
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("canonical"))))
+        .orderBy(col("doc_id"))
+    },
+
     // Quality-aware canonical election: production dedup keeps the BEST
     // copy of each near-dup group, not the lowest id — rank every cluster
     // member by the shared quality score (scaled to a long, so the
@@ -756,12 +776,48 @@ object Dedup {
         JOIN szs sb ON sb.doc_id = c.doc_b
         WHERE 2 * co.i >= sa.n + sb.n - co.i)"""
 
+  private val simhashSums = (0 until 32)
+    .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n               ")
+  private val simhashVal = (0 until 32)
+    .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
+
+  /** DuckDB mirror of q_llm_dedup_simhash_pairs, source-parameterized so
+    * the incremental/forget variants run it over a kept CTE. */
+  private[llm] def duckSimhashPairsSql(src: String = "documents"): String = s"""
+      WITH toks AS (
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM $src),
+      ex AS (SELECT doc_id, unnest(wh) AS h FROM toks),
+      bitsums AS (
+        SELECT doc_id,
+               $simhashSums
+        FROM ex GROUP BY doc_id),
+      fp AS (SELECT doc_id, $simhashVal AS simhash FROM bitsums),
+      bands AS (
+        ${(0 until 4).map(bd =>
+          s"SELECT doc_id, $bd AS band_idx, (simhash >> ${bd * 8}) & 255 AS band_key FROM fp")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+      FROM cand
+      JOIN fp fa ON fa.doc_id = doc_a
+      JOIN fp fb ON fb.doc_id = doc_b
+      WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+      ORDER BY doc_a, doc_b"""
+
   def oracleSql: Map[String, String] = {
-    val simhashSums = (0 until 32)
-      .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n               ")
-    val simhashVal = (0 until 32)
-      .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-      .mkString(" + ")
+    val m = oracleSqlBase
+    // the Store-checkpointed variant computes the identical result —
+    // strategy is availability/cost, never semantics
+    m + ("q_llm_dedup_groups_store" -> m("q_llm_dedup_groups"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = {
     val embBits = (0 until NPlanes)
       .map(p => s"CASE WHEN ${duckPlaneDot("se", p)} > 0 THEN 1 ELSE 0 END AS bit$p")
       .mkString(",\n               ")
@@ -938,31 +994,7 @@ object Dedup {
       FROM r ORDER BY doc_id"""
       },
 
-      "q_llm_dedup_simhash_pairs" -> s"""
-      WITH toks AS (
-        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
-      ex AS (SELECT doc_id, unnest(wh) AS h FROM toks),
-      bitsums AS (
-        SELECT doc_id,
-               $simhashSums
-        FROM ex GROUP BY doc_id),
-      fp AS (SELECT doc_id, $simhashVal AS simhash FROM bitsums),
-      bands AS (
-        ${(0 until 4).map(bd =>
-          s"SELECT doc_id, $bd AS band_idx, (simhash >> ${bd * 8}) & 255 AS band_key FROM fp")
-          .mkString("\n        UNION ALL ")}),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b,
-             CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
-      FROM cand
-      JOIN fp fa ON fa.doc_id = doc_a
-      JOIN fp fb ON fb.doc_id = doc_b
-      WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
-      ORDER BY doc_a, doc_b""",
+      "q_llm_dedup_simhash_pairs" -> duckSimhashPairsSql(),
 
       "q_llm_dedup_simhash" -> s"""
       WITH toks AS (

@@ -313,6 +313,119 @@ object IncrementalDedup {
     Sinks.deleteByKeyBucket(s, s"$base/bands", bandKeys, "bkey")
   }
 
+  // --- Incremental SimHash near-dup index --------------------------------
+  // The SimHash family's persisted maintenance tier (MinHash has the full
+  // shingle-store pipeline above; hyperplane LSH has the ANN band table in
+  // IncrementalAnn). A doc's 32-bit fingerprint is corpus-independent, so
+  // — like the LSH ANN store and unlike MinHash's df-capped verification —
+  // fold ticks are the whole maintenance surface: no re-train tier, no
+  // shingle history. Stores: `fps` (doc_id → fingerprint, keyed upsert)
+  // and `bands` (doc·4+band_idx → 8-bit band key, keyed upsert, the
+  // candidate index); per-tick candidate pairs land batchId-keyed exactly
+  // like the MinHash cands. For append-only arrivals the accumulated
+  // candidates equal the one-shot band self-join (every co-banded pair is
+  // generated when its later member arrives), and hamming is verified
+  // from CURRENT stored fingerprints — so the final state is bit-identical
+  // to q_llm_dedup_simhash_pairs, which is the entry's oracle.
+
+  private[graft] def simhashReset(base: String): Unit =
+    Seq("src", "fps", "bands", "cands", "ckpt")
+      .foreach(p => Sinks.truncate(s"$base/$p"))
+
+  /** (doc_id, simhash) of a batch — per-row compiled kernel work. */
+  private def simhashOfBatch(b: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(b.sparkSession)
+    b.selectExpr("doc_id", s"graft_simhash(${sparkWordHashes("text")}) AS simhash")
+  }
+
+  private def simhashBandsOf(fp: DataFrame): DataFrame = {
+    val bandStructs = (0 until 4).map(bd =>
+      s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * 8}) & 255L)")
+      .mkString(", ")
+    fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
+      .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
+  }
+
+  /** Fold one document batch into the SimHash index: fingerprint the
+    * batch, generate new-vs-stored ∪ new-vs-new candidates from the band
+    * store, persist them batchId-keyed, keyed-upsert fingerprints and
+    * bands. Idempotent per (batch, batchId) — same contract as [[tick]]. */
+  private[graft] def simhashTick(s: SparkSession, batch: DataFrame, batchId: Long,
+                                 base: String): Unit = {
+    val fp = simhashOfBatch(batch.select(col("doc_id"), col("text"))).localCheckpoint()
+    val bandsNew = simhashBandsOf(fp).localCheckpoint()
+    val bandStore = s"$base/bands"
+    Sinks.healBuckets(bandStore)
+    val stored =
+      if (Files.exists(Paths.get(bandStore)))
+        s.read.parquet(bandStore).select(col("doc_id"), col("band_idx"), col("band_key"))
+      else s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(bandsNew.schema.fields))
+    val nvs = bandsNew.alias("a").join(stored.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val nvn = bandsNew.alias("a").join(bandsNew.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    nvs.union(nvn).distinct()
+      .write.mode("overwrite").parquet(s"$base/cands/batch_$batchId")
+    Sinks.mergeByKeyBucket(s, s"$base/fps",
+      fp.withColumn("_tick", lit(batchId)), "doc_id", Seq("_tick"))
+    Sinks.mergeByKeyBucket(s, bandStore,
+      bandsNew.withColumn("bkey", col("doc_id") * 4 + col("band_idx")),
+      "bkey", Seq("band_key"))
+  }
+
+  /** Verify all accumulated candidates against CURRENT stored
+    * fingerprints: hamming ≤ 3, the one-shot verdict. Pairs whose docs
+    * were forgotten die on the inner fingerprint joins. */
+  private[graft] def simhashVerify(s: SparkSession, base: String): DataFrame = {
+    Seq("fps", "bands").foreach(p => Sinks.healBuckets(s"$base/$p"))
+    val cand = s.read.parquet(s"$base/cands/batch_*").distinct()
+    val fp = s.read.parquet(s"$base/fps").select(col("doc_id"), col("simhash"))
+      .localCheckpoint() // both pair sides
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), "doc_b")
+      .selectExpr("doc_a", "doc_b", "CAST(bit_count(fa ^ fb) AS INT) AS hamming")
+      .where(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Right-to-be-forgotten for the SimHash index: keyed deletes from the
+    * fingerprint and band stores (touched buckets only). Future ticks see
+    * no bands to candidate against; accumulated pairs touching the doc
+    * die in [[simhashVerify]]'s inner joins. Idempotent. */
+  private[graft] def simhashForget(s: SparkSession, base: String,
+                                   deleted: DataFrame): Unit = {
+    val ids = deleted.select(col("doc_id")).localCheckpoint()
+    Sinks.deleteByKeyBucket(s, s"$base/fps", ids, "doc_id")
+    val bandKeys = ids
+      .select(explode(array((0 until 4).map(lit): _*)).as("band_idx"), col("doc_id"))
+      .select((col("doc_id") * 4 + col("band_idx")).as("bkey"))
+    Sinks.deleteByKeyBucket(s, s"$base/bands", bandKeys, "bkey")
+  }
+
+  /** Drain the file-stream of document batches through a simhash tick —
+    * crash-safe resume via the checkpoint — then compact the band store. */
+  private[graft] def runSimhashTicks(s: SparkSession, base: String,
+                                     schema: StructType): Unit = {
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch((b: DataFrame, id: Long) => simhashTick(s, b, id, base))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Seq("fps", "bands").foreach(p => Sinks.compactBuckets(s, s"$base/$p"))
+  }
+
   /** Drain the file-stream of document batches through [[tick]]; resumes
     * from the checkpoint, so a second call after a crash (or after new
     * files arrive) processes only unseen batches. */
@@ -442,6 +555,34 @@ object IncrementalDedup {
         .orderBy(col("doc_id"))
     },
 
+    // The SimHash family's incremental tier: 3 arrival batches fold into
+    // the persisted fingerprint/band stores, each tick deduping only its
+    // batch against the index (new-vs-stored band join). Oracle = the
+    // one-shot q_llm_dedup_simhash_pairs SQL — rebuild equivalence,
+    // driver-checked, the same contract as the MinHash and ANN stores.
+    "q_llm_dedup_simhash_incremental" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/simhash_inc"
+      simhashReset(base)
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.repartitionByRange(3, col("doc_id")).write.parquet(s"$base/src")
+      runSimhashTicks(s, base, d.schema)
+      simhashVerify(s, base)
+    },
+
+    // GDPR delete through the SimHash index: build over 2 ticks, purge
+    // doc_id % 7 = 3 from both keyed stores; accumulated candidates
+    // touching forgotten docs die on the fingerprint joins. Oracle = the
+    // one-shot SQL over the kept corpus.
+    "q_llm_dedup_simhash_forget" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/simhash_forget"
+      simhashReset(base)
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.repartitionByRange(2, col("doc_id")).write.parquet(s"$base/src")
+      runSimhashTicks(s, base, d.schema)
+      simhashForget(s, base, d.where(col("doc_id") % 7 === 3))
+      simhashVerify(s, base)
+    },
+
     // Right-to-be-forgotten over the same store: build the index with 3
     // arrival ticks, then purge a deterministic delete list (doc_id % 7 =
     // 3 — a GDPR request hitting ~14% of the corpus) via [[forgetTick]]:
@@ -468,6 +609,10 @@ object IncrementalDedup {
   def oracleSql: Map[String, String] = Map(
     "q_llm_dedup_incremental" -> Dedup.oracleSql("q_llm_dedup_minhash_lsh"),
     "q_llm_groups_incremental" -> Dedup.oracleSql("q_llm_dedup_groups"),
+    "q_llm_dedup_simhash_incremental" -> Dedup.duckSimhashPairsSql(),
+    "q_llm_dedup_simhash_forget" -> s"""
+      WITH kept AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+      ${Dedup.duckSimhashPairsSql("kept").trim.stripPrefix("WITH")}""",
     // closure over the SURVIVING edges (edges minus deleted endpoints),
     // with members orphaned by the deletion kept as singletons
     "q_llm_groups_forget" -> s"""

@@ -33,6 +33,60 @@ object TextAnalysis {
   private def sqlList(ws: Seq[String], duck: Boolean): String =
     ws.map("'" + _ + "'").mkString(if (duck) "[" else "array(", ", ", if (duck) "]" else ")")
 
+  /** BPE training rounds for [[bpeTrainOf]] (`q_llm_bpe_train`). */
+  val BpeRounds = 3
+
+  /** Symbol boundary marker for the BPE segmentation encoding (unit
+    * separator — cannot occur in the space-tokenized corpus words). Each
+    * symbol is wrapped `<Sep>sym<Sep>`, so a segmented word is
+    * `<Sep>s1<Sep><Sep>s2<Sep>…` and a symbol PAIR has the unique textual
+    * form `<Sep>a<Sep><Sep>b<Sep>` — boundary-anchored, so `replace` can
+    * never match across symbol boundaries or partial symbols. */
+  private val Sep = "\u001f"
+
+  /** Iterative BPE trainer: [[BpeRounds]] rounds of the real tokenizer
+    * loop — count adjacent symbol pairs, pick the argmax (ties broken
+    * lexicographically in both engines), merge it EVERYWHERE, re-segment,
+    * recount. Re-segmentation is a single string `replace` per word of the
+    * boundary-anchored pair pattern: SQL replace scans left-to-right,
+    * replaces non-overlapping matches, and continues AFTER each
+    * replacement in both engines — exactly BPE's leftmost-greedy merge
+    * ('aaa' + merge (a,a) → [aa, a]), with no rescan of replaced output.
+    * A merged symbol's wrapped form differs from any pair fragment, so
+    * later rounds see true symbol sequences, not string accidents.
+    *
+    * Scale shape: each round is one corpus-wide projection (the replace)
+    * plus one hash-aggregated pair count collapsing to a 1-row broadcast
+    * argmax — map-side combinable, no joins wider than the (tiny) top-1
+    * attach, the per-round table goes through the Checkpointer knob. This
+    * is the [[graft.llm.Similarity.kmeansCentroids]] Lloyd-round pattern
+    * applied to tokenizer training; the oracle unrolls the identical
+    * rounds as a CTE chain. */
+  private[graft] def bpeTrainOf(d: DataFrame, rounds: Int = BpeRounds,
+                                ckpt: graft.util.Checkpointer =
+                                  graft.util.Checkpointer.Local): DataFrame = {
+    val syms = s"split(substring(seg, 2, length(seg) - 2), '$Sep$Sep')"
+    var seg = ckpt(d
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .where(expr("length(w) >= 2"))
+      .selectExpr(s"concat('$Sep', array_join(split(w, ''), '$Sep$Sep'), '$Sep') AS seg"))
+    val tops = (1 to rounds).map { r =>
+      val top = ckpt(seg
+        .selectExpr(s"$syms AS sy").where(expr("size(sy) >= 2"))
+        .selectExpr("explode(transform(sequence(1, size(sy) - 1), i -> " +
+          "named_struct('lhs', element_at(sy, i), 'rhs', element_at(sy, i + 1)))) AS z")
+        .selectExpr("z.lhs AS lhs", "z.rhs AS rhs")
+        .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1))
+      seg = ckpt(seg.crossJoin(broadcast(top))
+        .selectExpr(s"replace(seg, concat('$Sep', lhs, '$Sep$Sep', rhs, '$Sep'), " +
+          s"concat('$Sep', lhs, rhs, '$Sep')) AS seg"))
+      top.selectExpr(s"CAST($r AS INT) AS rnd", "lhs", "rhs",
+        "concat(lhs, rhs) AS merged", "n")
+    }
+    tops.reduce(_ unionByName _).orderBy(col("rnd"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language ID: distinct-token overlap with per-language marker sets;
@@ -191,10 +245,17 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Iterative BPE training (see [[bpeTrainOf]]): K real merge rounds —
+    // argmax pair, merge everywhere, re-segment, recount — the loop
+    // q_llm_bpe_pairs below runs one round of. Output = the learned merge
+    // table (round, lhs, rhs, merged symbol, count).
+    "q_llm_bpe_train" -> ((s, dir) => bpeTrainOf(docs(s, dir))),
+
     // BPE merge discovery (the first tokenizer-training iteration): count
     // every adjacent character pair inside every word across the corpus;
     // the top pair is BPE's first merge, and iterating this exact
-    // aggregation IS the training loop. One scan, two explodes, one hash
+    // aggregation IS the training loop — q_llm_bpe_train above runs it
+    // for real. One scan, two explodes, one hash
     // agg + partial top-k — the shape repeats per merge round at 100 TB,
     // so the engine-side contract (map-side combinable pair counts, full
     // tie-broken ordering) is what matters.
@@ -463,6 +524,33 @@ object TextAnalysis {
       SELECT rank, w AS word, n,
              ${Exact.sqlFix("CAST(cum_n AS DOUBLE) * 100.0 / total", 4)} AS cum_pct
       FROM c, tot ORDER BY rank""",
+
+      // unrolled mirror of bpeTrainOf's K rounds: identical segmentation
+      // encoding, identical boundary-anchored replace, identical argmax
+      // tie-break — the duckKmeansCtes Lloyd-unroll pattern for tokenizer
+      // training
+      "q_llm_bpe_train" -> {
+        val roundCtes = (1 to BpeRounds).map { r =>
+          s"""
+      y$r AS (SELECT string_split(seg[2:length(seg) - 1], '$Sep$Sep') AS sy FROM s${r - 1}),
+      p$r AS (SELECT unnest(sy[1:len(sy) - 1]) AS lhs, unnest(sy[2:len(sy)]) AS rhs
+              FROM y$r WHERE len(sy) >= 2),
+      c$r AS (SELECT lhs, rhs, count(*) AS n FROM p$r GROUP BY lhs, rhs),
+      t$r AS (SELECT lhs, rhs, n FROM c$r ORDER BY n DESC, lhs, rhs LIMIT 1),
+      s$r AS (SELECT replace(seg, '$Sep' || lhs || '$Sep$Sep' || rhs || '$Sep',
+                             '$Sep' || lhs || rhs || '$Sep') AS seg FROM s${r - 1}, t$r)"""
+        }.mkString(",")
+        val un = (1 to BpeRounds).map(r =>
+          s"SELECT CAST($r AS INT) AS rnd, lhs, rhs, lhs || rhs AS merged, n FROM t$r")
+          .mkString("\n      UNION ALL ")
+        s"""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      s0 AS (
+        SELECT '$Sep' || array_to_string(string_split(w, ''), '$Sep$Sep') || '$Sep' AS seg
+        FROM w WHERE length(w) >= 2),$roundCtes
+      SELECT * FROM (
+      $un) ORDER BY rnd"""
+      },
 
       "q_llm_bpe_pairs" -> """
       WITH w AS (

@@ -197,6 +197,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("incremental SimHash index: one-shot equivalence, replay, forget") {
+    import spark.implicits._
+    val sbase = Sinks.tmpBase + "/spec_simhash"
+    IncrementalDedup.simhashReset(sbase)
+    val d = corpus.localCheckpoint()
+    val tdir = Sinks.tmpBase + "/spec_simhash_table"
+    Sinks.truncate(tdir)
+    d.write.parquet(s"$tdir/documents.parquet")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+      df.select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted
+    val truth = pairsOf(Dedup.queries("q_llm_dedup_simhash_pairs")(spark, tdir))
+    assert(truth.nonEmpty, "fixture must contain simhash near-dups")
+    d.repartitionByRange(3, $"doc_id").write.parquet(s"$sbase/src")
+    IncrementalDedup.runSimhashTicks(spark, sbase, d.schema)
+    assert(pairsOf(IncrementalDedup.simhashVerify(spark, sbase)) === truth,
+      "incremental SimHash store must equal the one-shot pairs")
+    // at-least-once replay of an already-folded batch
+    IncrementalDedup.simhashTick(spark, d.where($"doc_id" <= 7), 0L, sbase)
+    assert(pairsOf(IncrementalDedup.simhashVerify(spark, sbase)) === truth,
+      "replay must be idempotent")
+    // forget the re-crawled copies (doc_id > 100): result must equal the
+    // one-shot over the kept corpus — stale candidates die on the
+    // fingerprint joins
+    IncrementalDedup.simhashForget(spark, sbase,
+      d.where($"doc_id" > 100).select($"doc_id"))
+    val keptDir = Sinks.tmpBase + "/spec_simhash_kept"
+    Sinks.truncate(keptDir)
+    d.where($"doc_id" <= 100).write.parquet(s"$keptDir/documents.parquet")
+    val truthKept = pairsOf(Dedup.queries("q_llm_dedup_simhash_pairs")(spark, keptDir))
+    assert(pairsOf(IncrementalDedup.simhashVerify(spark, sbase)) === truthKept,
+      "forget must equal the one-shot over the kept corpus")
+  }
+
   test("ccTick replay heals a store crashed mid-bucket-swap (persisted remap)") {
     import spark.implicits._
     val ccBase = Sinks.tmpBase + "/spec_cc_midswap"

@@ -409,6 +409,21 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated must not")
   }
 
+  test("BPE trainer: greedy leftmost merges with exact counts (hand-computed)") {
+    import spark.implicits._
+    val d = Seq((1L, "aaab aaab banana banana banana")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.bpeTrainOf(d)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // r1: (a,n)x6 beats (n,a) on the lexicographic tie; r2: (a,a)x4 from
+    // the aaab's — and 'aaa' merges LEFTMOST-greedy to [aa, a] in r3's
+    // re-segmentation, which is why (aa,a) counts 2, not 4; r3: the
+    // banana's (an,a)x3 wins the 3-way tie on (lhs, rhs)
+    assert(got === Seq(
+      (1, "a", "n", "an", 6L),
+      (2, "a", "a", "aa", 4L),
+      (3, "an", "a", "ana", 3L)))
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
