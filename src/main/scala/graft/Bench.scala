@@ -69,8 +69,22 @@ object Bench {
       .mkString("{", ",", "}")
     val failedArr = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = passed.map(_._2).sum
+    // per-suite subtotals: the incremental/forget entries carry a fixed
+    // multi-tick orchestration floor (stream triggers + store merges per
+    // tick) that dwarfs their data work at bench SF — splitting them out
+    // keeps that floor from reading as a regression of the one-shot
+    // suites when rounds are compared.
+    def suiteOf(name: String): String =
+      if (name.startsWith("stream_")) "streaming"
+      else if (name.contains("incremental") || name.contains("forget")) "ticks"
+      else if (name.startsWith("q_llm_")) "llm"
+      else "relational"
+    val suites = passed.groupBy { case (k, _, _) => suiteOf(k) }
+      .toSeq.sortBy(_._1)
+      .map { case (s2, rs) => s"\"" + s2 + "\":" + rs.map(_._2).sum }
+      .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""warmup_sec":$warmupSec,"failed":$failedArr,""" +
+      s""""warmup_sec":$warmupSec,"failed":$failedArr,"suites":$suites,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver (clean line: run/outputStrategy = StdoutOutput
     // in build.sbt keeps sbt's [info] prefix off forked output), plus a

@@ -87,7 +87,49 @@ object TextAnalysis {
     tops.reduce(_ unionByName _).orderBy(col("rnd"))
   }
 
+  /** Tokenizer APPLICATION: run the corpus through the [[bpeTrainOf]]
+    * merge rounds and report per-source encoding stats (words, emitted
+    * tokens, chars, tokens/word) — the train→encode round trip every
+    * tokenizer pipeline ships. The merge argmaxes are corpus-global
+    * (identical to the trainer's); the per-word segmentation rides along
+    * through the same boundary-anchored replaces, so encoding costs
+    * nothing beyond the training scans plus one final aggregation. */
+  private[graft] def bpeEncodeOf(d: DataFrame, rounds: Int = BpeRounds,
+                                 ckpt: graft.util.Checkpointer =
+                                   graft.util.Checkpointer.Local): DataFrame = {
+    val syms = s"split(substring(seg, 2, length(seg) - 2), '$Sep$Sep')"
+    var seg = ckpt(d
+      .selectExpr("source", "explode(split(text, ' ')) AS w")
+      .where(expr("length(w) >= 2"))
+      .selectExpr("source", "w",
+        s"concat('$Sep', array_join(split(w, ''), '$Sep$Sep'), '$Sep') AS seg"))
+    for (_ <- 1 to rounds) {
+      val top = ckpt(seg
+        .selectExpr(s"$syms AS sy").where(expr("size(sy) >= 2"))
+        .selectExpr("explode(transform(sequence(1, size(sy) - 1), i -> " +
+          "named_struct('lhs', element_at(sy, i), 'rhs', element_at(sy, i + 1)))) AS z")
+        .selectExpr("z.lhs AS lhs", "z.rhs AS rhs")
+        .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1))
+      seg = ckpt(seg.crossJoin(broadcast(top))
+        .selectExpr("source", "w",
+          s"replace(seg, concat('$Sep', lhs, '$Sep$Sep', rhs, '$Sep'), " +
+            s"concat('$Sep', lhs, rhs, '$Sep')) AS seg"))
+    }
+    seg.selectExpr("source", "length(w) AS n_chars_w", s"size($syms) AS n_sym")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_tokens"),
+        sum(col("n_chars_w")).as("n_chars"))
+      .withColumn("tokens_per_word",
+        Exact.fix(col("n_tokens").cast("double") / col("n_words"), 6))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tokenizer train -> encode round trip (see [[bpeEncodeOf]]).
+    "q_llm_bpe_encode" -> ((s, dir) => bpeEncodeOf(docs(s, dir))),
 
     // Language ID: distinct-token overlap with per-language marker sets;
     // prediction = argmax hits (ties alphabetical, zero hits -> 'und').
@@ -524,6 +566,40 @@ object TextAnalysis {
       SELECT rank, w AS word, n,
              ${Exact.sqlFix("CAST(cum_n AS DOUBLE) * 100.0 / total", 4)} AS cum_pct
       FROM c, tot ORDER BY rank""",
+
+      // unrolled mirror of bpeEncodeOf: the train chain with (source, w)
+      // carried through the replaces, collapsed to per-source stats
+      "q_llm_bpe_encode" -> {
+        val roundCtes = (1 to BpeRounds).map { r =>
+          s"""
+      y$r AS (SELECT string_split(seg[2:length(seg) - 1], '$Sep$Sep') AS sy FROM s${r - 1}),
+      p$r AS (SELECT unnest(sy[1:len(sy) - 1]) AS lhs, unnest(sy[2:len(sy)]) AS rhs
+              FROM y$r WHERE len(sy) >= 2),
+      c$r AS (SELECT lhs, rhs, count(*) AS n FROM p$r GROUP BY lhs, rhs),
+      t$r AS (SELECT lhs, rhs, n FROM c$r ORDER BY n DESC, lhs, rhs LIMIT 1),
+      s$r AS (SELECT source, w, replace(seg, '$Sep' || lhs || '$Sep$Sep' || rhs || '$Sep',
+                             '$Sep' || lhs || rhs || '$Sep') AS seg FROM s${r - 1}, t$r)"""
+        }.mkString(",")
+        s"""
+      WITH w0 AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      s0 AS (
+        SELECT source, w,
+               '$Sep' || array_to_string(string_split(w, ''), '$Sep$Sep') || '$Sep' AS seg
+        FROM w0 WHERE length(w) >= 2),$roundCtes,
+      fin AS (
+        SELECT source, CAST(length(w) AS INT) AS n_chars_w,
+               CAST(len(string_split(seg[2:length(seg) - 1], '$Sep$Sep')) AS INT) AS n_sym
+        FROM s$BpeRounds),
+      agg AS (
+        SELECT source, count(*) AS n_words,
+               CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars_w) AS BIGINT) AS n_chars
+        FROM fin GROUP BY source)
+      SELECT source, n_words, n_tokens, n_chars,
+             ${Exact.sqlFix("CAST(n_tokens AS DOUBLE) / n_words", 6)} AS tokens_per_word
+      FROM agg ORDER BY source"""
+      },
 
       // unrolled mirror of bpeTrainOf's K rounds: identical segmentation
       // encoding, identical boundary-anchored replace, identical argmax
