@@ -74,6 +74,16 @@ object GraftKernels {
     acc
   }
 
+  // Per-bit affine vote hashes for SimHash (same Weyl family as
+  // XHash.A/B, extended to 32): bit j's vote is the PARITY of
+  // (h·A_j + B_j) mod P. Voting on the raw bits of h was structurally
+  // biased — h < P < 2^30, so bits 30/31 are constant-zero and bits
+  // 24..29 lean zero, which degenerated the high band into an all-pairs
+  // candidate generator (measured: band 3 held the ENTIRE sf0.1 corpus
+  // under one key). Affine parity is unbiased for every bit.
+  def simA(j: Int): Long = (j * 2654435761L + 1) % P
+  def simB(j: Int): Long = (j * 40503L + 17) % P
+
   def simhash32(wh: ArrayData): Long = {
     val n = wh.numElements()
     val cnt = new Array[Int](32)
@@ -82,7 +92,7 @@ object GraftKernels {
       val h = wh.getLong(i)
       var j = 0
       while (j < 32) {
-        if (((h >> j) & 1L) != 0L) cnt(j) += 1
+        if (((h * simA(j) + simB(j)) % P & 1L) != 0L) cnt(j) += 1
         j += 1
       }
       i += 1
@@ -117,7 +127,7 @@ object GraftKernels {
         val sg = ((b0 * 131L + b1) % P * 131L + cp) % P
         var j = 0
         while (j < 32) {
-          if (((sg >> j) & 1L) != 0L) cnt(j) += 1
+          if (((sg * simA(j) + simB(j)) % P & 1L) != 0L) cnt(j) += 1
           j += 1
         }
         n += 1
@@ -469,13 +479,19 @@ case class SimHash32(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j")
       val h = ctx.freshName("h")
       val fp = ctx.freshName("fp")
+      val sa = ctx.freshName("sa")
+      val sb = ctx.freshName("sb")
+      val aLits = (0 until 32).map(GraftKernels.simA(_).toString + "L").mkString(", ")
+      val bLits = (0 until 32).map(GraftKernels.simB(_).toString + "L").mkString(", ")
       s"""
          |int $n = $c.numElements();
          |int[] $cnt = new int[32];
+         |long[] $sa = new long[]{$aLits};
+         |long[] $sb = new long[]{$bLits};
          |for (int $i = 0; $i < $n; $i++) {
          |  long $h = $c.getLong($i);
          |  for (int $j = 0; $j < 32; $j++) {
-         |    if ((($h >> $j) & 1L) != 0L) $cnt[$j]++;
+         |    if ((($h * $sa[$j] + $sb[$j]) % ${GraftKernels.P}L & 1L) != 0L) $cnt[$j]++;
          |  }
          |}
          |long $fp = 0L;
@@ -528,6 +544,10 @@ case class ByteSimHash32(child: Expression) extends UnaryExpression {
       s"""
          |String $str = $c.toString();
          |int[] $cnt = new int[32];
+         |long[] ${sg}_a = new long[]{${(0 until 32)
+            .map(GraftKernels.simA(_).toString + "L").mkString(", ")}};
+         |long[] ${sg}_b = new long[]{${(0 until 32)
+            .map(GraftKernels.simB(_).toString + "L").mkString(", ")}};
          |int $n = 0;
          |long $b0 = 0L, $b1 = 0L;
          |int $seen = 0;
@@ -538,7 +558,7 @@ case class ByteSimHash32(child: Expression) extends UnaryExpression {
          |    long $sg = (($b0 * 131L + $b1) % ${GraftKernels.P}L * 131L + $cp)
          |      % ${GraftKernels.P}L;
          |    for (int $j = 0; $j < 32; $j++) {
-         |      if ((($sg >> $j) & 1L) != 0L) $cnt[$j]++;
+         |      if ((($sg * ${sg}_a[$j] + ${sg}_b[$j]) % ${GraftKernels.P}L & 1L) != 0L) $cnt[$j]++;
          |    }
          |    $n++;
          |  }

@@ -37,7 +37,37 @@ object Curation {
   val mixtureWeights: Seq[(String, Double)] =
     (0 until 20).map(i => (s"src$i", (i + 1) / 210.0))
 
+  /** Sliding-window chunk width / stride (whitespace tokens) for the RAG
+    * chunking entry — overlapping windows so retrieval never loses a
+    * sentence to a chunk boundary. */
+  val ChunkW = 16
+  val ChunkS = 8
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RAG chunking: overlapping sliding word windows (width ChunkW,
+    // stride ChunkS; short docs yield exactly one chunk) with a per-chunk
+    // content fingerprint — the embedding-ready chunk table every
+    // retrieval pipeline materializes between curation and indexing. One
+    // scan + one explode (fan-out n_tok/stride); the per-chunk
+    // fingerprint is the charhash kernel (one rolling pass per chunk);
+    // window count is exact integer arithmetic
+    // (1 + (n_tok - W + S - 1) DIV S), identical in both engines.
+    "q_llm_chunk_windows" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val (w, st) = (ChunkW, ChunkS)
+      docs(s, dir)
+        .selectExpr("doc_id", "split(text, ' ') AS t")
+        .selectExpr("doc_id", "size(t) AS n_tok", "t")
+        .selectExpr("doc_id", "n_tok",
+          s"explode(transform(sequence(0, CASE WHEN n_tok <= $w THEN 0 " +
+            s"ELSE (n_tok - $w + $st - 1) DIV $st END, 1), i -> named_struct(" +
+            s"'idx', CAST(i AS INT), " +
+            s"'nw', size(slice(t, i * $st + 1, $w)), " +
+            s"'fp', graft_charhash(array_join(slice(t, i * $st + 1, $w), ' '))))) AS z")
+        .selectExpr("doc_id", "z.idx AS chunk_idx", "z.nw AS n_words", "z.fp AS fp")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
 
     // Deterministic train/val/test split: hash the (salted) doc id, not a
     // RNG — reproducible across runs/engines/cluster sizes, stable under
@@ -231,6 +261,26 @@ object Curation {
         s"('$s', ${new java.math.BigDecimal(w).toPlainString}e0)" }
       .mkString(", ")
     Map(
+      "q_llm_chunk_windows" -> {
+        val (w, st) = (ChunkW, ChunkS)
+        val win = s"t[i * $st + 1 : i * $st + $w]"
+        s"""
+      WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      n AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tok, t FROM t0),
+      ix AS (
+        SELECT doc_id, t,
+               unnest(range(0, (CASE WHEN n_tok <= $w THEN 0
+                 ELSE (n_tok - $w + ${st - 1}) // $st END) + 1)) AS i
+        FROM n),
+      c AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               CAST(len($win) AS INT) AS n_words,
+               ${duckCharHash(s"array_to_string($win, ' ')")} AS fp
+        FROM ix)
+      SELECT doc_id, chunk_idx, n_words, fp FROM c
+      ORDER BY doc_id, chunk_idx"""
+      },
+
       "q_llm_split_assign" -> s"""
       WITH b AS (
         SELECT source, len(string_split(text, ' ')) AS n_tok,

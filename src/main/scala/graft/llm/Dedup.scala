@@ -573,7 +573,10 @@ object Dedup {
         .mkString(", ")
       val bands = fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
         .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
-      val cand = bands.alias("a").join(bands.alias("b"),
+      // stop-bucket cap BEFORE the pair join (see capSimBands): a hot
+      // band bucket is a quadratic candidate generator at corpus scale
+      val kept = capSimBands(bands, corpusCountOf(docs(s, dir))).localCheckpoint()
+      val cand = kept.alias("a").join(kept.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -719,7 +722,55 @@ object Dedup {
 
     // SimHash near-dup bucketing rides on q_llm_dedup_simhash's fingerprint;
     // MinHash-LSH above is the generic fuzzy-pair generator.
-    )
+
+    // Dedup-family recall audit (the q_llm_knn_recall analog for the
+    // dedup suite): truth = exact capped Jaccard >= 0.5 verified over the
+    // UNION of both families' banded candidates; each family is then
+    // scored by how many truth pairs its own candidate scheme surfaces
+    // (MinHash bands) or its own verdict confirms (SimHash hamming <= 3).
+    // Verification is a pure per-pair predicate (df cap and sizes come
+    // from the full corpus stream), so truth restricted to a family's
+    // candidates IS that family's verified output — one verification
+    // chain scores every family. Still no all-pairs anywhere: truth is
+    // only ever evaluated on banded candidates.
+    "q_llm_dedup_family_recall" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val raw = shingleStreamOf(d).localCheckpoint()
+      val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
+      val mhCand = candidatesFromBands(
+        bandsFromSigs(sigsFromShingles(raw)).localCheckpoint()).localCheckpoint()
+      val fp = simhashOf(d).localCheckpoint()
+      val bandStructs = (0 until 4).map(bd =>
+        s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * 8}) & 255L)")
+        .mkString(", ")
+      val shBands = fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
+        .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
+      val shKept = capSimBands(shBands, corpusCountOf(d)).localCheckpoint()
+      val shCand = shKept.alias("a").join(shKept.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().localCheckpoint()
+      val shPairs = shCand
+        .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")), "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), "doc_b")
+        .where(expr("bit_count(fa ^ fb) <= 3"))
+        .select(col("doc_a"), col("doc_b"))
+      val truth = verifiedPairsFrom(mhCand.union(shCand).distinct(),
+          raw, dfreq, corpusCountOf(d))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      def famEval(name: String, found: DataFrame): DataFrame =
+        truth.join(found.select(col("doc_a"), col("doc_b"))
+            .withColumn("_hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("_hit"), lit(0))).as("n_found"))
+          .selectExpr(s"'$name' AS family", "n_true", "n_found",
+            "CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE) " +
+              "ELSE CAST(n_found AS DOUBLE) / n_true END AS recall")
+      famEval("minhash", mhCand).unionByName(famEval("simhash", shPairs))
+        .orderBy(col("family"))
+    })
 
   private val sigExprs =
     (0 until K).map(k => s"${duckMinhash("sh", k)} AS m$k").mkString(",\n               ")
@@ -776,14 +827,53 @@ object Dedup {
         JOIN szs sb ON sb.doc_id = c.doc_b
         WHERE 2 * co.i >= sa.n + sb.n - co.i)"""
 
-  private val simhashSums = (0 until 32)
-    .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n               ")
-  private val simhashVal = (0 until 32)
+  // SimHash bit-j vote = parity of (h·A_j + B_j) mod P (the debiased form
+  // — see GraftKernels.simA's scaladoc for why raw bits of a < 2^30 hash
+  // degenerate the high band into an all-pairs generator)
+  private[llm] val simhashSums = (0 until 32)
+    .map(j => s"sum((((h * ${graft.functions.GraftKernels.simA(j)} + " +
+      s"${graft.functions.GraftKernels.simB(j)}) % $P) & 1) * 2 - 1) AS s$j")
+    .mkString(",\n               ")
+  private[llm] val simhashVal = (0 until 32)
     .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString(" + ")
 
+  /** Corpus-relative stop-bucket cap for SimHash-family band joins: a
+    * band bucket holding more than `greatest(BandCapFloor, N DIV
+    * BandCapRatio)` docs is non-discriminative geometry (convergent
+    * language statistics, template mass) and is dropped from CANDIDATE
+    * GENERATION — the [[XHash.MaxDf]] stop-shingle pattern applied to
+    * fingerprint buckets. Without it one hot bucket is a quadratic pair
+    * generator (measured pre-fix: the degenerate high band put the whole
+    * sf0.1 corpus under ONE key = all-pairs). Both engines embed the
+    * identical arithmetic, so results stay hash-equal; the recall cost
+    * (pairs reachable ONLY via stop buckets) is the documented LSH
+    * trade, exactly like stop shingles. */
+  val BandCapFloor = 50L
+  val BandCapRatio = 100L
+
+  /** Keep only bands in buckets at or under the corpus-relative cap.
+    * `nCorpus` is the 1-row [[corpusCountOf]] broadcast. */
+  private[llm] def capSimBands(bands: DataFrame, nCorpus: DataFrame): DataFrame = {
+    val bc = bands.groupBy(col("band_idx"), col("band_key")).agg(count(lit(1)).as("bn"))
+    bands.join(bc, Seq("band_idx", "band_key"))
+      .crossJoin(broadcast(nCorpus))
+      .where(expr(s"bn <= greatest(${BandCapFloor}L, n_corpus DIV ${BandCapRatio}L)"))
+      .select(col("doc_id"), col("band_idx"), col("band_key"))
+  }
+
+  /** The capped-bucket filter as DuckDB CTEs: `bkept` from a `bands` CTE. */
+  private[llm] def duckCapBandCtes(src: String, bandsCte: String = "bands"): String = s"""
+      bc AS (
+        SELECT band_idx, band_key, count(*) AS bn FROM $bandsCte GROUP BY 1, 2),
+      bkept AS (
+        SELECT b.doc_id, b.band_idx, b.band_key
+        FROM $bandsCte b JOIN bc USING (band_idx, band_key)
+        WHERE bc.bn <= greatest($BandCapFloor, (SELECT count(*) FROM $src) // $BandCapRatio))"""
+
   /** DuckDB mirror of q_llm_dedup_simhash_pairs, source-parameterized so
-    * the incremental/forget variants run it over a kept CTE. */
+    * the incremental/forget variants run it over a kept CTE. Candidates
+    * come only from capped buckets (see [[BandCapFloor]]). */
   private[llm] def duckSimhashPairsSql(src: String = "documents"): String = s"""
       WITH toks AS (
         SELECT doc_id, ${duckWordHashes("text")} AS wh FROM $src),
@@ -797,9 +887,10 @@ object Dedup {
         ${(0 until 4).map(bd =>
           s"SELECT doc_id, $bd AS band_idx, (simhash >> ${bd * 8}) & 255 AS band_key FROM fp")
           .mkString("\n        UNION ALL ")}),
+      ${duckCapBandCtes(src)},
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bkept a JOIN bkept b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b,
@@ -814,7 +905,73 @@ object Dedup {
     val m = oracleSqlBase
     // the Store-checkpointed variant computes the identical result —
     // strategy is availability/cost, never semantics
-    m + ("q_llm_dedup_groups_store" -> m("q_llm_dedup_groups"))
+    m + ("q_llm_dedup_groups_store" -> m("q_llm_dedup_groups")) +
+      ("q_llm_dedup_family_recall" -> familyRecallSql)
+  }
+
+  // Mirror of q_llm_dedup_family_recall: one verification chain over the
+  // UNION candidate set (cpairs), family scoring by left joins from the
+  // truth pairs. The simhash CTEs use suffixed names (toksf/exf/...) to
+  // avoid colliding with the shingle chain's toks.
+  private def familyRecallSql: String = {
+    val sbandUnion = (0 until 4).map(bd =>
+      s"SELECT doc_id, $bd AS band_idx, (simhash >> ${bd * 8}) & 255 AS band_key FROM sfp")
+      .mkString("\n        UNION ALL ")
+    val famCand = s"""
+      ${duckShingleCtes("documents")},
+      sig AS (
+        SELECT doc_id, $sigExprs
+        FROM shing),
+      bands AS (
+        $bandUnion),
+      mhcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+      toksf AS (
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
+      exf AS (SELECT doc_id, unnest(wh) AS h FROM toksf),
+      bitsumsf AS (
+        SELECT doc_id,
+               $simhashSums
+        FROM exf GROUP BY doc_id),
+      sfp AS (SELECT doc_id, $simhashVal AS simhash FROM bitsumsf),
+      sbands AS (
+        $sbandUnion),
+      ${duckCapBandCtes("documents", "sbands")},
+      scand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bkept a JOIN bkept b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+      cpairs AS (
+        SELECT doc_a, doc_b FROM mhcand
+        UNION
+        SELECT doc_a, doc_b FROM scand)"""
+    s"""
+      WITH ${verifiedPairCtesFrom(famCand, "documents")},
+      truthp AS (SELECT doc_a, doc_b FROM vpairs),
+      shpairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM scand c
+        JOIN sfp fa ON fa.doc_id = c.doc_a
+        JOIN sfp fb ON fb.doc_id = c.doc_b
+        WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3),
+      fam AS (
+        SELECT 'minhash' AS family, count(*) AS n_true,
+               CAST(sum(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+        FROM truthp t LEFT JOIN mhcand m
+          ON m.doc_a = t.doc_a AND m.doc_b = t.doc_b
+        UNION ALL
+        SELECT 'simhash' AS family, count(*) AS n_true,
+               CAST(sum(CASE WHEN sp.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+        FROM truthp t LEFT JOIN shpairs sp
+          ON sp.doc_a = t.doc_a AND sp.doc_b = t.doc_b)
+      SELECT family, n_true, n_found,
+             CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(n_found AS DOUBLE) / n_true END AS recall
+      FROM fam ORDER BY family"""
   }
 
   private def oracleSqlBase: Map[String, String] = {

@@ -319,17 +319,18 @@ object IncrementalDedup {
   // IncrementalAnn). A doc's 32-bit fingerprint is corpus-independent, so
   // — like the LSH ANN store and unlike MinHash's df-capped verification —
   // fold ticks are the whole maintenance surface: no re-train tier, no
-  // shingle history. Stores: `fps` (doc_id → fingerprint, keyed upsert)
-  // and `bands` (doc·4+band_idx → 8-bit band key, keyed upsert, the
-  // candidate index); per-tick candidate pairs land batchId-keyed exactly
-  // like the MinHash cands. For append-only arrivals the accumulated
-  // candidates equal the one-shot band self-join (every co-banded pair is
-  // generated when its later member arrives), and hamming is verified
-  // from CURRENT stored fingerprints — so the final state is bit-identical
-  // to q_llm_dedup_simhash_pairs, which is the entry's oracle.
+  // shingle history, no text re-scan ever. Stores: `fps` (doc_id →
+  // fingerprint, keyed upsert) and `bands` (doc·4+band_idx → 8-bit band
+  // key, keyed upsert, the candidate index). Pair generation happens at
+  // SERVE time from the stores alone (the IncrementalAnn.serveLsh
+  // contract): the band self-join over capped buckets — the stop-bucket
+  // cap is corpus-relative, so its verdict can only be taken against
+  // FINAL counts, which is exactly what serving from the store gives.
+  // Result = bit-identical to the one-shot q_llm_dedup_simhash_pairs on
+  // the store's current corpus, which is the entry's oracle.
 
   private[graft] def simhashReset(base: String): Unit =
-    Seq("src", "fps", "bands", "cands", "ckpt")
+    Seq("src", "fps", "bands", "ckpt")
       .foreach(p => Sinks.truncate(s"$base/$p"))
 
   /** (doc_id, simhash) of a batch — per-row compiled kernel work. */
@@ -347,48 +348,39 @@ object IncrementalDedup {
   }
 
   /** Fold one document batch into the SimHash index: fingerprint the
-    * batch, generate new-vs-stored ∪ new-vs-new candidates from the band
-    * store, persist them batchId-keyed, keyed-upsert fingerprints and
-    * bands. Idempotent per (batch, batchId) — same contract as [[tick]]. */
+    * batch (O(batch) compiled kernel work — the corpus is not touched)
+    * and keyed-upsert fingerprints and bands. Idempotent per
+    * (batch, batchId); a re-crawled doc's new fingerprint and band keys
+    * replace its old ones. */
   private[graft] def simhashTick(s: SparkSession, batch: DataFrame, batchId: Long,
                                  base: String): Unit = {
     val fp = simhashOfBatch(batch.select(col("doc_id"), col("text"))).localCheckpoint()
-    val bandsNew = simhashBandsOf(fp).localCheckpoint()
-    val bandStore = s"$base/bands"
-    Sinks.healBuckets(bandStore)
-    val stored =
-      if (Files.exists(Paths.get(bandStore)))
-        s.read.parquet(bandStore).select(col("doc_id"), col("band_idx"), col("band_key"))
-      else s.createDataFrame(s.sparkContext.emptyRDD[Row],
-        StructType(bandsNew.schema.fields))
-    val nvs = bandsNew.alias("a").join(stored.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-    val nvn = bandsNew.alias("a").join(bandsNew.alias("b"),
+    Sinks.mergeByKeyBucket(s, s"$base/fps",
+      fp.withColumn("_tick", lit(batchId)), "doc_id", Seq("_tick"))
+    Sinks.mergeByKeyBucket(s, s"$base/bands",
+      simhashBandsOf(fp).withColumn("bkey", col("doc_id") * 4 + col("band_idx")),
+      "bkey", Seq("band_key"))
+  }
+
+  /** Serve the near-dup pairs from the STORES: capped band self-join
+    * (stop buckets evaluated at final counts — [[Dedup.capSimBands]]),
+    * hamming ≤ 3 from stored fingerprints. No document text is read.
+    * Forgotten docs are gone from both stores, so their pairs simply
+    * never generate. */
+  private[graft] def simhashVerify(s: SparkSession, base: String): DataFrame = {
+    Seq("fps", "bands").foreach(p => Sinks.healBuckets(s"$base/$p"))
+    val fp = s.read.parquet(s"$base/fps").select(col("doc_id"), col("simhash"))
+      .localCheckpoint() // both pair sides
+    val bands = s.read.parquet(s"$base/bands")
+      .select(col("doc_id"), col("band_idx"), col("band_key"))
+    val kept = Dedup.capSimBands(bands, fp.agg(count(lit(1)).as("n_corpus")))
+      .localCheckpoint()
+    val cand = kept.alias("a").join(kept.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    nvs.union(nvn).distinct()
-      .write.mode("overwrite").parquet(s"$base/cands/batch_$batchId")
-    Sinks.mergeByKeyBucket(s, s"$base/fps",
-      fp.withColumn("_tick", lit(batchId)), "doc_id", Seq("_tick"))
-    Sinks.mergeByKeyBucket(s, bandStore,
-      bandsNew.withColumn("bkey", col("doc_id") * 4 + col("band_idx")),
-      "bkey", Seq("band_key"))
-  }
-
-  /** Verify all accumulated candidates against CURRENT stored
-    * fingerprints: hamming ≤ 3, the one-shot verdict. Pairs whose docs
-    * were forgotten die on the inner fingerprint joins. */
-  private[graft] def simhashVerify(s: SparkSession, base: String): DataFrame = {
-    Seq("fps", "bands").foreach(p => Sinks.healBuckets(s"$base/$p"))
-    val cand = s.read.parquet(s"$base/cands/batch_*").distinct()
-    val fp = s.read.parquet(s"$base/fps").select(col("doc_id"), col("simhash"))
-      .localCheckpoint() // both pair sides
+      .distinct()
     cand
       .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")), "doc_a")
       .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), "doc_b")
@@ -556,10 +548,11 @@ object IncrementalDedup {
     },
 
     // The SimHash family's incremental tier: 3 arrival batches fold into
-    // the persisted fingerprint/band stores, each tick deduping only its
-    // batch against the index (new-vs-stored band join). Oracle = the
-    // one-shot q_llm_dedup_simhash_pairs SQL — rebuild equivalence,
-    // driver-checked, the same contract as the MinHash and ANN stores.
+    // the persisted fingerprint/band stores (O(batch) kernel work per
+    // tick, corpus never re-read), pairs served from the stores via the
+    // capped band join. Oracle = the one-shot q_llm_dedup_simhash_pairs
+    // SQL — rebuild equivalence, driver-checked, the same contract as
+    // the MinHash and ANN stores.
     "q_llm_dedup_simhash_incremental" -> { (s, dir) =>
       val base = s"${Sinks.tmpBase}/simhash_inc"
       simhashReset(base)
@@ -570,9 +563,10 @@ object IncrementalDedup {
     },
 
     // GDPR delete through the SimHash index: build over 2 ticks, purge
-    // doc_id % 7 = 3 from both keyed stores; accumulated candidates
-    // touching forgotten docs die on the fingerprint joins. Oracle = the
-    // one-shot SQL over the kept corpus.
+    // doc_id % 7 = 3 from both keyed stores; forgotten docs can then
+    // never generate candidates (their bands are gone) and the capped
+    // bucket counts shrink accordingly. Oracle = the one-shot SQL over
+    // the kept corpus.
     "q_llm_dedup_simhash_forget" -> { (s, dir) =>
       val base = s"${Sinks.tmpBase}/simhash_forget"
       simhashReset(base)

@@ -75,7 +75,13 @@ object Multimodal {
       .mkString(", ")
     val bands = fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
       .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
-    val cand = bands.alias("a").join(bands.alias("b"),
+    // stop-bucket cap: letter-trigram statistics CONVERGE across long
+    // texts of the same language, so without the cap whole-corpus band
+    // buckets appear and the pair join goes quadratic (Dedup.BandCapFloor
+    // scaladoc has the measurement); both engines cap identically
+    val kept = Dedup.capSimBands(bands,
+      d.agg(count(lit(1)).as("n_corpus"))).localCheckpoint()
+    val cand = kept.alias("a").join(kept.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -164,11 +170,6 @@ object Multimodal {
     // hamming <= 3. Docs under 3 bytes have no 3-grams and fingerprint
     // to 0 (the LEFT JOIN + coalesce arm).
     "q_llm_media_neardup" -> {
-      val sums = (0 until 32)
-        .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n               ")
-      val fpVal = (0 until 32)
-        .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-        .mkString(" + ")
       val bandUnion = (0 until 4).map(bd =>
         s"SELECT doc_id, $bd AS band_idx, (fp >> ${bd * 8}) & 255 AS band_key FROM fp")
         .mkString("\n        UNION ALL ")
@@ -182,17 +183,18 @@ object Multimodal {
         FROM bv WHERE len(bs) >= 3),
       bitsums AS (
         SELECT doc_id,
-               $sums
+               ${Dedup.simhashSums}
         FROM sg GROUP BY doc_id),
-      fp0 AS (SELECT doc_id, $fpVal AS fp FROM bitsums),
+      fp0 AS (SELECT doc_id, ${Dedup.simhashVal} AS fp FROM bitsums),
       fp AS (
         SELECT d.doc_id, coalesce(f.fp, CAST(0 AS BIGINT)) AS fp
         FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.doc_id),
       bands AS (
         $bandUnion),
+      ${Dedup.duckCapBandCtes("documents")},
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bkept a JOIN bkept b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b,

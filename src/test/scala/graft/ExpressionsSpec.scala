@@ -103,18 +103,27 @@ class ExpressionsSpec extends SparkSpec {
     val viaKernel = docs.selectExpr("doc_id", "graft_simhash(wh) AS fp")
       .as[(Long, Long)].collect().sorted.toSeq
     val ex = docs.selectExpr("doc_id", "explode(wh) AS h")
-    val sums = (0 until 32).map(j => expr(s"sum((shiftright(h, $j) & 1) * 2 - 1)").as(s"s$j"))
+    // the debiased vote: bit j's ±1 comes from the parity of
+    // (h·A_j + B_j) mod P, same formula the DuckDB oracle embeds
+    val sums = (0 until 32).map(j => expr(
+      s"sum((((h * ${GraftKernels.simA(j)} + ${GraftKernels.simB(j)}) " +
+        s"% ${GraftKernels.P}) & 1) * 2 - 1)").as(s"s$j"))
     val model = ex.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
       .selectExpr("doc_id",
         (0 until 32).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END")
           .mkString("", " + ", " AS fp"))
       .as[(Long, Long)].collect().sorted.toSeq
     assert(viaKernel === model)
-    // kernel matches the JVM reference too
+    // kernel matches an independent JVM reference of the same vote
     import org.apache.spark.sql.catalyst.util.ArrayData
-    assert(GraftKernels.simhash32(ArrayData.toArrayData(Array(5L))) === 5L)
-    assert(GraftKernels.simhash32(ArrayData.toArrayData(Array(1L, 2L))) === 0L)
-    assert(GraftKernels.simhash32(ArrayData.toArrayData(Array(3L, 1L))) === 1L)
+    def refFp(hs: Seq[Long]): Long = (0 until 32).map { j =>
+      val votes = hs.map(h =>
+        if (((h * GraftKernels.simA(j) + GraftKernels.simB(j))
+          % GraftKernels.P & 1L) == 1L) 1 else -1).sum
+      if (votes > 0) 1L << j else 0L
+    }.sum
+    for (hs <- Seq(Seq(5L), Seq(1L, 2L), Seq(3L, 1L), Seq(7L, 7L, 9L)))
+      assert(GraftKernels.simhash32(ArrayData.toArrayData(hs.toArray)) === refFp(hs))
   }
 
   test("graft_chunks (UDTF) matches the HOF slice-fold chunk hashes") {

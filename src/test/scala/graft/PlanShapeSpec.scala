@@ -23,10 +23,19 @@ class PlanShapeSpec extends SparkSpec {
     for (q <- Seq("q_llm_dedup_minhash_lsh", "q_llm_dedup_simhash_pairs",
         "q_llm_dedup_ngram_jaccard", "q_llm_dedup_embed", "q_llm_knn_lsh",
         "q_llm_dedup_semantic", "q_llm_decontaminate", "q_llm_knn_pq",
-        "q_llm_lm_score", "q_llm_decontaminate_embed", "q_llm_cluster_topics")) {
+        "q_llm_lm_score", "q_llm_decontaminate_embed", "q_llm_cluster_topics",
+        "q_llm_media_neardup", "q_llm_bpe_train", "q_llm_bpe_encode")) {
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
     }
   }
+
+  test("media near-dup fingerprints with the compiled kernel, pairs stay banded") {
+    val p = plan("q_llm_media_neardup")
+    // candidates come from the band equi-join of the checkpointed
+    // fingerprint table — a hash join, never a nested-loop pair scan
+    assert(!p.contains("BroadcastNestedLoopJoin"), "pair stage must be an equi-join")
+  }
+
 
   test("bloom probe joins the broadcast filter; cluster topics keep the partial top-k") {
     assert(plan("q_llm_bloom").contains("BroadcastHashJoin"),
