@@ -175,6 +175,36 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher-style heuristic rule battery (the published quality-filter
+    // shape: doc-length window, mean-word-length window, symbol ratio,
+    // alphabetic-word fraction, minimum distinct stop words) — every
+    // verdict is an INTEGER cross-multiplied inequality (10·n_ell ≤
+    // n_words instead of a float ratio threshold), so the keep/drop
+    // boundary cannot diverge across engines. One scan, no joins; the
+    // per-rule booleans ride along for the filter-audit report.
+    "q_llm_gopher_rules" -> { (s, dir) =>
+      val stops = sqlList(markers.flatMap(_._2).distinct, duck = false)
+      docs(s, dir)
+        .selectExpr("doc_id", "length(text) AS len_txt", "split(text, ' ') AS t",
+          "CAST((length(text) - length(replace(text, '...', ''))) DIV 3 AS BIGINT) AS n_ell")
+        .selectExpr("doc_id", "n_ell",
+          "size(t) AS n_words",
+          "len_txt - size(t) + 1 AS len_adj",
+          "size(filter(t, w -> w rlike '[a-z]')) AS n_alpha",
+          s"size(array_intersect(t, $stops)) AS n_stop_distinct")
+        .selectExpr("doc_id", "n_words", "n_ell", "n_alpha", "n_stop_distinct",
+          "n_words >= 50 AND n_words <= 100000 AS r_words",
+          "3 * n_words <= len_adj AND len_adj <= 10 * n_words AS r_wlen",
+          "10 * n_ell <= n_words AS r_symbol",
+          "5 * n_alpha >= 4 * n_words AS r_alpha",
+          "n_stop_distinct >= 2 AS r_stop")
+        .selectExpr("doc_id", "n_words", "n_ell", "n_alpha", "n_stop_distinct",
+          "r_words", "r_wlen", "r_symbol", "r_alpha", "r_stop",
+          "CASE WHEN r_words AND r_wlen AND r_symbol AND r_alpha AND r_stop " +
+            "THEN 'keep' ELSE 'drop' END AS verdict")
+        .orderBy(col("doc_id"))
+    },
+
     // Token counting per source: whitespace tokens vs BPE-ish regex tokens
     // (letter runs / digit runs / single punctuation), exact ratios.
     "q_llm_token_stats" -> ((s, dir) =>
@@ -519,6 +549,32 @@ object TextAnalysis {
       GROUP BY h, true_n
       ORDER BY true_n DESC, h"""
       },
+
+      "q_llm_gopher_rules" -> s"""
+      WITH b AS (
+        SELECT doc_id, length(text) AS len_txt, string_split(text, ' ') AS t,
+               CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_ell,
+               CAST(len(t) AS INT) AS n_words,
+               len_txt - CAST(len(t) AS INT) + 1 AS len_adj,
+               CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS INT) AS n_alpha,
+               CAST(len(list_intersect(t, ${sqlList(markers.flatMap(_._2).distinct, duck = true)})) AS INT) AS n_stop_distinct
+        FROM b),
+      r AS (
+        SELECT doc_id, n_words, n_ell, n_alpha, n_stop_distinct,
+               n_words >= 50 AND n_words <= 100000 AS r_words,
+               3 * n_words <= len_adj AND len_adj <= 10 * n_words AS r_wlen,
+               10 * n_ell <= n_words AS r_symbol,
+               5 * n_alpha >= 4 * n_words AS r_alpha,
+               n_stop_distinct >= 2 AS r_stop
+        FROM c)
+      SELECT doc_id, n_words, n_ell, n_alpha, n_stop_distinct,
+             r_words, r_wlen, r_symbol, r_alpha, r_stop,
+             CASE WHEN r_words AND r_wlen AND r_symbol AND r_alpha AND r_stop
+                  THEN 'keep' ELSE 'drop' END AS verdict
+      FROM r ORDER BY doc_id""",
 
       "q_llm_normalize" -> s"""
       WITH n AS (
