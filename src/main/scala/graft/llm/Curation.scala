@@ -43,6 +43,22 @@ object Curation {
   val ChunkW = 16
   val ChunkS = 8
 
+  /** See the `q_llm_chunk_windows` entry comment. */
+  private[graft] def chunkWindowsOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    val (w, st) = (ChunkW, ChunkS)
+    d.selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr("doc_id", "size(t) AS n_tok", "t")
+      .selectExpr("doc_id", "n_tok",
+        s"explode(transform(sequence(0, CASE WHEN n_tok <= $w THEN 0 " +
+          s"ELSE (n_tok - $w + $st - 1) DIV $st END, 1), i -> named_struct(" +
+          s"'idx', CAST(i AS INT), " +
+          s"'nw', size(slice(t, i * $st + 1, $w)), " +
+          s"'fp', graft_charhash(array_join(slice(t, i * $st + 1, $w), ' '))))) AS z")
+      .selectExpr("doc_id", "z.idx AS chunk_idx", "z.nw AS n_words", "z.fp AS fp")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // RAG chunking: overlapping sliding word windows (width ChunkW,
@@ -53,21 +69,7 @@ object Curation {
     // fingerprint is the charhash kernel (one rolling pass per chunk);
     // window count is exact integer arithmetic
     // (1 + (n_tok - W + S - 1) DIV S), identical in both engines.
-    "q_llm_chunk_windows" -> { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val (w, st) = (ChunkW, ChunkS)
-      docs(s, dir)
-        .selectExpr("doc_id", "split(text, ' ') AS t")
-        .selectExpr("doc_id", "size(t) AS n_tok", "t")
-        .selectExpr("doc_id", "n_tok",
-          s"explode(transform(sequence(0, CASE WHEN n_tok <= $w THEN 0 " +
-            s"ELSE (n_tok - $w + $st - 1) DIV $st END, 1), i -> named_struct(" +
-            s"'idx', CAST(i AS INT), " +
-            s"'nw', size(slice(t, i * $st + 1, $w)), " +
-            s"'fp', graft_charhash(array_join(slice(t, i * $st + 1, $w), ' '))))) AS z")
-        .selectExpr("doc_id", "z.idx AS chunk_idx", "z.nw AS n_words", "z.fp AS fp")
-        .orderBy(col("doc_id"), col("chunk_idx"))
-    },
+    "q_llm_chunk_windows" -> ((s, dir) => chunkWindowsOf(docs(s, dir))),
 
     // Deterministic train/val/test split: hash the (salted) doc id, not a
     // RNG — reproducible across runs/engines/cluster sizes, stable under
@@ -85,6 +87,32 @@ object Curation {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
         .orderBy(col("source"), col("split"))
+    },
+
+    // Leakage-safe split assignment: near-duplicate docs MUST land in the
+    // same split or the test set contains paraphrases of training data —
+    // the train/test contamination every published dedup paper warns
+    // about. The split hash is keyed by the doc's near-dup CLUSTER
+    // canonical (CC over the verified MinHash-LSH pairs — the
+    // q_llm_dedup_groups substrate), so whole clusters move together;
+    // singletons hash by their own id, reproducing q_llm_split_assign's
+    // assignment for unduplicated docs. Output: per-doc split + the
+    // canonical that pinned it; cost = the dedup pipeline (already the
+    // corpus's standing cost) + one hash projection.
+    "q_llm_split_leakage_safe" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val d = docs(s, dir)
+      val cc = graft.llm.Dedup.connectedComponents(
+        graft.llm.Dedup.minhashVerifiedPairsOf(d.select(col("doc_id"), col("text")))
+          .select(col("doc_a"), col("doc_b")))
+      d.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("canonical"), col("doc_id")).as("canonical"))
+        .selectExpr("doc_id", "canonical",
+          "graft_charhash(concat('split-v1:', CAST(canonical AS STRING))) % 100 AS bucket")
+        .selectExpr("doc_id", "canonical",
+          "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split")
+        .orderBy(col("doc_id"))
     },
 
     // Sequence packing (concat-and-chop): documents are concatenated in a
@@ -280,6 +308,31 @@ object Curation {
       SELECT doc_id, chunk_idx, n_words, fp FROM c
       ORDER BY doc_id, chunk_idx"""
       },
+
+      // the q_llm_dedup_groups closure + the split hash keyed by the
+      // cluster canonical (singletons fall back to their own id)
+      "q_llm_split_leakage_safe" -> s"""
+      WITH RECURSIVE ${graft.llm.Dedup.verifiedPairCtes("documents")},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM vpairs
+        UNION SELECT doc_b, doc_a FROM vpairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      canon AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical
+        FROM reach GROUP BY a),
+      base AS (
+        SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical
+        FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id),
+      h AS (
+        SELECT doc_id, canonical,
+               ${duckCharHash("concat('split-v1:', CAST(canonical AS VARCHAR))")} % 100 AS bucket
+        FROM base)
+      SELECT doc_id, canonical,
+             CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM h ORDER BY doc_id""",
 
       "q_llm_split_assign" -> s"""
       WITH b AS (

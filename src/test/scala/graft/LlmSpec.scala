@@ -424,6 +424,44 @@ class LlmSpec extends SparkSpec {
       (3, "an", "a", "ana", 3L)))
   }
 
+  test("chunk windows: exact window counts at the stride boundaries") {
+    import spark.implicits._
+    // ChunkW=16, ChunkS=8: expected windows = 1 for n_tok <= 16,
+    // then 1 + ceil((n_tok-16)/8)
+    def text(n: Int) = (1 to n).map("w" + _).mkString(" ")
+    val d = Seq(1L -> text(1), 2L -> text(16), 3L -> text(17),
+      4L -> text(24), 5L -> text(25)).toDF("doc_id", "text")
+    val got = graft.llm.Curation.chunkWindowsOf(d)
+      .groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
+    // tail window is ragged, never empty
+    val tail = graft.llm.Curation.chunkWindowsOf(d)
+      .where($"doc_id" === 3L).orderBy($"chunk_idx")
+      .select($"n_words").as[Int].collect().toSeq
+    assert(tail === Seq(16, 9)) // second window = tokens 9..17
+  }
+
+  test("leakage-safe split: every near-dup cluster lands in ONE split") {
+    import spark.implicits._
+    // corpus with a planted near-dup pair (identical docs) + singletons
+    val text = "shared template alpha beta gamma delta epsilon zeta eta theta"
+    val d = ((1 to 6).map(i => (i.toLong, s"unrelated totally distinct content x$i y$i z$i q$i r$i s$i t$i u$i"))
+      ++ Seq((10L, text), (11L, text))).toDF("doc_id", "text")
+    graft.functions.GraftFunctions.register(spark)
+    val cc = graft.llm.Dedup.connectedComponents(
+      graft.llm.Dedup.minhashVerifiedPairsOf(d).select($"doc_a", $"doc_b"))
+    val canon = d.select($"doc_id").join(cc, Seq("doc_id"), "left")
+      .select($"doc_id", org.apache.spark.sql.functions.coalesce($"canonical", $"doc_id").as("canonical"))
+      .selectExpr("doc_id", "canonical",
+        "graft_charhash(concat('split-v1:', CAST(canonical AS STRING))) % 100 AS bucket")
+      .selectExpr("doc_id", "canonical",
+        "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split")
+    val bySplit = canon.as[(Long, Long, String)].collect().toSeq
+    val dup = bySplit.filter(r => r._1 == 10L || r._1 == 11L)
+    assert(dup.map(_._3).distinct.size === 1, "near-dup pair must share a split")
+    assert(dup.forall(_._2 === 10L), "cluster canonical = min id")
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
