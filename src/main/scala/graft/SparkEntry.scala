@@ -41,8 +41,8 @@ object SparkEntry {
       graft.llm.Similarity.queries ++ graft.llm.IncrementalAnn.queries ++
       graft.llm.TextAnalysis.queries ++ graft.llm.Multimodal.queries ++
       graft.llm.Curation.queries ++ graft.llm.Safety.queries ++
-      graft.llm.Retrieval.queries ++ graft.llm.Graph.queries ++
-      graft.sinks.Sinks.queries
+      graft.llm.Retrieval.queries ++ graft.llm.IncrementalRetrieval.queries ++
+      graft.llm.Graph.queries ++ graft.sinks.Sinks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -55,6 +55,6 @@ object SparkEntry {
       graft.llm.Similarity.oracleSql ++ graft.llm.IncrementalAnn.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++ graft.llm.Multimodal.oracleSql ++
       graft.llm.Curation.oracleSql ++ graft.llm.Safety.oracleSql ++
-      graft.llm.Retrieval.oracleSql ++ graft.llm.Graph.oracleSql ++
-      graft.sinks.Sinks.oracleSql
+      graft.llm.Retrieval.oracleSql ++ graft.llm.IncrementalRetrieval.oracleSql ++
+      graft.llm.Graph.oracleSql ++ graft.sinks.Sinks.oracleSql
 }

@@ -67,16 +67,32 @@ object Retrieval {
       .where(expr("size(wh) >= 1"))
       .localCheckpoint()
     val dl = toks.selectExpr("doc_id", "CAST(size(wh) AS BIGINT) AS dl")
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
     val tf = toks.selectExpr("doc_id", "explode(wh) AS h")
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("m"))
       .localCheckpoint()
-    // df per term, stop-term capped at half the corpus (corpus-relative)
-    val dfc = tf.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    bm25FromParts(tf, dl, dfcOf(tf, dl))
+  }
+
+  /** Document-frequency table with denormalized corpus stats — `(h, f,
+    * n_docs, avgdl)`, stop-term capped at half the corpus
+    * (corpus-relative). The "stats" tier of the index: one slim
+    * aggregation pass over postings keys + doc lengths. */
+  private[graft] def dfcOf(tf: DataFrame, dl: DataFrame): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .selectExpr("n_docs", "CAST(sum_dl AS DOUBLE) / n_docs AS avgdl")
+    tf.groupBy(col("h")).agg(count(lit(1)).as("f"))
       .crossJoin(broadcast(stats))
       .where(expr("f <= n_docs DIV 2"))
       .select(col("h"), col("f"), col("n_docs"), col("avgdl"))
+  }
+
+  /** BM25 scoring from index parts — postings `tf(doc_id, h, m)`, doc
+    * lengths `dl(doc_id, dl)`, df/stats `dfc(h, f, n_docs, avgdl)`.
+    * Shared verbatim by the one-shot build and the persisted-store serve
+    * path ([[IncrementalRetrieval]]) — the operation order IS the
+    * cross-engine exactness contract, so there is exactly one copy. */
+  private[graft] def bm25FromParts(tf: DataFrame, dl: DataFrame,
+                                   dfc: DataFrame): DataFrame = {
     // query terms: distinct per pseudo-query doc (tf is already distinct
     // per (doc, term)); tiny — broadcast into the postings join
     val qt = tf.where(col("doc_id") < QMax)
@@ -90,6 +106,17 @@ object Retrieval {
           expr(s"(CAST(m AS DOUBLE) * ${1.0 + K1}) / (CAST(m AS DOUBLE) + " +
             s"$K1 * (${1.0 - B} + $B * (CAST(dl AS DOUBLE) / avgdl)))"), 6))
     contrib.groupBy(col("q_id"), col("doc_id")).agg(sum(col("c6")).as("s6"))
+  }
+
+  /** Top-5-per-query presentation of a `(q_id, doc_id, s6)` score table —
+    * the q_llm_bm25 output shape, shared with the incremental serve. */
+  private[graft] def bm25Rank(sc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("s6").desc, col("doc_id"))
+    sc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        (col("s6") / lit(1000000.0)).as("score"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Exact-cosine semantic arm: `(q_id, id, rank_a)`, top [[ArmK]] per
@@ -111,15 +138,7 @@ object Retrieval {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Standalone BM25 top-5 per pseudo-query.
-    "q_llm_bm25" -> { (s, dir) =>
-      val w = Window.partitionBy(col("q_id")).orderBy(col("s6").desc, col("doc_id"))
-      bm25Scores(s, dir)
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("doc_id"),
-          (col("s6") / lit(1000000.0)).as("score"))
-        .orderBy(col("q_id"), col("rank"))
-    },
+    "q_llm_bm25" -> { (s, dir) => bm25Rank(bm25Scores(s, dir)) },
 
     // Hybrid search: RRF over the BM25 and exact-cosine arms. Each arm
     // contributes 1/(60+rank) for its top-10; a candidate absent from an
@@ -150,11 +169,13 @@ object Retrieval {
         .orderBy(col("q_id"), col("rank"))
     })
 
-  /** Shared oracle CTE chain computing BM25 s6 per (q_id, doc_id). */
-  private def duckBm25Ctes: String = s"""
+  /** Shared oracle CTE chain computing BM25 s6 per (q_id, doc_id), over
+    * an arbitrary source relation (a table or a prior CTE — lets the
+    * incremental-forget oracle score the kept corpus). */
+  private[llm] def duckBm25Ctes(src: String = "documents"): String = s"""
       toks AS (
         SELECT doc_id, wh FROM (
-          SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents)
+          SELECT doc_id, ${duckWordHashes("text")} AS wh FROM $src)
         WHERE len(wh) >= 1),
       d AS (SELECT doc_id, CAST(len(wh) AS BIGINT) AS dl FROM toks),
       stats AS (
@@ -181,20 +202,25 @@ object Retrieval {
         WHERE tf.doc_id <> qt.q_id),
       sc AS (SELECT q_id, doc_id, sum(c6) AS s6 FROM contrib GROUP BY q_id, doc_id)"""
 
-  def oracleSql: Map[String, String] = Map(
-
-    "q_llm_bm25" -> s"""
-      WITH $duckBm25Ctes,
+  /** Complete one-shot BM25 SQL over `src` — the WITH is left open so a
+    * caller can prepend its own CTE (the incremental-forget `bkept`
+    * pattern, [[IncrementalAnn.oracleSql]]). */
+  private[llm] def duckBm25Sql(src: String = "documents"): String = s"""
+      WITH ${duckBm25Ctes(src)},
       r AS (
         SELECT q_id, doc_id, s6,
                CAST(row_number() OVER (PARTITION BY q_id
                  ORDER BY s6 DESC, doc_id) AS INT) AS rank
         FROM sc)
       SELECT q_id, rank, doc_id, s6 / 1000000.0 AS score
-      FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+      FROM r WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_llm_bm25" -> duckBm25Sql(),
 
     "q_llm_hybrid_search" -> s"""
-      WITH $duckBm25Ctes,
+      WITH ${duckBm25Ctes()},
       lex AS (
         SELECT q_id, doc_id AS id,
                CAST(row_number() OVER (PARTITION BY q_id
