@@ -192,6 +192,49 @@ object Curation {
         .orderBy(col("source"))
     },
 
+    // Temperature-resampled source mixture — the multilingual tau-sampling
+    // trick (q_s ∝ p_s^tau): instead of hand-set weights, the target share
+    // is derived from the natural token share, compressed toward uniform.
+    // tau = 0.5 exactly, so the power IS sqrt — IEEE-correctly-rounded in
+    // both engines, where an arbitrary pow(p, tau) would be libm-dependent
+    // and break the cross-engine hash. The sqrt terms are scaled to
+    // 12-decimal longs BEFORE normalization (partition-order-independent
+    // integer sums — the Exact discipline), and the q/p repetition factor
+    // materializes per doc as floor(r) epochs + one hash-fractional extra,
+    // so the realized token draw hits the target in expectation with NO
+    // RNG: reproducible across runs, engines, and cluster sizes. Scale
+    // shape: two slim per-source aggs + a broadcast epochs join — one
+    // corpus scan, nothing corpus-sized shuffles.
+    "q_llm_mixture_temperature" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val per = docs(s, dir)
+        .selectExpr("source", "doc_id", "size(split(text, ' ')) AS n_tok",
+          s"${sparkWordHash("concat('temp-v1:', CAST(doc_id AS STRING))")} % 1000000 AS h")
+        .localCheckpoint() // feeds the share agg AND the per-doc epochs join
+      val agg = per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      val tot = agg.agg(sum(col("tokens")).as("total_tokens"))
+      val sh = agg.crossJoin(broadcast(tot))
+        .withColumn("p6", Exact.scaled(expr("CAST(tokens AS DOUBLE) / total_tokens"), 6))
+        .withColumn("s12", Exact.scaled(expr("sqrt(CAST(tokens AS DOUBLE) / total_tokens)"), 12))
+      val den = sh.agg(sum(col("s12")).as("den12"))
+      val shares = sh.crossJoin(broadcast(den))
+        .withColumn("q6", expr("(s12 * 1000000) DIV den12"))
+        .withColumn("r6", expr("(q6 * 1000000) DIV greatest(p6, 1)"))
+      val out = per.join(broadcast(shares.select(col("source"), col("r6"))), Seq("source"))
+        .withColumn("copies", expr("r6 DIV 1000000 + IF(h < r6 % 1000000, 1, 0)"))
+        .groupBy(col("source"))
+        .agg(sum(col("copies")).as("docs_out"),
+          sum(expr("copies * n_tok")).as("tokens_out"))
+      shares.join(out, Seq("source"))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          (col("p6") / lit(1000000.0)).as("natural_share"),
+          (col("q6") / lit(1000000.0)).as("temp_share"),
+          (col("r6") / lit(1000000.0)).as("repetition"),
+          col("docs_out"), col("tokens_out"))
+        .orderBy(col("source"))
+    },
+
     // Intra-document repetition scoring (Gopher-style quality rules): the
     // filter that catches looping/boilerplate generators the CROSS-doc
     // dedup suite can't see. Per doc: repeated-word fraction
@@ -396,6 +439,43 @@ object Curation {
              ${Exact.sqlFix("w.weight * total_tokens / per.tokens", 6)} AS repetition_factor
       FROM per JOIN w USING (source) CROSS JOIN tot
       ORDER BY per.source""",
+
+      "q_llm_mixture_temperature" -> s"""
+      WITH per AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+               ${duckWordHash("concat('temp-v1:', CAST(doc_id AS VARCHAR))")} % 1000000 AS h
+        FROM documents),
+      agg AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens
+        FROM per GROUP BY source),
+      tot AS (SELECT sum(tokens) AS total_tokens FROM agg),
+      sh AS (
+        SELECT source, n_docs, tokens,
+               ${Exact.sqlScaled("CAST(tokens AS DOUBLE) / total_tokens", 6)} AS p6,
+               ${Exact.sqlScaled("sqrt(CAST(tokens AS DOUBLE) / total_tokens)", 12)} AS s12
+        FROM agg CROSS JOIN tot),
+      den AS (SELECT sum(s12) AS den12 FROM sh),
+      shares AS (
+        SELECT source, n_docs, tokens, p6,
+               (s12 * 1000000) // den12 AS q6,
+               (((s12 * 1000000) // den12) * 1000000) // greatest(p6, 1) AS r6
+        FROM sh CROSS JOIN den),
+      outp AS (
+        SELECT per.source,
+               CAST(sum(r6 // 1000000 +
+                        CASE WHEN h < r6 % 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS docs_out,
+               CAST(sum((r6 // 1000000 +
+                         CASE WHEN h < r6 % 1000000 THEN 1 ELSE 0 END) * n_tok) AS BIGINT) AS tokens_out
+        FROM per JOIN shares ON per.source = shares.source
+        GROUP BY per.source)
+      SELECT shares.source, n_docs, tokens,
+             p6 / 1000000.0 AS natural_share,
+             q6 / 1000000.0 AS temp_share,
+             r6 / 1000000.0 AS repetition,
+             docs_out, tokens_out
+      FROM shares JOIN outp ON shares.source = outp.source
+      ORDER BY shares.source""",
 
       "q_llm_repetition" -> s"""
       WITH b AS (

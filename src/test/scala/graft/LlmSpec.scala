@@ -441,6 +441,36 @@ class LlmSpec extends SparkSpec {
     assert(tail === Seq(16, 9)) // second window = tokens 9..17
   }
 
+  test("temperature mixture: tau=0.5 compresses shares toward uniform; epochs hit the target") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_mixtemp"
+    graft.sinks.Sinks.truncate(tdir)
+    // 90/10 token split across two sources, identical doc lengths:
+    // p = (0.9, 0.1) -> sqrt-normalized q = (0.75, 0.25) exactly
+    val words = (1 to 10).map("w" + _).mkString(" ")
+    val d = ((0 until 90).map(i => (i.toLong, words, "en", "big")) ++
+             (100 until 110).map(i => (i.toLong, words, "en", "small")))
+      .toDF("doc_id", "text", "lang", "source")
+    d.write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Curation.queries("q_llm_mixture_temperature")(spark, tdir)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val big = r("big"); val small = r("small")
+    assert(math.abs(big.getDouble(4) - 0.75) < 1e-4, "big temp share")
+    assert(math.abs(small.getDouble(4) - 0.25) < 1e-4, "small temp share")
+    // repetition factors: small upsampled 2.5x, big downsampled to 5/6
+    assert(math.abs(small.getDouble(5) - 2.5) < 1e-4)
+    assert(math.abs(big.getDouble(5) - 0.833333) < 1e-3)
+    // realized epochs: every small doc draws floor(2.5)=2 copies plus a
+    // hash-fractional third -> total strictly between the floors
+    val so = small.getLong(6)
+    assert(so >= 20 && so <= 30, s"small docs_out $so")
+    // big source downsamples: 0 or 1 copies per doc, realized near 75
+    val bo = big.getLong(6)
+    assert(bo >= 50 && bo < 90, s"big docs_out $bo")
+    // token accounting is exact: copies x 10 tokens per doc
+    assert(small.getLong(7) === so * 10 && big.getLong(7) === bo * 10)
+  }
+
   test("leakage-safe split: every near-dup cluster lands in ONE split") {
     import spark.implicits._
     // corpus with a planted near-dup pair (identical docs) + singletons
