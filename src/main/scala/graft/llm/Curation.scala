@@ -43,6 +43,74 @@ object Curation {
   val ChunkW = 16
   val ChunkS = 8
 
+  /** Deterministic messy-URL synthesis for the URL-canonicalization
+    * family — the documents table carries no URL column, so (like
+    * `synthesizeRawCommits`, `ingest/CommitEtl.scala`) both engines derive
+    * one from the keys: scheme/www/port/trailing-slash/tracking-param/
+    * fragment variants keyed by doc_id mods, so every canonicalization
+    * rule fires on a known subset and distinct raw URLs COLLIDE after
+    * canonicalization (doc_id mods 5/40/7 bound the distinct canon
+    * space). `cast` abstracts the STRING/VARCHAR spelling. */
+  private def rawUrlExpr(cast: String): String =
+    "concat(" +
+      "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END, " +
+      s"source, CAST(doc_id % 5 AS $cast), '.example.com', " +
+      "CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END, " +
+      s"'/', lang, '/page/', CAST(doc_id % 40 AS $cast), " +
+      "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END, " +
+      "CASE WHEN doc_id % 3 = 0 THEN " +
+      s"concat('?utm_source=feed&b=2&a=', CAST(doc_id % 7 AS $cast)) ELSE '' END, " +
+      "CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)"
+
+  /** Doc-level canonical URL: `(doc_id, host, url)`. Lowercase; scheme,
+    * fragment, default ports, `www.`, tracking params, and the trailing
+    * slash stripped; query params SORTED (param order must not make two
+    * fetches of the same page distinct). Pure per-row string built-ins —
+    * one scan, codegen'd, no shuffle. */
+  private[graft] def urlCanonOf(d: DataFrame): DataFrame =
+    d.selectExpr("doc_id", s"lower(${rawUrlExpr("STRING")}) AS u0")
+      .selectExpr("doc_id", "split_part(split_part(u0, '://', 2), '#', 1) AS u2")
+      .selectExpr("doc_id", "split_part(u2, '/', 1) AS hp",
+        "substr(u2, length(split_part(u2, '/', 1)) + 1) AS rest")
+      .selectExpr("doc_id", "replace(replace(hp, ':443', ''), ':80', '') AS h1",
+        "split_part(rest, '?', 1) AS p0", "split_part(rest, '?', 2) AS qs")
+      .selectExpr("doc_id",
+        "CASE WHEN substr(h1, 1, 4) = 'www.' THEN substr(h1, 5) ELSE h1 END AS host",
+        "CASE WHEN length(p0) > 1 AND substr(p0, length(p0), 1) = '/' " +
+          "THEN substr(p0, 1, length(p0) - 1) ELSE p0 END AS path",
+        "array_join(array_sort(filter(split(qs, '&'), " +
+          "p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS params")
+      .selectExpr("doc_id", "host",
+        "concat(host, path, CASE WHEN params = '' THEN '' " +
+          "ELSE concat('?', params) END) AS url")
+
+  /** Oracle mirror of [[urlCanonOf]] as a CTE chain ending in
+    * `canon(doc_id, host, url)`. */
+  private def duckUrlCtes: String = s"""
+      u0 AS (SELECT doc_id, lower(${rawUrlExpr("VARCHAR")}) AS u0 FROM documents),
+      u2 AS (SELECT doc_id, split_part(split_part(u0, '://', 2), '#', 1) AS u2 FROM u0),
+      hp AS (
+        SELECT doc_id, split_part(u2, '/', 1) AS hp,
+               substr(u2, length(split_part(u2, '/', 1)) + 1) AS rest
+        FROM u2),
+      pq AS (
+        SELECT doc_id, replace(replace(hp, ':443', ''), ':80', '') AS h1,
+               split_part(rest, '?', 1) AS p0, split_part(rest, '?', 2) AS qs
+        FROM hp),
+      parts AS (
+        SELECT doc_id,
+               CASE WHEN substr(h1, 1, 4) = 'www.' THEN substr(h1, 5) ELSE h1 END AS host,
+               CASE WHEN length(p0) > 1 AND substr(p0, length(p0), 1) = '/'
+                    THEN substr(p0, 1, length(p0) - 1) ELSE p0 END AS path,
+               COALESCE(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                 p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&'), '') AS params
+        FROM pq),
+      canon AS (
+        SELECT doc_id, host,
+               concat(host, path, CASE WHEN params = '' THEN ''
+                 ELSE concat('?', params) END) AS url
+        FROM parts)"""
+
   /** See the `q_llm_chunk_windows` entry comment. */
   private[graft] def chunkWindowsOf(d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(d.sparkSession)
@@ -233,6 +301,43 @@ object Curation {
           (col("r6") / lit(1000000.0)).as("repetition"),
           col("docs_out"), col("tokens_out"))
         .orderBy(col("source"))
+    },
+
+    // URL-level dedup after canonicalization — the FIRST dedup stage of a
+    // crawl pipeline, run before any text dedup because it is nearly
+    // free (per-row string built-ins + one hash agg on the canon key) and
+    // removes refetches of the same page under scheme / www / default-port
+    // / param-order / tracking-param / trailing-slash variation. Per doc:
+    // canonical URL, host, position in its URL group (min doc_id keeps),
+    // group size. One shuffle, on the canon key.
+    "q_llm_url_canonical" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
+      urlCanonOf(docs(s, dir))
+        .withColumn("pos", row_number().over(w.orderBy(col("doc_id"))))
+        .withColumn("n_same", count(lit(1)).over(w))
+        .withColumn("keep", expr("CAST(pos = 1 AS INT)"))
+        .select(col("doc_id"), col("host"), col("url"),
+          col("pos"), col("n_same"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-host crawl audit over the canonical URLs: doc count, distinct
+    // pages, refetch rate, and an over-crawled flag at a corpus-relative
+    // cap (host holding > 1/20 of the corpus) — the host-level feedback
+    // signal crawl scheduling consumes. Slim host/url-key aggs only; the
+    // corpus total attaches as a broadcast scalar.
+    "q_llm_host_stats" -> { (s, dir) =>
+      val per = urlCanonOf(docs(s, dir))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("url")).as("n_pages"))
+      val tot = per.agg(sum(col("n_docs")).as("total_docs"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("dup_rate",
+          Exact.fix(expr("CAST(n_docs - n_pages AS DOUBLE) / n_docs"), 6))
+        .withColumn("over_crawled", expr("CAST(n_docs * 20 > total_docs AS INT)"))
+        .select(col("host"), col("n_docs"), col("n_pages"),
+          col("dup_rate"), col("over_crawled"))
+        .orderBy(col("host"))
     },
 
     // Intra-document repetition scoring (Gopher-style quality rules): the
@@ -476,6 +581,26 @@ object Curation {
              docs_out, tokens_out
       FROM shares JOIN outp ON shares.source = outp.source
       ORDER BY shares.source""",
+
+      "q_llm_url_canonical" -> s"""
+      WITH $duckUrlCtes
+      SELECT doc_id, host, url,
+             CAST(row_number() OVER (PARTITION BY url ORDER BY doc_id) AS INT) AS pos,
+             count(*) OVER (PARTITION BY url) AS n_same,
+             CASE WHEN row_number() OVER (PARTITION BY url ORDER BY doc_id) = 1
+                  THEN 1 ELSE 0 END AS keep
+      FROM canon ORDER BY doc_id""",
+
+      "q_llm_host_stats" -> s"""
+      WITH $duckUrlCtes,
+      per AS (
+        SELECT host, count(*) AS n_docs, count(DISTINCT url) AS n_pages
+        FROM canon GROUP BY host),
+      tot AS (SELECT sum(n_docs) AS total_docs FROM per)
+      SELECT host, n_docs, n_pages,
+             ${Exact.sqlFix("CAST(n_docs - n_pages AS DOUBLE) / n_docs", 6)} AS dup_rate,
+             CASE WHEN n_docs * 20 > total_docs THEN 1 ELSE 0 END AS over_crawled
+      FROM per CROSS JOIN tot ORDER BY host""",
 
       "q_llm_repetition" -> s"""
       WITH b AS (

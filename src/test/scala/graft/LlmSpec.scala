@@ -471,6 +471,24 @@ class LlmSpec extends SparkSpec {
     assert(small.getLong(7) === so * 10 && big.getLong(7) === bo * 10)
   }
 
+  test("URL canonicalization: every rule fires; variants collide to one canonical") {
+    import spark.implicits._
+    val d = Seq(0L, 1L, 3L, 843L).map(i => (i, "big", "en"))
+      .toDF("doc_id", "source", "lang")
+    val got = graft.llm.Curation.urlCanonOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // doc 0 synthesizes the maximally-messy variant (HTTPS://WWW., :443,
+    // trailing slash, utm_ param, unsorted params, #frag): scheme, www,
+    // port, slash, fragment and tracking params all strip; params sort
+    assert(got(0L) === ("big0.example.com",
+      "big0.example.com/en/page/0?a=0&b=2"))
+    // doc 1 is the plain variant — canonicalization is a no-op
+    assert(got(1L) === ("big1.example.com", "big1.example.com/en/page/1"))
+    // 843 ≡ 3 under every synthesis mod (lcm 840): distinct raw URLs,
+    // SAME canonical — the collision URL dedup keys on
+    assert(got(3L) === got(843L))
+  }
+
   test("leakage-safe split: every near-dup cluster lands in ONE split") {
     import spark.implicits._
     // corpus with a planted near-dup pair (identical docs) + singletons
