@@ -55,13 +55,19 @@ object TextAnalysis {
     * A merged symbol's wrapped form differs from any pair fragment, so
     * later rounds see true symbol sequences, not string accidents.
     *
-    * Scale shape: each round is one corpus-wide projection (the replace)
-    * plus one hash-aggregated pair count collapsing to a 1-row broadcast
-    * argmax — map-side combinable, no joins wider than the (tiny) top-1
-    * attach, the per-round table goes through the Checkpointer knob. This
-    * is the [[graft.llm.Similarity.kmeansCentroids]] Lloyd-round pattern
-    * applied to tokenizer training; the oracle unrolls the identical
-    * rounds as a CTE chain. */
+    * Scale shape: the loop runs over DISTINCT words weighted by their
+    * occurrence count — the standard tokenizer-training contraction: pair
+    * counts over occurrences ≡ Σ_distinct-words count(w) × pairs-in-w
+    * (exact integer identity, which is why the oracle's per-occurrence
+    * unrolled SQL still hash-matches), so each round's projection and
+    * replace touch vocabulary-sized tables, not corpus-sized ones. Each
+    * round is then one projection plus one hash-aggregated weighted pair
+    * count collapsing to a 1-row broadcast argmax — map-side combinable,
+    * no joins wider than the (tiny) top-1 attach, the per-round table
+    * goes through the Checkpointer knob. This is the
+    * [[graft.llm.Similarity.kmeansCentroids]] Lloyd-round pattern applied
+    * to tokenizer training; the oracle unrolls the identical rounds as a
+    * CTE chain. */
   private[graft] def bpeTrainOf(d: DataFrame, rounds: Int = BpeRounds,
                                 ckpt: graft.util.Checkpointer =
                                   graft.util.Checkpointer.Local): DataFrame = {
@@ -69,17 +75,18 @@ object TextAnalysis {
     var seg = ckpt(d
       .selectExpr("explode(split(text, ' ')) AS w")
       .where(expr("length(w) >= 2"))
-      .selectExpr(s"concat('$Sep', array_join(split(w, ''), '$Sep$Sep'), '$Sep') AS seg"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .selectExpr("c", s"concat('$Sep', array_join(split(w, ''), '$Sep$Sep'), '$Sep') AS seg"))
     val tops = (1 to rounds).map { r =>
       val top = ckpt(seg
-        .selectExpr(s"$syms AS sy").where(expr("size(sy) >= 2"))
-        .selectExpr("explode(transform(sequence(1, size(sy) - 1), i -> " +
+        .selectExpr("c", s"$syms AS sy").where(expr("size(sy) >= 2"))
+        .selectExpr("c", "explode(transform(sequence(1, size(sy) - 1), i -> " +
           "named_struct('lhs', element_at(sy, i), 'rhs', element_at(sy, i + 1)))) AS z")
-        .selectExpr("z.lhs AS lhs", "z.rhs AS rhs")
-        .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("n"))
+        .selectExpr("c", "z.lhs AS lhs", "z.rhs AS rhs")
+        .groupBy(col("lhs"), col("rhs")).agg(sum(col("c")).as("n"))
         .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1))
       seg = ckpt(seg.crossJoin(broadcast(top))
-        .selectExpr(s"replace(seg, concat('$Sep', lhs, '$Sep$Sep', rhs, '$Sep'), " +
+        .selectExpr("c", s"replace(seg, concat('$Sep', lhs, '$Sep$Sep', rhs, '$Sep'), " +
           s"concat('$Sep', lhs, rhs, '$Sep')) AS seg"))
       top.selectExpr(s"CAST($r AS INT) AS rnd", "lhs", "rhs",
         "concat(lhs, rhs) AS merged", "n")
@@ -98,27 +105,32 @@ object TextAnalysis {
                                  ckpt: graft.util.Checkpointer =
                                    graft.util.Checkpointer.Local): DataFrame = {
     val syms = s"split(substring(seg, 2, length(seg) - 2), '$Sep$Sep')"
+    // distinct (source, word) weighted by occurrence count — the same
+    // vocabulary contraction as the trainer (see [[bpeTrainOf]]); the
+    // merge argmaxes weight by the GLOBAL count so they equal the
+    // trainer's, and the per-source stats de-contract at the end
     var seg = ckpt(d
       .selectExpr("source", "explode(split(text, ' ')) AS w")
       .where(expr("length(w) >= 2"))
-      .selectExpr("source", "w",
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .selectExpr("source", "w", "c",
         s"concat('$Sep', array_join(split(w, ''), '$Sep$Sep'), '$Sep') AS seg"))
     for (_ <- 1 to rounds) {
       val top = ckpt(seg
-        .selectExpr(s"$syms AS sy").where(expr("size(sy) >= 2"))
-        .selectExpr("explode(transform(sequence(1, size(sy) - 1), i -> " +
+        .selectExpr("c", s"$syms AS sy").where(expr("size(sy) >= 2"))
+        .selectExpr("c", "explode(transform(sequence(1, size(sy) - 1), i -> " +
           "named_struct('lhs', element_at(sy, i), 'rhs', element_at(sy, i + 1)))) AS z")
-        .selectExpr("z.lhs AS lhs", "z.rhs AS rhs")
-        .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("n"))
+        .selectExpr("c", "z.lhs AS lhs", "z.rhs AS rhs")
+        .groupBy(col("lhs"), col("rhs")).agg(sum(col("c")).as("n"))
         .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1))
       seg = ckpt(seg.crossJoin(broadcast(top))
-        .selectExpr("source", "w",
+        .selectExpr("source", "w", "c",
           s"replace(seg, concat('$Sep', lhs, '$Sep$Sep', rhs, '$Sep'), " +
             s"concat('$Sep', lhs, rhs, '$Sep')) AS seg"))
     }
-    seg.selectExpr("source", "length(w) AS n_chars_w", s"size($syms) AS n_sym")
+    seg.selectExpr("source", "c", "c * length(w) AS n_chars_w", s"c * size($syms) AS n_sym")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_words"),
+      .agg(sum(col("c")).as("n_words"),
         sum(col("n_sym")).as("n_tokens"),
         sum(col("n_chars_w")).as("n_chars"))
       .withColumn("tokens_per_word",
