@@ -340,6 +340,56 @@ object Curation {
         .orderBy(col("host"))
     },
 
+    // Deterministic epoch-aware dataloader sharding: each epoch draws a
+    // FRESH pseudo-random permutation (the epoch salts the hash) and every
+    // doc lands on exactly one of 8 shards — the distributed data-loader
+    // contract: workers read disjoint shards with no coordinator, the
+    // order differs every epoch, and any run reproduces it bit-for-bit
+    // (hash, not RNG). Output audits the balance: per-(epoch, shard) doc
+    // and token counts plus the shard's token share of its epoch. One
+    // scan; the per-epoch explode is a constant 3x fan-out of slim longs.
+    "q_llm_epoch_shards" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val d = docs(s, dir)
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n_tok")
+        .selectExpr("doc_id", "n_tok", "explode(sequence(0, 2)) AS epoch")
+        .selectExpr("doc_id", "n_tok", "epoch",
+          s"${sparkWordHash("concat('order-v1:', CAST(epoch AS STRING), ':', " +
+            "CAST(doc_id AS STRING))")} % 8 AS shard")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("epoch"))
+      d.groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+        .withColumn("tok_share",
+          Exact.fix(col("tokens").cast("double") / sum(col("tokens")).over(w), 6))
+        .select(col("epoch"), col("shard"), col("n_docs"), col("tokens"), col("tok_share"))
+        .orderBy(col("epoch"), col("shard"))
+    },
+
+    // Sequence-length bucketing — the batching-efficiency audit: pad-to-
+    // bucket batching wastes (bucket_width - len) tokens per doc, so the
+    // bucket layout (powers of two here) decides real accelerator
+    // utilization. Per bucket: docs, real tokens, padded slots, waste
+    // fraction — all exact integer arithmetic (the bucket edges are a
+    // CASE chain, identical in both engines; no float log2). One scan +
+    // one tiny agg.
+    "q_llm_length_buckets" -> { (s, dir) =>
+      val bw = "CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32 " +
+        "WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128 " +
+        "WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512 " +
+        "WHEN n_tok <= 1024 THEN 1024 ELSE 2048 END"
+      docs(s, dir)
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n_tok")
+        .selectExpr("doc_id", "n_tok", s"$bw AS bucket_w")
+        .groupBy(col("bucket_w"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+        .withColumn("padded", expr("n_docs * bucket_w"))
+        .withColumn("waste_pct", Exact.fix(
+          expr("CAST(padded - tokens AS DOUBLE) * 100.0 / padded"), 4))
+        .select(col("bucket_w"), col("n_docs"), col("tokens"),
+          col("padded"), col("waste_pct"))
+        .orderBy(col("bucket_w"))
+    },
+
     // Intra-document repetition scoring (Gopher-style quality rules): the
     // filter that catches looping/boilerplate generators the CROSS-doc
     // dedup suite can't see. Per doc: repeated-word fraction
@@ -581,6 +631,44 @@ object Curation {
              docs_out, tokens_out
       FROM shares JOIN outp ON shares.source = outp.source
       ORDER BY shares.source""",
+
+      "q_llm_epoch_shards" -> s"""
+      WITH b AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+      e AS (
+        SELECT doc_id, n_tok, CAST(unnest(range(0, 3)) AS INT) AS epoch FROM b),
+      sh AS (
+        SELECT doc_id, n_tok, epoch,
+               ${duckWordHash("concat('order-v1:', CAST(epoch AS VARCHAR), ':', " +
+                 "CAST(doc_id AS VARCHAR))")} % 8 AS shard
+        FROM e),
+      agg AS (
+        SELECT epoch, shard, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens
+        FROM sh GROUP BY epoch, shard)
+      SELECT epoch, shard, n_docs, tokens,
+             ${Exact.sqlFix(
+               "CAST(tokens AS DOUBLE) / (sum(tokens) OVER (PARTITION BY epoch))", 6)} AS tok_share
+      FROM agg ORDER BY epoch, shard""",
+
+      "q_llm_length_buckets" -> s"""
+      WITH b AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+      w AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+                    WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+                    WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+                    WHEN n_tok <= 1024 THEN 1024 ELSE 2048 END AS bucket_w
+        FROM b),
+      agg AS (
+        SELECT bucket_w, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens
+        FROM w GROUP BY bucket_w)
+      SELECT bucket_w, n_docs, tokens, n_docs * bucket_w AS padded,
+             ${Exact.sqlFix(
+               "CAST(n_docs * bucket_w - tokens AS DOUBLE) * 100.0 / (n_docs * bucket_w)", 4)} AS waste_pct
+      FROM agg ORDER BY bucket_w""",
 
       "q_llm_url_canonical" -> s"""
       WITH $duckUrlCtes

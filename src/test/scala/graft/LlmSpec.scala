@@ -489,6 +489,44 @@ class LlmSpec extends SparkSpec {
     assert(got(3L) === got(843L))
   }
 
+  test("epoch shards: epoch-salted permutation reshuffles; shards partition each epoch") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_epoch"
+    graft.sinks.Sinks.truncate(tdir)
+    val words = (1 to 8).map("w" + _).mkString(" ")
+    (0 until 64).map(i => (i.toLong, words, "en", "src"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Curation.queries("q_llm_epoch_shards")(spark, tdir).collect()
+    // every epoch partitions all 64 docs across its shards
+    val perEpoch = r.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(perEpoch === Map(0 -> 64L, 1 -> 64L, 2 -> 64L))
+    // the epoch salt actually reshuffles: shard histograms differ across
+    // epochs (64 docs over 8 shards — identical histograms would mean
+    // the permutation ignored the epoch)
+    val hist = (e: Int) => r.filter(_.getInt(0) == e)
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(!(hist(0) == hist(1) && hist(1) == hist(2)))
+  }
+
+  test("length buckets: pow2 edges; padding accounting is exact") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_lenbuck"
+    graft.sinks.Sinks.truncate(tdir)
+    def text(n: Int) = (1 to n).map("w" + _).mkString(" ")
+    // 16 sits on the first edge; 17 spills to the 32 bucket
+    Seq((1L, text(16)), (2L, text(17)), (3L, text(32)), (4L, text(100)))
+      .map { case (i, t) => (i, t, "en", "src") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Curation.queries("q_llm_length_buckets")(spark, tdir)
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(16) === ((1L, 16L, 16L)))          // exactly full: zero waste
+    assert(r(32) === ((2L, 49L, 64L)))          // docs 17+32 share the 32 bucket
+    assert(r(128) === ((1L, 100L, 128L)))
+  }
+
   test("leakage-safe split: every near-dup cluster lands in ONE split") {
     import spark.implicits._
     // corpus with a planted near-dup pair (identical docs) + singletons
