@@ -43,6 +43,21 @@ object Curation {
   val ChunkW = 16
   val ChunkS = 8
 
+  /** DSIR hashed-feature bucket count. The published method hashes word
+    * n-grams into a fixed bucket space so the two distribution estimates
+    * are dense small vectors regardless of corpus size; 256 keeps the
+    * per-bucket weight table broadcast-trivial while still separating the
+    * sources in the test corpus. */
+  val DsirBuckets = 256L
+
+  /** The target-domain slice for DSIR: docs from this source play the
+    * "high-quality target sample" role (in production: a curated corpus). */
+  val DsirTarget = "src0"
+
+  /** Selection budget: keep the top 1/DsirKeepFrac of each source's raw
+    * docs by importance weight. */
+  val DsirKeepFrac = 4L
+
   /** Deterministic messy-URL synthesis for the URL-canonicalization
     * family — the documents table carries no URL column, so (like
     * `synthesizeRawCommits`, `ingest/CommitEtl.scala`) both engines derive
@@ -472,6 +487,64 @@ object Curation {
           sum(expr(s"IF(rn <= $CapPerGroup, 1, 0)")).as("n_kept"),
           sum(expr(s"IF(rn <= $CapPerGroup, n_tok, 0)")).as("kept_tokens"))
         .orderBy(col("source"), col("lang"))
+    },
+
+    // DSIR-style importance resampling (Data Selection via Importance
+    // Resampling): score every raw document by how much its hashed
+    // n-gram feature distribution looks like a TARGET sample vs the raw
+    // corpus — importance weight = Σ_features log(p_target(f)/p_raw(f))
+    // with add-1 smoothing — then keep each source's top quarter by
+    // weight. Deterministic variant of the published method: the paper's
+    // Gumbel-top-k draw is replaced by exact top-k per source (RNG-free
+    // like everything in this module; the weights themselves are the
+    // published estimator). Cross-engine exactness: both ln() terms are
+    // scaled to 6-decimal longs SEPARATELY before the subtraction and all
+    // aggregation is integer (the lm_score discipline), so ranking keys
+    // are exact longs. Scale shape: the feature space is a fixed
+    // 256-bucket table (broadcast), the two distribution estimates are
+    // one hash-agg each over the token stream, per-doc scoring is one
+    // groupBy(doc) + broadcast join, and the top-k is a per-source window
+    // (the token_budget sharding pattern). Nothing corpus-sized crosses
+    // a join; one corpus scan feeds everything via the checkpoint.
+    "q_llm_dsir_select" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val nb = DsirBuckets
+      // feature stream: hashed unigrams + bigrams folded into nb buckets
+      val feats = docs(s, dir)
+        .selectExpr("doc_id", "source", s"${sparkWordHashes("text")} AS wh")
+        .selectExpr("doc_id", "source",
+          s"explode(concat(transform(wh, h -> h % $nb), " +
+            "CASE WHEN size(wh) >= 2 THEN " +
+            "transform(sequence(1, size(wh) - 1), i -> " +
+            s"(element_at(wh, i) * 131 + element_at(wh, i + 1)) % $P % $nb) " +
+            "ELSE CAST(array() AS ARRAY<BIGINT>) END)) AS b")
+        .localCheckpoint() // one tokenize feeds both estimates + scoring
+      val tgt = feats.where(col("source") === lit(DsirTarget))
+      val raw = feats.where(col("source") =!= lit(DsirTarget))
+      val tc = tgt.groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val rc = raw.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      val tn = tgt.agg(count(lit(1)).as("tn"))
+      val rn = raw.agg(count(lit(1)).as("rn"))
+      val weights = rc.join(tc, Seq("b"), "left")
+        .crossJoin(broadcast(tn)).crossJoin(broadcast(rn))
+        .select(col("b"),
+          (Exact.scaled(log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("tn") + lit(nb))), 6) -
+            Exact.scaled(log((col("rc") + lit(1.0)) / (col("rn") + lit(nb))), 6)).as("w6"))
+      val scored = raw.groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("m"))
+        .join(broadcast(weights), Seq("b"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("m") * col("w6")).as("s6"), sum(col("m")).as("nf"))
+      val w = Window.partitionBy(col("source")).orderBy(col("s6").desc, col("doc_id"))
+      scored
+        .withColumn("sel_rank", row_number().over(w).cast("long"))
+        .withColumn("src_n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .select(col("doc_id"), col("source"), col("nf").as("n_feats"),
+          (col("s6").cast("double") / lit(1000000.0)).as("logratio"),
+          col("sel_rank"),
+          expr(s"CASE WHEN sel_rank * $DsirKeepFrac <= src_n " +
+            "THEN 'selected' ELSE 'rejected' END").as("verdict"))
+        .orderBy(col("doc_id"))
     })
 
   def oracleSql: Map[String, String] = {
@@ -741,6 +814,48 @@ object Curation {
       SELECT source, lang, count(*) AS n_docs,
              CAST(sum(CASE WHEN rn <= $CapPerGroup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              CAST(sum(CASE WHEN rn <= $CapPerGroup THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
-      FROM b GROUP BY source, lang ORDER BY source, lang""")
+      FROM b GROUP BY source, lang ORDER BY source, lang""",
+
+      // mirror of q_llm_dsir_select: identical bucketed feature stream,
+      // each ln() scaled to 6-decimal longs before the subtraction
+      "q_llm_dsir_select" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, ${duckWordHashes("text")} AS wh FROM documents),
+      feats AS (
+        SELECT doc_id, source, unnest(list_concat(
+          list_transform(wh, h -> h % $DsirBuckets),
+          CASE WHEN len(wh) >= 2 THEN
+            list_transform(range(1, len(wh)), i ->
+              (wh[i] * 131 + wh[i + 1]) % $P % $DsirBuckets)
+          ELSE CAST([] AS BIGINT[]) END)) AS b
+        FROM toks),
+      tgt AS (SELECT b FROM feats WHERE source = '$DsirTarget'),
+      rawf AS (SELECT doc_id, source, b FROM feats WHERE source <> '$DsirTarget'),
+      tc AS (SELECT b, count(*) AS tc FROM tgt GROUP BY b),
+      rc AS (SELECT b, count(*) AS rc FROM rawf GROUP BY b),
+      tn AS (SELECT count(*) AS tn FROM tgt),
+      rn AS (SELECT count(*) AS rn FROM rawf),
+      w AS (
+        SELECT rc.b,
+               ${Exact.sqlScaled(s"ln((coalesce(tc, 0) + 1.0) / (tn + $DsirBuckets))", 6)} -
+               ${Exact.sqlScaled(s"ln((rc + 1.0) / (rn + $DsirBuckets))", 6)} AS w6
+        FROM rc LEFT JOIN tc ON rc.b = tc.b, tn, rn),
+      m AS (
+        SELECT doc_id, source, b, count(*) AS m FROM rawf GROUP BY 1, 2, 3),
+      sc AS (
+        SELECT doc_id, source, CAST(sum(m * w6) AS BIGINT) AS s6,
+               CAST(sum(m) AS BIGINT) AS nf
+        FROM m JOIN w USING (b) GROUP BY 1, 2),
+      rk AS (
+        SELECT doc_id, source, s6, nf,
+               row_number() OVER (PARTITION BY source ORDER BY s6 DESC, doc_id) AS sel_rank,
+               count(*) OVER (PARTITION BY source) AS src_n
+        FROM sc)
+      SELECT doc_id, source, nf AS n_feats,
+             CAST(s6 AS DOUBLE) / 1000000.0 AS logratio,
+             CAST(sel_rank AS BIGINT) AS sel_rank,
+             CASE WHEN sel_rank * $DsirKeepFrac <= src_n
+                  THEN 'selected' ELSE 'rejected' END AS verdict
+      FROM rk ORDER BY doc_id""")
   }
 }

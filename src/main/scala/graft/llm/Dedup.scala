@@ -30,6 +30,13 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Exact-substring gram width (characters) for q_llm_dedup_substrings —
+    * the minimum duplicated-run length the operator can certify. 20 chars
+    * ≈ 4 words on the test corpus; production exact-substr dedup uses
+    * ~50 tokens, which is only this constant scaled up (the plan is
+    * length-independent). */
+  val SubK = 20
+
   /** (doc_id, sg): one row per DISTINCT word-3-gram shingle hash, docs with
     * >= 3 tokens only (shingling is undefined below that — both engines
     * agree). The exploded stream is the base of every MinHash computation:
@@ -349,6 +356,39 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** See the `q_llm_dedup_substrings` entry comment. Input: (doc_id, text). */
+  private[graft] def substringCoverageOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val occ = d.where(length(col("text")) >= SubK)
+      .selectExpr("doc_id", "text",
+        s"explode(sequence(1, length(text) - ${SubK - 1})) AS p")
+      .selectExpr("doc_id", "p", s"graft_charhash(substring(text, p, $SubK)) AS h")
+      .localCheckpoint() // one gram scan feeds the repeat table AND the marking join
+    val rep = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("h"))
+    val spans = occ.join(rep, Seq("h"), "left_semi")
+      .withColumn("brk", when(col("p") - lag(col("p"), 1).over(w) > SubK, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("p")) - min(col("p")) + lit(SubK)).as("span"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span")).as("dup_chars"), count(lit(1)).as("n_spans"))
+    d.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        graft.util.Exact.fix(
+          coalesce(col("dup_chars"), lit(0L)).cast("double") * 100 / col("n_chars"), 6)
+          .as("dup_pct"),
+        expr("CASE WHEN 2 * coalesce(dup_chars, 0) >= n_chars THEN 'drop' " +
+          "WHEN 5 * coalesce(dup_chars, 0) >= n_chars THEN 'trim' " +
+          "ELSE 'keep' END").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Passage-level dedup with document RECONSTRUCTION (the CCNet /
@@ -363,6 +403,28 @@ object Dedup {
     // (O(tokens/10) rows), one hash-count agg, one per-doc regroup; no
     // joins wider than the segment stream.
     "q_llm_dedup_passages" -> ((s, dir) => passagesOf(docs(s, dir))),
+
+    // EXACT-SUBSTRING dedup (the "deduplicating training data" repeated-
+    // span semantic): every character position opens a k-char gram
+    // (k = SubK, stride 1); grams whose hash repeats ANYWHERE in the
+    // corpus — across docs or within one — mark their [p, p+k-1] span
+    // duplicated, overlapping/adjacent spans merge per doc (gaps-and-
+    // islands over position order), and each doc reports exact
+    // duplicated-char coverage + a keep/trim/drop verdict on integer
+    // cross-multiplied thresholds. This is finer than passage/chunk dedup
+    // (word-segment granularity, alignment-sensitive): a duplicated span
+    // is caught at ANY offset. Scale shape: the position explode is
+    // linear in corpus characters (the same fan-out class as
+    // tokenization — the published exact-substr algorithm's suffix array
+    // is also O(chars)); the repeat table is one map-side-combining hash
+    // agg; marking is a slim LEFT SEMI join on the gram hash; the island
+    // merge is a per-doc window (hash exchange on doc_id). No pairwise
+    // join anywhere — cost is O(chars + duplicated positions), never
+    // O(N^2). Hash collisions (P = 1e9+7) can over-mark a span; the rate
+    // is ~(positions^2 / 2P) corpus-wide, both engines share the same
+    // hash so the oracle still matches, and a production run widens to a
+    // 63-bit double hash with the same plan.
+    "q_llm_dedup_substrings" -> ((s, dir) => substringCoverageOf(docs(s, dir))),
 
     // End-to-end training-data prep: the operators composed the way a real
     // corpus pipeline runs them — language filter -> quality gate -> exact
@@ -1048,6 +1110,42 @@ object Dedup {
              ${duckCharHash("coalesce(r.nt, '')")} AS new_fp,
              CAST(length(coalesce(r.nt, '')) AS INT) AS n_chars_new
       FROM nseg n LEFT JOIN rebuilt r USING (doc_id) ORDER BY n.doc_id""",
+
+      // mirror of q_llm_dedup_substrings: identical gram hash (char-poly),
+      // identical island merge (lag > SubK breaks), identical verdicts
+      "q_llm_dedup_substrings" -> s"""
+      WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+      pos AS (
+        SELECT doc_id, text, unnest(range(1, n - ${SubK - 2})) AS p
+        FROM d WHERE n >= $SubK),
+      occ AS (
+        SELECT doc_id, p, ${duckCharHash(s"substr(text, CAST(p AS INT), $SubK)")} AS h
+        FROM pos),
+      rep AS (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
+      dup AS (SELECT doc_id, p FROM occ WHERE h IN (SELECT h FROM rep)),
+      brk AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $SubK
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        FROM brk),
+      sp AS (
+        SELECT doc_id, isl, max(p) - min(p) + $SubK AS span
+        FROM isl GROUP BY doc_id, isl),
+      per AS (
+        SELECT doc_id, CAST(sum(span) AS BIGINT) AS dup_chars,
+               count(*) AS n_spans
+        FROM sp GROUP BY doc_id)
+      SELECT d.doc_id, d.n AS n_chars,
+             coalesce(dup_chars, 0) AS dup_chars,
+             coalesce(n_spans, 0) AS n_spans,
+             ${graft.util.Exact.sqlFix("coalesce(dup_chars, 0) * 100.0 / d.n", 6)} AS dup_pct,
+             CASE WHEN 2 * coalesce(dup_chars, 0) >= d.n THEN 'drop'
+                  WHEN 5 * coalesce(dup_chars, 0) >= d.n THEN 'trim'
+                  ELSE 'keep' END AS verdict
+      FROM d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
 
       "q_llm_minhash_sig" -> s"""
       WITH ${duckShingleCtes()},

@@ -548,6 +548,53 @@ class LlmSpec extends SparkSpec {
     assert(dup.forall(_._2 === 10L), "cluster canonical = min id")
   }
 
+  test("exact-substring dedup: shared runs found at ANY offset; islands merge; clean doc is 0") {
+    import spark.implicits._
+    val run = "the shared duplicated substring" // 31 chars
+    val block = "repeated-block-abcdefghij" // 25 chars
+    assert(run.length === 31 && block.length === 25)
+    val d = Seq(
+      (1L, "prefix one %%%% " + run + " tail-one-unique-zzz"),
+      (2L, "completely different head " + run + " other-end-qqq"),
+      (3L, "nothing here repeats at twenty characters anywhere in this text at all"),
+      // intra-doc repeat: two copies separated by >SubK unique chars
+      (4L, block + " unique filler between copies " + block)
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.substringCoverageOf(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the run is flanked by a space on both sides in docs 1 AND 2, so the
+    // shared region is " run " = 33 chars, one island, found at different
+    // offsets in the two docs (the alignment-free property)
+    assert(out(1L).getAs[Long]("dup_chars") === 33L)
+    assert(out(1L).getAs[Long]("n_spans") === 1L)
+    assert(out(2L).getAs[Long]("dup_chars") === 33L)
+    assert(out(3L).getAs[Long]("dup_chars") === 0L)
+    assert(out(3L).getAs[String]("verdict") === "keep")
+    // doc 4: both 25-char copies marked (intra-doc repeats count), two
+    // islands (gap > SubK), 50/80 chars duplicated => drop
+    assert(out(4L).getAs[Long]("dup_chars") === 50L)
+    assert(out(4L).getAs[Long]("n_spans") === 2L)
+    assert(out(4L).getAs[String]("verdict") === "drop")
+  }
+
+  test("DSIR selection: target excluded; per-source budget exact; selected prefix dominates") {
+    val out = SparkEntry.queries("q_llm_dsir_select")(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getAs[String]("source") == graft.llm.Curation.DsirTarget),
+      "the target slice is the sample, never a selection candidate")
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val sel = rows.filter(_.getAs[String]("verdict") == "selected")
+      assert(sel.length === rows.length / graft.llm.Curation.DsirKeepFrac.toInt,
+        s"$src: selection budget must be exactly floor(n/DsirKeepFrac)")
+      if (sel.nonEmpty && sel.length < rows.length) {
+        val minSel = sel.map(_.getAs[Double]("logratio")).min
+        val maxRej = rows.filter(_.getAs[String]("verdict") == "rejected")
+          .map(_.getAs[Double]("logratio")).max
+        assert(minSel >= maxRej, s"$src: selected docs must dominate by importance weight")
+      }
+    }
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
