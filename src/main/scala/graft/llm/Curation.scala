@@ -58,6 +58,17 @@ object Curation {
     * docs by importance weight. */
   val DsirKeepFrac = 4L
 
+  /** Token budget per output training shard for [[q_llm_output_shards]]. */
+  val ShardBudget = 1000L
+
+  /** Curriculum stage count (equal-width length bands) for
+    * [[q_llm_curriculum]]. */
+  val CurriculumStages = 4L
+
+  /** English stopword probe set shared by the funnel's stopword stage
+    * (a small fixed list, embedded as an array literal in both engines). */
+  val funnelStops: Seq[String] = Seq("the", "a", "of", "to", "and", "is", "in")
+
   /** Deterministic messy-URL synthesis for the URL-canonicalization
     * family — the documents table carries no URL column, so (like
     * `synthesizeRawCommits`, `ingest/CommitEtl.scala`) both engines derive
@@ -489,6 +500,126 @@ object Curation {
         .orderBy(col("source"), col("lang"))
     },
 
+    // Staged-filter funnel with first-kill attribution: the curation
+    // observability report every production pipeline ships — docs flow
+    // through the ordered filter stages (language → length window →
+    // mean-word-length window → repetition/TTR → stopword presence) and
+    // each doc is attributed to the FIRST stage that kills it, so the
+    // report reads as a funnel (docs entering each stage, killed there,
+    // token mass lost, kill rate). Every verdict is an integer
+    // cross-multiplied inequality (the gopher_rules discipline — no float
+    // thresholds to diverge across engines). Shape: ONE corpus scan
+    // computes all per-doc signals, one 6-group hash agg, then the spine
+    // join + running sums run on a 6-row aggregate (the global window is
+    // over the 6 stage rows, not the corpus — free at any corpus size).
+    // docs_in is the suffix sum of first-kill counts (every doc lands in
+    // exactly one bucket), so no separate corpus total is needed.
+    "q_llm_filter_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val stops = funnelStops.map("'" + _ + "'").mkString("array(", ", ", ")")
+      val sig = docs(s, dir)
+        .selectExpr("lang", "length(text) AS len_txt", "split(text, ' ') AS t")
+        .selectExpr("lang", "size(t) AS n_words",
+          "len_txt - size(t) + 1 AS len_adj",
+          "size(array_distinct(t)) AS n_uniq",
+          s"size(array_intersect(t, $stops)) AS n_stop")
+        .selectExpr("n_words",
+          "CASE WHEN lang <> 'en' THEN 'lang' " +
+            "WHEN NOT (n_words BETWEEN 30 AND 1000) THEN 'length' " +
+            "WHEN NOT (4 * n_words <= len_adj AND len_adj <= 10 * n_words) THEN 'wordlen' " +
+            "WHEN NOT (3 * n_uniq >= n_words) THEN 'repetition' " +
+            "WHEN NOT (n_stop >= 2) THEN 'stopwords' ELSE 'kept' END AS stage")
+      val byStage = sig.groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("tokens"))
+      val spine = Seq((1L, "lang"), (2L, "length"), (3L, "wordlen"),
+        (4L, "repetition"), (5L, "stopwords"), (6L, "kept"))
+        .toDF("stage_ord", "stage")
+      val wRemaining = Window.orderBy(col("stage_ord"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(byStage, Seq("stage"), "left")
+        .select(col("stage_ord"), col("stage"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("tokens"), lit(0L)).as("tokens"))
+        .withColumn("docs_in", sum(col("n_docs")).over(wRemaining))
+        .withColumn("pct_of_in", Exact.fix(
+          expr("CASE WHEN docs_in = 0 THEN CAST(0 AS DOUBLE) " +
+            "ELSE CAST(n_docs AS DOUBLE) * 100.0 / docs_in END"), 4))
+        .select(col("stage_ord"), col("stage"), col("docs_in"), col("n_docs"),
+          col("tokens"), col("pct_of_in"))
+        .orderBy(col("stage_ord"))
+    },
+
+    // Output-shard packing + manifest: assign whole documents to
+    // fixed-token-budget training shards (the "write the corpus as shard
+    // files a dataloader streams" step) and emit the shard MANIFEST — doc
+    // count, exact token mass, doc-id range, fill ratio, and an
+    // order-independent membership hash (sum of per-doc md5 hashes mod P)
+    // that a loader can verify each shard file against. Sharding is PER
+    // SOURCE in deterministic hash-permutation order (the md5 wordHash, a
+    // real permutation — see q_llm_sample_stratified's note on why the
+    // rolling charhash is wrong for ordering), docs assigned to the shard
+    // where their token span starts, so shard k may overflow only by the
+    // tail of its last doc (doc-contiguous budget-targeted packing — what
+    // real shard writers do). Shape: one scan, one per-source window
+    // cumsum (shard-local, no global order), one hash agg; the membership
+    // hash can't overflow because a shard holds at most budget/min_doc_tok
+    // docs by construction.
+    "q_llm_output_shards" -> { (s, dir) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .selectExpr("doc_id", "source", "size(split(text, ' ')) AS n_tok",
+          s"${sparkWordHash("concat('shard-v1:', CAST(doc_id AS STRING))")} AS pri")
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .selectExpr("source", "doc_id", "n_tok", "pri",
+          s"(cum - n_tok) DIV $ShardBudget AS shard_id")
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tokens"),
+          min(col("doc_id")).as("doc_min"),
+          max(col("doc_id")).as("doc_max"),
+          expr(s"CAST(sum(pri) % $P AS BIGINT)").as("member_hash"))
+        .withColumn("fill_pct", Exact.fix(
+          expr(s"CAST(tokens AS DOUBLE) * 100.0 / $ShardBudget"), 4))
+        .orderBy(col("source"), col("shard_id"))
+    },
+
+    // Sequence-length curriculum staging: band the corpus into
+    // CurriculumStages equal-width length bands (short→long, the published
+    // short-first curriculum) and emit the pacing schedule — per-stage doc
+    // count, exact token mass, length range, cumulative tokens seen by the
+    // end of each stage, and a deterministic stage fingerprint (sum of
+    // salted doc hashes mod P) that makes the assignment auditable. Band
+    // edges are CORPUS-RELATIVE — (n_tok - min) * K DIV (max - min + 1),
+    // exact integer arithmetic off one broadcast min/max aggregate — not
+    // compile-time length constants, so the banding survives any corpus
+    // scale or length distribution. No global sort and no NTILE (a global
+    // ntile is a single-task sort at 100 TB); the only windows run over
+    // the K stage rows. Within-stage epoch order is q_llm_epoch_shards's
+    // job (epoch-salted hash permutation) — composing the two gives
+    // curriculum-ordered epochs with no coordinator.
+    "q_llm_curriculum" -> { (s, dir) =>
+      val base = docs(s, dir)
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n_tok",
+          s"${sparkWordHash("concat('curr-v1:', CAST(doc_id AS STRING))")} AS h")
+      val bounds = base.agg(min(col("n_tok")).as("mn"), max(col("n_tok")).as("mx"))
+      base.crossJoin(broadcast(bounds))
+        .selectExpr("doc_id", "n_tok", "h",
+          s"CAST((n_tok - mn) * $CurriculumStages DIV (mx - mn + 1) AS BIGINT) AS stage")
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tokens"),
+          min(col("n_tok")).cast("long").as("tok_min"),
+          max(col("n_tok")).cast("long").as("tok_max"),
+          // per-term reduced mod 1000003 so the stage sum stays far from
+          // 63-bit overflow at any row count
+          expr(s"CAST(sum(h % 1000003) % $P AS BIGINT)").as("stage_fp"))
+        .withColumn("cum_tokens", sum(col("tokens")).over(
+          Window.orderBy(col("stage"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("stage"))
+    },
+
     // DSIR-style importance resampling (Data Selection via Importance
     // Resampling): score every raw document by how much its hashed
     // n-gram feature distribution looks like a TARGET sample vs the raw
@@ -787,6 +918,92 @@ object Curation {
                   WHEN n_sh > 0 AND 5 * (n_sh - n_sh_uniq) >= n_sh THEN 'looping'
                   ELSE 'ok' END AS verdict
       FROM d ORDER BY doc_id""",
+
+      "q_llm_filter_funnel" -> {
+        val stops = funnelStops.map("'" + _ + "'").mkString("[", ", ", "]")
+        s"""
+      WITH sig AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               CAST(length(text) AS INT) - CAST(len(string_split(text, ' ')) AS INT) + 1 AS len_adj,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+               CAST(len(list_intersect(string_split(text, ' '), $stops)) AS INT) AS n_stop
+        FROM documents),
+      fk AS (
+        SELECT n_words,
+               CASE WHEN lang <> 'en' THEN 'lang'
+                    WHEN NOT (n_words BETWEEN 30 AND 1000) THEN 'length'
+                    WHEN NOT (4 * n_words <= len_adj AND len_adj <= 10 * n_words) THEN 'wordlen'
+                    WHEN NOT (3 * n_uniq >= n_words) THEN 'repetition'
+                    WHEN NOT (n_stop >= 2) THEN 'stopwords' ELSE 'kept' END AS stage
+        FROM sig),
+      k AS (
+        SELECT stage, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS tokens
+        FROM fk GROUP BY stage),
+      spine(stage_ord, stage) AS (VALUES
+        (CAST(1 AS BIGINT), 'lang'), (2, 'length'), (3, 'wordlen'),
+        (4, 'repetition'), (5, 'stopwords'), (6, 'kept')),
+      j AS (
+        SELECT spine.stage_ord, spine.stage,
+               COALESCE(k.n_docs, 0) AS n_docs, COALESCE(k.tokens, 0) AS tokens
+        FROM spine LEFT JOIN k USING (stage)),
+      f AS (
+        SELECT stage_ord, stage, n_docs, tokens,
+               CAST(sum(n_docs) OVER (ORDER BY stage_ord
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS docs_in
+        FROM j)
+      SELECT stage_ord, stage, docs_in, n_docs, tokens,
+             ${Exact.sqlFix("CASE WHEN docs_in = 0 THEN CAST(0 AS DOUBLE) " +
+               "ELSE CAST(n_docs AS DOUBLE) * 100.0 / docs_in END", 4)} AS pct_of_in
+      FROM f ORDER BY stage_ord"""
+      },
+
+      "q_llm_output_shards" -> s"""
+      WITH b AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+               ${duckWordHash("concat('shard-v1:', CAST(doc_id AS VARCHAR))")} AS pri
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tok, pri,
+               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM b),
+      a AS (
+        SELECT source, doc_id, n_tok, pri,
+               (cum - n_tok) // $ShardBudget AS shard_id
+        FROM c),
+      m AS (
+        SELECT source, shard_id, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens,
+               min(doc_id) AS doc_min, max(doc_id) AS doc_max,
+               CAST(sum(pri) % $P AS BIGINT) AS member_hash
+        FROM a GROUP BY source, shard_id)
+      SELECT source, shard_id, n_docs, tokens, doc_min, doc_max, member_hash,
+             ${Exact.sqlFix(s"CAST(tokens AS DOUBLE) * 100.0 / $ShardBudget", 4)} AS fill_pct
+      FROM m ORDER BY source, shard_id""",
+
+      "q_llm_curriculum" -> s"""
+      WITH b AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+               ${duckWordHash("concat('curr-v1:', CAST(doc_id AS VARCHAR))")} AS h
+        FROM documents),
+      bounds AS (SELECT min(n_tok) AS mn, max(n_tok) AS mx FROM b),
+      st AS (
+        SELECT doc_id, n_tok, h,
+               CAST((n_tok - mn) * $CurriculumStages // (mx - mn + 1) AS BIGINT) AS stage
+        FROM b CROSS JOIN bounds),
+      agg AS (
+        SELECT stage, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens,
+               CAST(min(n_tok) AS BIGINT) AS tok_min,
+               CAST(max(n_tok) AS BIGINT) AS tok_max,
+               CAST(sum(h % 1000003) % $P AS BIGINT) AS stage_fp
+        FROM st GROUP BY stage)
+      SELECT stage, n_docs, tokens, tok_min, tok_max, stage_fp,
+             CAST(sum(tokens) OVER (ORDER BY stage
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM agg ORDER BY stage""",
 
       "q_llm_sample_stratified" -> {
         val thresholdValues = mixtureWeights

@@ -595,6 +595,81 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("filter funnel: first-kill attribution; docs_in telescopes") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_funnel"
+    graft.sinks.Sinks.truncate(tdir)
+    val shortWords = (1 to 40).map("w" + _).mkString(" ")          // mean wlen < 4
+    val repeated = Seq.fill(40)("alpha").mkString(" ")             // TTR kill
+    val noStops = (1 to 40).map("word" + _).mkString(" ")          // no stopwords
+    val kept = ((1 to 38).map("word" + _) ++ Seq("the", "a")).mkString(" ")
+    Seq(
+      (1L, "irgendein deutscher text hier", "de", "src"),          // lang
+      (2L, "one two the a five", "en", "src"),                     // length (< 30)
+      (3L, shortWords, "en", "src"),                               // wordlen
+      (4L, repeated, "en", "src"),                                 // repetition
+      (5L, noStops, "en", "src"),                                  // stopwords
+      (6L, kept, "en", "src"))                                     // survives
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Curation.queries("q_llm_filter_funnel")(spark, tdir).collect()
+    val byStage = r.map(x => x.getAs[String]("stage") ->
+      (x.getAs[Long]("docs_in"), x.getAs[Long]("n_docs"))).toMap
+    assert(byStage === Map(
+      "lang" -> ((6L, 1L)), "length" -> ((5L, 1L)), "wordlen" -> ((4L, 1L)),
+      "repetition" -> ((3L, 1L)), "stopwords" -> ((2L, 1L)), "kept" -> ((1L, 1L))))
+    // funnel telescopes: docs entering stage k+1 = docs_in(k) - killed(k)
+    val ordered = r.sortBy(_.getAs[Long]("stage_ord"))
+    ordered.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("docs_in") ===
+        a.getAs[Long]("docs_in") - a.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("output shards: budget-targeted doc-contiguous packing; manifest exact") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_shards"
+    graft.sinks.Sinks.truncate(tdir)
+    val words8 = (1 to 8).map("w" + _).mkString(" ")
+    (0 until 200).map(i => (i.toLong, words8, "en", "src"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Curation.queries("q_llm_output_shards")(spark, tdir).collect()
+      .map(x => x.getAs[Long]("shard_id") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("tokens"))).toMap
+    // 200 equal 8-token docs, budget 1000: doc starting at 992 still lands
+    // in shard 0 (125 docs = 1000 tokens), remaining 75 in shard 1
+    assert(r === Map(0L -> ((125L, 1000L)), 1L -> ((75L, 600L))))
+  }
+
+  test("curriculum: corpus-relative band edges; pacing cumsum telescopes") {
+    import spark.implicits._
+    def corpus(tdir: String, lens: Range): Unit = {
+      graft.sinks.Sinks.truncate(tdir)
+      lens.map(n => (n.toLong, (1 to n).map("w" + _).mkString(" "), "en", "src"))
+        .toDF("doc_id", "text", "lang", "source")
+        .write.parquet(s"$tdir/documents.parquet")
+    }
+    val t1 = graft.sinks.Sinks.tmpBase + "/spec_curr1"
+    corpus(t1, 10 to 49) // width 40 => exact 10-length bands
+    val r1 = graft.llm.Curation.queries("q_llm_curriculum")(spark, t1).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(r1.map(_.getAs[Long]("stage")).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(r1.forall(_.getAs[Long]("n_docs") == 10L))
+    assert(r1.map(x => (x.getAs[Long]("tok_min"), x.getAs[Long]("tok_max"))).toSeq ===
+      Seq((10L, 19L), (20L, 29L), (30L, 39L), (40L, 49L)))
+    // pacing schedule telescopes
+    assert(r1.map(_.getAs[Long]("tokens")).scanLeft(0L)(_ + _).drop(1).toSeq ===
+      r1.map(_.getAs[Long]("cum_tokens")).toSeq)
+    // edges are corpus-relative, not hardcoded: shift the distribution
+    val t2 = graft.sinks.Sinks.tmpBase + "/spec_curr2"
+    corpus(t2, 100 to 139)
+    val r2 = graft.llm.Curation.queries("q_llm_curriculum")(spark, t2).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(r2.map(x => (x.getAs[Long]("tok_min"), x.getAs[Long]("tok_max"))).toSeq ===
+      Seq((100L, 109L), (110L, 119L), (120L, 129L), (130L, 139L)))
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
