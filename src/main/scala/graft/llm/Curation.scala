@@ -620,6 +620,67 @@ object Curation {
         .orderBy(col("stage"))
     },
 
+    // Excess-perplexity mixture reweighting (the DoReMi shape, published
+    // as Domain Reweighting with Minimax Optimization): sources whose
+    // bigram-LM average NLL exceeds the corpus average are "hard" domains
+    // and get their mixture weight multiplied up; one multiplicative
+    // update w' ∝ w · (1 + excess) with the excess CLIPPED to 5 nats (the
+    // trust-region clip that keeps one pathological domain from eating
+    // the mixture — and keeps the scaled-long products far from 63-bit
+    // overflow: w6 ≤ 1e6, factor ≤ 6e6, unnorm·1e6 ≤ 6e18 < 2^63). The
+    // published method's exp(η·excess) step is deliberately replaced by
+    // the first-order (1 + excess) update: exp() is libm-dependent and
+    // would diverge across engines, the linearized update is
+    // integer-exact. LM machinery is the q_llm_lm_score pipeline grouped
+    // by SOURCE instead of doc — counts shrink to (source × bigram)
+    // before any join, the weight/total tables are 20-row broadcasts, and
+    // every log term is scaled to 6-decimal longs pre-aggregation, so the
+    // ranking and normalization are exact integer arithmetic.
+    "q_llm_mixture_reweight" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val w6tab = mixtureWeights
+        .map { case (src, w) => (src, math.floor(w * 1000000.0 + 0.5).toLong) }
+        .toDF("source", "w6")
+      val toks = docs(s, dir)
+        .selectExpr("source", s"${sparkWordHashes("text")} AS wh")
+        .where(expr("size(wh) >= 2"))
+        .localCheckpoint() // feeds bgs AND the vocab count
+      val bgs = toks.selectExpr("source",
+          "explode(transform(sequence(1, size(wh) - 1), i -> " +
+            "named_struct('h1', element_at(wh, i), 'h2', element_at(wh, i + 1)))) AS bg")
+        .groupBy(col("source"), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint() // feeds c2, c1, and the scoring join
+      val c2 = bgs.groupBy(col("h1"), col("h2")).agg(sum(col("m")).as("c2"))
+      val c1 = bgs.groupBy(col("h1")).agg(sum(col("m")).as("c1"))
+      val vocab = toks.selectExpr("explode(wh) AS h")
+        .agg(countDistinct(col("h")).as("v"))
+      val per = bgs.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("t6",
+          Exact.scaled(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))), 6))
+        .groupBy(col("source"))
+        .agg(sum(col("m") * col("t6")).as("s6"), sum(col("m")).as("nb"))
+      val tot = per.agg(sum(col("s6")).as("ts6"), sum(col("nb")).as("tnb"))
+      val wAll = Window.partitionBy(lit(1))
+      per.join(broadcast(w6tab), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("avg_src", (-col("s6")).cast("double") / col("nb") / lit(1000000.0))
+        .withColumn("avg_all", (-col("ts6")).cast("double") / col("tnb") / lit(1000000.0))
+        .withColumn("excess6", greatest(lit(0L),
+          least(lit(5000000L), Exact.scaled(col("avg_src") - col("avg_all"), 6))))
+        .withColumn("unnorm", col("w6") * (lit(1000000L) + col("excess6")))
+        .withColumn("tot_unnorm", sum(col("unnorm")).over(wAll)) // 20 rows
+        .select(col("source"), col("nb").as("n_bigrams"),
+          Exact.fix(col("avg_src"), 6).as("avg_nll"),
+          (col("excess6").cast("double") / lit(1000000.0)).as("excess"),
+          (col("w6").cast("double") / lit(1000000.0)).as("w_base"),
+          (expr("CAST((unnorm * 1000000) DIV tot_unnorm AS BIGINT)").cast("double") /
+            lit(1000000.0)).as("w_new"))
+        .orderBy(col("source"))
+    },
+
     // DSIR-style importance resampling (Data Selection via Importance
     // Resampling): score every raw document by how much its hashed
     // n-gram feature distribution looks like a TARGET sample vs the raw
@@ -1004,6 +1065,57 @@ object Curation {
              CAST(sum(tokens) OVER (ORDER BY stage
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       FROM agg ORDER BY stage""",
+
+      // mirror of q_llm_lm_score's oracle grouped by source, plus the
+      // clipped first-order reweight in pure BIGINT arithmetic
+      "q_llm_mixture_reweight" -> {
+        val w6Values = mixtureWeights
+          .map { case (src, w) => s"('$src', ${math.floor(w * 1000000.0 + 0.5).toLong})" }
+          .mkString(", ")
+        s"""
+      WITH wtab(source, w6) AS (VALUES $w6Values),
+      toks AS (SELECT source, ${duckWordHashes("text")} AS wh FROM documents),
+      t2 AS (SELECT source, wh FROM toks WHERE len(wh) >= 2),
+      bg AS (
+        SELECT source, unnest(wh[1:len(wh)-1]) AS h1, unnest(wh[2:len(wh)]) AS h2
+        FROM t2),
+      bgs AS (SELECT source, h1, h2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+      c2 AS (SELECT h1, h2, CAST(sum(m) AS BIGINT) AS c2 FROM bgs GROUP BY 1, 2),
+      c1 AS (SELECT h1, CAST(sum(m) AS BIGINT) AS c1 FROM bgs GROUP BY 1),
+      vocab AS (
+        SELECT count(DISTINCT h) AS v FROM (SELECT unnest(wh) AS h FROM t2)),
+      terms AS (
+        SELECT source, m,
+               ${Exact.sqlScaled("ln((c2 + 1.0) / (c1 + v))", 6)} AS t6
+        FROM bgs JOIN c2 USING (h1, h2) JOIN c1 USING (h1), vocab),
+      per AS (
+        SELECT source, CAST(sum(m * t6) AS BIGINT) AS s6,
+               CAST(sum(m) AS BIGINT) AS nb
+        FROM terms GROUP BY source),
+      tot AS (
+        SELECT CAST(sum(s6) AS BIGINT) AS ts6, CAST(sum(nb) AS BIGINT) AS tnb
+        FROM per),
+      x AS (
+        SELECT source, nb, w6,
+               CAST(-s6 AS DOUBLE) / nb / 1000000.0 AS avg_src,
+               CAST(-ts6 AS DOUBLE) / tnb / 1000000.0 AS avg_all
+        FROM per JOIN wtab USING (source) CROSS JOIN tot),
+      y AS (
+        SELECT source, nb, w6, avg_src,
+               greatest(CAST(0 AS BIGINT), least(5000000,
+                 ${Exact.sqlScaled("avg_src - avg_all", 6)})) AS excess6
+        FROM x),
+      z AS (
+        SELECT source, nb, w6, avg_src, excess6,
+               w6 * (1000000 + excess6) AS unnorm
+        FROM y)
+      SELECT source, nb AS n_bigrams,
+             ${Exact.sqlFix("avg_src", 6)} AS avg_nll,
+             excess6 / 1000000.0 AS excess,
+             w6 / 1000000.0 AS w_base,
+             ((unnorm * 1000000) // CAST(sum(unnorm) OVER () AS BIGINT)) / 1000000.0 AS w_new
+      FROM z ORDER BY source"""
+      },
 
       "q_llm_sample_stratified" -> {
         val thresholdValues = mixtureWeights

@@ -103,6 +103,50 @@ object Multimodal {
     "q_llm_media_neardup" -> ((s, dir) =>
       mediaNearDupOf(Tables.load(s, dir, "documents"))),
 
+    // Frame-level clip dedup: find pairs of media items that SHARE frames
+    // — re-posted clips embedded in longer videos, intros/outros stitched
+    // onto different content — which whole-payload hashing (exact or
+    // perceptual) cannot see because the containers differ. Each item
+    // explodes into ceil(len/100)-byte frames (the media_frames
+    // convention; ceil so no empty tail frame), each frame gets an exact
+    // content fingerprint, and pairs come ONLY from the per-fingerprint
+    // equi-join: fingerprints seen in just one item can't pair (df >= 2
+    // prunes the join input to the shared tail), and fingerprints in more
+    // than greatest(50, N DIV 100) items are stop-frames (color bars,
+    // silence — the corpus-relative stop-shingle cap applied to frame
+    // geometry; without it one ubiquitous frame makes the join
+    // quadratic). Per-pair report: shared frame count, both lengths,
+    // overlap vs the shorter item, and an integer-arithmetic verdict.
+    // The payload never shuffles — only (doc_id, fp) rows do.
+    "q_llm_media_clip_dedup" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val d = Tables.load(s, dir, "documents")
+      val frames = d
+        .selectExpr("doc_id", "text", "(length(text) + 99) DIV 100 AS nf")
+        .selectExpr("doc_id", "text", "nf", "explode(sequence(0, nf - 1)) AS i")
+        .selectExpr("doc_id", "nf",
+          "graft_charhash(substring(text, CAST(i * 100 + 1 AS INT), 100)) AS fp")
+        .distinct() // set semantics: a frame repeated within one item counts once
+        .localCheckpoint() // feeds the df count AND both join sides
+      val n = d.agg(count(lit(1)).as("n_corpus"))
+      val pairable = frames.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .where(expr("df >= 2 AND df <= greatest(50, n_corpus DIV 100)"))
+        .select("fp")
+      val kept = frames.join(pairable, "fp")
+      kept.alias("a").join(kept.alias("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(max(col("a.nf")).as("nf_a"), max(col("b.nf")).as("nf_b"),
+          count(lit(1)).as("shared_frames"))
+        .withColumn("overlap", graft.util.Exact.fix(
+          expr("CAST(shared_frames AS DOUBLE) / least(nf_a, nf_b)"), 4))
+        .withColumn("verdict",
+          expr("CASE WHEN 2 * shared_frames >= least(nf_a, nf_b) " +
+            "THEN 'clip_dup' ELSE 'partial' END"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Media metadata projection: binary payload + typed metadata struct;
     // the scan only materializes payload length, format, and dimensions.
     "q_llm_media_meta" -> ((s, dir) =>
@@ -205,6 +249,35 @@ object Multimodal {
       WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
       ORDER BY doc_a, doc_b"""
     },
+
+    // frame slices via unnest(range), same ceil(len/100) frame count,
+    // same df window [2, greatest(50, N DIV 100)], same exact per-frame
+    // fingerprint (charhash of the ASCII slice == byte slice)
+    "q_llm_media_clip_dedup" -> s"""
+      WITH f0 AS (
+        SELECT doc_id, (length(text) + 99) // 100 AS nf, text FROM documents),
+      fr AS (
+        SELECT DISTINCT doc_id, nf,
+               ${XHash.duckCharHash("substring(text, CAST(i * 100 + 1 AS INT), 100)")} AS fp
+        FROM (SELECT doc_id, nf, text, unnest(range(0, nf)) AS i FROM f0)),
+      n AS (SELECT count(*) AS n_corpus FROM documents),
+      pairable AS (
+        SELECT fp FROM fr CROSS JOIN n
+        GROUP BY fp, n_corpus
+        HAVING count(*) >= 2 AND count(*) <= greatest(50, n_corpus // 100)),
+      kept AS (SELECT fr.* FROM fr JOIN pairable USING (fp)),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               max(a.nf) AS nf_a, max(b.nf) AS nf_b,
+               count(*) AS shared_frames
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b, nf_a, nf_b, shared_frames,
+             ${graft.util.Exact.sqlFix(
+               "CAST(shared_frames AS DOUBLE) / least(nf_a, nf_b)", 4)} AS overlap,
+             CASE WHEN 2 * shared_frames >= least(nf_a, nf_b)
+                  THEN 'clip_dup' ELSE 'partial' END AS verdict
+      FROM p ORDER BY doc_a, doc_b""",
 
     "q_llm_media_meta" -> """
       SELECT doc_id,

@@ -670,6 +670,58 @@ class LlmSpec extends SparkSpec {
       Seq((100L, 109L), (110L, 119L), (120L, 129L), (130L, 139L)))
   }
 
+  test("mixture reweight: hard domain upweighted, easy clamps to zero excess, shares normalize") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_reweight"
+    graft.sinks.Sinks.truncate(tdir)
+    val common = "the cat sat on the mat and the dog sat on the rug again"
+    val docs =
+      (0 until 20).map(i => (i.toLong, common, "en", "src0")) ++          // low NLL
+      (0 until 20).map(i => (100L + i,                                    // every bigram unique
+        (0 until 12).map(j => s"u${i}x$j").mkString(" "), "en", "src1"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Curation.queries("q_llm_mixture_reweight")(spark, tdir)
+      .collect().map(x => x.getAs[String]("source") -> x).toMap
+    assert(r.keySet === Set("src0", "src1"))
+    assert(r("src0").getAs[Double]("excess") === 0.0,
+      "below-average domain must clamp to zero excess")
+    assert(r("src1").getAs[Double]("excess") > 0.0)
+    // the hard domain's multiplicative update exceeds the easy one's
+    val lift = (src: String) =>
+      r(src).getAs[Double]("w_new") / r(src).getAs[Double]("w_base")
+    assert(lift("src1") > lift("src0"))
+    // floor-normalized shares sum to <= 1 and lose at most rounding mass
+    val tot = r.values.map(_.getAs[Double]("w_new")).sum
+    assert(tot <= 1.0 + 1e-9 && tot > 0.98)
+  }
+
+  test("clip dedup: aligned shared frames pair; stop-frames suppressed") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_clip"
+    graft.sinks.Sinks.truncate(tdir)
+    def frame(c: Char) = c.toString * 100
+    val stopFrame = frame('s')
+    val fixture =
+      Seq((1L, frame('x') + frame('y')),      // A: frames x,y
+          (2L, frame('x') + frame('z')),      // B: shares x with A
+          (3L, frame('p') + frame('q')),      // C: no sharing
+          (10L, frame('d') + frame('e')),     // D1 == D2: full dup
+          (11L, frame('d') + frame('e'))) ++
+      // 60 docs all opening with the same stop-frame (df=60 > cap 50):
+      // without the cap these alone would add C(60,2)=1770 pairs
+      (100 until 160).map(i => (i.toLong, stopFrame + frame('a') + i.toString))
+    fixture.map { case (i, t) => (i, t, "en", "src") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Multimodal.queries("q_llm_media_clip_dedup")(spark, tdir).collect()
+    val pairs = r.map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")) ->
+      (x.getAs[Long]("shared_frames"), x.getAs[String]("verdict"))).toMap
+    assert(pairs === Map(
+      (1L, 2L) -> ((1L, "clip_dup")),   // 1 of min(2,2) frames: 2*1 >= 2
+      (10L, 11L) -> ((2L, "clip_dup"))))
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
