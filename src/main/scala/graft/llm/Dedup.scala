@@ -546,6 +546,37 @@ object Dedup {
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(20)),
 
+    // Cross-source duplication matrix: the verified near-dup pairs
+    // aggregated by (source_a, source_b) — the "which sources duplicate
+    // which" audit that drives crawl-dedup priorities and licensing
+    // review (a heavy cross diagonal means two feeds mirror each other;
+    // a heavy intra diagonal means one feed re-posts itself). Pair
+    // sources are least/greatest-normalized so the matrix is
+    // upper-triangular. Cost on top of the standing verified-pair
+    // pipeline: two slim (doc_id, source) joins + one matrix-sized agg;
+    // n_docs counts DISTINCT docs involved per cell (a doc in many pairs
+    // counts once).
+    "q_llm_dedup_source_matrix" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val sp = minhashVerifiedPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+        .join(d.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "least(sa, sb) AS source_a", "greatest(sa, sb) AS source_b")
+        .localCheckpoint() // feeds the pair count AND the distinct-doc count
+      val m = sp.groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val dc = sp.selectExpr("source_a", "source_b",
+          "explode(array(doc_a, doc_b)) AS d")
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(countDistinct(col("d")).as("n_docs"))
+      m.join(dc, Seq("source_a", "source_b"))
+        .withColumn("kind",
+          expr("CASE WHEN source_a = source_b THEN 'intra' ELSE 'cross' END"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // Near-dup CLUSTERING: connected components over the verified pair
     // graph (see [[connectedComponents]] — min-label propagation to
     // FIXPOINT, diameter-bounded, loud failure on non-convergence).
@@ -1193,6 +1224,27 @@ object Dedup {
              CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
       FROM vpairs
       ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+
+      "q_llm_dedup_source_matrix" -> s"""
+      WITH ${verifiedPairCtes("documents")},
+      sp AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               v.doc_a, v.doc_b
+        FROM vpairs v
+        JOIN documents da ON da.doc_id = v.doc_a
+        JOIN documents db ON db.doc_id = v.doc_b),
+      m AS (
+        SELECT source_a, source_b, count(*) AS n_pairs
+        FROM sp GROUP BY 1, 2),
+      dc AS (
+        SELECT source_a, source_b, count(DISTINCT d) AS n_docs
+        FROM (SELECT source_a, source_b, unnest([doc_a, doc_b]) AS d FROM sp)
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, n_pairs, n_docs,
+             CASE WHEN source_a = source_b THEN 'intra' ELSE 'cross' END AS kind
+      FROM m JOIN dc USING (source_a, source_b)
+      ORDER BY source_a, source_b""",
 
       "q_llm_dedup_groups" -> s"""
       WITH RECURSIVE ${verifiedPairCtes("documents")},

@@ -40,6 +40,14 @@ object Safety {
     * (4*hits >= n) — no float threshold to diverge on. */
   val ContamFrac = 4L
 
+  /** Benchmark suites for the multi-suite decontamination matrix:
+    * (name, doc_id modulus) — three deterministic held-out slices
+    * standing in for three eval benchmarks. Slices may overlap (a real
+    * doc can appear in two benchmarks); training docs are everything in
+    * NO suite. */
+  val Suites: Seq[(String, Long)] =
+    Seq(("suite_a", 97L), ("suite_b", 89L), ("suite_c", 83L))
+
   // --- PII patterns ------------------------------------------------------
   // One pattern string per PII class, valid VERBATIM in both engines'
   // regex dialects (Java util.regex and DuckDB's RE2) AND in both SQL
@@ -99,6 +107,46 @@ object Safety {
           expr(s"CASE WHEN $ContamFrac * n_contaminated >= n_ngrams THEN 'contaminated' " +
             "WHEN n_contaminated > 0 THEN 'flagged' ELSE 'clean' END").as("verdict"))
         .orderBy(col("doc_id"))
+    },
+
+    // Multi-suite decontamination matrix: a real pipeline screens
+    // against MANY benchmarks at once, and the report that matters is
+    // per-suite — how many training docs touch each benchmark, how many
+    // cross the contamination threshold, and the worst per-doc overlap
+    // ratio — so eval owners can veto a corpus release suite by suite.
+    // ONE shingle scan feeds all suites: the eval side is a union of
+    // per-suite distinct shingle sets (tagged rows, not N pipelines),
+    // the train side is every doc in NO suite, and the overlap is one
+    // equi-join + two tiny aggs. Suites with zero hits still report
+    // (left join + coalesce). Same exact-integer discipline as
+    // q_llm_decontaminate; worst_ratio is a max over per-doc
+    // 6-decimal scaled longs, so the max is exact.
+    "q_llm_decontaminate_multi" -> { (s, dir) =>
+      val sg = Dedup.shingleStreamOf(docs(s, dir).select(col("doc_id"), col("text")))
+        .localCheckpoint() // one UDTF scan feeds every suite AND the train side
+      val evals = Suites.map { case (nm, m) =>
+        sg.where(col("doc_id") % m === 0)
+          .select(lit(nm).as("suite"), col("sg")).distinct()
+      }.reduce(_ unionByName _)
+      val inAnySuite = Suites.map { case (_, m) => s"doc_id % $m = 0" }.mkString(" OR ")
+      val train = sg.where(expr(s"NOT ($inAnySuite)"))
+      val docTotals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val perDocSuite = train.join(evals, Seq("sg"))
+        .groupBy(col("doc_id"), col("suite"))
+        .agg(count(lit(1)).as("hits"))
+        .join(docTotals, "doc_id")
+        .withColumn("r6", Exact.scaled(col("hits").cast("double") / col("n"), 6))
+      val agg = perDocSuite.groupBy(col("suite"))
+        .agg(count(lit(1)).as("n_docs_hit"),
+          sum(expr(s"IF($ContamFrac * hits >= n, 1, 0)")).as("n_contaminated"),
+          max(col("r6")).as("w6"))
+      evals.groupBy(col("suite")).agg(count(lit(1)).as("n_eval_shingles"))
+        .join(agg, Seq("suite"), "left")
+        .select(col("suite"), col("n_eval_shingles"),
+          coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          (coalesce(col("w6"), lit(0L)).cast("double") / lit(1000000.0)).as("worst_ratio"))
+        .orderBy(col("suite"))
     },
 
     // Semantic (embedding-space) decontamination: the n-gram pass above
@@ -189,6 +237,44 @@ object Safety {
              CASE WHEN $ContamFrac * n_contaminated >= n_ngrams THEN 'contaminated'
                   WHEN n_contaminated > 0 THEN 'flagged' ELSE 'clean' END AS verdict
       FROM sc ORDER BY doc_id""",
+
+    "q_llm_decontaminate_multi" -> {
+      val evBranches = Suites.map { case (nm, m) =>
+        s"SELECT DISTINCT '$nm' AS suite, sg FROM ex WHERE doc_id % $m = 0"
+      }.mkString("\n        UNION ALL ")
+      val inAnySuite = Suites.map { case (_, m) => s"doc_id % $m = 0" }.mkString(" OR ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
+      shing AS (
+        SELECT doc_id, list_distinct(${duckShingles("wh")}) AS shd
+        FROM toks WHERE len(wh) >= 3),
+      ex AS (SELECT doc_id, unnest(shd) AS sg FROM shing),
+      ev AS (
+        $evBranches),
+      tr AS (SELECT doc_id, sg FROM ex WHERE NOT ($inAnySuite)),
+      tot AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY 1),
+      pds AS (
+        SELECT t.doc_id, e.suite, count(*) AS hits
+        FROM tr t JOIN ev e ON t.sg = e.sg
+        GROUP BY 1, 2),
+      x AS (
+        SELECT p.suite, p.hits, t.n,
+               ${Exact.sqlScaled("CAST(p.hits AS DOUBLE) / t.n", 6)} AS r6
+        FROM pds p JOIN tot t USING (doc_id)),
+      agg AS (
+        SELECT suite, count(*) AS n_docs_hit,
+               CAST(sum(CASE WHEN $ContamFrac * hits >= n THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               max(r6) AS w6
+        FROM x GROUP BY suite),
+      sized AS (SELECT suite, count(*) AS n_eval_shingles FROM ev GROUP BY suite)
+      SELECT s.suite, s.n_eval_shingles,
+             COALESCE(a.n_docs_hit, 0) AS n_docs_hit,
+             COALESCE(a.n_contaminated, 0) AS n_contaminated,
+             COALESCE(a.w6, 0) / 1000000.0 AS worst_ratio
+      FROM sized s LEFT JOIN agg a USING (suite)
+      ORDER BY s.suite"""
+    },
 
     "q_llm_decontaminate_embed" -> {
       val embBits = (0 until NPlanes)

@@ -722,6 +722,51 @@ class LlmSpec extends SparkSpec {
       (10L, 11L) -> ((2L, "clip_dup"))))
   }
 
+  test("source matrix: cross vs intra duplication cells; distinct doc counts") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_srcmatrix"
+    graft.sinks.Sinks.truncate(tdir)
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten eleven"
+    Seq(
+      (1L, t1, "en", "srcA"), (2L, t1, "en", "srcB"),   // cross-source dup
+      (3L, t2, "en", "srcA"), (4L, t2, "en", "srcA"),   // intra-source dup
+      (5L, "totally unrelated words here padding filler tail", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Dedup.queries("q_llm_dedup_source_matrix")(spark, tdir).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b")) ->
+        (x.getAs[Long]("n_pairs"), x.getAs[Long]("n_docs"), x.getAs[String]("kind"))).toMap
+    assert(r === Map(
+      ("srcA", "srcA") -> ((1L, 2L, "intra")),
+      ("srcA", "srcB") -> ((1L, 2L, "cross"))))
+  }
+
+  test("multi-suite decontamination: per-suite attribution; copies contaminate every owning suite") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_multisuite"
+    graft.sinks.Sinks.truncate(tdir)
+    val ta = "alpha beta gamma delta epsilon zeta eta theta"
+    val tb = "one two three four five six seven eight"
+    Seq(
+      (0L, ta),    // doc 0: eval member of ALL three suites
+      (89L, tb),   // eval member of suite_b only (89 % 97 != 0, % 83 != 0)
+      (5L, ta),    // train copy of doc 0 -> contaminates every suite
+      (11L, tb),   // train copy of doc 89 -> contaminates suite_b only
+      (7L, "completely clean and unrelated training text here"))
+      .map { case (i, t) => (i, t, "en", "src") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Safety.queries("q_llm_decontaminate_multi")(spark, tdir).collect()
+      .map(x => x.getAs[String]("suite") ->
+        (x.getAs[Long]("n_docs_hit"), x.getAs[Long]("n_contaminated"),
+          x.getAs[Double]("worst_ratio"))).toMap
+    assert(r.keySet === Set("suite_a", "suite_b", "suite_c"))
+    assert(r("suite_a") === ((1L, 1L, 1.0)))
+    assert(r("suite_b") === ((2L, 2L, 1.0)))  // sees both planted copies
+    assert(r("suite_c") === ((1L, 1L, 1.0)))
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))

@@ -24,7 +24,8 @@ class PlanShapeSpec extends SparkSpec {
         "q_llm_dedup_ngram_jaccard", "q_llm_dedup_embed", "q_llm_knn_lsh",
         "q_llm_dedup_semantic", "q_llm_decontaminate", "q_llm_knn_pq",
         "q_llm_lm_score", "q_llm_decontaminate_embed", "q_llm_cluster_topics",
-        "q_llm_media_neardup", "q_llm_bpe_train", "q_llm_bpe_encode")) {
+        "q_llm_media_neardup", "q_llm_bpe_train", "q_llm_bpe_encode",
+        "q_llm_media_clip_dedup", "q_llm_mixture_reweight")) {
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
     }
   }
