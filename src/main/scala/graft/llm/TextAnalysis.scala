@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -103,17 +104,18 @@ object TextAnalysis {
     * nothing beyond the training scans plus one final aggregation. */
   private[graft] def bpeEncodeOf(d: DataFrame, rounds: Int = BpeRounds,
                                  ckpt: graft.util.Checkpointer =
-                                   graft.util.Checkpointer.Local): DataFrame = {
+                                   graft.util.Checkpointer.Local,
+                                 key: String = "source"): DataFrame = {
     val syms = s"split(substring(seg, 2, length(seg) - 2), '$Sep$Sep')"
     // distinct (source, word) weighted by occurrence count — the same
     // vocabulary contraction as the trainer (see [[bpeTrainOf]]); the
     // merge argmaxes weight by the GLOBAL count so they equal the
     // trainer's, and the per-source stats de-contract at the end
     var seg = ckpt(d
-      .selectExpr("source", "explode(split(text, ' ')) AS w")
+      .selectExpr(key, "explode(split(text, ' ')) AS w")
       .where(expr("length(w) >= 2"))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-      .selectExpr("source", "w", "c",
+      .groupBy(col(key), col("w")).agg(count(lit(1)).as("c"))
+      .selectExpr(key, "w", "c",
         s"concat('$Sep', array_join(split(w, ''), '$Sep$Sep'), '$Sep') AS seg"))
     for (_ <- 1 to rounds) {
       val top = ckpt(seg
@@ -124,24 +126,78 @@ object TextAnalysis {
         .groupBy(col("lhs"), col("rhs")).agg(sum(col("c")).as("n"))
         .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1))
       seg = ckpt(seg.crossJoin(broadcast(top))
-        .selectExpr("source", "w", "c",
+        .selectExpr(key, "w", "c",
           s"replace(seg, concat('$Sep', lhs, '$Sep$Sep', rhs, '$Sep'), " +
             s"concat('$Sep', lhs, rhs, '$Sep')) AS seg"))
     }
-    seg.selectExpr("source", "c", "c * length(w) AS n_chars_w", s"c * size($syms) AS n_sym")
-      .groupBy(col("source"))
+    seg.selectExpr(key, "c", "c * length(w) AS n_chars_w", s"c * size($syms) AS n_sym")
+      .groupBy(col(key))
       .agg(sum(col("c")).as("n_words"),
         sum(col("n_sym")).as("n_tokens"),
         sum(col("n_chars_w")).as("n_chars"))
       .withColumn("tokens_per_word",
         Exact.fix(col("n_tokens").cast("double") / col("n_words"), 6))
-      .orderBy(col("source"))
+      .orderBy(col(key))
+  }
+
+  /** Oracle mirror of [[bpeEncodeOf]] keyed by `key`: the K-round
+    * merge-replace chain over per-occurrence words (the per-occurrence ≡
+    * weighted-vocabulary identity — PERF #36), ending in
+    * `agg(key, n_words, n_tokens, n_chars)`. Shared by the per-source
+    * encode entry and the per-language fertility entry. */
+  private def duckBpeEncodeCtes(key: String): String = {
+    val roundCtes = (1 to BpeRounds).map { r =>
+      s"""
+      y$r AS (SELECT string_split(seg[2:length(seg) - 1], '$Sep$Sep') AS sy FROM s${r - 1}),
+      p$r AS (SELECT unnest(sy[1:len(sy) - 1]) AS lhs, unnest(sy[2:len(sy)]) AS rhs
+              FROM y$r WHERE len(sy) >= 2),
+      c$r AS (SELECT lhs, rhs, count(*) AS n FROM p$r GROUP BY lhs, rhs),
+      t$r AS (SELECT lhs, rhs, n FROM c$r ORDER BY n DESC, lhs, rhs LIMIT 1),
+      s$r AS (SELECT $key, w, replace(seg, '$Sep' || lhs || '$Sep$Sep' || rhs || '$Sep',
+                             '$Sep' || lhs || rhs || '$Sep') AS seg FROM s${r - 1}, t$r)"""
+    }.mkString(",")
+    s"""w0 AS (
+        SELECT $key, unnest(string_split(text, ' ')) AS w FROM documents),
+      s0 AS (
+        SELECT $key, w,
+               '$Sep' || array_to_string(string_split(w, ''), '$Sep$Sep') || '$Sep' AS seg
+        FROM w0 WHERE length(w) >= 2),$roundCtes,
+      fin AS (
+        SELECT $key, CAST(length(w) AS INT) AS n_chars_w,
+               CAST(len(string_split(seg[2:length(seg) - 1], '$Sep$Sep')) AS INT) AS n_sym
+        FROM s$BpeRounds),
+      agg AS (
+        SELECT $key, count(*) AS n_words,
+               CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars_w) AS BIGINT) AS n_chars
+        FROM fin GROUP BY $key)"""
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tokenizer train -> encode round trip (see [[bpeEncodeOf]]).
     "q_llm_bpe_encode" -> ((s, dir) => bpeEncodeOf(docs(s, dir))),
+
+    // Tokenizer FERTILITY parity by language: the same train->encode
+    // chain keyed by lang, plus each language's tokens-per-word relative
+    // to the cheapest language (fertility_ratio). The published tokenizer-
+    // fairness audit: a BPE vocabulary trained on a mixed corpus encodes
+    // under-represented languages into more tokens per word, which taxes
+    // their effective context length and training compute; this table is
+    // the go/no-go check before freezing a vocabulary. Exactness: the
+    // ratio divides two already-exactified doubles (identical longs →
+    // identical IEEE divisions); the window min runs over one row per
+    // language.
+    "q_llm_bpe_fertility" -> { (s, dir) =>
+      val wAll = Window.partitionBy(lit(1)) // one row per language
+      bpeEncodeOf(docs(s, dir), key = "lang")
+        .withColumn("min_tpw", min(col("tokens_per_word")).over(wAll))
+        .withColumn("fertility_ratio",
+          Exact.fix(col("tokens_per_word") / col("min_tpw"), 6))
+        .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+          col("tokens_per_word"), col("fertility_ratio"))
+        .orderBy(col("lang"))
+    },
 
     // Language ID: distinct-token overlap with per-language marker sets;
     // prediction = argmax hits (ties alphabetical, zero hits -> 'und').
@@ -184,6 +240,37 @@ object TextAnalysis {
           Exact.fix(col("stop_ratio"), 6).as("stop_ratio"),
           Exact.fix(col("score_raw"), 6).as("score"),
           expr("CASE WHEN score_raw >= 0.5 THEN 'high' WHEN score_raw >= 0.35 THEN 'medium' ELSE 'low' END").as("band"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Character-entropy quality signal: per-doc Shannon entropy of the
+    // character distribution — the cheap stand-in for compression-ratio
+    // filtering (gzip-ratio quality gates in published pipelines; gzip
+    // itself isn't cross-engine-reproducible, char entropy is): binary
+    // junk scores anomalously high, looping/padded generator output
+    // anomalously low, prose sits in a narrow band. H = ln(n) −
+    // (Σ n_c·ln(n_c))/n with every ln term scaled to a 6-decimal long
+    // BEFORE aggregation (the lm_score discipline — sums of longs are
+    // order-independent, so partition count can't change the answer) and
+    // the verdict boundary cross-multiplied to pure integers
+    // (ln_n6·n − s6 < 2e6·n ⇔ H < 2 nats). Shape: one char explode +
+    // two hash aggs — linear in corpus chars, no joins.
+    "q_llm_char_entropy" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", "explode(split(text, '')) AS ch")
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("nc"))
+        .withColumn("t6", Exact.scaled(log(col("nc").cast("double")), 6))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nc")).as("n"),
+          count(lit(1)).as("n_distinct_chars"),
+          sum(col("nc") * col("t6")).as("s6"))
+        .withColumn("ln_n6", Exact.scaled(log(col("n").cast("double")), 6))
+        .select(col("doc_id"), col("n").as("n_chars_txt"), col("n_distinct_chars"),
+          Exact.fix((col("ln_n6").cast("double") - col("s6").cast("double") / col("n"))
+            / lit(1000000.0), 6).as("entropy"),
+          expr("CASE WHEN ln_n6 * n - s6 < 2000000 * n THEN 'flag' ELSE 'ok' END")
+            .as("verdict"))
         .orderBy(col("doc_id"))
     },
 
@@ -616,6 +703,28 @@ object TextAnalysis {
              CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS verdict
       FROM agg ORDER BY doc_id""",
 
+      "q_llm_char_entropy" -> s"""
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      cc AS (
+        SELECT doc_id, ch, count(*) AS nc FROM ch GROUP BY 1, 2),
+      t AS (
+        SELECT doc_id, nc, ${Exact.sqlScaled("ln(CAST(nc AS DOUBLE))", 6)} AS t6
+        FROM cc),
+      agg AS (
+        SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n,
+               count(*) AS n_distinct_chars,
+               CAST(sum(nc * t6) AS BIGINT) AS s6
+        FROM t GROUP BY doc_id),
+      e AS (
+        SELECT doc_id, n, n_distinct_chars, s6,
+               ${Exact.sqlScaled("ln(CAST(n AS DOUBLE))", 6)} AS ln_n6
+        FROM agg)
+      SELECT doc_id, n AS n_chars_txt, n_distinct_chars,
+             ${Exact.sqlFix("(CAST(ln_n6 AS DOUBLE) - CAST(s6 AS DOUBLE) / n) / 1000000.0", 6)} AS entropy,
+             CASE WHEN ln_n6 * n - s6 < 2000000 * n THEN 'flag' ELSE 'ok' END AS verdict
+      FROM e ORDER BY doc_id""",
+
       "q_llm_vocab_coverage" -> s"""
       WITH counts AS (
         SELECT w, count(*) AS n FROM (
@@ -635,39 +744,25 @@ object TextAnalysis {
              ${Exact.sqlFix("CAST(cum_n AS DOUBLE) * 100.0 / total", 4)} AS cum_pct
       FROM c, tot ORDER BY rank""",
 
-      // unrolled mirror of bpeEncodeOf: the train chain with (source, w)
-      // carried through the replaces, collapsed to per-source stats
-      "q_llm_bpe_encode" -> {
-        val roundCtes = (1 to BpeRounds).map { r =>
-          s"""
-      y$r AS (SELECT string_split(seg[2:length(seg) - 1], '$Sep$Sep') AS sy FROM s${r - 1}),
-      p$r AS (SELECT unnest(sy[1:len(sy) - 1]) AS lhs, unnest(sy[2:len(sy)]) AS rhs
-              FROM y$r WHERE len(sy) >= 2),
-      c$r AS (SELECT lhs, rhs, count(*) AS n FROM p$r GROUP BY lhs, rhs),
-      t$r AS (SELECT lhs, rhs, n FROM c$r ORDER BY n DESC, lhs, rhs LIMIT 1),
-      s$r AS (SELECT source, w, replace(seg, '$Sep' || lhs || '$Sep$Sep' || rhs || '$Sep',
-                             '$Sep' || lhs || rhs || '$Sep') AS seg FROM s${r - 1}, t$r)"""
-        }.mkString(",")
-        s"""
-      WITH w0 AS (
-        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
-      s0 AS (
-        SELECT source, w,
-               '$Sep' || array_to_string(string_split(w, ''), '$Sep$Sep') || '$Sep' AS seg
-        FROM w0 WHERE length(w) >= 2),$roundCtes,
-      fin AS (
-        SELECT source, CAST(length(w) AS INT) AS n_chars_w,
-               CAST(len(string_split(seg[2:length(seg) - 1], '$Sep$Sep')) AS INT) AS n_sym
-        FROM s$BpeRounds),
-      agg AS (
-        SELECT source, count(*) AS n_words,
-               CAST(sum(n_sym) AS BIGINT) AS n_tokens,
-               CAST(sum(n_chars_w) AS BIGINT) AS n_chars
-        FROM fin GROUP BY source)
+      // unrolled mirror of bpeEncodeOf: the train chain with (key, w)
+      // carried through the replaces, collapsed to per-key stats
+      "q_llm_bpe_encode" -> s"""
+      WITH ${duckBpeEncodeCtes("source")}
       SELECT source, n_words, n_tokens, n_chars,
              ${Exact.sqlFix("CAST(n_tokens AS DOUBLE) / n_words", 6)} AS tokens_per_word
-      FROM agg ORDER BY source"""
-      },
+      FROM agg ORDER BY source""",
+
+      // the same encode chain keyed by LANGUAGE + the parity ratio vs the
+      // cheapest language; the window min runs over the per-lang rows
+      "q_llm_bpe_fertility" -> s"""
+      WITH ${duckBpeEncodeCtes("lang")},
+      tpw AS (
+        SELECT lang, n_words, n_tokens, n_chars,
+               ${Exact.sqlFix("CAST(n_tokens AS DOUBLE) / n_words", 6)} AS tokens_per_word
+        FROM agg)
+      SELECT lang, n_words, n_tokens, n_chars, tokens_per_word,
+             ${Exact.sqlFix("tokens_per_word / (min(tokens_per_word) OVER ())", 6)} AS fertility_ratio
+      FROM tpw ORDER BY lang""",
 
       // unrolled mirror of bpeTrainOf's K rounds: identical segmentation
       // encoding, identical boundary-anchored replace, identical argmax

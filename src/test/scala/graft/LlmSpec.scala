@@ -767,6 +767,39 @@ class LlmSpec extends SparkSpec {
     assert(r("suite_c") === ((1L, 1L, 1.0)))
   }
 
+  test("bpe fertility: majority language wins the merges; minority pays more tokens per word") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_fertility"
+    graft.sinks.Sinks.truncate(tdir)
+    // en dominates: merges learn (a,b) then (ab,ab) -> "abab" is 1 token.
+    // de's (c,d) only wins round 3 -> "cdcd" stays 2 tokens.
+    val docs =
+      (0 until 10).map(i => (i.toLong, "abab abab abab", "en", "src")) :+
+        ((100L, "cdcd cdcd", "de", "src"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.TextAnalysis.queries("q_llm_bpe_fertility")(spark, tdir)
+      .collect().map(x => x.getAs[String]("lang") ->
+        (x.getAs[Double]("tokens_per_word"), x.getAs[Double]("fertility_ratio"))).toMap
+    assert(r("en") === ((1.0, 1.0)))
+    assert(r("de") === ((2.0, 2.0)), "minority language pays 2x tokens per word")
+  }
+
+  test("char entropy: constant doc flags at 0; uniform doc scores ln(n)") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_entropy"
+    graft.sinks.Sinks.truncate(tdir)
+    Seq((1L, "aaaaaaaaaa"), (2L, "abcdefghij"))
+      .map { case (i, t) => (i, t, "en", "src") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.TextAnalysis.queries("q_llm_char_entropy")(spark, tdir)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("entropy"), x.getAs[String]("verdict"))).toMap
+    assert(r(1L) === ((0.0, "flag")))
+    assert(r(2L) === ((2.302585, "ok")))  // ln(10) to 6 decimals
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
