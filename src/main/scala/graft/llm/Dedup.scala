@@ -57,6 +57,96 @@ object Dedup {
   private def shingleStream(s: SparkSession, dir: String): DataFrame =
     shingleStreamOf(docs(s, dir))
 
+  /** Asymmetric containment pairs C(A→B) = |S(A)∩S(B)| / |S(A)| over the
+    * capped word-3-gram shingle universe (q_llm_dedup_containment body;
+    * factored out so specs can drive it over fixture corpora). Keeps the
+    * inverted-index pair-generation shape: pairs exist only for docs
+    * sharing a capped shingle, never all pairs. */
+  private[graft] def containmentPairsOf(corpus: DataFrame): DataFrame = {
+    val raw = shingleStreamOf(corpus).localCheckpoint()
+    val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
+    val ex = raw.join(cappedDfreq(dfreq, corpusCountOf(corpus)), "sg")
+      .select(col("doc_id"), col("sg")).localCheckpoint()
+    // capped per-doc set sizes; the aggregation is also the pushdown
+    // barrier that keeps the threshold filter out of the scan
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = ex.alias("a").join(ex.alias("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      // exact integer thresholds: >= 80% of either side's shingles
+      // shared, with a 5-shingle floor so trivial snippets don't pair
+      .where(expr("i >= 5 AND (10 * i >= 8 * na OR 10 * i >= 8 * nb)"))
+      .selectExpr("doc_a", "doc_b", "i", "na", "nb",
+        "CAST(i AS DOUBLE) / na AS cont_a_in_b",
+        "CAST(i AS DOUBLE) / nb AS cont_b_in_a",
+        "CASE WHEN 10 * i >= 8 * na AND 10 * i >= 8 * nb THEN 'mutual' " +
+          "WHEN 10 * i >= 8 * na THEN 'a_in_b' ELSE 'b_in_a' END AS relation")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Winnowing window (hashes per selection window, w in the MOSS paper):
+    * a shared run of >= WinnowW consecutive shingle positions (= WinnowW+2
+    * words) containing a full selection window in both docs shares its
+    * window-min fingerprint — the MOSS detection guarantee. */
+  val WinnowW = 4
+
+  /** Winnowed fingerprints (doc_id, fh): the w=4 windowed minimum of the
+    * positional shingle-hash stream, rightmost-min tie-break folded into
+    * enc = h·2^20 + (2^20−1−pos) (orders by hash then DESCENDING
+    * position; pos < 2^20 bounds docs at ~1M shingles, h·2^20 < 2^50
+    * stays in BIGINT). Full windows only, distinct per doc. */
+  private[graft] def winnowFingerprintsOf(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // materialize the shingle ARRAYS before the generator: posexplode
+    // over the raw HOF projection would invite the
+    // InferFiltersFromGenerate inlining trap (see q_llm_dedup_ngram_jaccard)
+    val sharr = corpus
+      .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
+      .where(expr("size(wh) >= 3"))
+      .selectExpr("doc_id", s"${sparkShingles("wh")} AS sgs")
+      .localCheckpoint()
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(WinnowW - 1), 0)
+    sharr
+      .selectExpr("doc_id", "posexplode(sgs) AS (pos, h)")
+      .withColumn("enc", expr("h * 1048576 + (1048575 - pos)"))
+      .withColumn("wmin", min(col("enc")).over(wv))
+      // full windows only (standard winnowing ignores the w-1 prefix)
+      .where(col("pos") >= WinnowW - 1)
+      .selectExpr("doc_id", "wmin DIV 1048576 AS fh")
+      .distinct()
+  }
+
+  /** Winnowing near-dup pairs (q_llm_winnow_dedup body): selected
+    * fingerprints drive the usual bounded pair join — corpus-relative df
+    * cap, shared-fingerprint counting, overlap vs the smaller doc's set.
+    * At 100 TB the winnowed stream is the artifact you can afford to
+    * index — ~2/(w+1) of the full shingle stream before any capping. */
+  private[graft] def winnowPairsOf(corpus: DataFrame): DataFrame = {
+    val fp = winnowFingerprintsOf(corpus).localCheckpoint()
+    val dffp = fp.groupBy(col("fh")).agg(count(lit(1)).as("f"))
+    val fpc = fp.join(dffp.crossJoin(broadcast(corpusCountOf(corpus)))
+        .where(expr(s"f <= greatest(${MaxDf}L, n_corpus DIV ${MaxDfRatio}L)"))
+        .select(col("fh")), "fh")
+      .localCheckpoint()
+    val sizes = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = fpc.alias("a").join(fpc.alias("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    co.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      // >= 50% of the smaller doc's fingerprints shared, 2-fp floor
+      .where(expr("shared >= 2 AND 10 * shared >= 5 * least(na, nb)"))
+      .selectExpr("doc_a", "doc_b", "shared", "na", "nb",
+        "CAST(shared AS DOUBLE) / least(na, nb) AS overlap")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash signatures as one hash aggregation: doc_id, m0..m15, n_shingles. */
   private def minhashSigsOf(corpus: DataFrame): DataFrame =
     sigsFromShingles(shingleStreamOf(corpus))
@@ -816,6 +906,38 @@ object Dedup {
     // SimHash near-dup bucketing rides on q_llm_dedup_simhash's fingerprint;
     // MinHash-LSH above is the generic fuzzy-pair generator.
 
+    // Asymmetric containment dedup (the quote/wrapper-page detector):
+    // C(A→B) = |S(A)∩S(B)| / |S(A)| over the capped word-3-gram shingle
+    // universe. Near-total containment of a SMALL doc in a much larger one
+    // has low Jaccard (i/(na+nb-i) shrinks with the size gap), so the
+    // symmetric families systematically miss exactly the duplication mode
+    // crawled corpora are full of — articles quoted inside aggregator
+    // pages, docs re-wrapped in boilerplate (Broder's original
+    // resemblance/containment pair; only resemblance got an LSH family).
+    // Pair generation is the same inverted-index equi-join as the Jaccard
+    // entry — pairs exist only for docs sharing a capped shingle, never
+    // all pairs — and the corpus-relative df cap bounds per-shingle
+    // fan-out at any corpus size. Ratios are single divisions of exact
+    // integers, bit-identical cross-engine without rounding.
+    "q_llm_dedup_containment" -> ((s, dir) => containmentPairsOf(docs(s, dir))),
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS algorithm):
+    // slide a w=4 window over the positional shingle-hash stream and keep
+    // each window's minimum — guaranteeing every match of length
+    // >= w+k-1 words is caught while storing only ~2/(w+1) of the hashes,
+    // the classic guarantee/compression trade plagiarism detectors run.
+    // The rightmost-min tie-break is folded into integer arithmetic: the
+    // windowed min is taken over enc = h*2^20 + (2^20-1-pos), which orders
+    // by hash then by DESCENDING position — one window aggregate, no
+    // argmax gymnastics, identical in both engines (pos < 2^20 bounds
+    // docs at ~1M shingles; h*2^20 < 2^50 stays safely in BIGINT).
+    // Selected fingerprints then drive the usual bounded pair join:
+    // corpus-relative df cap, shared-fingerprint counting, overlap vs the
+    // smaller doc's fingerprint set. At 100 TB the winnowed stream is the
+    // artifact you can afford to index — ~3x smaller than the full
+    // shingle stream before any capping.
+    "q_llm_winnow_dedup" -> ((s, dir) => winnowPairsOf(docs(s, dir))),
+
     // Dedup-family recall audit (the q_llm_knn_recall analog for the
     // dedup suite): truth = exact capped Jaccard >= 0.5 verified over the
     // UNION of both families' banded candidates; each family is then
@@ -1340,6 +1462,74 @@ object Dedup {
       JOIN szs sa ON sa.doc_id = doc_a
       JOIN szs sb ON sb.doc_id = doc_b
       WHERE 10 * i >= 3 * (sa.n + sb.n - i)
+      ORDER BY doc_a, doc_b""",
+
+      // mirror of q_llm_dedup_containment: same capped shingle universe
+      // as the Jaccard mirror, asymmetric thresholds in exact integers
+      "q_llm_dedup_containment" -> s"""
+      WITH sh AS (
+        SELECT doc_id, list_distinct(${duckShingles("wh")}) AS shd
+        FROM (SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents)
+        WHERE len(wh) >= 3),
+      ex AS (SELECT doc_id, unnest(shd) AS sg FROM sh),
+      dfreq AS (SELECT sg, count(*) AS f FROM ex GROUP BY sg),
+      exc AS (
+        SELECT doc_id, sg
+        FROM ex JOIN dfreq USING (sg)
+        WHERE f <= greatest($MaxDf, (SELECT count(*) FROM documents) // $MaxDfRatio)),
+      szs AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY doc_id),
+      co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM exc a JOIN exc b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb,
+             CAST(i AS DOUBLE) / sa.n AS cont_a_in_b,
+             CAST(i AS DOUBLE) / sb.n AS cont_b_in_a,
+             CASE WHEN 10 * i >= 8 * sa.n AND 10 * i >= 8 * sb.n THEN 'mutual'
+                  WHEN 10 * i >= 8 * sa.n THEN 'a_in_b' ELSE 'b_in_a' END AS relation
+      FROM co
+      JOIN szs sa ON sa.doc_id = doc_a
+      JOIN szs sb ON sb.doc_id = doc_b
+      WHERE i >= 5 AND (10 * i >= 8 * sa.n OR 10 * i >= 8 * sb.n)
+      ORDER BY doc_a, doc_b""",
+
+      // mirror of q_llm_winnow_dedup: positional shingles via parallel
+      // unnest, the same enc = h*2^20 + (2^20-1-pos) windowed min, full
+      // windows only, capped fingerprint pair join
+      "q_llm_winnow_dedup" -> s"""
+      WITH t3 AS (
+        SELECT doc_id, ${duckShingles("wh")} AS sgs
+        FROM (SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents)
+        WHERE len(wh) >= 3),
+      posx AS (
+        SELECT doc_id, unnest(sgs) AS h,
+               unnest(range(0, len(sgs))) AS pos
+        FROM t3),
+      wm AS (
+        SELECT doc_id, pos,
+               min(h * 1048576 + (1048575 - pos)) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM posx),
+      fp AS (
+        SELECT DISTINCT doc_id, wmin // 1048576 AS fh
+        FROM wm WHERE pos >= 3),
+      dffp AS (SELECT fh, count(*) AS f FROM fp GROUP BY fh),
+      fpc AS (
+        SELECT doc_id, fh
+        FROM fp JOIN dffp USING (fh)
+        WHERE f <= greatest($MaxDf, (SELECT count(*) FROM documents) // $MaxDfRatio)),
+      szs AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY doc_id),
+      co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM fpc a JOIN fpc b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared, sa.n AS na, sb.n AS nb,
+             CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS overlap
+      FROM co
+      JOIN szs sa ON sa.doc_id = doc_a
+      JOIN szs sb ON sb.doc_id = doc_b
+      WHERE shared >= 2 AND 10 * shared >= 5 * least(sa.n, sb.n)
       ORDER BY doc_a, doc_b""",
 
       "q_llm_dedup_editdist" -> s"""

@@ -167,6 +167,41 @@ object Retrieval {
           col("rank_b").isNotNull.cast("int").as("in_lex"),
           col("rank_a").isNotNull.cast("int").as("in_sem"))
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // Per-source distinctive vocabulary by TF-IDF: tf = total occurrences
+    // of the term within the source, idf = ln(n_docs / df) over the whole
+    // corpus, top-5 terms per source — the "what is this slice actually
+    // made of" audit that names a source's signature vocabulary (corpus
+    // card material, and the first diagnostic when a mixture weight
+    // shifts). Stop terms are dropped with the same corpus-relative cap
+    // as BM25 (df <= n_docs/2): their idf ≈ 0 but their postings fan-out
+    // is the scale hazard. Shape: the postings/df tables BM25 already
+    // builds, one more hash agg to (source, term), a top-k window over
+    // sources×terms partitions — no joins wider than slim long keys.
+    "q_llm_tfidf_terms" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val toks = docs(s, dir)
+        .selectExpr("doc_id", "source", s"${sparkWordHashes("text")} AS wh")
+        .where(expr("size(wh) >= 1"))
+        .selectExpr("doc_id", "source", "explode(wh) AS h")
+        .localCheckpoint()
+      val nDocs = toks.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs"))
+      val dfreq = toks.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("f"))
+        .crossJoin(broadcast(nDocs))
+        .where(expr("f <= n_docs DIV 2"))
+      val tf = toks.groupBy(col("source"), col("h")).agg(count(lit(1)).as("tf"))
+      val scored = tf.join(dfreq, "h")
+        .withColumn("s6", Exact.scaled(
+          expr("CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / f)"), 6))
+      val w = Window.partitionBy(col("source")).orderBy(col("s6").desc, col("h"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("h"), col("tf"),
+          col("f").as("df"), (col("s6") / lit(1000000.0)).as("tfidf"))
+        .orderBy(col("source"), col("rank"))
     })
 
   /** Shared oracle CTE chain computing BM25 s6 per (q_id, doc_id), over
@@ -256,5 +291,32 @@ object Retrieval {
       SELECT q_id, rank, id AS doc_id, rrf6 / 1000000.0 AS rrf,
              CAST(rank_b IS NOT NULL AS INT) AS in_lex,
              CAST(rank_a IS NOT NULL AS INT) AS in_sem
-      FROM rr WHERE rank <= 5 ORDER BY q_id, rank""")
+      FROM rr WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // mirror of q_llm_tfidf_terms: same postings/df tables, same stop cap,
+    // identical tf·ln(n_docs/f) operand order scaled at 6 decimals
+    "q_llm_tfidf_terms" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, unnest(wh) AS h FROM (
+          SELECT doc_id, source, ${duckWordHashes("text")} AS wh FROM documents)
+        WHERE len(wh) >= 1),
+      nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+      dfreq AS (
+        SELECT h, f, n_docs FROM
+          (SELECT h, count(*) AS f
+           FROM (SELECT DISTINCT doc_id, h FROM toks) GROUP BY h), nd
+        WHERE f <= n_docs // 2),
+      tf AS (SELECT source, h, count(*) AS tf FROM toks GROUP BY source, h),
+      scored AS (
+        SELECT source, h, tf, f,
+               ${Exact.sqlScaled(
+                 "CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / f)", 6)} AS s6
+        FROM tf JOIN dfreq USING (h)),
+      r AS (
+        SELECT source, h, tf, f, s6,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY s6 DESC, h) AS INT) AS rank
+        FROM scored)
+      SELECT source, rank, h, tf, f AS df, s6 / 1000000.0 AS tfidf
+      FROM r WHERE rank <= 5 ORDER BY source, rank""")
 }

@@ -550,6 +550,114 @@ object TextAnalysis {
           // keep/drop on the exact integers: avg_nll > 7 nats (ppl ~1100)
           expr("CASE WHEN -s6 > 7000000 * nb THEN 'drop' ELSE 'keep' END").as("verdict"))
         .orderBy(col("doc_id"))
+    },
+
+    // Interpolated trigram LM (the production CCNet-shape scorer): score
+    // each doc by average negative log-likelihood under
+    // p = 0.6·p3 + 0.3·p2 + 0.1·p1, each level add-1 smoothed from its
+    // own corpus count table — trigram events over trigram contexts,
+    // bigram events over unigram contexts, unigrams over the token total.
+    // Interpolation (vs pure backoff) keeps the formula branch-free, so
+    // one ln() per DISTINCT (doc, trigram) with the identical operand
+    // order in both engines, scaled to longs BEFORE the per-doc sum —
+    // the [[Exact]] discipline that makes the 100 TB sum
+    // partition-order-independent. Scale shape: three explode+agg count
+    // tables (all map-side combinable), slim long-key joins to attach
+    // counts, one per-doc agg; no self-joins, no windows, no driver.
+    // The universe is docs with >= 3 tokens (trigrams are undefined
+    // below that — both engines agree).
+    "q_llm_lm_trigram" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val toks = docs(s, dir)
+        .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
+        .where(expr("size(wh) >= 3"))
+        .localCheckpoint()
+      // per-doc trigram multiset (doc_id, h1, h2, h3, m) — feeds c3 AND
+      // the scoring join; repeated trigrams collapse before any join
+      val tgd = toks.selectExpr("doc_id",
+          "explode(transform(sequence(1, size(wh) - 2), i -> " +
+            "named_struct('h1', element_at(wh, i), 'h2', element_at(wh, i + 1), " +
+            "'h3', element_at(wh, i + 2)))) AS tg")
+        .groupBy(col("doc_id"), col("tg.h1").as("h1"), col("tg.h2").as("h2"),
+          col("tg.h3").as("h3"))
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint()
+      val c3 = tgd.groupBy(col("h1"), col("h2"), col("h3")).agg(sum(col("m")).as("c3"))
+      // ONE bigram count table serves both roles: (h1,h2) is the trigram
+      // context, (h2,h3) the bigram-level event
+      val bg = toks.selectExpr(
+          "explode(transform(sequence(1, size(wh) - 1), i -> " +
+            "named_struct('x', element_at(wh, i), 'y', element_at(wh, i + 1)))) AS b")
+        .groupBy(col("b.x").as("x"), col("b.y").as("y"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val un = toks.selectExpr("explode(wh) AS h")
+        .groupBy(col("h")).agg(count(lit(1)).as("u"))
+        .localCheckpoint()
+      val stats = un.agg(sum(col("u")).as("t"), count(lit(1)).as("v"))
+      val per = tgd
+        .join(c3, Seq("h1", "h2", "h3"))
+        .join(bg.select(col("x").as("h1"), col("y").as("h2"), col("c").as("c12")),
+          Seq("h1", "h2"))
+        .join(bg.select(col("x").as("h2"), col("y").as("h3"), col("c").as("b23")),
+          Seq("h2", "h3"))
+        .join(un.select(col("h").as("h2"), col("u").as("c2")), "h2")
+        .join(un.select(col("h").as("h3"), col("u").as("u3")), "h3")
+        .crossJoin(broadcast(stats))
+        .withColumn("t6", Exact.scaled(expr(
+          "ln(0.6 * ((c3 + 1.0) / (c12 + v)) + 0.3 * ((b23 + 1.0) / (c2 + v)) " +
+            "+ 0.1 * ((u3 + 1.0) / (t + v)))"), 6))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m") * col("t6")).as("s6"), sum(col("m")).as("nt"))
+      per.select(col("doc_id"), col("nt").as("n_trigrams"),
+          ((-col("s6")).cast("double") / col("nt") / lit(1000000.0)).as("avg_nll"),
+          Exact.fix(exp((-col("s6")).cast("double") / col("nt") / lit(1000000.0)), 4).as("ppl"),
+          expr("CASE WHEN -s6 > 7000000 * nt THEN 'drop' ELSE 'keep' END").as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus-mix drift between sources: Jensen–Shannon divergence of each
+    // source pair's word distributions — the audit that tells you whether
+    // two crawl snapshots / providers actually differ before you retune
+    // mixture weights. The exclusive-mass trick makes it one INNER join:
+    // for h present only in P, the JS integrand degenerates to
+    // 0.5·p·ln 2, so JS = 0.5·[Σ_shared p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    // + 0.5·ln 2·[(1−Σ_shared p) + (1−Σ_shared q)] — exclusive terms
+    // collapse into the shared-mass complement, no full-outer join over
+    // the union vocabulary. Per-term doubles are scaled to longs at 9
+    // decimals before summing (p ~ 1/T can be 1e-8 at corpus scale; the
+    // SUMS stay exact and order-independent). Scale: one token scan →
+    // per-source counts, pair join only on the shared vocab, sources² is
+    // tiny (pairs of corpora, not docs).
+    "q_llm_source_divergence" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val cs = docs(s, dir)
+        .selectExpr("source", s"explode(${sparkWordHashes("text")}) AS h")
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val ts = cs.groupBy(col("source")).agg(sum(col("c")).as("tt"))
+      val a = cs.join(ts, "source")
+        .select(col("source").as("src_a"), col("h"), col("c").as("ca"), col("tt").as("ta"))
+      val b = cs.join(ts, "source")
+        .select(col("source").as("src_b"), col("h"), col("c").as("cb"), col("tt").as("tb"))
+      val shared = a.join(b, Seq("h")).where(col("src_a") < col("src_b"))
+        .withColumn("p", expr("CAST(ca AS DOUBLE) / ta"))
+        .withColumn("q", expr("CAST(cb AS DOUBLE) / tb"))
+        .withColumn("tp9", Exact.scaled(expr("p * ln(2.0 * p / (p + q))"), 9))
+        .withColumn("tq9", Exact.scaled(expr("q * ln(2.0 * q / (p + q))"), 9))
+        .withColumn("p9", Exact.scaled(col("p"), 9))
+        .withColumn("q9", Exact.scaled(col("q"), 9))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"),
+          sum(col("tp9")).as("stp"), sum(col("tq9")).as("stq"),
+          sum(col("p9")).as("sp"), sum(col("q9")).as("sq"))
+      shared.selectExpr("src_a", "src_b", "n_shared",
+          "0.5 * ((stp + stq) / 1e9) + 0.5 * ln(2.0) * " +
+            "((1.0 - sp / 1e9) + (1.0 - sq / 1e9)) AS js_raw")
+        .withColumn("js_div", Exact.fix(col("js_raw"), 6))
+        .withColumn("js_norm", Exact.fix(expr("js_raw / ln(2.0)"), 4))
+        .drop("js_raw")
+        .orderBy(col("src_a"), col("src_b"))
     })
 
   def oracleSql: Map[String, String] = {
@@ -861,6 +969,78 @@ object TextAnalysis {
              CAST(-s6 AS DOUBLE) / nb / 1000000.0 AS avg_nll,
              ${Exact.sqlFix("exp(CAST(-s6 AS DOUBLE) / nb / 1000000.0)", 4)} AS ppl,
              CASE WHEN -s6 > 7000000 * nb THEN 'drop' ELSE 'keep' END AS verdict
-      FROM per ORDER BY doc_id""")
+      FROM per ORDER BY doc_id""",
+
+      // mirror of q_llm_lm_trigram: identical counts from the same three
+      // streams, identical interpolated-ln operand order, scaled to longs
+      // before any aggregation
+      "q_llm_lm_trigram" -> s"""
+      WITH toks AS (
+        SELECT doc_id, wh FROM (
+          SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents)
+        WHERE len(wh) >= 3),
+      tg AS (
+        SELECT doc_id, unnest(wh[1:len(wh)-2]) AS h1,
+               unnest(wh[2:len(wh)-1]) AS h2, unnest(wh[3:len(wh)]) AS h3
+        FROM toks),
+      tgd AS (SELECT doc_id, h1, h2, h3, count(*) AS m FROM tg GROUP BY 1, 2, 3, 4),
+      c3t AS (SELECT h1, h2, h3, CAST(sum(m) AS BIGINT) AS c3 FROM tgd GROUP BY 1, 2, 3),
+      bgs AS (
+        SELECT unnest(wh[1:len(wh)-1]) AS x, unnest(wh[2:len(wh)]) AS y FROM toks),
+      bg AS (SELECT x, y, count(*) AS c FROM bgs GROUP BY 1, 2),
+      un AS (SELECT unnest(wh) AS h FROM toks),
+      uc AS (SELECT h, count(*) AS u FROM un GROUP BY h),
+      stats AS (SELECT CAST(sum(u) AS BIGINT) AS t, count(*) AS v FROM uc),
+      terms AS (
+        SELECT doc_id, m,
+               ${Exact.sqlScaled(
+                 "ln(0.6 * ((c3 + 1.0) / (c12 + v)) + 0.3 * ((b23 + 1.0) / (c2 + v)) " +
+                   "+ 0.1 * ((u3 + 1.0) / (t + v)))", 6)} AS t6
+        FROM tgd
+        JOIN c3t USING (h1, h2, h3)
+        JOIN (SELECT x AS h1, y AS h2, c AS c12 FROM bg) USING (h1, h2)
+        JOIN (SELECT x AS h2, y AS h3, c AS b23 FROM bg) USING (h2, h3)
+        JOIN (SELECT h AS h2, u AS c2 FROM uc) USING (h2)
+        JOIN (SELECT h AS h3, u AS u3 FROM uc) USING (h3), stats),
+      per AS (
+        SELECT doc_id, CAST(sum(m * t6) AS BIGINT) AS s6,
+               CAST(sum(m) AS BIGINT) AS nt
+        FROM terms GROUP BY doc_id)
+      SELECT doc_id, nt AS n_trigrams,
+             CAST(-s6 AS DOUBLE) / nt / 1000000.0 AS avg_nll,
+             ${Exact.sqlFix("exp(CAST(-s6 AS DOUBLE) / nt / 1000000.0)", 4)} AS ppl,
+             CASE WHEN -s6 > 7000000 * nt THEN 'drop' ELSE 'keep' END AS verdict
+      FROM per ORDER BY doc_id""",
+
+      // mirror of q_llm_source_divergence: shared-vocab inner join plus
+      // the exclusive-mass complement, per-term scaled at 9 decimals
+      "q_llm_source_divergence" -> s"""
+      WITH cs AS (
+        SELECT source, h, count(*) AS c FROM (
+          SELECT source, unnest(${duckWordHashes("text")}) AS h FROM documents)
+        GROUP BY source, h),
+      ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS tt FROM cs GROUP BY source),
+      pq AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(a.c AS DOUBLE) / ta.tt AS p,
+               CAST(b.c AS DOUBLE) / tb.tt AS q
+        FROM cs a JOIN cs b ON a.h = b.h AND a.source < b.source
+        JOIN ts ta ON ta.source = a.source
+        JOIN ts tb ON tb.source = b.source),
+      agg AS (
+        SELECT src_a, src_b, count(*) AS n_shared,
+               CAST(sum(${Exact.sqlScaled("p * ln(2.0 * p / (p + q))", 9)}) AS BIGINT) AS stp,
+               CAST(sum(${Exact.sqlScaled("q * ln(2.0 * q / (p + q))", 9)}) AS BIGINT) AS stq,
+               CAST(sum(${Exact.sqlScaled("p", 9)}) AS BIGINT) AS sp,
+               CAST(sum(${Exact.sqlScaled("q", 9)}) AS BIGINT) AS sq
+        FROM pq GROUP BY src_a, src_b)
+      SELECT src_a, src_b, n_shared,
+             ${Exact.sqlFix(
+               "0.5 * ((stp + stq) / 1e9) + 0.5 * ln(2.0) * " +
+                 "((1.0 - sp / 1e9) + (1.0 - sq / 1e9))", 6)} AS js_div,
+             ${Exact.sqlFix(
+               "(0.5 * ((stp + stq) / 1e9) + 0.5 * ln(2.0) * " +
+                 "((1.0 - sp / 1e9) + (1.0 - sq / 1e9))) / ln(2.0)", 4)} AS js_norm
+      FROM agg ORDER BY src_a, src_b""")
   }
 }

@@ -66,6 +66,45 @@ object TimeWindows {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // Resample + LINEAR interpolation: the ffill entry's numeric sibling —
+    // gap days get the straight line between the surrounding observations
+    // instead of a held value (the fill a metrics/finance series wants).
+    // The backward window's last-observed (value, day) and the forward
+    // window's first-observed pair bracket every gap; observed days take
+    // the prev==next branch. Two windowed passes over the dense calendar,
+    // per-type partitions — same scale shape as ffill. The day ratio is a
+    // single int/int division and the inputs are 2-decimal-exact sums, so
+    // the interpolated double is bit-identical cross-engine before the
+    // final 4-decimal fix.
+    "q_resample_interp" -> { (s, dir) =>
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sumFix(col("value"), 2).as("day_value"))
+      val calendar = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val wb = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      calendar.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("prev_val", last(col("day_value"), ignoreNulls = true).over(wb))
+        .withColumn("prev_day",
+          last(when(col("day_value").isNotNull, col("day")), ignoreNulls = true).over(wb))
+        .withColumn("next_val", first(col("day_value"), ignoreNulls = true).over(wf))
+        .withColumn("next_day",
+          first(when(col("day_value").isNotNull, col("day")), ignoreNulls = true).over(wf))
+        .select(col("event_type"), col("day"),
+          col("day_value").isNotNull.cast("int").as("observed"),
+          graft.util.Exact.fix(expr(
+            "CASE WHEN prev_day = next_day THEN prev_val " +
+              "ELSE prev_val + (next_val - prev_val) * " +
+              "(CAST(datediff(day, prev_day) AS DOUBLE) / datediff(next_day, prev_day)) END"), 4)
+            .as("interp_value"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // keyed event-time dedup: first event per (user, type), the batch twin of
     // streaming withWatermark+dropDuplicates (reference O8 semantics)
     "q_dedup_first_event" -> { (s, dir) =>
@@ -126,6 +165,43 @@ object TimeWindows {
                PARTITION BY event_type ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
       FROM joined ORDER BY event_type, day""",
+
+    "q_resample_interp" -> s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ${sqlSumFix("value", 2)} AS day_value
+        FROM events GROUP BY event_type, day),
+      cal AS (
+        SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+              FROM daily GROUP BY event_type)),
+      joined AS (
+        SELECT cal.event_type, cal.day, daily.day_value
+        FROM cal LEFT JOIN daily
+          ON cal.event_type = daily.event_type AND cal.day = daily.day),
+      br AS (
+        SELECT event_type, day, day_value,
+               last_value(day_value IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+               last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+               first_value(day_value IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+               first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+        FROM joined)
+      SELECT event_type, day,
+             CAST(day_value IS NOT NULL AS INT) AS observed,
+             ${sqlFix(
+               "CASE WHEN prev_day = next_day THEN prev_val " +
+                 "ELSE prev_val + (next_val - prev_val) * " +
+                 "(CAST(date_diff('day', prev_day, day) AS DOUBLE) / " +
+                 "date_diff('day', prev_day, next_day)) END", 4)} AS interp_value
+      FROM br ORDER BY event_type, day""",
 
     "q_dedup_first_event" -> """
       SELECT user_id, event_type, event_id, ts FROM (

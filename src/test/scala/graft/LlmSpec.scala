@@ -277,6 +277,74 @@ class LlmSpec extends SparkSpec {
     assert(fp3 === want)
   }
 
+  test("containment: small doc quoted inside a large one flags a_in_b; Jaccard misses it") {
+    import spark.implicits._
+    // doc 1 = a 10-word article; doc 2 = the same article wrapped in 30
+    // words of boilerplate (the aggregator-page shape). All 8 of doc 1's
+    // shingles appear in doc 2 -> containment(1->2) = 1.0, but Jaccard is
+    // 8/38 ~ 0.21 — below the 0.3 near-dup gate. Doc 3 is unrelated.
+    val art = (0 until 10).map(i => s"w$i").mkString(" ")
+    val pre = (0 until 15).map(i => s"p$i").mkString(" ")
+    val post = (0 until 15).map(i => s"q$i").mkString(" ")
+    val d = Seq(
+      (1L, art), (2L, s"$pre $art $post"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.containmentPairsOf(d)
+      .select($"doc_a", $"doc_b", $"cont_a_in_b", $"relation")
+      .as[(Long, Long, Double, String)].collect()
+    assert(out.length === 1)
+    assert(out(0) === ((1L, 2L, 1.0, "a_in_b")))
+    // the symmetric Jaccard family (>= 0.5 gate) does NOT pair them
+    assert(graft.llm.Dedup.minhashVerifiedPairsOf(d)
+      .where($"doc_a" === 1L && $"doc_b" === 2L).count() === 0L)
+  }
+
+  test("winnowing: guarantee catches long shared runs; fingerprints compress the stream") {
+    import spark.implicits._
+    // docs 1/2 share a 12-word run at DIFFERENT offsets (10 shingle
+    // positions >= WinnowW) -> guaranteed shared fingerprint and a
+    // >= 50%-of-smaller overlap pair; doc 3 is disjoint.
+    val run = (0 until 12).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$run x1 x2 x3"),
+      (2L, s"y1 y2 y3 y4 y5 y6 $run"),
+      (3L, (0 until 20).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = graft.llm.Dedup.winnowPairsOf(d)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+    // compression: selected fingerprints are a strict subset of the
+    // distinct shingle universe (the 2/(w+1) economy, loosely checked)
+    val nFp = graft.llm.Dedup.winnowFingerprintsOf(d).count()
+    val nSh = graft.llm.Dedup.shingleStreamOf(d).count()
+    assert(nFp < nSh)
+    // every selected fingerprint IS some window min, so it is drawn from
+    // the doc's shingle set: fingerprints ⊆ shingles per doc
+    val orphan = graft.llm.Dedup.winnowFingerprintsOf(d).alias("f")
+      .join(graft.llm.Dedup.shingleStreamOf(d).alias("s"),
+        col("f.doc_id") === col("s.doc_id") && col("f.fh") === col("s.sg"),
+        "left_anti")
+    assert(orphan.count() === 0L)
+  }
+
+  test("resample interp: gap days lie on the straight line; observed days keep their value") {
+    import spark.implicits._
+    // one type, observations on day 0 (value 10.0) and day 4 (value 30.0):
+    // interpolation fills days 1-3 with 15, 20, 25. The fixture writes the
+    // raw events layout (ts = epoch NANOS long, midday so no tz flips the
+    // date); absent columns read as nulls under the explicit schema.
+    val day0ns = 1704110400L * 1000000000L // 2024-01-01 12:00:00 UTC
+    val day4ns = day0ns + 4L * 86400L * 1000000000L
+    val ev = Seq((1L, day0ns, "click", 10.0), (2L, day4ns, "click", 30.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("interp").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.ops.TimeWindows.queries("q_resample_interp")(spark, dir)
+      .select($"day".cast("string"), $"observed", $"interp_value")
+      .as[(String, Int, Double)].collect().sortBy(_._1)
+    assert(out.map(_._3).toSeq === Seq(10.0, 15.0, 20.0, 25.0, 30.0))
+    assert(out.map(_._2).toSeq === Seq(1, 0, 0, 0, 1))
+  }
+
   test("PQ: identical vectors encode to identical codes; ADC ranks the clone first") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
