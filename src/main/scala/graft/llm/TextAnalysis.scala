@@ -552,6 +552,48 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Per-source quality calibration: the q_llm_quality score mapped to
+    // its within-source percentile, keep/drop at a uniform 20% floor per
+    // source. The fix for the cross-source filtering bias: one absolute
+    // threshold over-prunes noisy sources and under-prunes clean ones —
+    // retention should be uniform per source, threshold per-source
+    // adaptive. Percentile = count of docs at-or-below the doc's scaled
+    // score over the source size (cume_dist semantics made explicit so
+    // the keep rule is the exact integer test 5·cnt_le > n_src). Scale
+    // shape: the CDF is built on the AGGREGATED (source, score) table —
+    // a cumulative window over distinct scaled scores (score-cardinality
+    // rows, never corpus rows) joined back on slim keys. Ranking the raw
+    // corpus directly would sort a source's entire 10 TB partition in one
+    // task; this shape never does.
+    "q_llm_quality_calibrate" -> { (s, dir) =>
+      val stops = sqlList(markers.flatMap(_._2).distinct, duck = false)
+      val scored = docs(s, dir)
+        .selectExpr("doc_id", "source", "split(text, ' ') AS t")
+        .selectExpr("doc_id", "source", "size(t) AS n_tok",
+          "size(array_distinct(t)) AS n_uniq",
+          s"size(filter(t, w -> array_contains($stops, w))) AS n_stop")
+        .selectExpr("doc_id", "source",
+          "0.4 * (CAST(n_uniq AS DOUBLE) / n_tok) " +
+            "+ 0.3 * (CAST(n_stop AS DOUBLE) / n_tok) " +
+            "+ 0.3 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS score_raw")
+        .withColumn("s6", Exact.scaled(col("score_raw"), 6))
+        .localCheckpoint() // feeds the CDF build AND the final join
+      val wcum = Window.partitionBy(col("source")).orderBy(col("s6"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wsrc = Window.partitionBy(col("source"))
+      val cdf = scored.groupBy(col("source"), col("s6"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cnt_le", sum(col("n")).over(wcum))
+        .withColumn("n_src", sum(col("n")).over(wsrc))
+        .select(col("source"), col("s6"), col("cnt_le"), col("n_src"))
+      scored.join(cdf, Seq("source", "s6"))
+        .select(col("doc_id"), col("source"),
+          (col("s6") / lit(1000000.0)).as("score"),
+          (col("cnt_le").cast("double") / col("n_src")).as("pct_rank"),
+          expr("CASE WHEN 5 * cnt_le > n_src THEN 'keep' ELSE 'drop' END").as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+
     // Interpolated trigram LM (the production CCNet-shape scorer): score
     // each doc by average negative log-likelihood under
     // p = 0.6·p3 + 0.3·p2 + 0.1·p1, each level add-1 smoothed from its
@@ -970,6 +1012,36 @@ object TextAnalysis {
              ${Exact.sqlFix("exp(CAST(-s6 AS DOUBLE) / nb / 1000000.0)", 4)} AS ppl,
              CASE WHEN -s6 > 7000000 * nb THEN 'drop' ELSE 'keep' END AS verdict
       FROM per ORDER BY doc_id""",
+
+      // mirror of q_llm_quality_calibrate: identical score formula, the
+      // same aggregated-CDF shape (cume over distinct scaled scores)
+      "q_llm_quality_calibrate" -> s"""
+      WITH feats AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents),
+      base AS (
+        SELECT doc_id, source, len(t) AS n_tok,
+               len(list_distinct(t)) AS n_uniq,
+               len(list_filter(t, w -> list_contains($stops, w))) AS n_stop
+        FROM feats),
+      scored AS (
+        SELECT doc_id, source,
+               ${Exact.sqlScaled(
+                 "0.4 * (CAST(n_uniq AS DOUBLE) / n_tok) " +
+                   "+ 0.3 * (CAST(n_stop AS DOUBLE) / n_tok) " +
+                   "+ 0.3 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)", 6)} AS s6
+        FROM base),
+      cdf AS (
+        SELECT source, s6,
+               sum(n) OVER (PARTITION BY source ORDER BY s6
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_le,
+               sum(n) OVER (PARTITION BY source) AS n_src
+        FROM (SELECT source, s6, count(*) AS n FROM scored GROUP BY source, s6))
+      SELECT doc_id, scored.source, scored.s6 / 1000000.0 AS score,
+             CAST(cnt_le AS DOUBLE) / n_src AS pct_rank,
+             CASE WHEN 5 * cnt_le > n_src THEN 'keep' ELSE 'drop' END AS verdict
+      FROM scored JOIN cdf ON scored.source = cdf.source AND scored.s6 = cdf.s6
+      ORDER BY doc_id""",
 
       // mirror of q_llm_lm_trigram: identical counts from the same three
       // streams, identical interpolated-ln operand order, scaled to longs

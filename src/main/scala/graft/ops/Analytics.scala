@@ -132,6 +132,46 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Robust anomaly detection on the daily event-count series: median /
+    * MAD instead of mean / stddev — a single huge spike inflates the mean
+    * AND the stddev enough to hide itself (and mask real outliers) from
+    * the z-score detector; the median and MAD have a 50% breakdown point,
+    * so the robust detector still sees it. All-integer arithmetic: with
+    * m2 = the sum of the two middle sorted values (both engines pick them
+    * by row_number), median = m2/2 exactly; dev2 = |2x − m2| = 2·|x−med|;
+    * mad4 = the same two-middle sum over dev2 = 4·MAD; the |x−med| >
+    * 3·MAD flag becomes 2·dev2 > 3·mad4 — no floats anywhere until the
+    * reported columns. Scale shape: the series is a daily aggregate
+    * (O(days) rows however big the event table), so the two median sorts
+    * are tiny; the heavy lifting stays one hash aggregate over events. */
+  def anomaliesMad(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = e.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // feeds both median passes and the output
+    // m2 = x[(n+1)/2] + x[(n+2)/2] (1-based sorted ranks; equal for odd n)
+    def twoMiddleSum(df: DataFrame, c: String): DataFrame = {
+      val w = Window.orderBy(col(c), col("day"))
+      df.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+        .where(expr("_rn = (_n + 1) DIV 2 OR _rn = (_n + 2) DIV 2"))
+        // odd n picks ONE middle row (the two ranks coincide): ×2/count
+        // yields 2·mid there and a+b for even n — integer-valued in both
+        // cases, so the double division casts back exactly
+        .agg((sum(col(c)) * lit(2) / count(lit(1))).cast("long").as("m2"))
+    }
+    val med = daily.crossJoin(broadcast(twoMiddleSum(daily, "x")))
+    val dev = med.withColumn("dev2", abs(col("x") * 2 - col("m2")))
+    val mad = dev.crossJoin(broadcast(
+      twoMiddleSum(dev.select(col("day"), col("dev2")), "dev2")
+        .select(col("m2").as("mad4"))))
+    mad.select(col("day"), col("x").as("n_events"),
+        (col("m2").cast("double") / 2).as("median"),
+        (col("mad4").cast("double") / 4).as("mad"),
+        (col("dev2") * 2 > col("mad4") * 3).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
   /** Distribution-drift detection (population stability index) between a
     * reference window (first half of the month) and a current window: bin
     * `value` into 10 fixed-width buckets, add-1-smooth the per-window
@@ -176,6 +216,7 @@ object Analytics {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_psi" -> ((s, dir) => driftPsi(ev(s, dir))),
     "q_anomaly_zscore" -> ((s, dir) => anomalies(ev(s, dir))),
+    "q_anomaly_mad" -> ((s, dir) => anomaliesMad(ev(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(ev(s, dir), FunnelSteps)),
     "q_cohort_retention" -> ((s, dir) => cohortRetention(ev(s, dir))),
     "q_entity_resolution" -> ((s, dir) =>
@@ -230,6 +271,33 @@ object Analytics {
       SELECT day, CAST(x AS BIGINT) AS n_events,
              (x*n - s)*(x*n - s) > 4*(n*q - s*s) AS is_anomaly
       FROM daily, st ORDER BY day""",
+
+    // mirror of anomaliesMad: identical two-middle-rank medians, the same
+    // all-integer 2·dev2 > 3·mad4 flag
+    "q_anomaly_mad" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS x
+        FROM events GROUP BY 1),
+      r AS (
+        SELECT day, x, row_number() OVER (ORDER BY x, day) AS rn,
+               count(*) OVER () AS n
+        FROM daily),
+      m AS (
+        SELECT CAST(sum(x) * 2 / count(*) AS BIGINT) AS m2
+        FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2),
+      d AS (SELECT day, x, abs(x * 2 - m2) AS dev2, m2 FROM daily, m),
+      r2 AS (
+        SELECT day, dev2, row_number() OVER (ORDER BY dev2, day) AS rn,
+               count(*) OVER () AS n
+        FROM d),
+      m4 AS (
+        SELECT CAST(sum(dev2) * 2 / count(*) AS BIGINT) AS mad4
+        FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2)
+      SELECT day, CAST(x AS BIGINT) AS n_events,
+             CAST(m2 AS DOUBLE) / 2 AS median,
+             CAST(mad4 AS DOUBLE) / 4 AS mad,
+             dev2 * 2 > mad4 * 3 AS is_anomaly
+      FROM d, m4 ORDER BY day""",
 
     "q_funnel" -> {
       val s1 =

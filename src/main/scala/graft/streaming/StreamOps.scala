@@ -256,6 +256,81 @@ object StreamOps {
         .agg(max(struct(col("n"), col("sum_value"))).as("fin"))
         .select(col("cohort"), col("fin.n").as("n"), col("fin.sum_value").as("sum_value"))
         .orderBy(col("cohort"))
+    },
+
+    // Late-data accounting under an EXPLICIT engine-level watermark: three
+    // arrival ticks where tick = event_id % 3 (each tick spans the full
+    // time range, so ticks 1-2 necessarily carry events older than the
+    // running max — the out-of-order arrival every real ingest has). Each
+    // micro-batch computes its watermark from a PERSISTED tick-keyed
+    // high-water store (the reference's durable watermark, git_etl.ts:
+    // 141-153, generalized to lateness policy): wm(tick t) = max event
+    // time over ticks < t minus a 1h allowance; rows older than wm are
+    // counted late, the rest admitted. Tick-keyed atomic writes make
+    // replays idempotent (a replayed batch reads only COMPLETED prior
+    // ticks and overwrites its own outputs — no crash window, the lesson
+    // from the r7 ccTick advice applied at design time). File arrival
+    // order is pinned by explicit mtimes. Unlike the opaque built-in
+    // watermark eviction, this policy is exact, auditable, and the oracle
+    // replays it relationally — the semantics a 100 TB ingest owns rather
+    // than inherits.
+    "stream_late_audit" -> { (s, dir) =>
+      val base = s"${graft.sinks.Sinks.tmpBase}/late_audit"
+      graft.sinks.Sinks.truncate(base)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .withColumn("tick", (col("event_id") % 3).cast("int"))
+      (0 to 2).foreach { t =>
+        val tmp = s"$base/src_stage_$t"
+        ev.where(col("tick") === t).coalesce(1).write.parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+        val dest = java.nio.file.Paths.get(s"$base/src/t$t.parquet")
+        java.nio.file.Files.move(part, dest)
+        graft.sinks.Sinks.deleteRec(tmp)
+        // pin arrival order: the file source sorts by modification time
+        dest.toFile.setLastModified(1700000000000L + t * 60000L)
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.localCheckpoint()
+          val t = b.agg(max(col("tick"))).collect()(0).getInt(0)
+          val wmDir = s"$base/wm"
+          // the 1h subtraction happens IN the plan (timestamp − interval):
+          // a driver-side getTime() round-trip would truncate micros
+          val prior =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(wmDir)))
+              s.read.option("recursiveFileLookup", "true").parquet(wmDir)
+                .where(col("tick") < t)
+                .select((max(col("tickmax")) - expr("INTERVAL 1 HOUR")).as("wm"))
+                .collect()(0)
+            else null
+          val wmTs =
+            if (prior == null || prior.isNullAt(0)) null
+            else prior.getTimestamp(0)
+          val audited = b
+            .withColumn("wm_ts", lit(wmTs).cast("timestamp"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(expr("CASE WHEN wm_ts IS NOT NULL AND ts < wm_ts " +
+                "THEN 1 ELSE 0 END")).as("n_late"))
+            .select(lit(t).as("tick"), lit(wmTs).cast("timestamp").as("wm_ts"),
+              col("n_rows"), col("n_late"),
+              (col("n_rows") - col("n_late")).as("n_kept"))
+          graft.sinks.Sinks.writeAtomic(audited, s"$base/audit/t$t")
+          graft.sinks.Sinks.writeAtomic(
+            b.agg(max(col("ts")).as("tickmax")).select(lit(t).as("tick"), col("tickmax")),
+            s"$base/wm/t$t")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/audit")
+        .select(col("tick"), col("wm_ts"), col("n_rows"), col("n_late"), col("n_kept"))
+        .orderBy(col("tick"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -335,5 +410,26 @@ object StreamOps {
     "stream_stateful_fold" -> """
       SELECT user_id % 50 AS cohort, count(*) AS n,
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
-      FROM events GROUP BY cohort ORDER BY cohort""")
+      FROM events GROUP BY cohort ORDER BY cohort""",
+
+    // relational replay of the explicit watermark policy: per-tick max,
+    // running prior max over tick order minus the 1h allowance, identical
+    // late predicate
+    "stream_late_audit" -> """
+      WITH ticked AS (
+        SELECT *, CAST(event_id % 3 AS INT) AS tick FROM events),
+      tm AS (SELECT tick, max(ts) AS tickmax FROM ticked GROUP BY tick),
+      wm AS (
+        SELECT tick,
+               max(tickmax) OVER (ORDER BY tick
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 - INTERVAL 1 HOUR AS wm_ts
+        FROM tm)
+      SELECT t.tick, wm.wm_ts, count(*) AS n_rows,
+             CAST(sum(CASE WHEN wm.wm_ts IS NOT NULL AND t.ts < wm.wm_ts
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             count(*) - CAST(sum(CASE WHEN wm.wm_ts IS NOT NULL AND t.ts < wm.wm_ts
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM ticked t JOIN wm ON wm.tick = t.tick
+      GROUP BY t.tick, wm.wm_ts ORDER BY t.tick""")
 }

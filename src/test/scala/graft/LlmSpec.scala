@@ -345,6 +345,74 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(1, 0, 0, 0, 1))
   }
 
+  test("MAD anomaly: twin spikes mask each other for the z-score but not for MAD") {
+    import spark.implicits._
+    // 8 quiet days (10..80 events) and TWO 1000-event spike days. Twin
+    // extreme outliers inflate mean AND stddev enough that every |z|
+    // lands under 2 (the masking limit z -> sqrt(n/2 - 1) = 2 at n=10) —
+    // the z-score detector flags NOTHING. Median/MAD have a 50% breakdown
+    // point, so both spikes still flag.
+    val dayNs = 86400L * 1000000000L
+    val t0 = 1704110400L * 1000000000L
+    val rows = (0 until 10).flatMap { d =>
+      val n = if (d >= 8) 1000 else (d + 1) * 10
+      (0 until n).map(i => (d * 10000L + i, t0 + d * dayNs, "click", 1.0))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    rows.toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val mad = graft.ops.Analytics.queries("q_anomaly_mad")(spark, dir)
+      .select($"n_events", $"median", $"mad", $"is_anomaly")
+      .as[(Long, Double, Double, Boolean)].collect()
+    // sorted counts 10..80,1000,1000: median (50+60)/2, MAD = 25
+    assert(mad.count(_._4) === 2)
+    assert(mad.filter(_._1 === 1000L).forall(_._4))
+    assert(mad.head._2 === 55.0 && mad.head._3 === 25.0)
+    val z = graft.ops.Analytics.queries("q_anomaly_zscore")(spark, dir)
+      .select($"n_events", $"is_anomaly").as[(Long, Boolean)].collect()
+    // the masking effect: the z-score detector misses BOTH spikes
+    assert(z.forall(!_._2))
+  }
+
+  test("quality calibrate: retention is uniform per source despite shifted score scales") {
+    import spark.implicits._
+    // source A: 10 docs of wildly better scores than source B's 10. An
+    // absolute threshold would drop all of B; per-source percentile
+    // calibration keeps exactly 8/10 of EACH (5*cnt_le > n for cnt_le > 2).
+    val good = "the quick brown fox jumps over the lazy dog and runs far " * 3
+    val rows =
+      (0 until 10).map(i => (i.toLong, "A", good + ("extra" + i + " ") * i)) ++
+      (0 until 10).map(i => (100L + i, "B", ("spam " * (3 + i)).trim))
+    val dir = java.nio.file.Files.createTempDirectory("calib").toString
+    rows.toDF("doc_id", "source", "text").withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.llm.TextAnalysis.queries("q_llm_quality_calibrate")(spark, dir)
+      .select($"source", $"verdict").as[(String, String)].collect()
+    val kept = out.groupBy(_._1).view.mapValues(_.count(_._2 == "keep")).toMap
+    assert(kept === Map("A" -> 8, "B" -> 8))
+  }
+
+  test("late audit: ticks after the first count rows older than prior-max minus 1h") {
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    val t0 = 1704110400L * 1000000000L
+    // tick = event_id % 3. tick0 max = t0+10h -> wm(tick1) = t0+9h:
+    // event 1 (t0, late), event 4 (t0+12h, kept -> wm(tick2) = t0+11h);
+    // tick2: event 2 (t0+10h, late), event 5 (t0+11h, NOT late: ts = wm)
+    val rows = Seq(
+      (0L, t0 + 10 * hourNs), (3L, t0 + 8 * hourNs),
+      (1L, t0), (4L, t0 + 12 * hourNs),
+      (2L, t0 + 10 * hourNs), (5L, t0 + 11 * hourNs))
+    val dir = java.nio.file.Files.createTempDirectory("late").toString
+    rows.map { case (id, ns) => (id, ns, "click", 1.0) }
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.streaming.StreamOps.queries("stream_late_audit")(spark, dir)
+      .select($"tick", $"n_rows", $"n_late", $"n_kept")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((0, 2L, 0L, 2L), (1, 2L, 1L, 1L), (2, 2L, 1L, 1L)))
+  }
+
   test("PQ: identical vectors encode to identical codes; ADC ranks the clone first") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -25,7 +25,8 @@ class PlanShapeSpec extends SparkSpec {
         "q_llm_dedup_semantic", "q_llm_decontaminate", "q_llm_knn_pq",
         "q_llm_lm_score", "q_llm_decontaminate_embed", "q_llm_cluster_topics",
         "q_llm_media_neardup", "q_llm_bpe_train", "q_llm_bpe_encode",
-        "q_llm_media_clip_dedup", "q_llm_mixture_reweight")) {
+        "q_llm_media_clip_dedup", "q_llm_mixture_reweight",
+        "q_llm_dedup_containment", "q_llm_winnow_dedup", "q_llm_lm_trigram")) {
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
     }
   }
