@@ -121,18 +121,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Corpus-relative df cap over the winnowed fingerprints — the capped
+    * (doc_id, fh) universe every winnow consumer joins on. */
+  private[llm] def winnowCappedFps(corpus: DataFrame): DataFrame = {
+    val fp = winnowFingerprintsOf(corpus).localCheckpoint()
+    val dffp = fp.groupBy(col("fh")).agg(count(lit(1)).as("f"))
+    fp.join(dffp.crossJoin(broadcast(corpusCountOf(corpus)))
+        .where(expr(s"f <= greatest(${MaxDf}L, n_corpus DIV ${MaxDfRatio}L)"))
+        .select(col("fh")), "fh")
+  }
+
+  /** Winnow-family CANDIDATE pairs: docs sharing any capped fingerprint —
+    * the pre-verdict pair generator the family-recall audit scores
+    * (bounded by the df cap exactly like the MinHash band join). */
+  private[llm] def winnowCandidatesOf(corpus: DataFrame): DataFrame = {
+    val fpc = winnowCappedFps(corpus).localCheckpoint()
+    fpc.alias("a").join(fpc.alias("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Winnowing near-dup pairs (q_llm_winnow_dedup body): selected
     * fingerprints drive the usual bounded pair join — corpus-relative df
     * cap, shared-fingerprint counting, overlap vs the smaller doc's set.
     * At 100 TB the winnowed stream is the artifact you can afford to
     * index — ~2/(w+1) of the full shingle stream before any capping. */
   private[graft] def winnowPairsOf(corpus: DataFrame): DataFrame = {
-    val fp = winnowFingerprintsOf(corpus).localCheckpoint()
-    val dffp = fp.groupBy(col("fh")).agg(count(lit(1)).as("f"))
-    val fpc = fp.join(dffp.crossJoin(broadcast(corpusCountOf(corpus)))
-        .where(expr(s"f <= greatest(${MaxDf}L, n_corpus DIV ${MaxDfRatio}L)"))
-        .select(col("fh")), "fh")
-      .localCheckpoint()
+    val fpc = winnowCappedFps(corpus).localCheckpoint()
     val sizes = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = fpc.alias("a").join(fpc.alias("b"),
         col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
@@ -972,7 +988,8 @@ object Dedup {
         .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), "doc_b")
         .where(expr("bit_count(fa ^ fb) <= 3"))
         .select(col("doc_a"), col("doc_b"))
-      val truth = verifiedPairsFrom(mhCand.union(shCand).distinct(),
+      val wCand = winnowCandidatesOf(d).localCheckpoint()
+      val truth = verifiedPairsFrom(mhCand.union(shCand).union(wCand).distinct(),
           raw, dfreq, corpusCountOf(d))
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
       def famEval(name: String, found: DataFrame): DataFrame =
@@ -984,6 +1001,7 @@ object Dedup {
             "CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE) " +
               "ELSE CAST(n_found AS DOUBLE) / n_true END AS recall")
       famEval("minhash", mhCand).unionByName(famEval("simhash", shPairs))
+        .unionByName(famEval("winnow", wCand))
         .orderBy(col("family"))
     })
 
@@ -1086,6 +1104,34 @@ object Dedup {
         FROM $bandsCte b JOIN bc USING (band_idx, band_key)
         WHERE bc.bn <= greatest($BandCapFloor, (SELECT count(*) FROM $src) // $BandCapRatio))"""
 
+  /** DuckDB mirror of the winnowing fingerprint chain ([[winnowCappedFps]]):
+    * CTEs ending in `wfpc (doc_id, fh)` — the capped fingerprint universe.
+    * `w`-prefixed names so the family-recall oracle can splice it next to
+    * the shingle/simhash chains without collisions. */
+  private def duckWinnowCtes(src: String): String = s"""
+      wt3 AS (
+        SELECT doc_id, ${duckShingles("wh")} AS sgs
+        FROM (SELECT doc_id, ${duckWordHashes("text")} AS wh FROM $src)
+        WHERE len(wh) >= 3),
+      wposx AS (
+        SELECT doc_id, unnest(sgs) AS h,
+               unnest(range(0, len(sgs))) AS pos
+        FROM wt3),
+      wwm AS (
+        SELECT doc_id, pos,
+               min(h * 1048576 + (1048575 - pos)) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM wposx),
+      wfp0 AS (
+        SELECT DISTINCT doc_id, wmin // 1048576 AS fh
+        FROM wwm WHERE pos >= 3),
+      wdff AS (SELECT fh, count(*) AS f FROM wfp0 GROUP BY fh),
+      wfpc AS (
+        SELECT doc_id, fh
+        FROM wfp0 JOIN wdff USING (fh)
+        WHERE f <= greatest($MaxDf, (SELECT count(*) FROM $src) // $MaxDfRatio))"""
+
   /** DuckDB mirror of q_llm_dedup_simhash_pairs, source-parameterized so
     * the incremental/forget variants run it over a kept CTE. Candidates
     * come only from capped buckets (see [[BandCapFloor]]). */
@@ -1160,10 +1206,16 @@ object Dedup {
         FROM bkept a JOIN bkept b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id),
+      ${duckWinnowCtes("documents")},
+      wcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM wfpc a JOIN wfpc b ON a.fh = b.fh AND a.doc_id < b.doc_id),
       cpairs AS (
         SELECT doc_a, doc_b FROM mhcand
         UNION
-        SELECT doc_a, doc_b FROM scand)"""
+        SELECT doc_a, doc_b FROM scand
+        UNION
+        SELECT doc_a, doc_b FROM wcand)"""
     s"""
       WITH ${verifiedPairCtesFrom(famCand, "documents")},
       truthp AS (SELECT doc_a, doc_b FROM vpairs),
@@ -1182,7 +1234,12 @@ object Dedup {
         SELECT 'simhash' AS family, count(*) AS n_true,
                CAST(sum(CASE WHEN sp.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
         FROM truthp t LEFT JOIN shpairs sp
-          ON sp.doc_a = t.doc_a AND sp.doc_b = t.doc_b)
+          ON sp.doc_a = t.doc_a AND sp.doc_b = t.doc_b
+        UNION ALL
+        SELECT 'winnow' AS family, count(*) AS n_true,
+               CAST(sum(CASE WHEN w.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+        FROM truthp t LEFT JOIN wcand w
+          ON w.doc_a = t.doc_a AND w.doc_b = t.doc_b)
       SELECT family, n_true, n_found,
              CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE)
                   ELSE CAST(n_found AS DOUBLE) / n_true END AS recall
@@ -1497,32 +1554,11 @@ object Dedup {
       // unnest, the same enc = h*2^20 + (2^20-1-pos) windowed min, full
       // windows only, capped fingerprint pair join
       "q_llm_winnow_dedup" -> s"""
-      WITH t3 AS (
-        SELECT doc_id, ${duckShingles("wh")} AS sgs
-        FROM (SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents)
-        WHERE len(wh) >= 3),
-      posx AS (
-        SELECT doc_id, unnest(sgs) AS h,
-               unnest(range(0, len(sgs))) AS pos
-        FROM t3),
-      wm AS (
-        SELECT doc_id, pos,
-               min(h * 1048576 + (1048575 - pos)) OVER (
-                 PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
-        FROM posx),
-      fp AS (
-        SELECT DISTINCT doc_id, wmin // 1048576 AS fh
-        FROM wm WHERE pos >= 3),
-      dffp AS (SELECT fh, count(*) AS f FROM fp GROUP BY fh),
-      fpc AS (
-        SELECT doc_id, fh
-        FROM fp JOIN dffp USING (fh)
-        WHERE f <= greatest($MaxDf, (SELECT count(*) FROM documents) // $MaxDfRatio)),
-      szs AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY doc_id),
+      WITH ${duckWinnowCtes("documents")},
+      szs AS (SELECT doc_id, count(*) AS n FROM wfpc GROUP BY doc_id),
       co AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        FROM fpc a JOIN fpc b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        FROM wfpc a JOIN wfpc b ON a.fh = b.fh AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT doc_a, doc_b, shared, sa.n AS na, sb.n AS nb,
              CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS overlap
