@@ -155,6 +155,44 @@ object Curation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Corpus data card (the "datasheet for datasets" table a corpus
+    // release ships): per-source rows plus an ALL rollup — doc/token
+    // counts, exact-duplicate doc count (normalized-text hash seen >= 2
+    // times ANYWHERE in the corpus, so cross-source copies count in both
+    // sources), language spread, exact average length (x100 integer) and
+    // exact median token count (lower median, doc_id tie-break). One
+    // corpus scan + one hash agg for the dup table + one windowed median
+    // over the per-source stream; every number is integer arithmetic, so
+    // the card is bit-reproducible at any partition count.
+    "q_llm_data_card" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val b = docs(s, dir).selectExpr("doc_id", "source", "lang", "n_chars",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS toks",
+        "graft_charhash(lower(trim(text))) AS h")
+      val dupH = b.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select(col("h"), lit(1L).as("_dup"))
+      val b2 = b.join(dupH, Seq("h"), "left")
+        .withColumn("dup", coalesce(col("_dup"), lit(0L)))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          col("toks"), col("dup"))
+      // the ALL rollup rides the same stream: union a re-labeled copy and
+      // aggregate once (grouping-sets semantics without the null label)
+      val dbl = b2.union(b2.withColumn("source", lit("ALL")))
+        .localCheckpoint() // feeds the agg AND the median window
+      val med = dbl.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("toks"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .where(expr("rn = (n + 1) DIV 2"))
+        .select(col("source"), col("toks").as("median_toks"))
+      val agg = dbl.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dup")).as("n_dup_docs"),
+        sum(col("toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        expr("sum(n_chars) * 100 DIV count(1)").as("avg_chars_x100"))
+      agg.join(med, Seq("source")).orderBy(col("source"))
+    },
+
     // RAG chunking: overlapping sliding word windows (width ChunkW,
     // stride ChunkS; short docs yield exactly one chunk) with a per-chunk
     // content fingerprint — the embedding-ready chunk table every
@@ -845,6 +883,38 @@ object Curation {
       SELECT source, n_docs, tokens, n_chunks, n_boundary_docs,
              CAST(cum_max - (n_chunks - 1) * $CtxLen AS BIGINT) AS last_chunk_fill
       FROM agg ORDER BY source""",
+
+      "q_llm_data_card" -> s"""
+      WITH b AS (
+        SELECT doc_id, source, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               ${duckCharHash("lower(trim(text))")} AS h
+        FROM documents),
+      duph AS (SELECT h FROM b GROUP BY h HAVING count(*) >= 2),
+      b2 AS (
+        SELECT b.doc_id, b.source, b.lang, b.n_chars, b.toks,
+               CASE WHEN d.h IS NULL THEN 0 ELSE 1 END AS dup
+        FROM b LEFT JOIN duph d ON b.h = d.h),
+      dbl AS (SELECT * FROM b2
+              UNION ALL
+              SELECT doc_id, 'ALL' AS source, lang, n_chars, toks, dup FROM b2),
+      med AS (
+        SELECT source, toks AS median_toks FROM (
+          SELECT source, toks, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY toks, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM dbl) z
+        WHERE rn = (n + 1) // 2),
+      agg AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+               CAST(sum(toks) AS BIGINT) AS n_tokens,
+               count(DISTINCT lang) AS n_langs,
+               CAST(sum(n_chars) * 100 // count(*) AS BIGINT) AS avg_chars_x100
+        FROM dbl GROUP BY source)
+      SELECT a.source, a.n_docs, a.n_dup_docs, a.n_tokens, a.n_langs,
+             a.avg_chars_x100, m.median_toks
+      FROM agg a JOIN med m USING (source) ORDER BY a.source""",
 
       "q_llm_mixture_stats" -> s"""
       WITH w(source, weight) AS (VALUES $weightValues),

@@ -107,6 +107,52 @@ object Similarity {
   val PqKs = 8
   private val SubDim = EmbDim / PqM
 
+  /** Greedy k-center round count (coreset size) for
+    * [[q_llm_kcenter_sample]]. */
+  val KCenters = 8
+
+  /** Gonzalez greedy k-center (farthest-point) coreset selection: seed =
+    * the max-|x|² vector, then each round adds the point farthest from
+    * its nearest already-chosen center (exact integer squared-Euclidean
+    * maximin, ties broken by vec_id). The running min-distance column is
+    * FOLDED — round r joins the corpus against only the ONE new center (a
+    * 1-row broadcast), so the whole selection costs K corpus scans, not
+    * K × K center joins. The per-round argmax is `orderBy(...).limit(1)`,
+    * which Spark plans as TakeOrdered — per-partition top-1 then an
+    * O(partitions) driver merge, never a global sort. At 100 TB this is
+    * the honest distributed greedy k-center (production variants run it
+    * on a uniform pre-sample; the operator shape is identical). Each
+    * round's state is materialized through the [[graft.util.Checkpointer]]
+    * knob so lineage stays flat at any K. Output: (round, vec_id,
+    * radius2) — radius2 the maximin distance at selection (monotone
+    * non-increasing from round 2; the k-center coverage-radius
+    * certificate), all exact long arithmetic in both engines. */
+  private[graft] def kcenterCenters(se0: DataFrame,
+                                    k: Int = KCenters,
+                                    ckpt: graft.util.Checkpointer =
+                                      graft.util.Checkpointer.Local): DataFrame = {
+    val base = se0.selectExpr("vec_id", "se", "graft_dot(se, se) AS n2")
+    val c1 = ckpt(base.orderBy(col("n2").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("c_id"), col("se").as("cse"), col("n2").as("cn2")))
+    var sel = c1.selectExpr("CAST(1 AS INT) AS round", "c_id AS vec_id",
+      "CAST(0 AS BIGINT) AS radius2")
+    var state = ckpt(base.crossJoin(broadcast(c1))
+      .selectExpr("vec_id", "se", "n2",
+        "n2 - 2L * graft_dot(se, cse) + cn2 AS mind"))
+    for (r <- 2 to k) {
+      val nc = ckpt(state.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("c_id"), col("se").as("cse"),
+          col("n2").as("cn2"), col("mind").as("r2")))
+      sel = sel.union(nc.selectExpr(s"CAST($r AS INT) AS round",
+        "c_id AS vec_id", "r2 AS radius2"))
+      if (r < k)
+        state = ckpt(state.crossJoin(broadcast(nc.select(col("cse"), col("cn2"))))
+          .selectExpr("vec_id", "se", "n2",
+            "least(mind, n2 - 2L * graft_dot(se, cse) + cn2) AS mind"))
+    }
+    sel
+  }
+
   /** Deterministic k-means over the scaled-long embeddings, entirely as
     * DataFrame aggregations (no driver-side loops over data): seeded init
     * assigns each vector to cell `hash(vec_id) mod n_cells` — n_cells the
@@ -473,6 +519,78 @@ object Similarity {
         .withColumn("cos", Exact.fix(col("cos_raw"), 6))
         .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // Diversity coreset selection (greedy k-center / farthest-point): the
+    // curation counterpart of dedup — instead of REMOVING near-identical
+    // docs, SELECT a maximally-spread subset (seed sets for active
+    // learning, eval-set construction, diverse fine-tuning subsets). See
+    // [[kcenterCenters]] for the fold shape and the 100 TB posture.
+    "q_llm_kcenter_sample" -> { (s, dir) =>
+      val se = scaledEmb(s, dir).select(col("vec_id"), col("se"))
+      kcenterCenters(se).orderBy(col("round"))
+    },
+
+    // Online ANN serving: the IVF index (trained centroids + assigned
+    // corpus) is built ONCE as static state; QUERIES arrive as a stream
+    // (two query files, maxFilesPerTrigger=1 → two real micro-batches)
+    // and each batch is served inside foreachBatch against the static
+    // index — the offline-train / online-serve split of a production
+    // vector store. Per-query results touch only that query's probed
+    // cells, so batch boundaries cannot change any query's top-k, and
+    // each batch's output goes to a batchId-keyed path (overwrite =
+    // replay-idempotent). Oracle = the SAME one-shot IVF SQL as
+    // q_llm_knn_ivf: streamed serving provably equals batch.
+    "stream_llm_ann_serve" -> { (s, dir) =>
+      val se = scaledEmb(s, dir)
+      val cents = kmeansCentroids(se).localCheckpoint()
+      val assigned = assignCells(se, cents, 1)
+        .select(col("vec_id"), col("se"), col("nrm"), col("cent_id").as("cell"))
+        .localCheckpoint()
+      val base = s"${graft.sinks.Sinks.tmpBase}/stream_ann_serve"
+      graft.sinks.Sinks.truncate(base)
+      val qsrc = Tables.load(s, dir, "embeddings").where(col("vec_id") < 10)
+      (0 to 1).foreach { t =>
+        val tmp = s"$base/src_stage_$t"
+        qsrc.where(col("vec_id") % 2 === t).coalesce(1).write.parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+        val dest = java.nio.file.Paths.get(s"$base/src/t$t.parquet")
+        java.nio.file.Files.move(part, dest)
+        graft.sinks.Sinks.deleteRec(tmp)
+        dest.toFile.setLastModified(1700000000000L + t * 60000L)
+      }
+      val stream = s.readStream.schema(Tables.embeddings)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.functions.GraftFunctions.register(batch.sparkSession)
+          val qse = batch
+            .selectExpr("vec_id", s"${sparkScaledEmb("embedding")} AS se")
+            .selectExpr("vec_id", "se",
+              "sqrt(CAST(graft_dot(se, se) AS DOUBLE)) AS nrm")
+          val probes = assignCells(qse, cents, 2)
+            .select(col("vec_id").as("q_id"), col("se").as("qse"),
+              col("nrm").as("qnrm"), col("cent_id").as("cell"))
+          val scored = assigned.join(probes, Seq("cell"))
+            .where(col("vec_id") =!= col("q_id"))
+            .selectExpr("q_id", "vec_id AS neighbor_id",
+              s"${cosExpr("qse", "se", "qnrm", "nrm")} AS cos_raw")
+          val topk = scored.withColumn("rank", row_number().over(
+              Window.partitionBy(col("q_id"))
+                .orderBy(col("cos_raw").desc, col("neighbor_id"))))
+            .where(col("rank") <= 3)
+            .withColumn("cos", Exact.fix(col("cos_raw"), 6))
+            .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
+          topk.write.mode("overwrite").parquet(s"$base/out/batch_$bid")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .orderBy(col("q_id"), col("rank"))
     })
 
   /** Recall evaluation: how many of each query's exact top-5 neighbors each
@@ -549,6 +667,38 @@ object Similarity {
       c2 AS (${duckCent("a2")}),
       c2n AS (${duckCentN("c2")}),
       assigned AS (${duckAssign("c2n", "", 1)})"""
+
+  /** DuckDB mirror of [[kcenterCenters]]: K unrolled select-then-relax
+    * CTE rounds (the duckKmeansCtes Lloyd-unrolling pattern) — same seed,
+    * same integer maximin, same vec_id tie-break. */
+  private[llm] def duckKcenterSql(k: Int = KCenters): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH e0 AS (SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e AS (SELECT vec_id, se, ${duckPairDot("se", "se")} AS n2 FROM e0),
+      c1 AS (SELECT vec_id AS c_id, se AS cse, n2 AS cn2 FROM e
+             ORDER BY n2 DESC, vec_id LIMIT 1),
+      m1 AS (SELECT e.vec_id, e.se, e.n2,
+             e.n2 - 2 * (${duckPairDot("e.se", "c.cse")}) + c.cn2 AS mind
+             FROM e, c1 c)"""
+    for (r <- 2 to k) {
+      sb ++= s""",
+      c$r AS (SELECT vec_id AS c_id, se AS cse, n2 AS cn2, mind AS r2
+              FROM m${r - 1} ORDER BY mind DESC, vec_id LIMIT 1)"""
+      if (r < k) sb ++= s""",
+      m$r AS (SELECT m.vec_id, m.se, m.n2,
+              least(m.mind, m.n2 - 2 * (${duckPairDot("m.se", "c.cse")}) + c.cn2) AS mind
+              FROM m${r - 1} m, c$r c)"""
+    }
+    sb ++= s"""
+      SELECT CAST(1 AS INT) AS round, c_id AS vec_id,
+             CAST(0 AS BIGINT) AS radius2 FROM c1"""
+    for (r <- 2 to k)
+      sb ++= s"""
+      UNION ALL SELECT CAST($r AS INT), c_id, r2 FROM c$r"""
+    sb ++= "\n      ORDER BY round"
+    sb.toString
+  }
 
   /** DuckDB mirror of the k-means IVF entry. */
   private[llm] def duckIvfSql(src: String = "embeddings"): String = {
@@ -682,6 +832,12 @@ object Similarity {
       FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
 
       "q_llm_knn_ivf" -> duckIvfSql(),
+
+      // streamed serving must equal the one-shot batch IVF exactly — the
+      // oracle IS q_llm_knn_ivf's SQL
+      "stream_llm_ann_serve" -> duckIvfSql(),
+
+      "q_llm_kcenter_sample" -> duckKcenterSql(),
 
       "q_llm_knn_pq" -> duckPqSql(),
 

@@ -936,6 +936,48 @@ class LlmSpec extends SparkSpec {
     assert(r(2L) === ((2.302585, "ok")))  // ln(10) to 6 decimals
   }
 
+  test("k-center coreset: distinct centers, monotone radius, max-norm seed") {
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val out = SparkEntry.queries("q_llm_kcenter_sample")(spark, dir)
+      .orderBy(col("round")).collect()
+    assert(out.length === graft.llm.Similarity.KCenters)
+    val ids = out.map(_.getLong(1))
+    assert(ids.distinct.length === ids.length, "a center was picked twice")
+    // radius2 is the maximin distance at selection — non-increasing
+    val r = out.map(_.getLong(2))
+    (3 until r.length).foreach(i =>
+      assert(r(i) <= r(i - 1), s"coverage radius grew at round ${i + 1}"))
+    // seed = the max-|x|^2 vector (vec_id tie-break)
+    val seed = graft.sources.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", s"${XHash.sparkScaledEmb("embedding")} AS se")
+      .selectExpr("vec_id", "graft_dot(se, se) AS n2")
+      .orderBy(col("n2").desc, col("vec_id")).limit(1)
+      .collect()(0).getLong(0)
+    assert(out(0).getLong(1) === seed)
+  }
+
+  test("streamed ANN serving equals the one-shot batch IVF entry") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("q_llm_knn_ivf")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val streamed = SparkEntry.queries("stream_llm_ann_serve")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
+  test("data card: the ALL rollup is the exact sum/superset of per-source rows") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_llm_data_card")(spark, dir).collect()
+    val all = out.find(_.getString(0) == "ALL").get
+    val per = out.filter(_.getString(0) != "ALL")
+    assert(per.nonEmpty)
+    assert(all.getLong(1) === per.map(_.getLong(1)).sum) // n_docs
+    assert(all.getLong(2) === per.map(_.getLong(2)).sum) // n_dup_docs (global dup def → additive)
+    assert(all.getLong(3) === per.map(_.getLong(3)).sum) // n_tokens
+    assert(all.getLong(4) >= per.map(_.getLong(4)).max)  // langs: global >= any source
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
