@@ -213,7 +213,50 @@ object Analytics {
       .orderBy(col("bin"))
   }
 
+  /** Shuffle-partition count modeled by the skew audit (a config knob of
+    * the audited job, not of this query). */
+  val SkewParts = 8L
+
+  /** Pre-flight shuffle-skew audit: before running a big join/agg keyed
+    * on `k`, profile what each shuffle partition would receive — row
+    * count, distinct keys, the single heaviest key and its mass, and a
+    * flag when the partition exceeds 2× the mean (the salting decision
+    * threshold). Two keys are profiled side by side: `user_id` (high
+    * cardinality — loads spread) and `event_type` (low cardinality — a
+    * handful of hot keys pin whole partitions, the classic
+    * salt-or-broadcast case). Partition id is the avalanche charhash mod
+    * [[SkewParts]] in BOTH engines, so the audit is engine-portable.
+    * Cost: ONE hash agg on (key_col, part, k) — strictly cheaper than
+    * the join being audited (production runs it on a sample); output is
+    * O(SkewParts). The flag is exact integer arithmetic
+    * (n_rows · parts > 2 · total). */
+  def skewAudit(e: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val keyed = e.selectExpr("'user_id' AS key_col", "CAST(user_id AS STRING) AS k")
+      .union(e.selectExpr("'event_type' AS key_col", "event_type AS k"))
+      .selectExpr("key_col", "k", s"graft_charhash(k) % $SkewParts AS part")
+    val kc = keyed.groupBy(col("key_col"), col("part"), col("k"))
+      .agg(count(lit(1)).as("kn"))
+      .localCheckpoint() // feeds the partition rollup AND the top-key window
+    val parts = kc.groupBy(col("key_col"), col("part"))
+      .agg(sum(col("kn")).as("n_rows"), count(lit(1)).as("n_keys"))
+    val top = kc.withColumn("rn", row_number().over(
+        Window.partitionBy(col("key_col"), col("part"))
+          .orderBy(col("kn").desc, col("k"))))
+      .where(col("rn") === 1)
+      .select(col("key_col"), col("part"), col("k").as("top_key"),
+        col("kn").as("top_key_rows"))
+    val tot = parts.groupBy(col("key_col")).agg(sum(col("n_rows")).as("total"))
+    parts.join(top, Seq("key_col", "part")).join(broadcast(tot), Seq("key_col"))
+      .selectExpr("key_col", "part", "n_rows", "n_keys", "top_key",
+        "top_key_rows",
+        s"CASE WHEN n_rows * $SkewParts > total * 2 THEN 1 ELSE 0 END AS skew_flag")
+      .orderBy(col("key_col"), col("part"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_audit" -> ((s, dir) => skewAudit(ev(s, dir))),
     "q_drift_psi" -> ((s, dir) => driftPsi(ev(s, dir))),
     "q_anomaly_zscore" -> ((s, dir) => anomalies(ev(s, dir))),
     "q_anomaly_mad" -> ((s, dir) => anomaliesMad(ev(s, dir))),
@@ -225,6 +268,39 @@ object Analytics {
           col("c_mktsegment")))))
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_skew_audit" -> s"""
+      WITH keyed AS (
+        SELECT 'user_id' AS key_col, CAST(user_id AS VARCHAR) AS k FROM events
+        UNION ALL
+        SELECT 'event_type' AS key_col, event_type AS k FROM events),
+      hashed AS (
+        SELECT key_col, k,
+               ${graft.llm.XHash.duckCharHash("k")} % ${SkewParts} AS part
+        FROM keyed),
+      kc AS (
+        SELECT key_col, part, k, count(*) AS kn
+        FROM hashed GROUP BY key_col, part, k),
+      parts AS (
+        SELECT key_col, part, CAST(sum(kn) AS BIGINT) AS n_rows,
+               count(*) AS n_keys
+        FROM kc GROUP BY key_col, part),
+      top AS (
+        SELECT key_col, part, k AS top_key, kn AS top_key_rows FROM (
+          SELECT key_col, part, k, kn,
+                 row_number() OVER (PARTITION BY key_col, part
+                   ORDER BY kn DESC, k) AS rn
+          FROM kc) z WHERE rn = 1),
+      tot AS (
+        SELECT key_col, CAST(sum(n_rows) AS BIGINT) AS total
+        FROM parts GROUP BY key_col)
+      SELECT p.key_col, p.part, p.n_rows, p.n_keys, t.top_key,
+             CAST(t.top_key_rows AS BIGINT) AS top_key_rows,
+             CASE WHEN p.n_rows * ${SkewParts} > tt.total * 2
+                  THEN 1 ELSE 0 END AS skew_flag
+      FROM parts p JOIN top t USING (key_col, part)
+      JOIN tot tt USING (key_col)
+      ORDER BY p.key_col, p.part""",
 
     // identical bin edges, identical smoothing, ln-term scaled to longs
     // before the total (ulp-safe at 6 decimals — the lm_score pattern)
