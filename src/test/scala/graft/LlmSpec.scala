@@ -181,6 +181,14 @@ class LlmSpec extends SparkSpec {
         .collect().map(r => r.getInt(0) + "/" + r.getLong(1) + ":" + r.getString(2)).toSet
     assert(cbWith(Checkpointer.Local)
       === cbWith(Checkpointer.Store(s"$base/pqcb")))
+    // ...and the greedy k-center selector: same centers, same radii,
+    // under the loss-safe strategy (per-round state survives executor loss)
+    def kcWith(c: Checkpointer): Seq[(Int, Long, Long)] =
+      graft.llm.Similarity.kcenterCenters(emb.select(col("vec_id"), col("se")),
+          k = 5, ckpt = c)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(kcWith(Checkpointer.Local)
+      === kcWith(Checkpointer.Store(s"$base/kcenter")))
   }
 
   test("PII redaction: each pattern class fires on handcrafted dirty text") {
