@@ -193,6 +193,46 @@ object Curation {
       agg.join(med, Seq("source")).orderBy(col("source"))
     },
 
+    // Span-corruption preprocessing audit (the T5/UL2 denoising-objective
+    // prep): deterministic hash-seeded mask spans — token pos STARTS a
+    // span iff wordhash(doc:pos) % 20 = 0 (~5% of positions), span length
+    // 1 + h DIV 20 % 3 (1..3 tokens) — then overlapping spans are merged
+    // into islands (the lag/cumsum interval merge shared with
+    // q_llm_dedup_substrings) and clipped at the doc end. Output: per-doc
+    // span/masked-token counts + exact mask rate. No RNG anywhere, so the
+    // corruption layout is reproducible across runs, engines, and
+    // partitionings — the property that makes masked-objective training
+    // resumable. One scan + one fan-out-3 explode; windows partition by
+    // doc_id only.
+    "q_llm_span_corruption" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("mpos"))
+      val toks = docs(s, dir)
+        .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, w)")
+        .selectExpr("doc_id", "pos",
+          s"${sparkWordHash("concat('mask-v1:', CAST(doc_id AS STRING), ':', CAST(pos AS STRING))")} AS h")
+        .localCheckpoint() // feeds the span starts AND the per-doc token count
+      val nt = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      val covered = toks.where(expr("h % 20 = 0"))
+        .selectExpr("doc_id",
+          "explode(sequence(pos, pos + h DIV 20 % 3)) AS mpos")
+        .join(nt, "doc_id").where(col("mpos") < col("n_tok"))
+        .select(col("doc_id"), col("mpos")).distinct()
+      val islands = covered
+        .withColumn("brk",
+          when(col("mpos") - lag(col("mpos"), 1).over(w) > 1, 1).otherwise(0))
+        .withColumn("isl", sum(col("brk")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_masked"),
+          (max(col("isl")) + 1).as("n_spans"))
+      nt.join(islands, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "n_tok",
+          "coalesce(n_spans, CAST(0 AS BIGINT)) AS n_spans",
+          "coalesce(n_masked, CAST(0 AS BIGINT)) AS n_masked",
+          s"${graft.util.Exact.sqlFix("coalesce(n_masked, CAST(0 AS BIGINT)) * 100.0 / n_tok", 4)} AS mask_pct")
+        .orderBy(col("doc_id"))
+    },
+
     // RAG chunking: overlapping sliding word windows (width ChunkW,
     // stride ChunkS; short docs yield exactly one chunk) with a per-chunk
     // content fingerprint — the embedding-ready chunk table every
@@ -915,6 +955,40 @@ object Curation {
       SELECT a.source, a.n_docs, a.n_dup_docs, a.n_tokens, a.n_langs,
              a.avg_chars_x100, m.median_toks
       FROM agg a JOIN med m USING (source) ORDER BY a.source""",
+
+      "q_llm_span_corruption" -> s"""
+      WITH toks AS (
+        SELECT doc_id, t.i - 1 AS pos,
+               ${duckWordHash("concat('mask-v1:', CAST(doc_id AS VARCHAR), ':', CAST(t.i - 1 AS VARCHAR))")} AS h
+        FROM documents, LATERAL (
+          SELECT generate_subscripts(string_split(text, ' '), 1) AS i) t),
+      nt AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+      starts AS (SELECT doc_id, pos, h FROM toks WHERE h % 20 = 0),
+      covered AS (
+        SELECT DISTINCT s.doc_id, u.mpos
+        FROM starts s
+        CROSS JOIN LATERAL (SELECT unnest(range(s.pos, s.pos + s.h // 20 % 3 + 1)) AS mpos) u
+        JOIN nt ON nt.doc_id = s.doc_id
+        WHERE u.mpos < nt.n_tok),
+      isl AS (
+        SELECT doc_id, mpos,
+               CASE WHEN mpos - lag(mpos) OVER (PARTITION BY doc_id ORDER BY mpos) > 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM covered),
+      isl2 AS (
+        SELECT doc_id, mpos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY mpos
+                 ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl),
+      agg AS (
+        SELECT doc_id, count(*) AS n_masked,
+               CAST(max(g) + 1 AS BIGINT) AS n_spans
+        FROM isl2 GROUP BY doc_id)
+      SELECT n.doc_id, n.n_tok,
+             coalesce(a.n_spans, 0) AS n_spans,
+             coalesce(a.n_masked, 0) AS n_masked,
+             ${Exact.sqlFix("coalesce(a.n_masked, 0) * 100.0 / n.n_tok", 4)} AS mask_pct
+      FROM nt n LEFT JOIN agg a USING (doc_id) ORDER BY n.doc_id""",
 
       "q_llm_mixture_stats" -> s"""
       WITH w(source, weight) AS (VALUES $weightValues),
