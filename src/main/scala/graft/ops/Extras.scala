@@ -242,6 +242,23 @@ object Extras {
         .orderBy(col("message"))
     },
 
+    // Aggregate pushdown into the DSv2 source (SupportsPushDownAggregates,
+    // COMPLETE pushdown): the grouped COUNT(*)/MIN(ts)/MAX(ts) is answered
+    // by the source itself in closed form — the physical plan carries NO
+    // aggregate operator and the scan emits 7 rows instead of 5000
+    // (PlanShapeSpec asserts both). This is the remote-database shape: at
+    // 100 TB the difference between shipping the corpus and shipping the
+    // answer. countDistinct (q_dsv2_source) stays un-pushed on purpose —
+    // the source only accepts what it can answer exactly.
+    "q_dsv2_agg_pushdown" -> { (s, _) =>
+      s.read.format("graft.sources.CommitSource").option("rows", "5000").load()
+        .where(col("ts") >= lit("2024-01-03 00:00:00").cast(org.apache.spark.sql.types.TimestampType))
+        .groupBy(col("message"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("min_ts"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("message"))
+    },
+
     // Binned range join: the scalable form of an interval join. Values are
     // binned in EXACT scaled cents (integer division — no float-boundary
     // ambiguity), bands align to bins, and the join becomes a hash
@@ -423,6 +440,16 @@ object Extras {
         FROM (SELECT unnest(range(5000)) AS i))
       SELECT message, count(*) AS n, max(ts) AS max_ts,
              count(DISTINCT email) AS n_authors
+      FROM src WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+      GROUP BY message ORDER BY message""",
+
+    "q_dsv2_agg_pushdown" -> """
+      WITH src AS (
+        SELECT i,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 137) AS ts,
+               'm' || (i % 7) AS message
+        FROM (SELECT unnest(range(5000)) AS i))
+      SELECT message, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
       FROM src WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
       GROUP BY message ORDER BY message""",
 

@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -24,7 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    SOURCE, the exact analog of pushing `since` into the API request
   *    (`git_etl.ts:63`) — the scan then emits only matching rows, and the
   *    pushed filter is visible in `.explain` (`PushedFilters`);
-  *  - `SupportsPushDownRequiredColumns` prunes the emitted columns.
+  *  - `SupportsPushDownRequiredColumns` prunes the emitted columns;
+  *  - `SupportsPushDownAggregates` answers `GROUP BY message` (or global)
+  *    aggregations of COUNT(*) / MIN(ts) / MAX(ts) ENTIRELY at the source
+  *    (complete pushdown): rows are an arithmetic sequence, so each
+  *    group's count and ts extremes have closed forms over the
+  *    `since`-filtered index range — the analog of a remote database
+  *    answering the aggregate server-side. The scan then emits ≤ 7 rows
+  *    instead of the corpus, and the plan carries NO aggregate operator
+  *    at all (asserted in PlanShapeSpec).
   *
   * Rows are DETERMINISTIC synthetic commits (this environment has no
   * network): row i has ts = 2024-01-01 + i*137s, sha = "c"+zero-padded i,
@@ -70,10 +80,46 @@ class CommitTable(totalRows: Long) extends Table with SupportsRead {
 }
 
 class CommitScanBuilder(totalRows: Long)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var sinceMicros: Long = Long.MinValue
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CommitSource.schema
+  // (groupByMessage, agg kinds in declaration order: "count"|"min"|"max")
+  private var aggPushed: Option[(Boolean, Seq[String])] = None
+
+  private def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
+                    n: String): Boolean = e match {
+    case r: NamedReference => r.fieldNames.sameElements(Array(n))
+    case _ => false
+  }
+
+  private def parseAgg(agg: Aggregation): Option[(Boolean, Seq[String])] = {
+    val grouped = agg.groupByExpressions.toSeq match {
+      case Seq() => Some(false)
+      case Seq(g) if isCol(g, "message") => Some(true)
+      case _ => None
+    }
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if isCol(m.column, "ts") => Some("min")
+      case m: Max if isCol(m.column, "ts") => Some("max")
+      case _ => None
+    }
+    for {
+      g <- grouped
+      if kinds.nonEmpty && kinds.forall(_.isDefined)
+    } yield (g, kinds.flatten)
+  }
+
+  // complete pushdown: the emitted rows ARE the final aggregate (single
+  // InputPartition), so Spark plans no aggregate operator on top
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    parseAgg(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggPushed = parseAgg(agg)
+    aggPushed.isDefined
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -94,8 +140,87 @@ class CommitScanBuilder(totalRows: Long)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-  override def build(): Scan = new CommitScan(totalRows, sinceMicros, required)
+    // pruning describes ROW columns; once an aggregation is pushed the
+    // scan's schema is the aggregate shape instead — ignore late prunes
+    if (aggPushed.isEmpty) required = requiredSchema
+  override def build(): Scan = aggPushed match {
+    case Some((grouped, kinds)) =>
+      new CommitAggScan(totalRows, sinceMicros, grouped, kinds)
+    case None => new CommitScan(totalRows, sinceMicros, required)
+  }
+}
+
+/** Complete-pushdown aggregate scan: one partition whose rows are the
+  * final per-group aggregates, computed in closed form (no row is ever
+  * materialized). Schema is positional per the DSv2 contract: group-by
+  * columns first, then one column per aggregate function. */
+class CommitAggScan(totalRows: Long, sinceMicros: Long,
+                    grouped: Boolean, kinds: Seq[String]) extends Scan with Batch {
+  import CommitSource._
+
+  override def readSchema(): StructType = StructType(
+    (if (grouped) Seq(StructField("message", StringType, nullable = false))
+     else Nil) ++
+      kinds.zipWithIndex.map {
+        case ("count", i) => StructField(s"agg_$i", LongType, nullable = false)
+        case (_, i)       => StructField(s"agg_$i", TimestampType, nullable = true)
+      })
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val g = if (grouped) "group=[message]" else "group=[]"
+    s"graft_commits rows=$totalRows PushedAggregation: $g aggs=${kinds.mkString(",")}"
+  }
+
+  private case object AggPartition extends InputPartition
+
+  override def planInputPartitions(): Array[InputPartition] = Array(AggPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (tot, since, grp, ks) = (totalRows, sinceMicros, grouped, kinds)
+    (_: InputPartition) => new PartitionReader[InternalRow] {
+      // index range [firstRow, tot) after the pushed `since` bound —
+      // identical arithmetic to CommitScan.planInputPartitions
+      private val firstRow =
+        if (since == Long.MinValue) 0L
+        else {
+          val delta = since - BaseMicros
+          if (delta <= 0) 0L else (delta + StepMicros - 1) / StepMicros
+        }
+      // (groupKey or null, count, minIdx, maxIdx) per non-empty group
+      private val groups: Seq[(String, Long, Long, Long)] =
+        if (firstRow >= tot) {
+          if (grp) Nil else Seq((null, 0L, -1L, -1L)) // global agg of empty input
+        } else if (!grp) {
+          Seq((null, tot - firstRow, firstRow, tot - 1))
+        } else {
+          (0L until 7L).flatMap { j =>
+            // first index >= firstRow with i % 7 == j, last index < tot
+            val first = firstRow + (((j - firstRow) % 7) + 7) % 7
+            if (first >= tot) None
+            else {
+              val last = (tot - 1) - ((((tot - 1) - j) % 7) + 7) % 7
+              Some((messageOf(j), (last - first) / 7 + 1, first, last))
+            }
+          }
+        }
+      private var idx = -1
+      override def next(): Boolean = { idx += 1; idx < groups.length }
+      override def get(): InternalRow = {
+        val (key, n, minI, maxI) = groups(idx)
+        val aggVals: Seq[Any] = ks.map {
+          case "count" => java.lang.Long.valueOf(n)
+          case "min" =>
+            if (minI < 0) null else java.lang.Long.valueOf(tsMicrosOf(minI))
+          case "max" =>
+            if (maxI < 0) null else java.lang.Long.valueOf(tsMicrosOf(maxI))
+        }
+        val vals =
+          (if (grp) Seq(UTF8String.fromString(key)) else Nil) ++ aggVals
+        new GenericInternalRow(vals.toArray[Any])
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class CommitPage(start: Long, end: Long) extends InputPartition

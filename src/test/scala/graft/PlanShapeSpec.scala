@@ -50,6 +50,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q_llm_knn_brute").contains("WindowGroupLimit"))
   }
 
+  test("DSv2 aggregate pushdown: the source answers the group-by, no aggregate operator") {
+    val p = plan("q_dsv2_agg_pushdown")
+    assert(p.contains("PushedAggregation"), "scan must carry the pushed aggregation")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "complete pushdown must eliminate the aggregate operator")
+    // the sibling entry's countDistinct is NOT pushable — it must keep a
+    // real aggregate over the row scan (the source declines what it
+    // cannot answer exactly)
+    val q = plan("q_dsv2_source")
+    assert(q.contains("HashAggregate") || q.contains("ObjectHashAggregate"),
+      "countDistinct must stay a Spark-side aggregate")
+    assert(!q.contains("PushedAggregation"))
+  }
+
   test("native as-of join plans as the custom operator with EnsureRequirements exchanges") {
     val p = plan("q_asof_join_native")
     assert(p.contains("AsOfJoin"), "expected the custom AsOfJoinExec node")
