@@ -259,6 +259,20 @@ object Extras {
         .orderBy(col("message"))
     },
 
+    // Top-N pushdown into the DSv2 source (SupportsPushDownTopN, complete):
+    // "the 5 newest commits since the watermark" — the reference's core
+    // ask — becomes a 5-row index slice served by the source in DESC
+    // order; Spark's Sort/TakeOrdered disappears from the plan
+    // (PlanShapeSpec). Composes with the pushed `since` filter and column
+    // pruning: the scan reads 5 rows and 3 columns of a 5000-row table.
+    "q_dsv2_topn_pushdown" -> { (s, _) =>
+      s.read.format("graft.sources.CommitSource").option("rows", "5000").load()
+        .where(col("ts") >= lit("2024-01-03 00:00:00").cast(org.apache.spark.sql.types.TimestampType))
+        .orderBy(col("ts").desc).limit(5)
+        .select(col("sha"), col("ts"), col("message"))
+        .orderBy(col("ts"))
+    },
+
     // Binned range join: the scalable form of an interval join. Values are
     // binned in EXACT scaled cents (integer division — no float-boundary
     // ambiguity), bands align to bins, and the join becomes a hash
@@ -442,6 +456,18 @@ object Extras {
              count(DISTINCT email) AS n_authors
       FROM src WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
       GROUP BY message ORDER BY message""",
+
+    "q_dsv2_topn_pushdown" -> """
+      WITH src AS (
+        SELECT 'c' || lpad(CAST(i AS VARCHAR), 8, '0') AS sha,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 137) AS ts,
+               'm' || (i % 7) AS message
+        FROM (SELECT unnest(range(5000)) AS i))
+      SELECT * FROM (
+        SELECT sha, ts, message FROM src
+        WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        ORDER BY ts DESC LIMIT 5) t
+      ORDER BY ts""",
 
     "q_dsv2_agg_pushdown" -> """
       WITH src AS (

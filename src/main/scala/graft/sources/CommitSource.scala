@@ -8,9 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,7 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `since`-filtered index range — the analog of a remote database
   *    answering the aggregate server-side. The scan then emits ≤ 7 rows
   *    instead of the corpus, and the plan carries NO aggregate operator
-  *    at all (asserted in PlanShapeSpec).
+  *    at all (asserted in PlanShapeSpec);
+  *  - `SupportsPushDownLimit`/`SupportsPushDownTopN` serve `LIMIT k` and
+  *    `ORDER BY ts [DESC] LIMIT k` as a k-row index slice in the pushed
+  *    order (rows are ts-sorted by construction), `isPartiallyPushed =
+  *    false` — Spark drops its Sort/Limit and the scan reads k rows,
+  *    not the corpus.
   *
   * Rows are DETERMINISTIC synthetic commits (this environment has no
   * network): row i has ts = 2024-01-01 + i*137s, sha = "c"+zero-padded i,
@@ -81,7 +86,8 @@ class CommitTable(totalRows: Long) extends Table with SupportsRead {
 
 class CommitScanBuilder(totalRows: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var sinceMicros: Long = Long.MinValue
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CommitSource.schema
@@ -121,6 +127,25 @@ class CommitScanBuilder(totalRows: Long)
     aggPushed.isDefined
   }
 
+  // LIMIT / ORDER BY ts LIMIT k pushdown: rows are strictly ts-ascending,
+  // so the first (or last) k indexes of the filtered range ARE the answer
+  // — the scan serves them in the pushed order from a single partition,
+  // and isPartiallyPushed=false lets Spark drop its Sort/Limit entirely.
+  // Declined once an aggregation is pushed (the limit then applies to the
+  // aggregate output, which Spark handles itself).
+  private var limitPushed: Option[(Int, Boolean)] = None // (k, descending)
+  override def isPartiallyPushed(): Boolean = false
+  override def pushLimit(n: Int): Boolean =
+    if (aggPushed.isDefined) false
+    else { limitPushed = Some((n, false)); true }
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean =
+    orders.toSeq match {
+      case Seq(o) if isCol(o.expression, "ts") && aggPushed.isEmpty =>
+        limitPushed = Some((n, o.direction == SortDirection.DESCENDING))
+        true
+      case _ => false
+    }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case GreaterThanOrEqual("ts", _: java.sql.Timestamp) => true
@@ -146,7 +171,7 @@ class CommitScanBuilder(totalRows: Long)
   override def build(): Scan = aggPushed match {
     case Some((grouped, kinds)) =>
       new CommitAggScan(totalRows, sinceMicros, grouped, kinds)
-    case None => new CommitScan(totalRows, sinceMicros, required)
+    case None => new CommitScan(totalRows, sinceMicros, required, limitPushed)
   }
 }
 
@@ -225,44 +250,74 @@ class CommitAggScan(totalRows: Long, sinceMicros: Long,
 
 case class CommitPage(start: Long, end: Long) extends InputPartition
 
-class CommitScan(totalRows: Long, sinceMicros: Long, required: StructType)
+/** `ordered`: when a limit/top-N is pushed, the single emitted partition
+  * walks indexes in the pushed direction (desc = newest first) — with
+  * `isPartiallyPushed=false` Spark drops its own Sort/Limit, so the
+  * scan's row order IS the result order. */
+case class CommitOrderedSlice(start: Long, end: Long, desc: Boolean)
+  extends InputPartition
+
+class CommitScan(totalRows: Long, sinceMicros: Long, required: StructType,
+                 limitPushed: Option[(Int, Boolean)] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_commits rows=$totalRows since=" +
-      (if (sinceMicros == Long.MinValue) "none" else sinceMicros.toString)
+      (if (sinceMicros == Long.MinValue) "none" else sinceMicros.toString) +
+      limitPushed.map { case (k, desc) =>
+        s" PushedTopN: limit=$k order=${if (desc) "ts DESC" else "ts ASC"}"
+      }.getOrElse("")
+
+  // first index at-or-after the pushed `since` bound (rows are ts-ordered)
+  private def firstRow: Long =
+    if (sinceMicros == Long.MinValue) 0L
+    else {
+      val delta = sinceMicros - CommitSource.BaseMicros
+      if (delta <= 0) 0L
+      else (delta + CommitSource.StepMicros - 1) / CommitSource.StepMicros
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // source-side pushdown: rows are ts-ordered, so the `since` bound maps
-    // to a starting row index and earlier PAGES are never planned at all
-    val firstRow =
-      if (sinceMicros == Long.MinValue) 0L
-      else {
-        val delta = sinceMicros - CommitSource.BaseMicros
-        if (delta <= 0) 0L
-        else (delta + CommitSource.StepMicros - 1) / CommitSource.StepMicros
-      }
-    val firstPage = firstRow / CommitSource.PageSize
-    val lastPage = (totalRows + CommitSource.PageSize - 1) / CommitSource.PageSize
-    (firstPage until lastPage).map { p =>
-      CommitPage(p * CommitSource.PageSize,
-        math.min((p + 1) * CommitSource.PageSize, totalRows)): InputPartition
-    }.toArray
+    // source-side pushdown: the `since` bound maps to a starting row
+    // index and earlier PAGES are never planned at all
+    limitPushed match {
+      case Some((k, desc)) =>
+        // k-row slice of the filtered range, served in pushed order from
+        // ONE partition (k is a user-facing LIMIT — always small)
+        val lo = firstRow
+        val (s, e) =
+          if (desc) (math.max(lo, totalRows - k), totalRows)
+          else (lo, math.min(totalRows, lo + k))
+        Array(CommitOrderedSlice(s, math.max(s, e), desc))
+      case None =>
+        val firstPage = firstRow / CommitSource.PageSize
+        val lastPage = (totalRows + CommitSource.PageSize - 1) / CommitSource.PageSize
+        (firstPage until lastPage).map { p =>
+          CommitPage(p * CommitSource.PageSize,
+            math.min((p + 1) * CommitSource.PageSize, totalRows)): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fieldNames
     val since = sinceMicros
     (partition: InputPartition) => {
-      val page = partition.asInstanceOf[CommitPage]
+      val (start, end, desc) = partition match {
+        case CommitPage(s, e) => (s, e, false)
+        case CommitOrderedSlice(s, e, d) => (s, e, d)
+      }
       new PartitionReader[InternalRow] {
-        private var i = page.start - 1
+        private var i = if (desc) end else start - 1
         override def next(): Boolean = {
-          i += 1
-          // per-row residual of the pushed bound (page granularity above)
-          while (i < page.end && CommitSource.tsMicrosOf(i) < since) i += 1
-          i < page.end
+          if (desc) { i -= 1; i >= start }
+          else {
+            i += 1
+            // per-row residual of the pushed bound (page granularity above)
+            while (i < end && CommitSource.tsMicrosOf(i) < since) i += 1
+            i < end
+          }
         }
         override def get(): InternalRow = {
           val vals = fields.map {

@@ -40,4 +40,41 @@ class CommitSourceSpec extends SparkSpec {
       s"expected pruned scan in:\n$scan")
     assert(df.distinct().count() === 7)
   }
+
+  test("aggregate pushdown: closed-form group-by matches a row-scan aggregate") {
+    // same logical query, one via the pushed path, one forced through rows
+    val pushed = src(1000)
+      .groupBy(col("message")).agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min(col("ts")).as("mn"),
+        org.apache.spark.sql.functions.max(col("ts")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    val rows = src(1000).select(col("message"), col("ts")).localCheckpoint()
+      .groupBy(col("message")).agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min(col("ts")).as("mn"),
+        org.apache.spark.sql.functions.max(col("ts")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(pushed === rows)
+  }
+
+  test("top-N pushdown: asc/desc slices, limit past the end, since composition") {
+    import org.apache.spark.sql.functions.{asc, desc}
+    // desc top-3 = the 3 newest rows, served newest-first by the source
+    val d = src(100).orderBy(desc("ts")).limit(3).select(col("sha")).collect()
+    assert(d.map(_.getString(0)).toSeq === Seq("c00000099", "c00000098", "c00000097"))
+    // asc top-3 = the 3 oldest
+    val a = src(100).orderBy(asc("ts")).limit(3).select(col("sha")).collect()
+    assert(a.map(_.getString(0)).toSeq === Seq("c00000000", "c00000001", "c00000002"))
+    // limit larger than the table: everything, no crash
+    assert(src(10).orderBy(desc("ts")).limit(50).count() === 10)
+    // composed with the pushed since bound: only the filtered tail slices
+    val bound = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .plusSeconds(97L * 137).toString.replace("T", " ").replace("Z", "")
+    val f = src(100).where(col("ts") >= lit(bound).cast(TimestampType))
+      .orderBy(asc("ts")).limit(2).select(col("sha")).collect()
+    assert(f.map(_.getString(0)).toSeq === Seq("c00000097", "c00000098"))
+  }
 }

@@ -64,6 +64,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!q.contains("PushedAggregation"))
   }
 
+  test("DSv2 top-N pushdown: the source serves ORDER BY ts DESC LIMIT k") {
+    val p = plan("q_dsv2_topn_pushdown")
+    assert(p.contains("PushedTopN"), "scan must carry the pushed top-N")
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("Limit"),
+      "complete top-N pushdown must eliminate Spark's sort+limit")
+  }
+
   test("native as-of join plans as the custom operator with EnsureRequirements exchanges") {
     val p = plan("q_asof_join_native")
     assert(p.contains("AsOfJoin"), "expected the custom AsOfJoinExec node")
