@@ -65,10 +65,11 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** On-disk `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-    * to map to TimestampType (PARQUET_TYPE_ILLEGAL); read it as raw nanos
-    * (legacy nanosAsLong) and truncate to micros in [[load]] — the same
-    * truncation DuckDB applies, so oracle comparisons agree (FIXTURES.md B). */
+  /** Raw-long schema for NANOS-generation events fixtures (see [[load]]:
+    * Spark 4 refuses to map parquet TIMESTAMP(NANOS) to TimestampType —
+    * PARQUET_TYPE_ILLEGAL — so those files are read as raw nanos under
+    * the legacy `nanosAsLong` conf and truncated to micros, the same
+    * truncation DuckDB applies; FIXTURES.md B). */
   val eventsRawNs: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -112,10 +113,27 @@ object Tables {
     // bucketed-table demos (q_bucketed_join) write managed tables here
     "spark.sql.warehouse.dir" -> "/root/repo/target/warehouse")
 
+  /** Does `dir`'s events.parquet carry a NANOS ts (older driver fixtures)
+    * or a plain MICROS TimestampType (current ones)? Probed from the
+    * parquet footer once per directory: under `nanosAsLong` a NANOS
+    * column infers as LongType, a MICROS one as TimestampType. Cached —
+    * the footer never changes within a run. */
+  private val eventsTsIsNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  def eventsIsNanos(spark: SparkSession, dir: String): Boolean =
+    eventsTsIsNanos.computeIfAbsent(dir, _ =>
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType)
+
   /** Load one driver table. Filter/projection on the result push down to the
-    * parquet scan (verify with `.explain`: `PushedFilters`, `ReadSchema`). */
+    * parquet scan (verify with `.explain`: `PushedFilters`, `ReadSchema`).
+    * `events.ts` is fixture-generation-dependent: parquet TIMESTAMP(NANOS)
+    * (which Spark 4 refuses to map to TimestampType — read as raw nanos
+    * via the legacy `nanosAsLong` conf and truncate to micros, the same
+    * truncation DuckDB applies) or plain TIMESTAMP(MICROS) (read
+    * directly). [[eventsIsNanos]] picks the branch from the footer, so
+    * both generations of driver testdata read identically (FIXTURES.md B). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
+    if (name == "events" && eventsIsNanos(spark, dir)) {
       spark.read.schema(eventsRawNs).parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)")) // ns -> µs truncation, as DuckDB

@@ -12,7 +12,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    if t == "events":
+        # mirror Spark's µs truncation of a NANOS-generation ts column
+        # (a no-op when the fixture is already TIMESTAMP_MICROS)
+        con.execute(f"CREATE VIEW events AS SELECT event_id, "
+                    f"CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
+                    f"value, props FROM '{sf_dir}/events.parquet'")
+    else:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = skipped = 0
@@ -23,7 +30,7 @@ for name in sorted(oracle):
         fail += 1
         continue
     try:
-        got = con.execute(f"SELECT * FROM '{files[0]}'").fetchdf()
+        got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
         exp = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         print(f"ERROR {name}: {e}")
