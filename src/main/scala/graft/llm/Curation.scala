@@ -153,7 +153,55 @@ object Curation {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Max epochs any source may repeat in [[q_llm_repeat_plan]] (the
+    * data-constrained-scaling finding: value decays fast past ~4
+    * repeats). */
+  val MaxEpochs = 4
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Repeat-allocation planner (data-constrained scaling): when the
+    // token budget exceeds one pass over the corpus, which sources repeat
+    // and how many epochs each? Greedy at epoch granularity — every
+    // source gets epoch 1 before any source gets epoch 2, ties inside an
+    // epoch broken by exact integer quality (avg per-doc TTR in ppm)
+    // descending — expressed declaratively as a source x epoch grid with
+    // one running-total window: a row is funded iff its cumulative token
+    // cost fits the budget (budget = 7/4 of one corpus pass, attached by
+    // the 1-row-aggregate broadcast scalar pattern). All arithmetic is
+    // integer (scaled-long quality, DIV for the per-source mean), so the
+    // plan is bit-reproducible. Scale shape: the grid is O(sources x
+    // MaxEpochs) rows — a planner table, not corpus data — so the
+    // single-partition window is a few hundred rows no matter the corpus
+    // size; the only corpus-scale work is one scan + one hash agg.
+    "q_llm_repeat_plan" -> { (s, dir) =>
+      val perSrc = docs(s, dir)
+        .selectExpr("source", "split(text, ' ') AS t")
+        .selectExpr("source", "CAST(size(t) AS BIGINT) AS n_tok",
+          "size(array_distinct(t)) AS n_uniq")
+        .select(col("source"), col("n_tok"),
+          Exact.scaled(expr("CAST(n_uniq AS DOUBLE) / n_tok"), 6).as("s6"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("epoch_tokens"),
+          expr("sum(s6) DIV count(1)").as("q6"))
+      val budget = perSrc.agg(
+        expr("7 * sum(epoch_tokens) DIV 4").as("budget"))
+      val w = Window
+        .orderBy(col("epoch"), col("q6").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perSrc.crossJoin(broadcast(budget))
+        .withColumn("epoch", explode(expr(s"sequence(1, $MaxEpochs)")))
+        .withColumn("cum", sum(col("epoch_tokens")).over(w))
+        .withColumn("take", expr("IF(cum <= budget, 1L, 0L)"))
+        .groupBy(col("source"), col("n_docs"), col("epoch_tokens"), col("q6"))
+        .agg(sum(col("take")).as("epochs_alloc"))
+        .select(col("source"), col("n_docs"), col("epoch_tokens"),
+          (col("q6").cast("double") / lit(1000000.0)).as("quality"),
+          col("epochs_alloc"),
+          (col("epochs_alloc") * col("epoch_tokens")).as("tokens_alloc"))
+        .orderBy(col("source"))
+    },
 
     // Corpus data card (the "datasheet for datasets" table a corpus
     // release ships): per-source rows plus an ALL rollup — doc/token
@@ -830,6 +878,39 @@ object Curation {
         s"('$s', ${new java.math.BigDecimal(w).toPlainString}e0)" }
       .mkString(", ")
     Map(
+      // mirror of q_llm_repeat_plan: same grid + running-total window;
+      // the ROWS frame is explicit on both sides and the order key
+      // (epoch, q6 DESC, source) is unique, so the cumsum is identical
+      "q_llm_repeat_plan" -> s"""
+      WITH toks AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents),
+      feats AS (
+        SELECT source, CAST(len(t) AS BIGINT) AS n_tok,
+               ${Exact.sqlScaled("CAST(len(list_distinct(t)) AS DOUBLE) / len(t)", 6)} AS s6
+        FROM toks),
+      per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS epoch_tokens,
+               CAST(sum(s6) AS BIGINT) // count(*) AS q6
+        FROM feats GROUP BY source),
+      b AS (SELECT CAST(7 * sum(epoch_tokens) AS BIGINT) // 4 AS budget FROM per),
+      grid AS (
+        SELECT p.*, b.budget, unnest(range(1, ${MaxEpochs + 1})) AS epoch
+        FROM per p CROSS JOIN b),
+      cum AS (
+        SELECT *, sum(epoch_tokens) OVER (
+          ORDER BY epoch, q6 DESC, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM grid),
+      alloc AS (
+        SELECT source, n_docs, epoch_tokens, q6,
+               CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+                 AS epochs_alloc
+        FROM cum GROUP BY source, n_docs, epoch_tokens, q6)
+      SELECT source, n_docs, epoch_tokens, q6 / 1000000.0 AS quality,
+             epochs_alloc, epochs_alloc * epoch_tokens AS tokens_alloc
+      FROM alloc ORDER BY source""",
+
       "q_llm_chunk_windows" -> {
         val (w, st) = (ChunkW, ChunkS)
         val win = s"t[i * $st + 1 : i * $st + $w]"

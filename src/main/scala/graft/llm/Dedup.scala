@@ -749,6 +749,29 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // SOFT dedup (sampling-weight dedup): instead of dropping near-dup
+    // copies, every doc gets a training sampling weight inversely
+    // proportional to its near-dup cluster size — the D4-style middle
+    // ground that keeps natural-distribution coverage while flattening
+    // duplicated content's effective epoch count. Weights are exact
+    // integer ppm (1e6 DIV cluster_size), so downstream samplers and the
+    // oracle agree bit-for-bit; singletons (docs in no verified pair)
+    // keep weight 1e6 via the left join + coalesce. Same CC substrate as
+    // q_llm_dedup_groups, plus one corpus-wide left join keyed on doc_id
+    // — O(corpus) rows, no new shuffle class.
+    "q_llm_soft_dedup" -> { (s, dir) =>
+      val pairs = minhashVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val cc = connectedComponents(pairs)
+      docs(s, dir).select(col("doc_id"))
+        .join(cc.select(col("doc_id"), col("canonical")), Seq("doc_id"), "left")
+        .withColumn("canonical", coalesce(col("canonical"), col("doc_id")))
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("canonical"))))
+        .selectExpr("doc_id", "canonical", "cluster_size",
+          "CAST(1000000 AS BIGINT) DIV cluster_size AS weight_ppm")
+        .orderBy(col("doc_id"))
+    },
+
     // 32-bit SimHash fingerprint: explode word hashes -> per-bit majority
     // vote as a partial+final hash agg (map-side combine; one shuffle of 32
     // small longs per doc). Duplicate-fingerprint count rides along.
@@ -1440,6 +1463,29 @@ object Dedup {
       SELECT doc_id, canonical,
              count(*) OVER (PARTITION BY canonical) AS cluster_size
       FROM canon ORDER BY doc_id""",
+
+      // q_llm_dedup_groups' component CTEs + a corpus-wide left join so
+      // singletons carry weight 1e6; integer-ppm division in both engines
+      "q_llm_soft_dedup" -> s"""
+      WITH RECURSIVE ${verifiedPairCtes("documents")},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM vpairs
+        UNION SELECT doc_b, doc_a FROM vpairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      canon AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical
+        FROM reach GROUP BY a),
+      allc AS (
+        SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical
+        FROM documents d LEFT JOIN canon c USING (doc_id))
+      SELECT doc_id, canonical,
+             count(*) OVER (PARTITION BY canonical) AS cluster_size,
+             CAST(1000000 AS BIGINT) // count(*) OVER (PARTITION BY canonical)
+               AS weight_ppm
+      FROM allc ORDER BY doc_id""",
 
       "q_llm_dedup_keep_best" -> {
         val stops = TextAnalysis.markers.flatMap(_._2).distinct

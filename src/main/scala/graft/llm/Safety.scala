@@ -40,6 +40,28 @@ object Safety {
     * (4*hits >= n) — no float threshold to diverge on. */
   val ContamFrac = 4L
 
+  /** Memorization-audit gram width (words): verbatim overlap is measured
+    * in contiguous word-5-gram runs. 5 is wide enough that a single match
+    * is already a non-trivial phrase, narrow enough that a long verbatim
+    * span yields many overlapping matched positions for the island merge
+    * to fuse into one run. */
+  val MemW = 5
+
+  /** Positional word-`MemW`-gram hash over a word-hash array column —
+    * same polynomial fold as the shingle hash ([[XHash.sparkShingles]])
+    * widened to 5 words, evaluated at one explicit position `p` so both
+    * engines hash identical windows. */
+  def memGramSpark(wh: String, p: String): String =
+    s"((((element_at($wh, $p) * 131 + element_at($wh, $p + 1)) % $P * 131 " +
+      s"+ element_at($wh, $p + 2)) % $P * 131 " +
+      s"+ element_at($wh, $p + 3)) % $P * 131 " +
+      s"+ element_at($wh, $p + 4)) % $P"
+  def memGramDuck(wh: String, p: String): String =
+    s"(((($wh[$p] * 131 + $wh[$p + 1]) % $P * 131 " +
+      s"+ $wh[$p + 2]) % $P * 131 " +
+      s"+ $wh[$p + 3]) % $P * 131 " +
+      s"+ $wh[$p + 4]) % $P"
+
   /** Benchmark suites for the multi-suite decontamination matrix:
     * (name, doc_id modulus) — three deterministic held-out slices
     * standing in for three eval benchmarks. Slices may overlap (a real
@@ -197,6 +219,64 @@ object Safety {
         .orderBy(col("vec_id"))
     },
 
+    // Memorization / extraction-risk audit: decontamination counts WHAT
+    // fraction of a doc's n-grams overlap the eval slice; extraction risk
+    // is measured differently — by the LONGEST CONTIGUOUS verbatim token
+    // run a probe document shares with the training corpus (published
+    // extraction audits report "k verbatim tokens", not overlap ratios).
+    // Probe slice = the EvalMod docs, standing in for sampled model
+    // generations; train = everything else. Positional word-5-grams are
+    // matched against the train gram set (left-semi on the gram hash —
+    // the train side is a distinct-agg, never a pairwise join), matched
+    // positions fuse into maximal runs with the gaps-and-islands window
+    // (adjacent matched positions => one run; run of R positions = R+4
+    // verbatim tokens), and each probe doc reports its longest run +
+    // verdict at published-audit-style thresholds (>= 30 verbatim tokens
+    // = extractable, >= 10 = partial). Scale shape: one positional
+    // explode linear in probe+train tokens, one distinct-agg, one
+    // left-semi join keyed by gram hash, one per-doc window — the
+    // q_llm_dedup_substrings cost class, cross-set instead of
+    // corpus-wide, and the probe side is ~1% of the corpus so the
+    // windowed stage is tiny.
+    "q_llm_memorization" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      val wh = docs(s, dir)
+        .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
+        .where(expr(s"size(wh) >= $MemW"))
+        .localCheckpoint() // wh evaluated once; no projection re-inline into the 5 element_at refs
+      val grams = wh
+        .selectExpr("doc_id", "wh",
+          s"explode(sequence(1, size(wh) - ${MemW - 1})) AS p")
+        .selectExpr("doc_id", "p", s"${memGramSpark("wh", "p")} AS g")
+        .localCheckpoint() // one gram scan feeds the train set AND the probe side
+      val trainSet = grams.where(col("doc_id") % EvalMod =!= 0).select(col("g")).distinct()
+      val probe = grams.where(col("doc_id") % EvalMod === 0)
+      val runs = probe.join(trainSet, Seq("g"), "left_semi")
+        .withColumn("brk",
+          when(col("p") - lag(col("p"), 1).over(w) > 1, 1).otherwise(0))
+        .withColumn("isl", sum(col("brk")).over(w))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(count(lit(1)).as("npos"),
+          (max(col("p")) - min(col("p")) + lit(MemW)).as("span"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("npos")).as("n_matched"),
+          count(lit(1)).as("n_spans"),
+          max(col("span")).cast("long").as("longest_span"))
+      probe.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("longest_span"), lit(0L)).as("longest_span"),
+          expr("CASE WHEN coalesce(longest_span, 0) >= 30 THEN 'extractable' " +
+            "WHEN coalesce(longest_span, 0) >= 10 THEN 'partial' " +
+            "WHEN coalesce(n_matched, 0) > 0 THEN 'incidental' " +
+            "ELSE 'none' END").as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+
     // PII redaction: seed deterministic PII, redact with the three-stage
     // regexp_replace chain, report per-source counts + exact chars
     // removed. Pure codegen built-ins over one scan + one hash agg — the
@@ -315,6 +395,47 @@ object Safety {
       LEFT JOIN scored ON t.vec_id = scored.vec
       ORDER BY t.vec_id"""
     },
+
+    // mirror of q_llm_memorization: identical positional 5-gram hash,
+    // identical island merge (gap > 1 breaks), identical verdict bands
+    "q_llm_memorization" -> s"""
+      WITH toks AS (
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
+      big AS (SELECT doc_id, wh FROM toks WHERE len(wh) >= $MemW),
+      pos AS (
+        SELECT doc_id, wh, unnest(range(1, len(wh) - ${MemW - 2})) AS p
+        FROM big),
+      grams AS (
+        SELECT doc_id, p, ${memGramDuck("wh", "p")} AS g FROM pos),
+      tr AS (SELECT DISTINCT g FROM grams WHERE doc_id % $EvalMod <> 0),
+      pr AS (SELECT doc_id, p, g FROM grams WHERE doc_id % $EvalMod = 0),
+      hit AS (SELECT doc_id, p FROM pr WHERE g IN (SELECT g FROM tr)),
+      brk AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM hit),
+      isl AS (
+        SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        FROM brk),
+      sp AS (
+        SELECT doc_id, isl, count(*) AS npos,
+               max(p) - min(p) + $MemW AS span
+        FROM isl GROUP BY doc_id, isl),
+      per AS (
+        SELECT doc_id, CAST(sum(npos) AS BIGINT) AS n_matched,
+               count(*) AS n_spans, CAST(max(span) AS BIGINT) AS longest_span
+        FROM sp GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM pr GROUP BY doc_id)
+      SELECT t.doc_id, t.n_grams,
+             coalesce(n_matched, 0) AS n_matched,
+             coalesce(n_spans, 0) AS n_spans,
+             coalesce(longest_span, 0) AS longest_span,
+             CASE WHEN coalesce(longest_span, 0) >= 30 THEN 'extractable'
+                  WHEN coalesce(longest_span, 0) >= 10 THEN 'partial'
+                  WHEN coalesce(n_matched, 0) > 0 THEN 'incidental'
+                  ELSE 'none' END AS verdict
+      FROM tot t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id""",
 
     "q_llm_pii_redact" -> s"""
       WITH dirty AS (

@@ -986,6 +986,83 @@ class LlmSpec extends SparkSpec {
     assert(all.getLong(4) >= per.map(_.getLong(4)).max)  // langs: global >= any source
   }
 
+  test("memorization audit: planted verbatim runs hit their exact span lengths and verdicts") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_memorization"
+    graft.sinks.Sinks.truncate(tdir)
+    // probe ids are multiples of EvalMod (97); all words unique per role
+    // so only the planted runs can match
+    val c = (1 to 34).map("c" + _)   // 34-token run shared probe0 <-> train1
+    val d = (1 to 12).map("d" + _)   // 12-token run shared probe194 <-> train2
+    val rows = Seq(
+      (0L, ((1 to 10).map("u" + _) ++ c ++ (1 to 10).map("v" + _)).mkString(" ")),
+      (97L, (1 to 40).map("q" + _).mkString(" ")), // no overlap with train
+      (194L, ((1 to 10).map("e" + _) ++ d ++ (1 to 10).map("f" + _)).mkString(" ")),
+      (1L, ((1 to 5).map("x" + _) ++ c ++ (1 to 5).map("y" + _)).mkString(" ")),
+      (2L, ((1 to 3).map("z" + _) ++ d ++ (4 to 6).map("z" + _)).mkString(" ")),
+      (3L, (1 to 30).map("w" + _).mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "src") }
+      .toDF("doc_id", "text", "lang", "source")
+    rows.write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Safety.queries("q_llm_memorization")(spark, tdir)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(0L, 97L, 194L), "probe slice only")
+    // doc 0: 54 tokens -> 50 grams; the 34-token run yields 30 matched
+    // positions fusing into ONE island of span 34 -> extractable
+    assert(r(0L).getLong(1) === 50L)
+    assert(r(0L).getLong(2) === 30L && r(0L).getLong(3) === 1L)
+    assert(r(0L).getLong(4) === 34L && r(0L).getString(5) === "extractable")
+    // doc 97: zero overlap
+    assert(r(97L).getLong(2) === 0L && r(97L).getLong(4) === 0L)
+    assert(r(97L).getString(5) === "none")
+    // doc 194: 12-token run -> 8 matched positions, span 12 -> partial
+    assert(r(194L).getLong(2) === 8L && r(194L).getLong(4) === 12L)
+    assert(r(194L).getString(5) === "partial")
+  }
+
+  test("soft dedup: near-dup copies split the ppm mass; singletons keep 1e6") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_softdedup"
+    graft.sinks.Sinks.truncate(tdir)
+    val dup = (1 to 20).map("a" + _).mkString(" ")
+    Seq((0L, dup), (1L, dup), (2L, (1 to 20).map("b" + _).mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "src") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Dedup.queries("q_llm_soft_dedup")(spark, tdir)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(0L, 1L, 2L), "every doc reports a weight")
+    // identical docs 0,1 form one cluster: size 2, canonical 0, 500000 ppm
+    Seq(0L, 1L).foreach { id =>
+      assert(r(id).getLong(1) === 0L && r(id).getLong(2) === 2L)
+      assert(r(id).getLong(3) === 500000L)
+    }
+    // the unrelated doc is a singleton at full weight
+    assert(r(2L).getLong(1) === 2L && r(2L).getLong(2) === 1L)
+    assert(r(2L).getLong(3) === 1000000L)
+  }
+
+  test("repeat plan: quality-ordered greedy funds the high-TTR source's second epoch first") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_repeatplan"
+    graft.sinks.Sinks.truncate(tdir)
+    // two sources, 50 tokens/epoch each: budget = 7/4 * 100 = 175 tokens.
+    // epoch 1 funds both (cum 50, 100); epoch 2 goes quality-first:
+    // hi (TTR 1.0) at cum 150 <= 175 funds, lo (TTR 0.1) at 200 does not.
+    val hi = (0 until 5).map(i => (i.toLong, (1 to 10).map(j => s"h${i}w$j").mkString(" "), "en", "hi"))
+    val lo = (10 until 15).map(i => (i.toLong, Seq.fill(10)("r").mkString(" "), "en", "lo"))
+    (hi ++ lo).toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Curation.queries("q_llm_repeat_plan")(spark, tdir)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("hi").getLong(2) === 50L && r("lo").getLong(2) === 50L)
+    assert(math.abs(r("hi").getDouble(3) - 1.0) < 1e-9)
+    assert(math.abs(r("lo").getDouble(3) - 0.1) < 1e-9)
+    assert(r("hi").getLong(4) === 2L, "high-quality source repeats")
+    assert(r("lo").getLong(4) === 1L, "low-quality source does not")
+    assert(r("hi").getLong(5) === 100L && r("lo").getLong(5) === 50L)
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
