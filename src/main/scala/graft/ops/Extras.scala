@@ -273,6 +273,29 @@ object Extras {
         .orderBy(col("ts"))
     },
 
+    // Runtime filtering (DPP) into the DSv2 source
+    // (SupportsRuntimeFiltering on sha): the commit source is the probe
+    // side of a join against a small dimension with a selective
+    // predicate; after the dimension's broadcast materializes, Spark
+    // hands its join-key values to the scan, which re-plans to only the
+    // PAGES containing a candidate sha — 10 000 rows / 100 pages shrink
+    // to <= 5 pages at execution time (CommitSourceSpec asserts the
+    // replan; the oracle checks the join answer). The DSv2 mirror of
+    // q_sink_dpp's parquet partition pruning, and at 100 TB the
+    // difference between scanning the fact source and scanning the
+    // handful of pages the dimension selects.
+    "q_dsv2_runtime_prune" -> { (s, dir) =>
+      val commits = s.read.format("graft.sources.CommitSource")
+        .option("rows", "10000").load()
+      val dim = t(s, dir, "nation").where(col("n_regionkey") === 1)
+        .selectExpr(
+          "concat('c', lpad(CAST(n_nationkey * 397 AS STRING), 8, '0')) AS sha",
+          "n_name")
+      commits.join(dim, "sha")
+        .select(col("sha"), col("ts"), col("message"), col("n_name"))
+        .orderBy(col("sha"))
+    },
+
     // Binned range join: the scalable form of an interval join. Values are
     // binned in EXACT scaled cents (integer division — no float-boundary
     // ambiguity), bands align to bins, and the join becomes a hash
@@ -478,6 +501,20 @@ object Extras {
       SELECT message, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
       FROM src WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
       GROUP BY message ORDER BY message""",
+
+    "q_dsv2_runtime_prune" -> """
+      WITH src AS (
+        SELECT 'c' || lpad(CAST(i AS VARCHAR), 8, '0') AS sha,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 137) AS ts,
+               'm' || (i % 7) AS message
+        FROM (SELECT unnest(range(10000)) AS i)),
+      dim AS (
+        SELECT 'c' || lpad(CAST(n_nationkey * 397 AS VARCHAR), 8, '0') AS sha,
+               n_name
+        FROM nation WHERE n_regionkey = 1)
+      SELECT s.sha, s.ts, s.message, d.n_name
+      FROM src s JOIN dim d USING (sha)
+      ORDER BY s.sha""",
 
     "q_range_join_binned" -> """
       WITH e AS (

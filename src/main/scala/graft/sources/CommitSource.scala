@@ -10,8 +10,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
-import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -39,7 +41,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `ORDER BY ts [DESC] LIMIT k` as a k-row index slice in the pushed
   *    order (rows are ts-sorted by construction), `isPartiallyPushed =
   *    false` — Spark drops its Sort/Limit and the scan reads k rows,
-  *    not the corpus.
+  *    not the corpus;
+  *  - `SupportsRuntimeFiltering` on `sha`: when the source is the probe
+  *    side of a join whose build side carries a selective predicate,
+  *    Spark's dynamic partition pruning hands the build side's join-key
+  *    values to the scan AT EXECUTION TIME (after the broadcast
+  *    materializes), and the scan re-plans to only the PAGES containing a
+  *    candidate sha — the DSv2 analog of partition-pruned parquet DPP
+  *    (`q_sink_dpp`), and the shape that turns "scan the 100 TB fact
+  *    source" into "scan the handful of pages the dimension selects".
+  *    Pruning is conservative (page granularity; the join re-checks every
+  *    row), so it can only drop pages that provably produce no output.
   *
   * Rows are DETERMINISTIC synthetic commits (this environment has no
   * network): row i has ts = 2024-01-01 + i*137s, sha = "c"+zero-padded i,
@@ -53,8 +65,11 @@ class CommitSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     CommitSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new CommitTable(properties.asScala.getOrElse("rows", "1000").toLong)
+                        properties: util.Map[String, String]): Table = {
+    val p = properties.asScala
+    new CommitTable(p.getOrElse("rows", "1000").toLong,
+      p.getOrElse("batchRows", CommitSource.PageSize.toString).toLong)
+  }
 }
 
 object CommitSource {
@@ -73,18 +88,62 @@ object CommitSource {
   def shaOf(i: Long): String = "c" + "%08d".format(i)
   def emailOf(i: Long): String = s"u${i % 50}@x"
   def messageOf(i: Long): String = s"m${i % 7}"
+
+  /** First row index at-or-after an inclusive `since` bound (rows are
+    * strictly ts-ascending by construction). Shared by the batch scan,
+    * the closed-form aggregate scan, and the micro-batch stream. */
+  def firstRowFor(sinceMicros: Long): Long =
+    if (sinceMicros == Long.MinValue) 0L
+    else {
+      val delta = sinceMicros - BaseMicros
+      if (delta <= 0) 0L else (delta + StepMicros - 1) / StepMicros
+    }
+
+  /** Row-emitting reader factory over [[CommitPage]] /
+    * [[CommitOrderedSlice]] partitions — shared by the batch scan and the
+    * micro-batch stream (identical row contract in both modes). */
+  def readerFactory(fields: Array[String], since: Long): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val (start, end, desc) = partition match {
+        case CommitPage(s, e) => (s, e, false)
+        case CommitOrderedSlice(s, e, d) => (s, e, d)
+      }
+      new PartitionReader[InternalRow] {
+        private var i = if (desc) end else start - 1
+        override def next(): Boolean = {
+          if (desc) { i -= 1; i >= start }
+          else {
+            i += 1
+            // per-row residual of the pushed bound (page granularity above)
+            while (i < end && tsMicrosOf(i) < since) i += 1
+            i < end
+          }
+        }
+        override def get(): InternalRow = {
+          val vals = fields.map {
+            case "sha"     => UTF8String.fromString(shaOf(i))
+            case "ts"      => java.lang.Long.valueOf(tsMicrosOf(i))
+            case "email"   => UTF8String.fromString(emailOf(i))
+            case "message" => UTF8String.fromString(messageOf(i))
+          }
+          new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+        }
+        override def close(): Unit = ()
+      }
+    }
 }
 
-class CommitTable(totalRows: Long) extends Table with SupportsRead {
+class CommitTable(totalRows: Long, batchRows: Long = CommitSource.PageSize)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_commits($totalRows)"
   override def schema(): StructType = CommitSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CommitScanBuilder(totalRows)
+    new CommitScanBuilder(totalRows, batchRows)
 }
 
-class CommitScanBuilder(totalRows: Long)
+class CommitScanBuilder(totalRows: Long, batchRows: Long = CommitSource.PageSize)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -171,7 +230,8 @@ class CommitScanBuilder(totalRows: Long)
   override def build(): Scan = aggPushed match {
     case Some((grouped, kinds)) =>
       new CommitAggScan(totalRows, sinceMicros, grouped, kinds)
-    case None => new CommitScan(totalRows, sinceMicros, required, limitPushed)
+    case None =>
+      new CommitScan(totalRows, sinceMicros, required, limitPushed, batchRows)
   }
 }
 
@@ -205,12 +265,7 @@ class CommitAggScan(totalRows: Long, sinceMicros: Long,
     (_: InputPartition) => new PartitionReader[InternalRow] {
       // index range [firstRow, tot) after the pushed `since` bound —
       // identical arithmetic to CommitScan.planInputPartitions
-      private val firstRow =
-        if (since == Long.MinValue) 0L
-        else {
-          val delta = since - BaseMicros
-          if (delta <= 0) 0L else (delta + StepMicros - 1) / StepMicros
-        }
+      private val firstRow = CommitSource.firstRowFor(since)
       // (groupKey or null, count, minIdx, maxIdx) per non-empty group
       private val groups: Seq[(String, Long, Long, Long)] =
         if (firstRow >= tot) {
@@ -257,11 +312,21 @@ case class CommitPage(start: Long, end: Long) extends InputPartition
 case class CommitOrderedSlice(start: Long, end: Long, desc: Boolean)
   extends InputPartition
 
+object CommitScan {
+  /** Diagnostic for specs (single-JVM local mode): the partition count of
+    * the most recent `planInputPartitions` call — lets a test observe
+    * that runtime filtering actually re-planned to fewer pages. */
+  @volatile var lastPlannedPartitions: Int = -1
+}
+
 class CommitScan(totalRows: Long, sinceMicros: Long, required: StructType,
-                 limitPushed: Option[(Int, Boolean)] = None)
-    extends Scan with Batch {
+                 limitPushed: Option[(Int, Boolean)] = None,
+                 batchRows: Long = CommitSource.PageSize)
+    extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CommitMicroBatchStream(totalRows, sinceMicros, required, batchRows)
   override def description(): String =
     s"graft_commits rows=$totalRows since=" +
       (if (sinceMicros == Long.MinValue) "none" else sinceMicros.toString) +
@@ -269,19 +334,39 @@ class CommitScan(totalRows: Long, sinceMicros: Long, required: StructType,
         s" PushedTopN: limit=$k order=${if (desc) "ts DESC" else "ts ASC"}"
       }.getOrElse("")
 
-  // first index at-or-after the pushed `since` bound (rows are ts-ordered)
-  private def firstRow: Long =
-    if (sinceMicros == Long.MinValue) 0L
-    else {
-      val delta = sinceMicros - CommitSource.BaseMicros
-      if (delta <= 0) 0L
-      else (delta + CommitSource.StepMicros - 1) / CommitSource.StepMicros
+  // --- runtime (DPP) filtering on sha ------------------------------------
+  // Candidate row indexes handed over at execution time, decoded from the
+  // build side's sha values. None = no runtime filter arrived (scan all
+  // pages). A sha that doesn't parse names a row that cannot exist, so
+  // dropping it is exact — and the join re-checks every emitted row
+  // anyway (runtime pruning must never over-prune; page granularity plus
+  // decode-or-drop satisfies that by construction).
+  @volatile private var runtimeIdx: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("sha"))
+
+  private def shaToIdx(v: Any): Option[Long] = v match {
+    case s: String if s.length == 9 && s.charAt(0) == 'c' &&
+      s.drop(1).forall(_.isDigit) => Some(s.drop(1).toLong)
+    case _ => None
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.collect {
+      case In("sha", vs)    => vs.toSeq.flatMap(shaToIdx).toSet
+      case EqualTo("sha", v) => shaToIdx(v).toSet
     }
+    if (sets.nonEmpty) runtimeIdx = Some(sets.reduce(_ intersect _))
+  }
+
+  // first index at-or-after the pushed `since` bound (rows are ts-ordered)
+  private def firstRow: Long = CommitSource.firstRowFor(sinceMicros)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // source-side pushdown: the `since` bound maps to a starting row
     // index and earlier PAGES are never planned at all
-    limitPushed match {
+    val parts: Array[InputPartition] = limitPushed match {
       case Some((k, desc)) =>
         // k-row slice of the filtered range, served in pushed order from
         // ONE partition (k is a user-facing LIMIT — always small)
@@ -293,43 +378,87 @@ class CommitScan(totalRows: Long, sinceMicros: Long, required: StructType,
       case None =>
         val firstPage = firstRow / CommitSource.PageSize
         val lastPage = (totalRows + CommitSource.PageSize - 1) / CommitSource.PageSize
-        (firstPage until lastPage).map { p =>
+        val pages: Seq[Long] = runtimeIdx match {
+          // runtime filter: only pages holding a candidate index survive
+          case Some(idx) =>
+            idx.filter(i => i >= firstRow && i < totalRows)
+              .map(_ / CommitSource.PageSize).toSeq.distinct.sorted
+          case None => firstPage until lastPage
+        }
+        pages.map { p =>
           CommitPage(p * CommitSource.PageSize,
             math.min((p + 1) * CommitSource.PageSize, totalRows)): InputPartition
         }.toArray
     }
+    CommitScan.lastPlannedPartitions = parts.length
+    parts
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val fields = required.fieldNames
-    val since = sinceMicros
-    (partition: InputPartition) => {
-      val (start, end, desc) = partition match {
-        case CommitPage(s, e) => (s, e, false)
-        case CommitOrderedSlice(s, e, d) => (s, e, d)
-      }
-      new PartitionReader[InternalRow] {
-        private var i = if (desc) end else start - 1
-        override def next(): Boolean = {
-          if (desc) { i -= 1; i >= start }
-          else {
-            i += 1
-            // per-row residual of the pushed bound (page granularity above)
-            while (i < end && CommitSource.tsMicrosOf(i) < since) i += 1
-            i < end
-          }
-        }
-        override def get(): InternalRow = {
-          val vals = fields.map {
-            case "sha"     => UTF8String.fromString(CommitSource.shaOf(i))
-            case "ts"      => java.lang.Long.valueOf(CommitSource.tsMicrosOf(i))
-            case "email"   => UTF8String.fromString(CommitSource.emailOf(i))
-            case "message" => UTF8String.fromString(CommitSource.messageOf(i))
-          }
-          new GenericInternalRow(vals.asInstanceOf[Array[Any]])
-        }
-        override def close(): Unit = ()
-      }
+  override def createReaderFactory(): PartitionReaderFactory =
+    CommitSource.readerFactory(required.fieldNames, sinceMicros)
+}
+
+/** Streaming offset = next unread row index. The paginated source's
+  * natural incremental cursor (the reference resumes from its stored
+  * watermark, `git_etl.ts:258-266`; here the checkpoint stores the row
+  * index and resume is exact, not +1-second approximate). */
+case class CommitOffset(idx: Long) extends Offset {
+  override def json(): String = idx.toString
+}
+
+/** Micro-batch stream over the commit source: offsets are row indexes,
+  * each tick admits at most `batchRows` rows (`ReadLimit.maxRows` — the
+  * per-trigger page-pull budget of a continuous ingest), and
+  * `Trigger.AvailableNow` drains the table in bounded ticks then stops
+  * (`SupportsTriggerAvailableNow` pins the target so late-arriving rows
+  * can't extend the run). A `since` bound, when the builder received one,
+  * becomes the INITIAL offset — history before the watermark is never
+  * read at all (Spark keeps stream-side filters as plan operators, so
+  * correctness never depends on this). Partitions within a tick are
+  * page-granular, so a 1000-executor cluster parallelizes each tick
+  * exactly like a batch scan. */
+class CommitMicroBatchStream(totalRows: Long, sinceMicros: Long,
+                             required: StructType, batchRows: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  import CommitSource.PageSize
+
+  // target pinned at prepareForTriggerAvailableNow (AvailableNow contract:
+  // the run drains to the table size observed at start, then terminates)
+  @volatile private var target: Long = totalRows
+
+  override def prepareForTriggerAvailableNow(): Unit = { target = totalRows }
+
+  override def initialOffset(): Offset =
+    CommitOffset(CommitSource.firstRowFor(sinceMicros))
+  override def deserializeOffset(json: String): Offset =
+    CommitOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CommitOffset].idx
+    val cap = limit match {
+      case r: ReadMaxRows => math.max(1L, r.maxRows)
+      case _ => math.max(1L, batchRows)
     }
+    CommitOffset(math.min(target, s + cap))
   }
+  override def reportLatestOffset(): Offset = CommitOffset(target)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CommitOffset].idx
+    val e = end.asInstanceOf[CommitOffset].idx
+    // page-granular splits of this tick's [s, e) index range
+    (s until e by PageSize).map { p =>
+      CommitPage(p, math.min(p + PageSize, e)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CommitSource.readerFactory(required.fieldNames, sinceMicros)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -22,15 +22,22 @@ import graft.util.Exact._
   */
 object StreamOps {
 
-  /** Streaming read of the events table (same ns→µs handling as batch;
-    * `nanosAsLong` comes from [[Tables.sessionConfs]] at session build). */
+  /** Streaming read of the events table (same fixture-dependent ts
+    * handling as [[Tables.load]]: ns→µs truncation for NANOS fixtures,
+    * direct TimestampType for MICROS ones; `nanosAsLong` comes from
+    * [[Tables.sessionConfs]] at session build). */
   private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     // the streaming file source wants a directory to watch; the test table
     // is a single file, so watch the sf dir filtered down to it
-    s.readStream.schema(Tables.eventsRawNs)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (Tables.eventsIsNanos(s, dir))
+      s.readStream.schema(Tables.eventsRawNs)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      s.readStream.schema(Tables.events)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
   }
 
   /** Drain a streaming transform into a parquet sink and read it back.
@@ -123,6 +130,35 @@ object StreamOps {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
         .orderBy(col("event_type"))
+    },
+
+    // The paginated DSv2 source AS A STREAM (the reference's actual
+    // deployment shape, end to end: poll the paginated API on a
+    // schedule, pull only what's new, persist, resume from the stored
+    // cursor — git_etl.ts:258-266,353-355): CommitMicroBatchStream
+    // exposes row indexes as streaming offsets, each tick admits at most
+    // batchRows rows (ReadLimit.maxRows — the per-trigger pull budget),
+    // AvailableNow drains 3000 rows in 3 bounded ticks, and the
+    // checkpoint's offset log makes a re-run a no-op (exactly-once,
+    // spec-asserted). This replaces the reference's +1-second watermark
+    // approximation with an EXACT cursor: the next run resumes at the
+    // precise row index the last one committed.
+    "stream_dsv2_commits" -> { (s, _) =>
+      val dest = s"${graft.sinks.Sinks.tmpBase}/stream_dsv2_commits"
+      val ckpt = dest + ".ckpt"
+      graft.sinks.Sinks.truncate(dest); graft.sinks.Sinks.truncate(ckpt)
+      val stream = s.readStream.format("graft.sources.CommitSource")
+        .option("rows", "3000").option("batchRows", "1000").load()
+      val q = stream.writeStream.outputMode("append")
+        .format("parquet").option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(dest)
+        .groupBy(col("message"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("min_ts"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("message"))
     },
 
     // The reference's ACTUAL runtime shape (git_etl.ts:353-355): REAL
@@ -374,6 +410,14 @@ object StreamOps {
       SELECT min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end,
              user_id, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
       FROM islands GROUP BY user_id, sess_id ORDER BY user_id, sess_start""",
+
+    "stream_dsv2_commits" -> """
+      WITH src AS (
+        SELECT 'm' || (i % 7) AS message,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 137) AS ts
+        FROM (SELECT unnest(range(3000)) AS i))
+      SELECT message, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
+      FROM src GROUP BY message ORDER BY message""",
 
     "stream_incremental_ticks" -> s"""
       WITH keyed AS (

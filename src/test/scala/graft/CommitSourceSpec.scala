@@ -60,6 +60,60 @@ class CommitSourceSpec extends SparkSpec {
     assert(pushed === rows)
   }
 
+  test("runtime filtering (DPP): the dimension's join keys prune pages at execution") {
+    import graft.sources.CommitScan
+    // dimension with a selective predicate over a real (tiny) table —
+    // region-1 nations, sha keys spread across 5 distinct pages
+    val dim = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .where(col("n_regionkey") === 1)
+      .selectExpr(
+        "concat('c', lpad(CAST(n_nationkey * 397 AS STRING), 8, '0')) AS sha",
+        "n_name")
+    val joined = src(10000).join(dim, "sha")
+      .select(col("sha"), col("ts"), col("message"), col("n_name"))
+    CommitScan.lastPlannedPartitions = -1
+    val rows = joined.collect()
+    // the join answer itself: exactly the 5 region-1 nations matched
+    assert(rows.length === 5)
+    assert(rows.map(_.getString(0)).toSet ===
+      dim.select(col("sha")).collect().map(_.getString(0)).toSet)
+    // the runtime filter re-planned the scan: 100 pages -> at most 5
+    // (one per candidate sha), never the full page list
+    val planned = CommitScan.lastPlannedPartitions
+    assert(planned >= 1 && planned <= 5, s"planned $planned pages; runtime pruning did not fire")
+    // and the physical plan carries the dynamic-pruning runtime filter
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters") || plan.toLowerCase.contains("dynamicpruning"),
+      "no runtime filter in the executed plan")
+  }
+
+  test("micro-batch stream: bounded ticks drain exactly once; a re-run adds nothing") {
+    val dest = graft.sinks.Sinks.tmpBase + "/spec_mbstream"
+    val ckpt = dest + ".ckpt"
+    graft.sinks.Sinks.truncate(dest); graft.sinks.Sinks.truncate(ckpt)
+    def drain(): Long = {
+      val q = spark.readStream.format("graft.sources.CommitSource")
+        .option("rows", "350").option("batchRows", "100").load()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    // first run: 350 rows admitted 100 at a time -> 4 ticks, all rows once
+    val firstRun = drain()
+    assert(firstRun === 350L, s"first drain read $firstRun rows")
+    val stored = spark.read.parquet(dest)
+    assert(stored.count() === 350L)
+    assert(stored.select(col("sha")).distinct().count() === 350L)
+    // second run from the same checkpoint: the offset log says done —
+    // zero new rows, zero duplicates (exactly-once resume)
+    val secondRun = drain()
+    assert(secondRun === 0L, s"re-run read $secondRun rows")
+    assert(spark.read.parquet(dest).count() === 350L)
+  }
+
   test("top-N pushdown: asc/desc slices, limit past the end, since composition") {
     import org.apache.spark.sql.functions.{asc, desc}
     // desc top-3 = the 3 newest rows, served newest-first by the source
