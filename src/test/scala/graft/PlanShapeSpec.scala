@@ -26,7 +26,8 @@ class PlanShapeSpec extends SparkSpec {
         "q_llm_lm_score", "q_llm_decontaminate_embed", "q_llm_cluster_topics",
         "q_llm_media_neardup", "q_llm_bpe_train", "q_llm_bpe_encode",
         "q_llm_media_clip_dedup", "q_llm_mixture_reweight",
-        "q_llm_dedup_containment", "q_llm_winnow_dedup", "q_llm_lm_trigram")) {
+        "q_llm_dedup_containment", "q_llm_winnow_dedup", "q_llm_lm_trigram",
+        "q_llm_memorization", "q_llm_soft_dedup")) {
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
     }
   }
