@@ -87,6 +87,27 @@ class CommitSourceSpec extends SparkSpec {
       "no runtime filter in the executed plan")
   }
 
+  test("reported statistics are pushdown-aware: Catalyst sees the filtered cardinality") {
+    // unfiltered: the full table's row count reaches the optimizer
+    val full = src(5000).queryExecution.optimizedPlan.stats
+    assert(full.rowCount.contains(BigInt(5000)), s"full stats: $full")
+    // since bound pushed: stats reflect the SOURCE-filtered tail (rows
+    // 1262.. of 5000 — the same arithmetic the page planner uses)
+    val bound = "2024-01-03 00:00:00"
+    val filtered = src(5000).where(col("ts") >= lit(bound).cast(TimestampType))
+      .queryExecution.optimizedPlan.stats
+    assert(filtered.rowCount.exists(_ < 4000), s"filtered stats: $filtered")
+    assert(filtered.rowCount.exists(_ > 3000), s"filtered stats: $filtered")
+    // a narrowed commit scan is broadcast-eligible: the dimension side of
+    // a join against a big fact plans as a broadcast hash join with the
+    // commit scan inside the exchange
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val j = src(50).join(ev, col("message") === col("event_type"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected a broadcast join")
+  }
+
   test("micro-batch stream: bounded ticks drain exactly once; a re-run adds nothing") {
     val dest = graft.sinks.Sinks.tmpBase + "/spec_mbstream"
     val ckpt = dest + ".ckpt"
