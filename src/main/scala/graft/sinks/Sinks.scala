@@ -660,6 +660,52 @@ object Sinks {
     // delete wave (%7). The feed over (v0, v2] must classify every touched
     // key — including %21 keys whose in-window update is superseded by the
     // delete — and costs only the window's deltas + a pruned lookup at v0.
+    // SCD Type-2 dimension maintenance: apply a change batch to a
+    // history-keeping dimension — current rows for changed keys CLOSE
+    // (eff_to = change date, is_current = false), the new versions and
+    // brand-new keys INSERT open rows. The whole transition is ONE
+    // left join on the key (hash, co-partitionable/bucketable at scale)
+    // plus a union — no window over the dimension, no full-history
+    // rewrite beyond the required row updates; at 100 TB the store
+    // would be key-bucketed so the join is exchange-free. Change batch
+    // is hash-derived from the dimension itself (deterministic, no
+    // fixtures): every key % 10 = 3 moves segment, every key % 97 = 0
+    // spawns a new key. Result persists via the atomic staged swap and
+    // reads back — the durable dimension a downstream join would see.
+    "q_sink_scd2" -> { (s, dir) =>
+      val store = s"$tmpBase/customer_scd2"
+      truncate(store)
+      val chDate = "2024-06-01"
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit(java.sql.Date.valueOf("2024-01-01")).as("eff_from"),
+          lit(java.sql.Date.valueOf("9999-12-31")).as("eff_to"),
+          lit(true).as("is_current"))
+      val changed = base.where(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"),
+          concat(lit("MOVED_"), (col("c_custkey") % 5).cast("string")).as("new_seg"))
+      val fresh = base.where(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          lit("NEWSEG").as("new_seg"))
+      val batch = changed.unionByName(fresh)
+      // close current rows of changed keys; untouched rows pass through
+      val closed = base.join(batch.select(col("c_custkey"), lit(1).as("hit")),
+          Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"), col("eff_from"),
+          when(col("hit") === 1, lit(java.sql.Date.valueOf(chDate)))
+            .otherwise(col("eff_to")).as("eff_to"),
+          when(col("hit") === 1, lit(false)).otherwise(col("is_current"))
+            .as("is_current"))
+      // open rows: new versions of changed keys + brand-new keys
+      val opened = batch.select(col("c_custkey"),
+        col("new_seg").as("c_mktsegment"),
+        lit(java.sql.Date.valueOf(chDate)).as("eff_from"),
+        lit(java.sql.Date.valueOf("9999-12-31")).as("eff_to"),
+        lit(true).as("is_current"))
+      writeAtomic(closed.unionByName(opened), store)
+      s.read.parquet(store).orderBy(col("c_custkey"), col("eff_from"))
+    },
+
     "q_sink_changefeed" -> { (s, dir) =>
       val store = s"$tmpBase/orders_cdc"
       deleteRec(store)
@@ -806,6 +852,36 @@ object Sinks {
     // inserts: the shifted %11 keys (never in the v0 keyspace); updates:
     // %3 keys except those the later %7 delete supersedes; deletes: every
     // %7 key (all existed at v0), payload null
+    // mirror of q_sink_scd2: identical change derivation + transition
+    "q_sink_scd2" -> """
+      WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               DATE '2024-01-01' AS eff_from,
+               DATE '9999-12-31' AS eff_to,
+               TRUE AS is_current
+        FROM customer),
+      batch AS (
+        SELECT c_custkey, 'MOVED_' || CAST(c_custkey % 5 AS VARCHAR) AS new_seg
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey + 10000000, 'NEWSEG'
+        FROM customer WHERE c_custkey % 97 = 0),
+      closed AS (
+        SELECT b.c_custkey, b.c_mktsegment, b.eff_from,
+               CASE WHEN t.c_custkey IS NOT NULL
+                    THEN DATE '2024-06-01' ELSE b.eff_to END AS eff_to,
+               CASE WHEN t.c_custkey IS NOT NULL
+                    THEN FALSE ELSE b.is_current END AS is_current
+        FROM base b LEFT JOIN batch t ON b.c_custkey = t.c_custkey),
+      opened AS (
+        SELECT c_custkey, new_seg AS c_mktsegment,
+               DATE '2024-06-01' AS eff_from,
+               DATE '9999-12-31' AS eff_to,
+               TRUE AS is_current
+        FROM batch)
+      SELECT * FROM (SELECT * FROM closed UNION ALL SELECT * FROM opened)
+      ORDER BY c_custkey, eff_from""",
+
     "q_sink_changefeed" -> """
       WITH base AS (
         SELECT o_orderkey AS k, o_orderstatus, o_custkey AS val FROM orders)

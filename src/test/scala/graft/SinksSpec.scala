@@ -249,6 +249,28 @@ class SinksSpec extends SparkSpec {
     assert(feed(2L, 3L) === Set(("insert", 3L, Some("c-back"))))
   }
 
+  test("SCD2 apply: one open row per key, closed rows end at the change date, history joins") {
+    import spark.implicits._
+    val dim = Sinks.queries("q_sink_scd2")(spark, "/root/testdata/sf0.001")
+    // exactly one is_current row per key — the invariant every
+    // point-in-time join depends on
+    val dupCurrent = dim.where($"is_current")
+      .groupBy($"c_custkey").count().where($"count" > 1).count()
+    assert(dupCurrent === 0L)
+    // changed keys carry exactly two versions: old closed at the change
+    // date, new open from it — a contiguous validity chain
+    val changed = dim.groupBy($"c_custkey").count().where($"count" === 2)
+      .select($"c_custkey").collect().map(_.getLong(0))
+    assert(changed.nonEmpty && changed.forall(_ % 10 == 3))
+    val rows = dim.where($"c_custkey" === changed.head)
+      .orderBy($"eff_from").collect()
+    assert(rows(0).getDate(3).toString === "2024-06-01" && !rows(0).getBoolean(4))
+    assert(rows(1).getDate(2).toString === "2024-06-01" && rows(1).getBoolean(4))
+    // brand-new keys exist only as open rows
+    val fresh = dim.where($"c_custkey" >= 10000000L)
+    assert(fresh.count() > 0 && fresh.where(!$"is_current").count() === 0L)
+  }
+
   test("partitionBy layout prunes: partition filter appears in the scan (O7)") {
     import spark.implicits._
     val dest = s"$base/parts"
