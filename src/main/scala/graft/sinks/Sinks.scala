@@ -460,6 +460,71 @@ object Sinks {
     }
   }
 
+  /** SCD2 transition over the customer dimension (see q_sink_scd2):
+    * base versions effective from `init`, hash-derived change batch
+    * applied at `change` — changed keys (key % 10 = 3) move segment,
+    * new keys (key % 97 = 0, +1e7) insert. Exposed so both the apply
+    * entry and the point-in-time join build the same dimension. */
+  private[graft] def scd2Of(s: SparkSession, dir: String,
+                            init: String, change: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        lit(java.sql.Date.valueOf(init)).as("eff_from"),
+        lit(java.sql.Date.valueOf("9999-12-31")).as("eff_to"),
+        lit(true).as("is_current"))
+    val changed = base.where(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey"),
+        concat(lit("MOVED_"), (col("c_custkey") % 5).cast("string")).as("new_seg"))
+    val fresh = base.where(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        lit("NEWSEG").as("new_seg"))
+    val batch = changed.unionByName(fresh)
+    // close current rows of changed keys; untouched rows pass through
+    val closed = base.join(batch.select(col("c_custkey"), lit(1).as("hit")),
+        Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"), col("eff_from"),
+        when(col("hit") === 1, lit(java.sql.Date.valueOf(change)))
+          .otherwise(col("eff_to")).as("eff_to"),
+        when(col("hit") === 1, lit(false)).otherwise(col("is_current"))
+          .as("is_current"))
+    // open rows: new versions of changed keys + brand-new keys
+    val opened = batch.select(col("c_custkey"),
+      col("new_seg").as("c_mktsegment"),
+      lit(java.sql.Date.valueOf(change)).as("eff_from"),
+      lit(java.sql.Date.valueOf("9999-12-31")).as("eff_to"),
+      lit(true).as("is_current"))
+    closed.unionByName(opened)
+  }
+
+  /** DuckDB CTE block mirroring [[scd2Of]]; yields a `scd` relation. */
+  private def scd2Ctes(init: String, change: String): String = s"""
+      base AS (
+        SELECT c_custkey, c_mktsegment,
+               DATE '$init' AS eff_from,
+               DATE '9999-12-31' AS eff_to,
+               TRUE AS is_current
+        FROM customer),
+      batch AS (
+        SELECT c_custkey, 'MOVED_' || CAST(c_custkey % 5 AS VARCHAR) AS new_seg
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey + 10000000, 'NEWSEG'
+        FROM customer WHERE c_custkey % 97 = 0),
+      closed AS (
+        SELECT b.c_custkey, b.c_mktsegment, b.eff_from,
+               CASE WHEN t.c_custkey IS NOT NULL
+                    THEN DATE '$change' ELSE b.eff_to END AS eff_to,
+               CASE WHEN t.c_custkey IS NOT NULL
+                    THEN FALSE ELSE b.is_current END AS is_current
+        FROM base b LEFT JOIN batch t ON b.c_custkey = t.c_custkey),
+      opened AS (
+        SELECT c_custkey, new_seg AS c_mktsegment,
+               DATE '$change' AS eff_from,
+               DATE '9999-12-31' AS eff_to,
+               TRUE AS is_current
+        FROM batch),
+      scd AS (SELECT * FROM closed UNION ALL SELECT * FROM opened)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The partition-scoped merge exercised with the reference's
@@ -675,35 +740,32 @@ object Sinks {
     "q_sink_scd2" -> { (s, dir) =>
       val store = s"$tmpBase/customer_scd2"
       truncate(store)
-      val chDate = "2024-06-01"
-      val base = Tables.load(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"),
-          lit(java.sql.Date.valueOf("2024-01-01")).as("eff_from"),
-          lit(java.sql.Date.valueOf("9999-12-31")).as("eff_to"),
-          lit(true).as("is_current"))
-      val changed = base.where(col("c_custkey") % 10 === 3)
-        .select(col("c_custkey"),
-          concat(lit("MOVED_"), (col("c_custkey") % 5).cast("string")).as("new_seg"))
-      val fresh = base.where(col("c_custkey") % 97 === 0)
-        .select((col("c_custkey") + 10000000L).as("c_custkey"),
-          lit("NEWSEG").as("new_seg"))
-      val batch = changed.unionByName(fresh)
-      // close current rows of changed keys; untouched rows pass through
-      val closed = base.join(batch.select(col("c_custkey"), lit(1).as("hit")),
-          Seq("c_custkey"), "left")
-        .select(col("c_custkey"), col("c_mktsegment"), col("eff_from"),
-          when(col("hit") === 1, lit(java.sql.Date.valueOf(chDate)))
-            .otherwise(col("eff_to")).as("eff_to"),
-          when(col("hit") === 1, lit(false)).otherwise(col("is_current"))
-            .as("is_current"))
-      // open rows: new versions of changed keys + brand-new keys
-      val opened = batch.select(col("c_custkey"),
-        col("new_seg").as("c_mktsegment"),
-        lit(java.sql.Date.valueOf(chDate)).as("eff_from"),
-        lit(java.sql.Date.valueOf("9999-12-31")).as("eff_to"),
-        lit(true).as("is_current"))
-      writeAtomic(closed.unionByName(opened), store)
+      writeAtomic(scd2Of(s, dir, "2024-01-01", "2024-06-01"), store)
       s.read.parquet(store).orderBy(col("c_custkey"), col("eff_from"))
+    },
+
+    // Point-in-time (as-of-date) join over the SCD2 dimension — the
+    // query SCD2 exists FOR: each order joins the dimension VERSION
+    // valid at its order date ([eff_from, eff_to) intervals partition
+    // time per key, so every fact matches exactly one version —
+    // spec-asserted). The join is a key equi-join plus an interval
+    // residual: a hash join at any scale (bucketable on the key), never
+    // a range/theta join. Dimension epoch is parameterized to straddle
+    // the order-date range, so pre-change orders resolve historical
+    // segments and post-change orders the moved ones.
+    "q_sink_scd2_pit" -> { (s, dir) =>
+      val dim = scd2Of(s, dir, "1995-01-01", "1998-01-01")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("odate"))
+      o.join(dim, o("o_custkey") === dim("c_custkey") &&
+          col("odate") >= col("eff_from") && col("odate") < col("eff_to"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_keys"),
+          min(col("odate")).as("first_order"),
+          max(col("odate")).as("last_order"))
+        .orderBy(col("c_mktsegment"))
     },
 
     "q_sink_changefeed" -> { (s, dir) =>
@@ -853,34 +915,23 @@ object Sinks {
     // %3 keys except those the later %7 delete supersedes; deletes: every
     // %7 key (all existed at v0), payload null
     // mirror of q_sink_scd2: identical change derivation + transition
-    "q_sink_scd2" -> """
-      WITH base AS (
-        SELECT c_custkey, c_mktsegment,
-               DATE '2024-01-01' AS eff_from,
-               DATE '9999-12-31' AS eff_to,
-               TRUE AS is_current
-        FROM customer),
-      batch AS (
-        SELECT c_custkey, 'MOVED_' || CAST(c_custkey % 5 AS VARCHAR) AS new_seg
-        FROM customer WHERE c_custkey % 10 = 3
-        UNION ALL
-        SELECT c_custkey + 10000000, 'NEWSEG'
-        FROM customer WHERE c_custkey % 97 = 0),
-      closed AS (
-        SELECT b.c_custkey, b.c_mktsegment, b.eff_from,
-               CASE WHEN t.c_custkey IS NOT NULL
-                    THEN DATE '2024-06-01' ELSE b.eff_to END AS eff_to,
-               CASE WHEN t.c_custkey IS NOT NULL
-                    THEN FALSE ELSE b.is_current END AS is_current
-        FROM base b LEFT JOIN batch t ON b.c_custkey = t.c_custkey),
-      opened AS (
-        SELECT c_custkey, new_seg AS c_mktsegment,
-               DATE '2024-06-01' AS eff_from,
-               DATE '9999-12-31' AS eff_to,
-               TRUE AS is_current
-        FROM batch)
-      SELECT * FROM (SELECT * FROM closed UNION ALL SELECT * FROM opened)
-      ORDER BY c_custkey, eff_from""",
+    "q_sink_scd2" -> s"""
+      WITH ${scd2Ctes("2024-01-01", "2024-06-01")}
+      SELECT * FROM scd ORDER BY c_custkey, eff_from""",
+
+    // mirror of q_sink_scd2_pit: same dimension CTEs at the order-era
+    // epoch, key equi-join + interval residual, per-segment rollup
+    "q_sink_scd2_pit" -> s"""
+      WITH ${scd2Ctes("1995-01-01", "1998-01-01")},
+      o AS (
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS odate
+        FROM orders)
+      SELECT c_mktsegment, count(*) AS n_orders,
+             count(DISTINCT o_custkey) AS n_keys,
+             min(odate) AS first_order, max(odate) AS last_order
+      FROM o JOIN scd ON o.o_custkey = scd.c_custkey
+        AND o.odate >= scd.eff_from AND o.odate < scd.eff_to
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q_sink_changefeed" -> """
       WITH base AS (

@@ -271,6 +271,21 @@ class SinksSpec extends SparkSpec {
     assert(fresh.count() > 0 && fresh.where(!$"is_current").count() === 0L)
   }
 
+  test("SCD2 point-in-time join: validity intervals partition time — every order matches once") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val pit = Sinks.queries("q_sink_scd2_pit")(spark, dir)
+    val joined = pit.agg(org.apache.spark.sql.functions.sum($"n_orders")).head.getLong(0)
+    val total = graft.sources.Tables.load(spark, dir, "orders").count()
+    // exactly-one-version semantics: the per-segment counts sum to the
+    // full fact table — no order dropped, none double-matched
+    assert(joined === total, s"PIT join matched $joined of $total orders")
+    // history resolves: pre-change orders land in original segments,
+    // post-change orders of moved keys in MOVED_* segments
+    val segs = pit.select($"c_mktsegment").as[String].collect().toSet
+    assert(segs.exists(_.startsWith("MOVED_")), s"no moved segments in $segs")
+  }
+
   test("partitionBy layout prunes: partition filter appears in the scan (O7)") {
     import spark.implicits._
     val dest = s"$base/parts"
