@@ -243,6 +243,51 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-threshold sweep (the cutoff-selection planner): before
+    // committing to a quality cut, a pipeline owner wants the whole
+    // tradeoff curve — cut at score bucket t, keep how many docs/tokens?
+    // The corpus is bucketed by VALUE (s6 * 10 DIV 1e6+1 — ten fixed
+    // integer score bands, NOT population ntile, which would need a
+    // corpus-wide single-partition window), aggregated per bucket, and
+    // the keep-at-cut columns are a reverse running total over the
+    // 10-row bucket table. A 0..9 spine left-join keeps empty buckets
+    // reporting. Scale shape: one scan + one 10-group hash agg; the
+    // window touches 10 rows no matter the corpus size. All arithmetic
+    // integer/exact (scaled-long score, DIV bucketing, ppm percentage).
+    "q_llm_quality_sweep" -> { (s, dir) =>
+      val stops = sqlList(markers.flatMap(_._2).distinct, duck = false)
+      val byBucket = docs(s, dir)
+        .selectExpr("doc_id", "split(text, ' ') AS t")
+        .selectExpr("size(t) AS n_tok", "size(array_distinct(t)) AS n_uniq",
+          s"size(filter(t, w -> array_contains($stops, w))) AS n_stop")
+        .selectExpr("CAST(n_tok AS BIGINT) AS n_tok",
+          "0.4 * (CAST(n_uniq AS DOUBLE) / n_tok) " +
+            "+ 0.3 * (CAST(n_stop AS DOUBLE) / n_tok) " +
+            "+ 0.3 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS score_raw")
+        .select(col("n_tok"), Exact.scaled(col("score_raw"), 6).as("s6"))
+        .selectExpr("n_tok", "least(9L, greatest(0L, s6 * 10 DIV 1000001)) AS bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val spine = s.range(10).select(col("id").as("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      spine.join(byBucket, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        .withColumn("docs_kept", sum(col("n_docs")).over(w))
+        .withColumn("tokens_kept", sum(col("n_tokens")).over(w))
+        .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
+        .selectExpr("bucket", "n_docs", "n_tokens", "docs_kept", "tokens_kept",
+          "tokens_kept * 1000000 DIV total_tokens AS kept_ppm")
+        .orderBy(col("bucket"))
+    },
+
     // Character-entropy quality signal: per-doc Shannon entropy of the
     // character distribution — the cheap stand-in for compression-ratio
     // filtering (gzip-ratio quality gates in published pipelines; gzip
@@ -748,6 +793,48 @@ object TextAnalysis {
              ${Exact.sqlFix("score_raw", 6)} AS score,
              CASE WHEN score_raw >= 0.5 THEN 'high' WHEN score_raw >= 0.35 THEN 'medium' ELSE 'low' END AS band
       FROM sc ORDER BY doc_id""",
+
+      // mirror of q_llm_quality_sweep: identical score, value buckets,
+      // 0..9 spine, reverse running totals over the 10-row bucket table
+      "q_llm_quality_sweep" -> s"""
+      WITH base AS (
+        SELECT string_split(text, ' ') AS t FROM documents),
+      c AS (
+        SELECT CAST(len(t) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(t)) AS INT) AS n_uniq,
+               CAST(len(list_filter(t, w -> list_contains($stops, w))) AS INT) AS n_stop
+        FROM base),
+      sc AS (
+        SELECT n_tok,
+               ${Exact.sqlScaled(
+                 "0.4 * (CAST(n_uniq AS DOUBLE) / n_tok) " +
+                 "+ 0.3 * (CAST(n_stop AS DOUBLE) / n_tok) " +
+                 "+ 0.3 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)", 6)} AS s6
+        FROM c),
+      bk AS (
+        SELECT least(9, greatest(0, s6 * 10 // 1000001)) AS bucket,
+               count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM sc GROUP BY 1),
+      spine AS (SELECT unnest(range(10)) AS bucket),
+      f AS (
+        SELECT s.bucket,
+               coalesce(n_docs, 0) AS n_docs,
+               coalesce(n_tokens, 0) AS n_tokens
+        FROM spine s LEFT JOIN bk ON s.bucket = bk.bucket),
+      cum AS (
+        SELECT *,
+               sum(n_docs) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS docs_kept,
+               sum(n_tokens) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tokens_kept,
+               sum(n_tokens) OVER () AS total_tokens
+        FROM f)
+      SELECT bucket, n_docs, n_tokens,
+             CAST(docs_kept AS BIGINT) AS docs_kept,
+             CAST(tokens_kept AS BIGINT) AS tokens_kept,
+             CAST(tokens_kept AS BIGINT) * 1000000 // CAST(total_tokens AS BIGINT)
+               AS kept_ppm
+      FROM cum ORDER BY bucket""",
 
       "q_llm_token_stats" -> s"""
       WITH base AS (

@@ -1063,6 +1063,23 @@ class LlmSpec extends SparkSpec {
     assert(r("hi").getLong(5) === 100L && r("lo").getLong(5) === 50L)
   }
 
+  test("quality sweep: cut-at-0 keeps everything; keep curves decrease monotonically") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.llm.TextAnalysis.queries("q_llm_quality_sweep")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length === 10, "one row per score bucket")
+    val totalDocs = graft.sources.Tables.load(spark, dir, "documents").count()
+    // cutting at bucket 0 keeps the whole corpus
+    assert(rows(0).getLong(3) === totalDocs)
+    assert(rows(0).getLong(5) === 1000000L, "kept_ppm at cut 0 is 1e6")
+    // keep curves are non-increasing in the cut threshold, and per-bucket
+    // counts reconcile with the cumulative columns
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) >= b.getLong(3) && a.getLong(4) >= b.getLong(4))
+      assert(a.getLong(3) - b.getLong(3) === a.getLong(1), "docs_kept delta = bucket n_docs")
+    }
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
