@@ -768,6 +768,55 @@ object Sinks {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Dead-letter quarantine routing (the poison-pill stage every real
+    // ingest needs): payloads that fail JSON validation route to a
+    // quarantine store, clean rows to the main store — ONE scan, one
+    // disposition projection, two filtered atomic writes; no row is
+    // dropped silently and the quarantine store preserves the original
+    // broken payload for replay after a parser fix. Corruption is
+    // hash-derived (every 13th event's payload truncated), so both
+    // engines see the same bad set; disposition = from_json returning
+    // NULL (Spark) ≡ NOT json_valid (DuckDB) on this corpus. Output is
+    // the reconciliation report: per-type clean/quarantined counts and
+    // the clean-side payload sum — counts that must add up to the
+    // source, spec-asserted.
+    "q_sink_quarantine" -> { (s, dir) =>
+      val clean = s"$tmpBase/events_clean"
+      val dlq = s"$tmpBase/events_dlq"
+      truncate(clean); truncate(dlq)
+      // the canonical Spark dead-letter pattern: PERMISSIVE parse with a
+      // corrupt-record column — malformed payloads land verbatim in
+      // `_bad` instead of silently nulling out (from_json never returns
+      // a null struct in PERMISSIVE mode, so `parsed IS NULL` cannot
+      // detect corruption)
+      val parseSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("_bad",
+          org.apache.spark.sql.types.StringType)))
+      val ev = Tables.load(s, dir, "events")
+        .selectExpr("event_id", "event_type",
+          "IF(event_id % 13 = 0, substring(props, 1, length(props) - 3), props) AS props")
+        .withColumn("parsed", from_json(col("props"), parseSchema,
+          Map("columnNameOfCorruptRecord" -> "_bad")))
+        .withColumn("bad", col("parsed._bad").isNotNull)
+      writeAtomic(ev.where(!col("bad"))
+        .select(col("event_id"), col("event_type"),
+          col("parsed.k").as("k")), clean)
+      writeAtomic(ev.where(col("bad"))
+        .select(col("event_id"), col("event_type"), col("props")), dlq)
+      val c = s.read.parquet(clean).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_clean"), sum(col("k")).as("sum_k"))
+      val q = s.read.parquet(dlq).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_quarantined"))
+      c.join(q, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"),
+          coalesce(col("sum_k"), lit(0L)).as("sum_k"))
+        .orderBy(col("event_type"))
+    },
+
     "q_sink_changefeed" -> { (s, dir) =>
       val store = s"$tmpBase/orders_cdc"
       deleteRec(store)
@@ -932,6 +981,27 @@ object Sinks {
       FROM o JOIN scd ON o.o_custkey = scd.c_custkey
         AND o.odate >= scd.eff_from AND o.odate < scd.eff_to
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // mirror of q_sink_quarantine: same hash-derived corruption; NOT
+    // json_valid() ≡ Spark's from_json -> NULL on this corpus
+    "q_sink_quarantine" -> """
+      WITH ev AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 13 = 0
+                    THEN substr(props, 1, length(props) - 3)
+                    ELSE props END AS props
+        FROM events),
+      d AS (
+        SELECT event_type,
+               NOT json_valid(props) AS bad,
+               CASE WHEN json_valid(props)
+                    THEN CAST(props->>'k' AS INT) END AS k
+        FROM ev)
+      SELECT event_type,
+             CAST(sum(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+             CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+             CAST(coalesce(sum(CASE WHEN NOT bad THEN k END), 0) AS BIGINT) AS sum_k
+      FROM d GROUP BY event_type ORDER BY event_type""",
 
     "q_sink_changefeed" -> """
       WITH base AS (

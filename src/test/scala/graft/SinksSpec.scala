@@ -286,6 +286,22 @@ class SinksSpec extends SparkSpec {
     assert(segs.exists(_.startsWith("MOVED_")), s"no moved segments in $segs")
   }
 
+  test("quarantine routing: no row lost, corrupt payloads preserved verbatim in the DLQ") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rep = Sinks.queries("q_sink_quarantine")(spark, dir)
+    val total = graft.sources.Tables.load(spark, dir, "events").count()
+    val routed = rep.agg(org.apache.spark.sql.functions.sum($"n_clean" + $"n_quarantined"))
+      .head.getLong(0)
+    assert(routed === total, "clean + quarantined must reconcile to the source")
+    assert(rep.agg(org.apache.spark.sql.functions.sum($"n_quarantined")).head.getLong(0) > 0)
+    // the DLQ store keeps the ORIGINAL broken payload for replay
+    val dlq = spark.read.parquet(s"${Sinks.tmpBase}/events_dlq")
+    assert(dlq.columns.contains("props"))
+    assert(dlq.where($"event_id" % 13 =!= 0).count() === 0L,
+      "only the corrupted slice routes to the DLQ")
+  }
+
   test("partitionBy layout prunes: partition filter appears in the scan (O7)") {
     import spark.implicits._
     val dest = s"$base/parts"
