@@ -256,6 +256,36 @@ object Analytics {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-entity EWMA smoothing (alpha = 1/2) as an EXACT integer fold:
+    // e_1 = s_1, e_i = (e_{i-1} + s_i) DIV 2 over each user's
+    // time-ordered scaled-cent values. A float EWMA can't be
+    // oracle-compared (summation-order-sensitive) and a window function
+    // can't express the recursion; the per-user ordered fold can — and it
+    // is the same bounded-entity-history contract as session windows:
+    // hash-partition by user, per-user array bounded by that entity's
+    // event count, never a corpus-wide structure. The fold runs as an
+    // `aggregate` HOF over the collected sequence (interpreted, but
+    // O(events-per-user) on a 1500-group analytic — not a corpus hot
+    // path); DuckDB's list_reduce seeds from the first element exactly
+    // like aggregate(slice(seq, 2, n-1), seq[1].cents, ...).
+    "q_ewma_smooth" -> { (s, dir) =>
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          graft.util.Exact.scaled(col("value"), 2).as("cents"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("array_sort(collect_list(struct(ts, event_id, cents)))").as("seq"))
+        .selectExpr("user_id", "n_events",
+          "element_at(seq, -1).cents AS last_cents",
+          "aggregate(slice(seq, 2, CAST(n_events AS INT) - 1), " +
+            "element_at(seq, 1).cents, (acc, x) -> (acc + x.cents) DIV 2) AS ewma_cents")
+        .select(col("user_id"), col("n_events"),
+          (col("last_cents") / 100.0).as("last_value"),
+          (col("ewma_cents") / 100.0).as("ewma"))
+        .orderBy(col("user_id"))
+    },
+
     "q_skew_audit" -> ((s, dir) => skewAudit(ev(s, dir))),
     "q_drift_psi" -> ((s, dir) => driftPsi(ev(s, dir))),
     "q_anomaly_zscore" -> ((s, dir) => anomalies(ev(s, dir))),
@@ -268,6 +298,22 @@ object Analytics {
           col("c_mktsegment")))))
 
   def oracleSql: Map[String, String] = Map(
+
+    // mirror of q_ewma_smooth: list_reduce seeds from the first element,
+    // exactly aggregate(slice(seq, 2, n-1), seq[1], ...) on the Spark side
+    "q_ewma_smooth" -> s"""
+      WITH e AS (
+        SELECT user_id, ts, event_id,
+               ${graft.util.Exact.sqlScaled("value", 2)} AS cents
+        FROM events),
+      g AS (
+        SELECT user_id, count(*) AS n_events,
+               list(cents ORDER BY ts, event_id) AS seq
+        FROM e GROUP BY user_id)
+      SELECT user_id, n_events,
+             seq[-1] / 100.0 AS last_value,
+             list_reduce(seq, (acc, x) -> (acc + x) // 2) / 100.0 AS ewma
+      FROM g ORDER BY user_id""",
 
     "q_skew_audit" -> s"""
       WITH keyed AS (
