@@ -800,6 +800,7 @@ object Sinks {
         .withColumn("parsed", from_json(col("props"), parseSchema,
           Map("columnNameOfCorruptRecord" -> "_bad")))
         .withColumn("bad", col("parsed._bad").isNotNull)
+        .localCheckpoint() // parse ONCE; both filtered writes read the parsed set
       writeAtomic(ev.where(!col("bad"))
         .select(col("event_id"), col("event_type"),
           col("parsed.k").as("k")), clean)
