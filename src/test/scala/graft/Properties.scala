@@ -230,6 +230,32 @@ object SparkProperties extends Properties("spark-ops") {
       nodes.forall(n => got(n) == find(n))
     }
 
+  // the SQL aggregate-HOF EWMA fold (q_ewma_smooth) against a plain Scala
+  // fold model on random per-key sequences — seeds from the first element,
+  // integer floor division at every step
+  private val ewmaSeqs: Gen[List[(Long, Long)]] =
+    Gen.listOfN(40, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50000L)))
+
+  property("SQL EWMA fold == Scala integer fold model per key") =
+    forAll(ewmaSeqs) { rows =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, count, expr, lit}
+      val indexed = rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+      val got = indexed.toDF("k", "pos", "cents")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          expr("array_sort(collect_list(struct(pos, cents)))").as("seq"))
+        .selectExpr("k",
+          "aggregate(slice(seq, 2, CAST(n AS INT) - 1), element_at(seq, 1).cents, " +
+            "(acc, x) -> (acc + x.cents) DIV 2) AS e")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val model = indexed.groupBy(_._1).map { case (k, rs) =>
+        val vs = rs.sortBy(_._2).map(_._3)
+        k -> vs.tail.foldLeft(vs.head)((acc, s) => Math.floorDiv(acc + s, 2L))
+      }
+      got == model
+    }
+
   property("upsert keeps exactly one row per key, preferring incoming") =
     forAll(batch, batch) { (existRows, inRows) =>
       import spark.implicits._
