@@ -161,6 +161,73 @@ object StreamOps {
         .orderBy(col("message"))
     },
 
+    // STREAMING SCD2 maintenance, event-sourced: the naive stream apply
+    // ("close the current row, open a new one") is ORDER-SENSITIVE and
+    // breaks under batch reordering/replay. Instead each tick upserts
+    // immutable VERSION EVENTS (key, segment, valid-from) keyed by
+    // (key, vdate) — idempotent and commutative, so any tick order or
+    // replay converges — and the interval view (eff_from/eff_to/
+    // is_current) is DERIVED on read with one per-key lead() window.
+    // Writes stay O(batch); history assembly is the reader's window over
+    // each key's bounded version list. Oracle = the same window over the
+    // union of all version sources (maintenance ≡ recompute).
+    "stream_scd2_ticks" -> { (s, dir) =>
+      val src = s"${graft.sinks.Sinks.tmpBase}/scd2_ticks_src"
+      val store = s"${graft.sinks.Sinks.tmpBase}/scd2_ticks_store"
+      val ckpt = store + ".ckpt"
+      graft.sinks.Sinks.truncate(src)
+      graft.sinks.Sinks.truncate(store); graft.sinks.Sinks.truncate(ckpt)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val v0 = cust.select(col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        lit(java.sql.Date.valueOf("1995-01-01")).as("vdate"), lit(0).as("tick"))
+      val ticks = (1 to 3).map { t =>
+        cust.where(col("c_custkey") % (6 + t) === 1)
+          .select(col("c_custkey"),
+            concat(lit(s"T${t}_"), (col("c_custkey") % 3).cast("string")).as("seg"),
+            lit(java.sql.Date.valueOf(s"${1995 + t}-01-01")).as("vdate"),
+            lit(t).as("tick"))
+      }
+      (v0 +: ticks).reduce(_ unionByName _)
+        .repartitionByRange(4, col("tick")).write.parquet(src)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("seg",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("vdate",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("tick",
+          org.apache.spark.sql.types.IntegerType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .drop("tick")
+        .withColumn("vkey", concat(col("c_custkey"), lit("@"), col("vdate")))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val existing =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
+              s.read.parquet(store)
+            else s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+          graft.sinks.Sinks.writeAtomic(
+            graft.ingest.CommitEtl.upsert(existing, batch, "vkey",
+              Seq("seg")), store)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_custkey")).orderBy(col("vdate"))
+      s.read.parquet(store)
+        .select(col("c_custkey"), col("seg"), col("vdate").as("eff_from"),
+          coalesce(lead(col("vdate"), 1).over(w),
+            lit(java.sql.Date.valueOf("9999-12-31"))).as("eff_to"),
+          lead(col("vdate"), 1).over(w).isNull.as("is_current"))
+        .orderBy(col("c_custkey"), col("eff_from"))
+    },
+
     // The reference's ACTUAL runtime shape (git_etl.ts:353-355): REAL
     // multi-tick micro-batches. The source is split into 4 files,
     // maxFilesPerTrigger=1 forces 4 sequential batches, and each batch
@@ -410,6 +477,28 @@ object StreamOps {
       SELECT min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end,
              user_id, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
       FROM islands GROUP BY user_id, sess_id ORDER BY user_id, sess_start""",
+
+    // mirror of stream_scd2_ticks: the same lead() window over the union
+    // of all version sources (incremental maintenance ≡ recompute)
+    "stream_scd2_ticks" -> """
+      WITH allv AS (
+        SELECT c_custkey, c_mktsegment AS seg, DATE '1995-01-01' AS vdate
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'T1_' || CAST(c_custkey % 3 AS VARCHAR), DATE '1996-01-01'
+        FROM customer WHERE c_custkey % 7 = 1
+        UNION ALL
+        SELECT c_custkey, 'T2_' || CAST(c_custkey % 3 AS VARCHAR), DATE '1997-01-01'
+        FROM customer WHERE c_custkey % 8 = 1
+        UNION ALL
+        SELECT c_custkey, 'T3_' || CAST(c_custkey % 3 AS VARCHAR), DATE '1998-01-01'
+        FROM customer WHERE c_custkey % 9 = 1)
+      SELECT c_custkey, seg, vdate AS eff_from,
+             coalesce(lead(vdate) OVER (PARTITION BY c_custkey ORDER BY vdate),
+                      DATE '9999-12-31') AS eff_to,
+             lead(vdate) OVER (PARTITION BY c_custkey ORDER BY vdate) IS NULL
+               AS is_current
+      FROM allv ORDER BY c_custkey, eff_from""",
 
     "stream_dsv2_commits" -> """
       WITH src AS (

@@ -302,6 +302,30 @@ class SinksSpec extends SparkSpec {
       "only the corrupted slice routes to the DLQ")
   }
 
+  test("streaming SCD2: per-key validity chains are contiguous, one open row per key") {
+    import spark.implicits._
+    val dim = graft.streaming.StreamOps.queries("stream_scd2_ticks")(
+      spark, "/root/testdata/sf0.001")
+    val rows = dim.collect()
+    // exactly one open row per key
+    val open = rows.filter(_.getBoolean(4))
+    assert(open.map(_.getLong(0)).distinct.length === open.length)
+    assert(open.length === rows.map(_.getLong(0)).distinct.length)
+    // intervals chain: each closed row's eff_to is the next row's eff_from
+    rows.groupBy(_.getLong(0)).values.foreach { vs =>
+      val chain = vs.sortBy(_.getDate(2).toString)
+      chain.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDate(3).toString === b.getDate(2).toString,
+            s"gap in key ${a.getLong(0)}")
+        case _ => ()
+      }
+      assert(chain.last.getDate(3).toString === "9999-12-31")
+    }
+    // multi-version keys exist (a key hit by all three change ticks has 4)
+    assert(rows.groupBy(_.getLong(0)).values.map(_.length).max >= 3)
+  }
+
   test("partitionBy layout prunes: partition filter appears in the scan (O7)") {
     import spark.implicits._
     val dest = s"$base/parts"
