@@ -772,6 +772,39 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // PROMPT-prefix dedup (instruction-data curation): near-dup on the
+    // first K tokens only — the shape that catches shared-prompt
+    // duplicates (same instruction, different completions), which
+    // full-document Jaccard dilutes past the threshold. The corpus has
+    // no prompt structure, so a 3-token prompt is seeded from doc_id
+    // arithmetic (the q_llm_pii_redact dirtyExpr convention — identical
+    // SQL text in both engines; production swaps K=3 for 32-64). Groups
+    // key on the compiled charhash of the prefix slice; each group
+    // reports its completion diversity — 1 distinct completion = a pure
+    // duplicate to drop, many = a prompt whose completions are worth
+    // keeping (dedup at the pair level, not the doc level). One scan +
+    // one hash agg — the exact-dedup cost class.
+    "q_llm_dedup_prefix" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      docs(s, dir)
+        .selectExpr("doc_id",
+          "concat('p', doc_id % 40, ' u', doc_id % 8, ' v', doc_id % 5, ' ', text) AS pt")
+        .selectExpr("doc_id", "split(pt, ' ') AS t")
+        .selectExpr("doc_id",
+          "graft_charhash(array_join(slice(t, 1, 3), ' ')) AS prompt_fp",
+          "graft_charhash(array_join(t, ' ')) AS full_fp")
+        .groupBy(col("prompt_fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("full_fp")).as("n_completions"),
+          min(col("doc_id")).as("keeper"))
+        .where(col("n_docs") >= 2)
+        .select(col("prompt_fp"), col("n_docs"), col("n_completions"),
+          col("keeper"),
+          expr("CASE WHEN n_completions = 1 THEN 'exact_dup' " +
+            "ELSE 'shared_prompt' END").as("verdict"))
+        .orderBy(col("keeper"))
+    },
+
     // 32-bit SimHash fingerprint: explode word hashes -> per-bit majority
     // vote as a partial+final hash agg (map-side combine; one shuffle of 32
     // small longs per doc). Duplicate-fingerprint count rides along.
@@ -1463,6 +1496,30 @@ object Dedup {
       SELECT doc_id, canonical,
              count(*) OVER (PARTITION BY canonical) AS cluster_size
       FROM canon ORDER BY doc_id""",
+
+      // mirror of q_llm_dedup_prefix: identical prompt seeding, prefix
+      // slice, char-poly fingerprints, completion-diversity verdicts
+      "q_llm_dedup_prefix" -> s"""
+      WITH seeded AS (
+        SELECT doc_id,
+               concat('p', doc_id % 40, ' u', doc_id % 8, ' v', doc_id % 5,
+                      ' ', text) AS pt
+        FROM documents),
+      t AS (SELECT doc_id, string_split(pt, ' ') AS t FROM seeded),
+      fp AS (
+        SELECT doc_id,
+               ${duckCharHash("array_to_string(t[1:3], ' ')")} AS prompt_fp,
+               ${duckCharHash("array_to_string(t, ' ')")} AS full_fp
+        FROM t),
+      g AS (
+        SELECT prompt_fp, count(*) AS n_docs,
+               count(DISTINCT full_fp) AS n_completions,
+               min(doc_id) AS keeper
+        FROM fp GROUP BY prompt_fp)
+      SELECT prompt_fp, n_docs, n_completions, keeper,
+             CASE WHEN n_completions = 1 THEN 'exact_dup'
+                  ELSE 'shared_prompt' END AS verdict
+      FROM g WHERE n_docs >= 2 ORDER BY keeper""",
 
       // q_llm_dedup_groups' component CTEs + a corpus-wide left join so
       // singletons carry weight 1e6; integer-ppm division in both engines

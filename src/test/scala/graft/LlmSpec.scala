@@ -1080,6 +1080,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("prefix dedup: exact duplicates vs shared-prompt completions classified per group") {
+    import spark.implicits._
+    val tdir = graft.sinks.Sinks.tmpBase + "/spec_prefixdedup"
+    graft.sinks.Sinks.truncate(tdir)
+    // ids 0/40 and 1/41 are congruent mod 40 (and hence mod 8 and 5), so
+    // each pair shares a seeded prompt; 0/40 also share the completion
+    val same = (1 to 12).map("a" + _).mkString(" ")
+    Seq((0L, same), (40L, same),
+        (1L, (1 to 12).map("b" + _).mkString(" ")),
+        (41L, (1 to 12).map("c" + _).mkString(" ")),
+        (2L, (1 to 12).map("d" + _).mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "src") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tdir/documents.parquet")
+    val r = graft.llm.Dedup.queries("q_llm_dedup_prefix")(spark, tdir)
+      .collect().map(x => x.getLong(3) -> x).toMap // keyed by keeper
+    assert(r.keySet === Set(0L, 1L), "two shared-prompt groups, singleton excluded")
+    assert(r(0L).getLong(1) === 2L && r(0L).getLong(2) === 1L)
+    assert(r(0L).getString(4) === "exact_dup")
+    assert(r(1L).getLong(1) === 2L && r(1L).getLong(2) === 2L)
+    assert(r(1L).getString(4) === "shared_prompt")
+  }
+
   test("EtlConfig (O12): field-level validation") {
     assert(EtlConfig("r", "o").cronSchedule === "*/5 * * * *")
     assertThrows[IllegalArgumentException](EtlConfig("", "o"))
