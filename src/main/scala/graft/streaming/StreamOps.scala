@@ -120,6 +120,35 @@ object StreamOps {
         .orderBy(col("user_id"), col("sess_start"))
     },
 
+    // BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark): the
+    // production form of stream_dedup — plain dropDuplicates keeps every
+    // key seen FOREVER in the state store (unbounded at 100 TB/day;
+    // the store eventually IS the corpus), while the within-watermark
+    // variant evicts keys once the watermark passes them, bounding state
+    // to O(keys per window) under the duplicate-delivery assumption that
+    // re-deliveries arrive within the window (true of at-least-once
+    // transports). Input seeds every event TWICE, range-partitioned by
+    // ts so both copies share a tick and ticks arrive in ascending event
+    // time; the answer equals the unbounded dedup exactly — same oracle
+    // — which is the point: identical correctness, bounded state.
+    "stream_dedup_bounded" -> { (s, dir) =>
+      val src = s"${graft.sinks.Sinks.tmpBase}/dedup_bounded_src"
+      graft.sinks.Sinks.truncate(src)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      ev.union(ev) // exact duplicate delivery of every event
+        .repartitionByRange(2, col("ts")).write.parquet(src)
+      val dd = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"), col("value"))
+      runToParquet(s, "dedup_bounded", dd, complete = false)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumFix(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+
     // streaming keyed dedup (reference O8: duplicate deliveries collapse);
     // event_id is the primary key, append emissions are replay-independent
     "stream_dedup" -> { (s, dir) =>
@@ -455,6 +484,13 @@ object StreamOps {
       FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
 
     "stream_dedup" -> s"""
+      SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
+      FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+      GROUP BY event_type ORDER BY event_type""",
+
+    // bounded-state dedup answers EXACTLY like unbounded dedup — the
+    // state bound changes cost, never the result
+    "stream_dedup_bounded" -> s"""
       SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
       FROM (SELECT DISTINCT event_id, event_type, value FROM events)
       GROUP BY event_type ORDER BY event_type""",
