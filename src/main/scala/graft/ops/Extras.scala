@@ -172,6 +172,27 @@ object Extras {
         GROUP BY b ORDER BY b""")
     },
 
+    // Null-aware anti join (NOT IN semantics): NOT IN over a nullable
+    // subquery column is NOT the same operator as NOT EXISTS/left_anti —
+    // one NULL in the subquery empties the whole result under SQL
+    // three-valued logic, so Spark must plan the null-aware variant
+    // (BroadcastHashJoin ... NAAJ — asserted in PlanShapeSpec), which
+    // checks the build side for nulls at runtime instead of assuming
+    // two-valued equality. The anti-dedup shape ("orders from customers
+    // NOT in the flagged set") is how exclusion lists are applied at
+    // scale; broadcast build side, no shuffle of the probe.
+    "q_null_aware_anti" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_naaj_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_naaj_v")
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n,
+               count(DISTINCT o_custkey) AS n_cust
+        FROM orders_naaj_v
+        WHERE o_custkey NOT IN (
+          SELECT c_custkey FROM customer_naaj_v WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+
     // Correlated LATERAL subquery join (SQL parser path): per region, the
     // top-2 nations by supplier account balance — the "top-N per outer
     // row" shape LATERAL exists for. Catalyst decorrelates it into a
@@ -501,6 +522,14 @@ object Extras {
       SELECT message, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
       FROM src WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
       GROUP BY message ORDER BY message""",
+
+    "q_null_aware_anti" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             count(DISTINCT o_custkey) AS n_cust
+      FROM orders
+      WHERE o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_dsv2_runtime_prune" -> """
       WITH src AS (

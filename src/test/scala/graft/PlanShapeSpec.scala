@@ -13,6 +13,16 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("NOT IN plans as the null-aware anti join (NAAJ), broadcast build side") {
+    val df = SparkEntry.queries("q_null_aware_anti")(spark, dir)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val s = df.queryExecution.executedPlan.toString
+    // BroadcastHashJoinExec prints isNullAwareAntiJoin as the trailing
+    // argument: "... LeftAnti, BuildRight, true"
+    assert(s.contains("LeftAnti, BuildRight, true"),
+      s"expected a null-aware anti join in:\n$s")
+  }
+
   test("filters and projection reach the parquet scan (pushdown + pruning)") {
     val p = plan("q_filter_project")
     assert(p.contains("PushedFilters: ["), "expected pushed filters in scan")
