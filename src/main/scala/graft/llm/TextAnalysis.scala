@@ -243,6 +243,41 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // PMI collocation mining: adjacent word pairs ranked by pointwise
+    // mutual information — the association measure that separates "of
+    // the" (frequent but independent) from true collocations whose joint
+    // count beats the product of their marginals. Ranking uses the exact
+    // integer monotone transform of PMI, score = c_xy * N * 1e6 DIV
+    // (c_x * c_y) (log is monotone — the RANK needs no float log, so the
+    // oracle matches bit-for-bit). Distinct from q_llm_bpe_pairs, which
+    // ranks by RAW pair count. Shape: one bigram explode (linear in
+    // tokens), two hash aggs, two broadcast-size marginal joins keyed by
+    // word, one global top-k (TakeOrdered). Integer bound: the product
+    // is < c_x·c_y·1e6 ≤ tokens²·1e6 — fine through billions of tokens;
+    // at trillion-token scale rescale to c_xy*1e6 DIV c_x first (same
+    // determinism, looser precision).
+    "q_llm_pmi_terms" -> { (s, dir) =>
+      val toks = docs(s, dir)
+        .selectExpr("split(text, ' ') AS t").where(expr("size(t) >= 2"))
+        .localCheckpoint() // one tokenize feeds unigrams AND bigrams
+      val uni = toks.selectExpr("explode(t) AS w")
+        .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      val bi = toks
+        .selectExpr("explode(arrays_zip(slice(t, 1, size(t) - 1), " +
+          "slice(t, 2, size(t) - 1))) AS p")
+        .selectExpr("p.`0` AS w1", "p.`1` AS w2")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+        .where(col("c_xy") >= 5)
+      val n = bi.agg(sum(col("c_xy")).as("n_bigrams"))
+      bi.join(uni.select(col("w").as("w1"), col("c_w").as("c_x")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c_w").as("c_y")), "w2")
+        .crossJoin(broadcast(n))
+        .selectExpr("w1", "w2", "c_xy",
+          "c_xy * n_bigrams * 1000000 DIV (c_x * c_y) AS pmi_score")
+        .orderBy(col("pmi_score").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
     // Quality-threshold sweep (the cutoff-selection planner): before
     // committing to a quality cut, a pipeline owner wants the whole
     // tradeoff curve — cut at score bucket t, keep how many docs/tokens?
@@ -793,6 +828,29 @@ object TextAnalysis {
              ${Exact.sqlFix("score_raw", 6)} AS score,
              CASE WHEN score_raw >= 0.5 THEN 'high' WHEN score_raw >= 0.35 THEN 'medium' ELSE 'low' END AS band
       FROM sc ORDER BY doc_id""",
+
+      // mirror of q_llm_pmi_terms: same integer monotone PMI transform
+      "q_llm_pmi_terms" -> """
+      WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      uni AS (
+        SELECT w, count(*) AS c_w
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      bi AS (
+        SELECT w1, w2, count(*) AS c_xy FROM (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM toks, unnest(range(1, len(t))) AS r(i))
+        GROUP BY w1, w2 HAVING count(*) >= 5),
+      n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bigrams FROM bi)
+      SELECT w1, w2, c_xy,
+             CAST(c_xy * n_bigrams * 1000000 // (x.c_w * y.c_w) AS BIGINT)
+               AS pmi_score
+      FROM bi
+      JOIN uni x ON bi.w1 = x.w
+      JOIN uni y ON bi.w2 = y.w
+      CROSS JOIN n
+      ORDER BY pmi_score DESC, w1, w2 LIMIT 20""",
 
       // mirror of q_llm_quality_sweep: identical score, value buckets,
       // 0..9 spine, reverse running totals over the 10-row bucket table
