@@ -108,6 +108,28 @@ class CommitSourceSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "expected a broadcast join")
   }
 
+  test("micro-batch offset arithmetic: since bound, admission cap, page-granular ticks") {
+    import graft.sources.{CommitMicroBatchStream, CommitOffset, CommitSource}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val sinceIdx97 = CommitSource.tsMicrosOf(97) // bound exactly at row 97
+    val st = new CommitMicroBatchStream(1000, sinceIdx97, CommitSource.schema, 250)
+    st.prepareForTriggerAvailableNow()
+    // the since bound IS the initial offset: rows before it never read
+    assert(st.initialOffset() === CommitOffset(97))
+    // admission control: each tick advances by at most batchRows, capped
+    // at the pinned target
+    assert(st.latestOffset(CommitOffset(97), ReadLimit.maxRows(250)) === CommitOffset(347))
+    assert(st.latestOffset(CommitOffset(847), ReadLimit.maxRows(250)) === CommitOffset(1000))
+    // a tick splits into page-granular partitions covering exactly [s, e)
+    val parts = st.planInputPartitions(CommitOffset(97), CommitOffset(347))
+    val ranges = parts.map { case graft.sources.CommitPage(a, b) => (a, b) }.sortBy(_._1)
+    assert(ranges.head._1 === 97L && ranges.last._2 === 347L)
+    assert(ranges.sliding(2).forall { case Array(x, y) => x._2 == y._1; case _ => true })
+    assert(ranges.forall { case (a, b) => b - a <= CommitSource.PageSize })
+    // offsets round-trip through the checkpoint's JSON form
+    assert(st.deserializeOffset(CommitOffset(347).json()) === CommitOffset(347))
+  }
+
   test("micro-batch stream: bounded ticks drain exactly once; a re-run adds nothing") {
     val dest = graft.sinks.Sinks.tmpBase + "/spec_mbstream"
     val ckpt = dest + ".ckpt"
