@@ -37,7 +37,8 @@ class PlanShapeSpec extends SparkSpec {
         "q_llm_media_neardup", "q_llm_bpe_train", "q_llm_bpe_encode",
         "q_llm_media_clip_dedup", "q_llm_mixture_reweight",
         "q_llm_dedup_containment", "q_llm_winnow_dedup", "q_llm_lm_trigram",
-        "q_llm_memorization", "q_llm_soft_dedup")) {
+        "q_llm_memorization", "q_llm_soft_dedup", "q_llm_pmi_terms",
+        "q_llm_repeat_plan")) {
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
     }
   }
