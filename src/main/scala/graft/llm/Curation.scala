@@ -273,11 +273,16 @@ object Curation {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_masked"),
           (max(col("isl")) + 1).as("n_spans"))
+      // Column-API double arithmetic (NOT selectExpr with a `100.0` literal:
+      // Spark SQL parses that as DECIMAL and the whole chain — and the output
+      // column — would land as DECIMAL(28,7) while the oracle emits DOUBLE).
       nt.join(islands, Seq("doc_id"), "left")
-        .selectExpr("doc_id", "n_tok",
-          "coalesce(n_spans, CAST(0 AS BIGINT)) AS n_spans",
-          "coalesce(n_masked, CAST(0 AS BIGINT)) AS n_masked",
-          s"${graft.util.Exact.sqlFix("coalesce(n_masked, CAST(0 AS BIGINT)) * 100.0 / n_tok", 4)} AS mask_pct")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          graft.util.Exact
+            .fix(coalesce(col("n_masked"), lit(0L)) * lit(100.0) / col("n_tok"), 4)
+            .as("mask_pct"))
         .orderBy(col("doc_id"))
     },
 

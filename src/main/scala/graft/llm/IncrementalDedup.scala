@@ -128,7 +128,7 @@ object IncrementalDedup {
   /** Wipe the incremental-CC state (edge stream, label store, remap/forget
     * recovery artifacts, checkpoint). */
   private[graft] def ccReset(base: String): Unit =
-    Seq("src", "labels", "remaps", "forgets", "ckpt")
+    Seq("src", "labels", "edges", "remaps", "forgets", "ckpt")
       .foreach(p => Sinks.truncate(s"$base/$p"))
 
   /** True iff a prior attempt COMPLETED the parquet write at `p` (the
@@ -202,6 +202,44 @@ object IncrementalDedup {
       .groupBy(col("doc")).agg(min(col("label")).as("label"))
       .withColumn("_tick", lit(batchId))
     Sinks.mergeByKeyBucket(s, store, up, "doc", Seq("_tick"))
+    // --- label-bucketed edge log ------------------------------------------
+    // Invariant: every stored edge lives in the bucket of its component's
+    // CURRENT label, so [[ccForget]]'s subgraph read prunes to the
+    // affected labels' buckets instead of scanning every edge ever
+    // ingested. Maintenance piggybacks on this tick's remap: edges of
+    // merged components MOVE to the winning label's bucket (O(edges of
+    // merged components) — same order as the member remap above), new
+    // edges land under their post-tick label. Bucket content is deduped
+    // by edge, so replays are idempotent; runs AFTER the label merge so
+    // a replayed tick that already merged still derives identical labels
+    // (remap artifact + cur are both replay-stable).
+    val elog = s"$base/edges"
+    Sinks.healBuckets(elog)
+    val nE = Sinks.storedBucketCount(elog).getOrElse {
+      Sinks.initBucketStore(elog, 16); 16
+    }
+    def bucketOf(c: org.apache.spark.sql.Column) = pmod(c, lit(nE)).cast("int")
+    val newLabeled = edges
+      .join(newRows.select(col("doc").as("doc_a"), col("label").as("elabel")), "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("elabel").as("label"))
+    // touched buckets: sources and targets of moved edges + new edges'
+    // buckets — a metadata-sized list (<= nBuckets ints)
+    val touchedE = newLabeled.select(bucketOf(col("label")).as("_bucket"))
+      .union(remap.select(bucketOf(col("label")).as("_bucket")))
+      .union(remap.select(bucketOf(col("canonical")).as("_bucket")))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    if (touchedE.nonEmpty) {
+      val dirs = Sinks.bucketDirs(elog, touchedE)
+      val existing =
+        if (dirs.isEmpty) newLabeled.limit(0)
+        else s.read.parquet(dirs: _*).select(col("doc_a"), col("doc_b"), col("label"))
+      val relabeled = existing.join(remap, Seq("label"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("canonical"), col("label")).as("label"))
+      val content = relabeled.unionByName(newLabeled).distinct()
+        .withColumn("_bucket", bucketOf(col("label")))
+      Sinks.rewriteBuckets(s, elog, content, touchedE, dropMissing = true)
+    }
   }
 
   /** Forget nodes from the incremental-CC store — the HARD direction of
@@ -213,13 +251,18 @@ object IncrementalDedup {
     *  1. affected = labels of the deleted docs; purge deleted rows
     *     ([[Sinks.deleteByKeyBucket]], touched buckets only);
     *  2. surviving members = remaining store rows with an affected label;
-    *  3. surviving edges = the accumulated edge batches, minus edges
-    *     touching a deleted doc, semi-joined to the surviving members;
+    *  3. surviving edges = the AFFECTED BUCKETS of the label-bucketed
+    *     edge log (file-level pruning — unaffected components' edges are
+    *     never listed), minus edges touching a deleted doc, semi-joined
+    *     to the surviving members;
     *  4. CC over that subgraph relabels the members; members with no
-    *     surviving edge become singletons (label = self).
-    * Cost: O(deleted + affected members) writes; the edge re-read is
-    * O(all edges) I/O here — a production store would bucket the edge
-    * log by component label so step 3 prunes to the affected buckets.
+    *     surviving edge become singletons (label = self);
+    *  5. the read buckets are rewritten: deleted docs' edges purged,
+    *     surviving edges re-bucketed under their POST-forget labels —
+    *     which both preserves the bucketing invariant and keeps dead
+    *     edges from resurrecting deleted docs as labels in LATER forgets.
+    * Cost: O(deleted + affected members + affected components' edges) —
+    * never a scan of the full edge log (spec-asserted on the dir list).
     *
     * Replay idempotence is CRASH-WINDOW-SAFE: the affected-label set is
     * computed from the PRE-DELETE store and persisted to a
@@ -247,9 +290,22 @@ object IncrementalDedup {
     val members = s.read.parquet(store)
       .join(affected, Seq("label"), "left_semi")
       .select(col("doc")).localCheckpoint()
-    val edges = s.read.parquet(s"$base/src")
+    // pruned edge read: ONLY the affected labels' buckets are listed
+    val elog = s"$base/edges"
+    Sinks.healBuckets(elog)
+    val nE = Sinks.storedBucketCount(elog).getOrElse(16)
+    def bucketOf(c: org.apache.spark.sql.Column) = pmod(c, lit(nE)).cast("int")
+    val aDirs = forgetEdgeDirs(s, base, affected)
+    val logged =
+      if (aDirs.isEmpty)
+        del.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+          col("doc_id").as("label")).limit(0)
+      else s.read.parquet(aDirs: _*).select(col("doc_a"), col("doc_b"), col("label"))
+    val surviving = logged
       .join(del.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
       .join(del.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .localCheckpoint()
+    val edges = surviving
       .join(members.select(col("doc").as("doc_a")), Seq("doc_a"), "left_semi")
     val sub = Dedup.connectedComponents(edges.select(col("doc_a"), col("doc_b")))
     val up = members
@@ -257,6 +313,41 @@ object IncrementalDedup {
       .select(col("doc"), coalesce(col("canonical"), col("doc")).as("label"))
       .withColumn("_tick", lit(tickId))
     Sinks.mergeByKeyBucket(s, store, up, "doc", Seq("_tick"))
+    // edge-log rewrite LAST (after the label merge — the relabel reads
+    // the POST-merge store, which is also what makes a replay after any
+    // crash window converge): purge the deleted docs' edges, move the
+    // survivors to their post-forget labels' buckets, preserve unrelated
+    // edges that merely share a bucket.
+    val newLab = s.read.parquet(store)
+      .select(col("doc").as("doc_a"), col("label").as("nl"))
+    val relabeled = surviving.join(newLab, "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("nl").as("label"))
+    val targetB = relabeled.select(bucketOf(col("label")).as("_bucket"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val touchedE = (aDirs.map(_.split("=").last.toInt) ++ targetB).distinct
+    if (touchedE.nonEmpty) {
+      val allRows =
+        if (Sinks.bucketDirs(elog, touchedE).isEmpty) relabeled.limit(0)
+        else s.read.parquet(Sinks.bucketDirs(elog, touchedE): _*)
+          .select(col("doc_a"), col("doc_b"), col("label"))
+      val keptOther = allRows.join(affected, Seq("label"), "left_anti")
+      val content = keptOther.unionByName(relabeled).distinct()
+        .withColumn("_bucket", bucketOf(col("label")))
+      Sinks.rewriteBuckets(s, elog, content, touchedE, dropMissing = true)
+    }
+  }
+
+  /** The edge-log partition directories [[ccForget]] reads for an
+    * affected-label set — exposed so specs can assert the subgraph read
+    * is file-level bucket-pruned (never the full log). */
+  private[graft] def forgetEdgeDirs(s: SparkSession, base: String,
+                                    affected: DataFrame): Seq[String] = {
+    val elog = s"$base/edges"
+    val nE = Sinks.storedBucketCount(elog).getOrElse(16)
+    val abuckets = affected
+      .select(pmod(col("label"), lit(nE)).cast("int").as("_bucket"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    Sinks.bucketDirs(elog, abuckets)
   }
 
   /** Drain a file-stream of edge batches through [[ccTick]] (crash-safe
@@ -280,6 +371,7 @@ object IncrementalDedup {
       .start()
     q.awaitTermination()
     Sinks.compactBuckets(s, s"$base/labels")
+    Sinks.compactBuckets(s, s"$base/edges")
   }
 
   /** Right-to-be-forgotten: purge `deleted` doc_ids from the live index.

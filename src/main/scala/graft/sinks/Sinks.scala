@@ -197,6 +197,38 @@ object Sinks {
     deleteRec(staging)
   }
 
+  /** Create an empty bucketed store: just the directory plus the
+    * self-describing `_graft_buckets` metadata (callers then populate it
+    * with [[rewriteBuckets]]). No-op if the store already exists. Serves
+    * MULTISET bucket stores — rows bucketed by some derived column with
+    * no unique merge key — which [[mergeByKeyBucket]]'s keyed init path
+    * can't host (its upsert would collapse same-key rows). */
+  def initBucketStore(dest: String, nBuckets: Int): Unit = {
+    val d = Paths.get(dest)
+    if (!Files.exists(d)) {
+      Files.createDirectories(d)
+      Files.write(Paths.get(dest, "_graft_buckets"),
+        nBuckets.toString.getBytes("UTF-8"))
+    }
+  }
+
+  /** Replace the `touched` buckets of a bucketed store with `df`'s rows
+    * (`df` carries an int `_bucket` column and holds rows ONLY for
+    * touched buckets) — the crash-safe per-bucket staged swap exposed
+    * for multiset stores like the CC edge log. `dropMissing = true`
+    * removes a touched bucket whose staged output is empty (every row
+    * deleted or moved elsewhere). */
+  def rewriteBuckets(s: SparkSession, dest: String, df: DataFrame,
+                     touched: Seq[Int], dropMissing: Boolean = false): Unit =
+    stageAndSwap(s, dest, df, touched, dropMissing)
+
+  /** The EXISTING partition directories of the given buckets — handed to
+    * a parquet read, this is file-level pruning: no other bucket's files
+    * are ever listed, let alone read. */
+  def bucketDirs(dest: String, buckets: Seq[Int]): Seq[String] =
+    buckets.map(b => s"$dest/_bucket=$b")
+      .filter(p => Files.exists(Paths.get(p)))
+
   /** The store's bucket count from its `_graft_buckets` metadata file;
     * None for stores predating the metadata (callers then supply it). */
   def storedBucketCount(dest: String): Option[Int] = {
@@ -466,10 +498,15 @@ object Sinks {
     * new keys (key % 97 = 0, +1e7) insert. Exposed so both the apply
     * entry and the point-in-time join build the same dimension. */
   private[graft] def scd2Of(s: SparkSession, dir: String,
-                            init: String, change: String): DataFrame = {
+                            change: String): DataFrame = {
+    // Base versions open at a sentinel low epoch (not the fixture's min
+    // date): [1900-01-01, eff_to) must cover ALL history so the interval
+    // partition-of-time invariant — every fact date matches exactly one
+    // version — holds for any regenerated fixture, not just ones whose
+    // earliest fact lands at-or-after an arbitrary base epoch.
     val base = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"),
-        lit(java.sql.Date.valueOf(init)).as("eff_from"),
+        lit(java.sql.Date.valueOf("1900-01-01")).as("eff_from"),
         lit(java.sql.Date.valueOf("9999-12-31")).as("eff_to"),
         lit(true).as("is_current"))
     val changed = base.where(col("c_custkey") % 10 === 3)
@@ -497,10 +534,10 @@ object Sinks {
   }
 
   /** DuckDB CTE block mirroring [[scd2Of]]; yields a `scd` relation. */
-  private def scd2Ctes(init: String, change: String): String = s"""
+  private def scd2Ctes(change: String): String = s"""
       base AS (
         SELECT c_custkey, c_mktsegment,
-               DATE '$init' AS eff_from,
+               DATE '1900-01-01' AS eff_from,
                DATE '9999-12-31' AS eff_to,
                TRUE AS is_current
         FROM customer),
@@ -740,7 +777,7 @@ object Sinks {
     "q_sink_scd2" -> { (s, dir) =>
       val store = s"$tmpBase/customer_scd2"
       truncate(store)
-      writeAtomic(scd2Of(s, dir, "2024-01-01", "2024-06-01"), store)
+      writeAtomic(scd2Of(s, dir, "2024-06-01"), store)
       s.read.parquet(store).orderBy(col("c_custkey"), col("eff_from"))
     },
 
@@ -754,7 +791,7 @@ object Sinks {
     // the order-date range, so pre-change orders resolve historical
     // segments and post-change orders the moved ones.
     "q_sink_scd2_pit" -> { (s, dir) =>
-      val dim = scd2Of(s, dir, "1995-01-01", "1998-01-01")
+      val dim = scd2Of(s, dir, "1998-01-01")
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           to_date(col("o_orderdate")).as("odate"))
@@ -966,13 +1003,13 @@ object Sinks {
     // %7 key (all existed at v0), payload null
     // mirror of q_sink_scd2: identical change derivation + transition
     "q_sink_scd2" -> s"""
-      WITH ${scd2Ctes("2024-01-01", "2024-06-01")}
+      WITH ${scd2Ctes("2024-06-01")}
       SELECT * FROM scd ORDER BY c_custkey, eff_from""",
 
     // mirror of q_sink_scd2_pit: same dimension CTEs at the order-era
     // epoch, key equi-join + interval residual, per-segment rollup
     "q_sink_scd2_pit" -> s"""
-      WITH ${scd2Ctes("1995-01-01", "1998-01-01")},
+      WITH ${scd2Ctes("1998-01-01")},
       o AS (
         SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS odate
         FROM orders)

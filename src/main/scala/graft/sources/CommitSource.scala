@@ -378,9 +378,15 @@ class CommitScan(totalRows: Long, sinceMicros: Long, required: StructType,
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column("sha"))
 
+  // shaOf uses "c%08d", which emits 9+ chars once row indexes pass 1e8 —
+  // so accept any 'c' + ASCII-digit suffix of length >= 8 (Char.isDigit /
+  // Long.parseLong would also admit non-ASCII Unicode digits; an explicit
+  // '0'..'9' check keeps decode = exactly the shaOf image).
   private def shaToIdx(v: Any): Option[Long] = v match {
-    case s: String if s.length == 9 && s.charAt(0) == 'c' &&
-      s.drop(1).forall(_.isDigit) => Some(s.drop(1).toLong)
+    case s: String if s.length >= 9 && s.charAt(0) == 'c' &&
+      s.drop(1).forall(c => c >= '0' && c <= '9') =>
+      try Some(java.lang.Long.parseLong(s.substring(1)))
+      catch { case _: NumberFormatException => None } // > Long.MaxValue digits
     case _ => None
   }
 

@@ -58,6 +58,24 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 1L)))
   }
 
+  test("entity resolution: candidate pairs grow sub-quadratically with N") {
+    import spark.implicits._
+    // fixture-format names over the same fixed-cardinality demographics:
+    // a (nation, segment)-only blocking would grow pairs 4x on a doubled
+    // table; sorted-neighborhood candidates are O(N * W) by construction
+    def cust(n: Int) = (1 to n).map { k =>
+      (k.toLong, f"Customer#$k%09d", k % 25, s"SEG${k % 5}")
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    // block sizes must be >> the SNM window for the asymptotic regime
+    // (blocks smaller than W are fully paired and grow quadratically
+    // until they clear the window — the documented boundary effect)
+    val small = Analytics.erCandidatePairs(cust(12500)).count()
+    val big = Analytics.erCandidatePairs(cust(25000)).count()
+    assert(small > 0)
+    assert(big <= small * 5 / 2,
+      s"doubling N must ~double candidates (got $small -> $big; quadratic would be 4x)")
+  }
+
   test("drift PSI: identical windows score exactly zero") {
     import spark.implicits._
     val rows = for {

@@ -304,4 +304,32 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.ccForget(spark, ccBase, Seq(2L).toDF("doc_id"), 101L)
     assert(labels === Map(1L -> 1L, 3L -> 3L))
   }
+
+  test("ccForget edge read prunes to the affected labels' buckets; results unchanged") {
+    import spark.implicits._
+    val ccBase = Sinks.tmpBase + "/spec_cc_forget_prune"
+    def labels: Map[Long, Long] =
+      spark.read.parquet(s"$ccBase/labels")
+        .select($"doc", $"label").as[(Long, Long)].collect().toMap
+    IncrementalDedup.ccReset(ccBase)
+    // 8 disjoint 2-node components; labels 1..8 land in 8 distinct
+    // edge-log buckets (pmod over the default 16)
+    val edges = (1L to 8L).map(k => (k, k + 100L)).toDF("doc_a", "doc_b")
+    IncrementalDedup.ccTick(spark, edges, 0L, ccBase)
+    assert(Sinks.bucketDirs(s"$ccBase/edges", 0 until 16).size === 8,
+      "8 components spread over 8 bucket dirs")
+    // deleting doc 103 affects ONLY label 3's component: the subgraph
+    // read must list exactly that bucket's directory, none of the other 7
+    val dirs = IncrementalDedup.forgetEdgeDirs(spark, ccBase, Seq(3L).toDF("label"))
+    assert(dirs.size === 1 && dirs.head.endsWith("_bucket=3"),
+      s"forget must read only the affected bucket, got $dirs")
+    IncrementalDedup.ccForget(spark, ccBase, Seq(103L).toDF("doc_id"), 100L)
+    assert(labels === (1L to 8L).flatMap(k =>
+      if (k == 3L) Seq(3L -> 3L) else Seq(k -> k, (k + 100L) -> k)).toMap,
+      "orphaned 3 is a singleton; every other component is untouched")
+    // the purged component's edges are gone from the log (a later forget
+    // can never resurrect a deleted doc as a label via stale edges)
+    assert(Sinks.bucketDirs(s"$ccBase/edges", Seq(3)).isEmpty,
+      "the affected bucket's only edge touched the deleted doc -> dropped")
+  }
 }

@@ -233,8 +233,11 @@ object SparkProperties extends Properties("spark-ops") {
   // the SQL aggregate-HOF EWMA fold (q_ewma_smooth) against a plain Scala
   // fold model on random per-key sequences — seeds from the first element,
   // integer floor division at every step
+  // negative cents included so the truncate-toward-zero division semantics
+  // (Spark DIV == DuckDB // == Scala /) are actually exercised — Math.floorDiv
+  // would silently agree on non-negative input but diverge at e.g. -7/2
   private val ewmaSeqs: Gen[List[(Long, Long)]] =
-    Gen.listOfN(40, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50000L)))
+    Gen.listOfN(40, Gen.zip(Gen.choose(0L, 4L), Gen.choose(-50000L, 50000L)))
 
   property("SQL EWMA fold == Scala integer fold model per key") =
     forAll(ewmaSeqs) { rows =>
@@ -251,7 +254,7 @@ object SparkProperties extends Properties("spark-ops") {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val model = indexed.groupBy(_._1).map { case (k, rs) =>
         val vs = rs.sortBy(_._2).map(_._3)
-        k -> vs.tail.foldLeft(vs.head)((acc, s) => Math.floorDiv(acc + s, 2L))
+        k -> vs.tail.foldLeft(vs.head)((acc, s) => (acc + s) / 2L) // truncating, matching DIV
       }
       got == model
     }
