@@ -86,11 +86,27 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""warmup_sec":$warmupSec,"failed":$failedArr,"suites":$suites,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
-    // stdout for the driver (clean line: run/outputStrategy = StdoutOutput
-    // in build.sbt keeps sbt's [info] prefix off forked output), plus a
-    // file copy — defaulting to BENCH_LOCAL.json in the repo so every full
-    // run leaves a committed parseable artifact (no tail archaeology).
-    println(json)
+    // The driver tail-grabs the last ~2000 chars of stdout and parses the
+    // final JSON line; the full 226-query map is ~8 KB, so r8's driver
+    // artifact lost its structured form (parsed: null). Emit TWO tiers:
+    // the full JSON goes to the file artifact (BENCH_LOCAL.json), while
+    // stdout's last line is a compact variant — same metric/suites/failed
+    // plus only the slowest queries, seconds rounded to ms — kept under
+    // the tail budget so the driver's artifact always parses.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val tailBudget = 1800
+    val fixed = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""warmup_sec":${r3(warmupSec)},"failed":$failedArr,"suites":$suites,""" +
+      s""""n_queries":${passed.size},"sf":"$sfDir","queries":"""
+    val slowest = passed.sortBy(-_._2)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = fixed.length + 2 // closing "}}"
+    slowest.foreach { case (k, v, _) =>
+      val e = "\"" + k + "\":" + r3(v)
+      if (used + e.length + 1 <= tailBudget) { entries += e; used += e.length + 1 }
+    }
+    val compact = fixed + entries.mkString("{", ",", "}") + "}"
+    println(compact)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isEmpty) "BENCH_LOCAL.json" else "")
     if (outPath.nonEmpty) Files.writeString(Paths.get(outPath), json + "\n")

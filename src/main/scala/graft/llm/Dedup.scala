@@ -121,15 +121,24 @@ object Dedup {
       .distinct()
   }
 
-  /** Corpus-relative df cap over the winnowed fingerprints — the capped
-    * (doc_id, fh) universe every winnow consumer joins on. */
-  private[llm] def winnowCappedFps(corpus: DataFrame): DataFrame = {
-    val fp = winnowFingerprintsOf(corpus).localCheckpoint()
+  /** df-cap an already-materialized (doc_id, fh) fingerprint set against
+    * a one-row `n_corpus` frame — shared by the one-shot chain and the
+    * incremental store's serve path ([[IncrementalDedup]]'s winnow tier,
+    * which reads fingerprints from a keyed store instead of re-scanning
+    * text; the cap verdict is corpus-relative, so it can only ever be
+    * taken against FINAL counts — exactly what serve time provides). */
+  private[llm] def winnowCapFps(fp: DataFrame, nCorpus: DataFrame): DataFrame = {
     val dffp = fp.groupBy(col("fh")).agg(count(lit(1)).as("f"))
-    fp.join(dffp.crossJoin(broadcast(corpusCountOf(corpus)))
+    fp.join(dffp.crossJoin(broadcast(nCorpus))
         .where(expr(s"f <= greatest(${MaxDf}L, n_corpus DIV ${MaxDfRatio}L)"))
         .select(col("fh")), "fh")
   }
+
+  /** Corpus-relative df cap over the winnowed fingerprints — the capped
+    * (doc_id, fh) universe every winnow consumer joins on. */
+  private[llm] def winnowCappedFps(corpus: DataFrame): DataFrame =
+    winnowCapFps(winnowFingerprintsOf(corpus).localCheckpoint(),
+      corpusCountOf(corpus))
 
   /** Winnow-family CANDIDATE pairs: docs sharing any capped fingerprint —
     * the pre-verdict pair generator the family-recall audit scores
@@ -147,8 +156,13 @@ object Dedup {
     * cap, shared-fingerprint counting, overlap vs the smaller doc's set.
     * At 100 TB the winnowed stream is the artifact you can afford to
     * index — ~2/(w+1) of the full shingle stream before any capping. */
-  private[graft] def winnowPairsOf(corpus: DataFrame): DataFrame = {
-    val fpc = winnowCappedFps(corpus).localCheckpoint()
+  private[graft] def winnowPairsOf(corpus: DataFrame): DataFrame =
+    winnowPairsFromCapped(winnowCappedFps(corpus).localCheckpoint())
+
+  /** Pair join + overlap verdict from an already-capped fingerprint
+    * universe — the tail both the one-shot entry and the incremental
+    * store's serve path share. */
+  private[llm] def winnowPairsFromCapped(fpc: DataFrame): DataFrame = {
     val sizes = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = fpc.alias("a").join(fpc.alias("b"),
         col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
@@ -1188,6 +1202,25 @@ object Dedup {
         FROM wfp0 JOIN wdff USING (fh)
         WHERE f <= greatest($MaxDf, (SELECT count(*) FROM $src) // $MaxDfRatio))"""
 
+  /** DuckDB mirror of q_llm_winnow_dedup, source-parameterized so the
+    * incremental/forget variants can run it over a kept CTE: positional
+    * shingles via parallel unnest, the same enc = h*2^20 + (2^20-1-pos)
+    * windowed min, full windows only, capped fingerprint pair join. */
+  private[llm] def duckWinnowPairsSql(src: String = "documents"): String = s"""
+      WITH ${duckWinnowCtes(src)},
+      szs AS (SELECT doc_id, count(*) AS n FROM wfpc GROUP BY doc_id),
+      co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM wfpc a JOIN wfpc b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared, sa.n AS na, sb.n AS nb,
+             CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS overlap
+      FROM co
+      JOIN szs sa ON sa.doc_id = doc_a
+      JOIN szs sb ON sb.doc_id = doc_b
+      WHERE shared >= 2 AND 10 * shared >= 5 * least(sa.n, sb.n)
+      ORDER BY doc_a, doc_b"""
+
   /** DuckDB mirror of q_llm_dedup_simhash_pairs, source-parameterized so
     * the incremental/forget variants run it over a kept CTE. Candidates
     * come only from capped buckets (see [[BandCapFloor]]). */
@@ -1653,23 +1686,7 @@ object Dedup {
       WHERE i >= 5 AND (10 * i >= 8 * sa.n OR 10 * i >= 8 * sb.n)
       ORDER BY doc_a, doc_b""",
 
-      // mirror of q_llm_winnow_dedup: positional shingles via parallel
-      // unnest, the same enc = h*2^20 + (2^20-1-pos) windowed min, full
-      // windows only, capped fingerprint pair join
-      "q_llm_winnow_dedup" -> s"""
-      WITH ${duckWinnowCtes("documents")},
-      szs AS (SELECT doc_id, count(*) AS n FROM wfpc GROUP BY doc_id),
-      co AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        FROM wfpc a JOIN wfpc b ON a.fh = b.fh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT doc_a, doc_b, shared, sa.n AS na, sb.n AS nb,
-             CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS overlap
-      FROM co
-      JOIN szs sa ON sa.doc_id = doc_a
-      JOIN szs sb ON sb.doc_id = doc_b
-      WHERE shared >= 2 AND 10 * shared >= 5 * least(sa.n, sb.n)
-      ORDER BY doc_a, doc_b""",
+      "q_llm_winnow_dedup" -> duckWinnowPairsSql(),
 
       "q_llm_dedup_editdist" -> s"""
       WITH ${candCtes("documents")},

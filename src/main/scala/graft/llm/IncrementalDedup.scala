@@ -510,6 +510,83 @@ object IncrementalDedup {
     Seq("fps", "bands").foreach(p => Sinks.compactBuckets(s, s"$base/$p"))
   }
 
+  // --- Incremental winnowing fingerprint index ---------------------------
+  // The winnow family's persisted maintenance tier (VERDICT r8 item 4).
+  // A doc's winnowed fingerprint SET is corpus-independent — the w=4
+  // windowed min over its own positional shingle hashes — so, exactly like
+  // SimHash, fold ticks are the whole maintenance surface: no retrain
+  // tier, no shingle history, no text re-scan ever. One store: `fps`
+  // (doc_id → ARRAY of fingerprints, keyed upsert), one row per doc
+  // INCLUDING docs too short to shingle (empty array) so the store's row
+  // count IS the one-shot's count(corpus) for the df cap. Pair generation
+  // happens at SERVE time from the store alone: the corpus-relative df
+  // cap can only be judged against FINAL counts, which is exactly what
+  // serving gives. Result = bit-identical to the one-shot
+  // q_llm_winnow_dedup on the store's current corpus — the entry's oracle.
+
+  private[graft] def winnowReset(base: String): Unit =
+    Seq("src", "fps", "ckpt").foreach(p => Sinks.truncate(s"$base/$p"))
+
+  /** One row per BATCH doc: doc_id → its full winnowed fingerprint set
+    * (possibly empty). Storing the set as one ARRAY row — instead of one
+    * row per fingerprint — makes the keyed upsert atomic under re-crawl:
+    * the new version's whole set replaces the old one in a single keyed
+    * merge, with no per-fingerprint delete pass. */
+  private def winnowFpsOfBatch(b: DataFrame): DataFrame = {
+    val fp = Dedup.winnowFingerprintsOf(b)
+      .groupBy(col("doc_id")).agg(collect_list(col("fh")).as("fhs"))
+    b.select(col("doc_id")).join(fp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("fhs"), array().cast("array<bigint>")).as("fhs"))
+  }
+
+  /** Fold one document batch into the winnow index: fingerprint the batch
+    * (O(batch) window work — the corpus is not touched) and keyed-upsert
+    * the per-doc sets. Idempotent per (batch, batchId). */
+  private[graft] def winnowTick(s: SparkSession, batch: DataFrame, batchId: Long,
+                                base: String): Unit = {
+    val fp = winnowFpsOfBatch(batch.select(col("doc_id"), col("text")))
+      .localCheckpoint()
+    Sinks.mergeByKeyBucket(s, s"$base/fps",
+      fp.withColumn("_tick", lit(batchId)), "doc_id", Seq("_tick"))
+  }
+
+  /** Serve the near-dup pairs from the STORE: explode the per-doc sets,
+    * df-cap against the store's final corpus count, capped pair join
+    * ([[Dedup.winnowPairsFromCapped]]). No document text is read. */
+  private[graft] def winnowServe(s: SparkSession, base: String): DataFrame = {
+    Sinks.healBuckets(s"$base/fps")
+    val st = s.read.parquet(s"$base/fps")
+    val n = st.agg(count(lit(1)).as("n_corpus"))
+    val fp = st.select(col("doc_id"), explode(col("fhs")).as("fh"))
+      .localCheckpoint()
+    Dedup.winnowPairsFromCapped(Dedup.winnowCapFps(fp, n).localCheckpoint())
+  }
+
+  /** Right-to-be-forgotten for the winnow index: one keyed delete from
+    * the fingerprint store (touched buckets only). The forgotten doc's
+    * set is gone, so its pairs never generate and the df cap's corpus
+    * count shrinks with the store. Idempotent. */
+  private[graft] def winnowForget(s: SparkSession, base: String,
+                                  deleted: DataFrame): Unit =
+    Sinks.deleteByKeyBucket(s, s"$base/fps",
+      deleted.select(col("doc_id")).localCheckpoint(), "doc_id")
+
+  /** Drain the file-stream of document batches through a winnow tick —
+    * crash-safe resume via the checkpoint — then compact the store. */
+  private[graft] def runWinnowTicks(s: SparkSession, base: String,
+                                    schema: StructType): Unit = {
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch((b: DataFrame, id: Long) => winnowTick(s, b, id, base))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Sinks.compactBuckets(s, s"$base/fps")
+  }
+
   /** Drain the file-stream of document batches through [[tick]]; resumes
     * from the checkpoint, so a second call after a crash (or after new
     * files arrive) processes only unseen batches. */
@@ -669,6 +746,35 @@ object IncrementalDedup {
       simhashVerify(s, base)
     },
 
+    // The winnow family's incremental tier: 3 arrival batches fold into
+    // the persisted per-doc fingerprint-set store (O(batch) window work
+    // per tick, corpus never re-read), pairs served from the store via
+    // the capped fingerprint join. Oracle = the one-shot
+    // q_llm_winnow_dedup SQL — rebuild equivalence, driver-checked, the
+    // same contract as the MinHash/SimHash/ANN stores.
+    "q_llm_winnow_incremental" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/winnow_inc"
+      winnowReset(base)
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.repartitionByRange(3, col("doc_id")).write.parquet(s"$base/src")
+      runWinnowTicks(s, base, d.schema)
+      winnowServe(s, base)
+    },
+
+    // GDPR delete through the winnow index: build over 2 ticks, purge
+    // doc_id % 7 = 3 from the keyed store; forgotten docs then never
+    // generate pairs and the corpus-relative df cap shrinks with the
+    // store. Oracle = the one-shot SQL over the kept corpus.
+    "q_llm_winnow_forget" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/winnow_forget"
+      winnowReset(base)
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.repartitionByRange(2, col("doc_id")).write.parquet(s"$base/src")
+      runWinnowTicks(s, base, d.schema)
+      winnowForget(s, base, d.where(col("doc_id") % 7 === 3))
+      winnowServe(s, base)
+    },
+
     // Right-to-be-forgotten over the same store: build the index with 3
     // arrival ticks, then purge a deterministic delete list (doc_id % 7 =
     // 3 — a GDPR request hitting ~14% of the corpus) via [[forgetTick]]:
@@ -696,6 +802,10 @@ object IncrementalDedup {
     "q_llm_dedup_incremental" -> Dedup.oracleSql("q_llm_dedup_minhash_lsh"),
     "q_llm_groups_incremental" -> Dedup.oracleSql("q_llm_dedup_groups"),
     "q_llm_dedup_simhash_incremental" -> Dedup.duckSimhashPairsSql(),
+    "q_llm_winnow_incremental" -> Dedup.duckWinnowPairsSql(),
+    "q_llm_winnow_forget" -> s"""
+      WITH kept AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+      ${Dedup.duckWinnowPairsSql("kept").trim.stripPrefix("WITH")}""",
     "q_llm_dedup_simhash_forget" -> s"""
       WITH kept AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
       ${Dedup.duckSimhashPairsSql("kept").trim.stripPrefix("WITH")}""",

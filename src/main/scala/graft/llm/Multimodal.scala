@@ -9,49 +9,89 @@ import graft.sources.Tables
   * `binary` columns with typed metadata, plus a batched decode /
   * feature-extract path.
   *
-  * The image/audio codecs aren't in this environment, so the decode body is
-  * a clearly-marked DETERMINISTIC STUB ([[decodeStub]]) — but the Spark
-  * plumbing is real and is what matters at 100 TB:
+  * Native image/audio codecs aren't in this environment, so the decode
+  * tier targets binary PPM (netpbm P6) — a real raster format a JVM can
+  * parse from first principles ([[decodePpm]]: ASCII header + raw RGB
+  * raster, strict truncation handling, per-channel sums). The Spark
+  * plumbing is what matters at 100 TB:
   *  - media rides in a `BinaryType` column next to a metadata struct
   *    (format/width/height), so scans prune it unless the query touches it;
   *  - decode runs through `Dataset.mapPartitions` with explicit batching
   *    (`grouped(64)`) — the JVM analog of an Arrow-batched `mapInPandas`
   *    decode: one codec init per batch, vectorizable body, no per-row
-  *    driver involvement, output schema declared by the `MediaFeat` encoder;
+  *    driver involvement, output schema declared by the `PpmFeat` encoder;
+  *  - rejects stay in-band (`fmt_ok = false`, null features) — the
+  *    dead-letter shape, so one mangled crawl can't fail a 100 TB stage;
   *  - everything downstream of decode is ordinary columnar DataFrame work.
   *
-  * Payloads are synthesized from `documents.text` bytes (UTF-8), so the
-  * DuckDB oracle can recompute every "decoded" feature from the text
-  * itself — the stub is pure byte arithmetic, identical in both engines.
+  * Payloads are synthesized from `documents.text` bytes (UTF-8 raster),
+  * so the DuckDB oracle recomputes every decoded feature from the text
+  * itself — header math and channel sums, identical in both engines.
   */
 object Multimodal {
 
   /** Input row for the decode stage: key + raw media bytes. */
   final case class MediaIn(doc_id: Long, payload: Array[Byte])
 
-  /** "Decoded" features; in a real pipeline: resolution, frames, embeddings. */
-  final case class MediaFeat(doc_id: Long, n_bytes: Int, b_first: Int,
-                             b_mid: Int, b_last: Int, checksum: Long)
+  /** Decoded image features: header fields + per-channel raster sums.
+    * Nullable fields are None when the payload doesn't decode
+    * (`fmt_ok = false`) — the dead-letter shape, kept in-band so the
+    * pipeline can quarantine rejects instead of throwing. */
+  final case class PpmFeat(doc_id: Long, fmt_ok: Boolean,
+                           width: Option[Int], height: Option[Int],
+                           maxval: Option[Int], n_px: Option[Long],
+                           sum_r: Option[Long], sum_g: Option[Long],
+                           sum_b: Option[Long])
 
-  /** STUB decoder (deterministic fake): a real implementation would hand
-    * `payload` to an image/audio codec here. The fake extracts byte probes
-    * and a polynomial checksum — the same formula as [[XHash]]'s char hash,
-    * so for ASCII payloads the oracle reproduces it from the source text. */
-  def decodeStub(m: MediaIn): MediaFeat = {
-    val n = m.payload.length
-    val checksum = m.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % XHash.P)
-    MediaFeat(m.doc_id, n,
-      b_first = m.payload(0) & 0xff,
-      b_mid = m.payload(n / 2) & 0xff,
-      b_last = m.payload(n - 1) & 0xff,
-      checksum = checksum)
+  /** REAL pure-JVM decoder for binary PPM (netpbm P6): parses the ASCII
+    * header (magic, width, height, maxval — whitespace-separated), then
+    * reads the raw RGB raster and folds per-channel byte sums. Strict on
+    * the raster length (a truncated payload is a reject, not a partial
+    * decode) — the failure mode that matters when the corpus carries
+    * mangled crawls. No native codecs: P6 is the deliberate choice of a
+    * format a JVM can decode from first principles. */
+  def decodePpm(m: MediaIn): PpmFeat = {
+    val b = m.payload
+    val bad = PpmFeat(m.doc_id, fmt_ok = false, None, None, None, None, None, None, None)
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\t' || c == '\r'
+    var i = 2
+    // parse one whitespace-preceded ASCII unsigned int; -1 = malformed
+    def parseInt(): Long = {
+      while (i < b.length && isWs(b(i))) i += 1
+      val st = i
+      var v = 0L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9' && v <= Int.MaxValue) {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      if (i == st || v > Int.MaxValue) -1L else v
+    }
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return bad
+    val (w, h, mv) = (parseInt(), parseInt(), parseInt())
+    if (w < 0 || h < 0 || mv <= 0 || mv > 255) return bad
+    // exactly ONE whitespace byte separates maxval from the raster (spec);
+    // then the raster must be complete
+    if (i >= b.length || !isWs(b(i))) return bad
+    i += 1
+    val need = w * h * 3
+    if (i + need > b.length) return bad
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var j = i
+    val end = i + need.toInt
+    while (j < end) {
+      sr += b(j) & 0xff
+      sg += b(j + 1) & 0xff
+      sb += b(j + 2) & 0xff
+      j += 3
+    }
+    PpmFeat(m.doc_id, fmt_ok = true, Some(w.toInt), Some(h.toInt),
+      Some(mv.toInt), Some(w * h), Some(sr), Some(sg), Some(sb))
   }
 
   /** The batched decode operator: binary rows in, feature rows out.
     * Batching bounds per-batch codec state; partitions stream through. */
-  def decodeBatched(in: Dataset[MediaIn])(implicit s: SparkSession): Dataset[MediaFeat] = {
+  def decodeBatched(in: Dataset[MediaIn])(implicit s: SparkSession): Dataset[PpmFeat] = {
     import s.implicits._
-    in.mapPartitions(_.grouped(64).flatMap(_.map(decodeStub)))
+    in.mapPartitions(_.grouped(64).flatMap(_.map(decodePpm)))
   }
 
   /** Perceptual (near-dup) media dedup: SimHash-32 over the payload's
@@ -196,13 +236,29 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
-    // Batched decode: synthesize payloads, run the mapPartitions decode
-    // stub, return the feature table.
+    // Batched REAL decode: synthesize a binary PPM (P6) per document —
+    // ASCII header + the text's bytes as the RGB raster, w = min(npx, 16)
+    // columns — then run the pure-JVM parser through the batched
+    // mapPartitions path and return header fields + per-channel raster
+    // sums. Every ~53rd payload gets a corrupted magic, so the reject
+    // (dead-letter) arm is exercised in-band: fmt_ok=false, null fields.
+    // The oracle recomputes header math and channel sums from the same
+    // text bytes (i % 3 picks the channel), so the decode is checked
+    // against first principles, not against another decoder.
     "q_llm_media_decode" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
       val in = Tables.load(s, dir, "documents")
-        .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+        .selectExpr("doc_id", "text",
+          "CAST(length(encode(text, 'UTF-8')) AS BIGINT) DIV 3 AS npx0")
+        .selectExpr("doc_id", "text", "npx0", "least(npx0, 16L) AS w")
+        .selectExpr("doc_id", "text", "w",
+          "IF(w = 0, 0L, npx0 DIV w) AS h")
+        .selectExpr("doc_id",
+          "concat(encode(concat(" +
+            "CASE WHEN doc_id % 53 = 0 THEN 'XX' ELSE 'P6' END, '\\n', " +
+            "CAST(w AS STRING), ' ', CAST(h AS STRING), '\\n255\\n'), 'UTF-8'), " +
+            "substring(encode(text, 'UTF-8'), 1, CAST(w * h * 3 AS INT))) AS payload")
         .as[MediaIn]
       decodeBatched(in).toDF()
         .orderBy(col("doc_id"))
@@ -310,13 +366,41 @@ object Multimodal {
              doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS keep
       FROM h ORDER BY doc_id""",
 
-    "q_llm_media_decode" -> s"""
-      WITH b AS (
-        SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n, text FROM documents)
-      SELECT doc_id, n AS n_bytes,
-             ascii(substring(text, 1, 1)) AS b_first,
-             ascii(substring(text, n // 2 + 1, 1)) AS b_mid,
-             ascii(substring(text, n, 1)) AS b_last,
-             ${XHash.duckCharHash("text")} AS checksum
-      FROM b ORDER BY doc_id""")
+    // first-principles mirror of the P6 decode: same w = least(n//3, 16),
+    // h = npx0 // w header math, per-channel sums from ascii codes of the
+    // raster slice (byte i lands in channel i % 3; ASCII text ⇒ byte ==
+    // codepoint), corrupt-magic docs (% 53) as the null dead-letter arm
+    "q_llm_media_decode" -> """
+      WITH dims AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) // 3 AS npx0,
+               least(CAST(octet_length(encode(text)) AS BIGINT) // 3, 16) AS w,
+               doc_id % 53 = 0 AS corrupt
+        FROM documents),
+      d2 AS (
+        SELECT doc_id, text, w, corrupt,
+               CASE WHEN w = 0 THEN 0 ELSE npx0 // w END AS h
+        FROM dims),
+      px AS (
+        SELECT doc_id, i % 3 AS c,
+               ascii(substring(text, CAST(i + 1 AS INT), 1)) AS v
+        FROM (SELECT doc_id, text, unnest(range(0, w * h * 3)) AS i
+              FROM d2 WHERE NOT corrupt)),
+      sums AS (
+        SELECT doc_id,
+               sum(CASE WHEN c = 0 THEN v END) AS sr,
+               sum(CASE WHEN c = 1 THEN v END) AS sg,
+               sum(CASE WHEN c = 2 THEN v END) AS sb
+        FROM px GROUP BY doc_id)
+      SELECT d.doc_id,
+             NOT d.corrupt AS fmt_ok,
+             CASE WHEN d.corrupt THEN NULL ELSE CAST(d.w AS INT) END AS width,
+             CASE WHEN d.corrupt THEN NULL ELSE CAST(d.h AS INT) END AS height,
+             CASE WHEN d.corrupt THEN NULL ELSE 255 END AS maxval,
+             CASE WHEN d.corrupt THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_px,
+             CASE WHEN d.corrupt THEN NULL ELSE CAST(coalesce(s.sr, 0) AS BIGINT) END AS sum_r,
+             CASE WHEN d.corrupt THEN NULL ELSE CAST(coalesce(s.sg, 0) AS BIGINT) END AS sum_g,
+             CASE WHEN d.corrupt THEN NULL ELSE CAST(coalesce(s.sb, 0) AS BIGINT) END AS sum_b
+      FROM d2 d LEFT JOIN sums s USING (doc_id)
+      ORDER BY d.doc_id""")
 }

@@ -86,6 +86,38 @@ object Relational {
         .orderBy(col("r_name"), col("n_name"))
     },
 
+    // -- TPC-H Q9-ish: 6-table snowflake, partitioned fact, DPP --------------
+    // The 100×-scale join-planning probe q5 doesn't ask: a selective part
+    // filter, broadcast dims (part/supplier/nation/year), exactly ONE
+    // fact-fact shuffle (lineitem ⨝ orders), and a dim-driven DYNAMIC
+    // partition prune — the fact is first written partitioned by ship
+    // year (the layout a 100 TB fact actually has), and the filtered
+    // year dimension prunes its partitions at runtime, so the scan reads
+    // 4 of 7 year directories. Profit by supplier nation × order year.
+    "q9_snowflake_profit" -> { (s, dir) =>
+      val dest = s"${graft.sinks.Sinks.tmpBase}/lineitem_by_year"
+      graft.sinks.Sinks.writeAtomic(
+        t(s, dir, "lineitem").withColumn("l_shipyear", year(col("l_shipdate"))),
+        dest, partitionCols = Seq("l_shipyear"))
+      val yearDim = t(s, dir, "lineitem")
+        .select(year(col("l_shipdate")).as("y")).distinct()
+        .withColumn("epoch",
+          expr("CASE WHEN y >= 1998 THEN 'modern' ELSE 'classic' END"))
+      s.read.parquet(dest)
+        .join(broadcast(yearDim.where(col("epoch") === "modern")),
+          col("l_shipyear") === col("y"))
+        .join(broadcast(t(s, dir, "part").where(col("p_type").isin("PROMO", "ECONOMY"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sumFix(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"), col("o_year"))
+    },
+
     // -- broadcast-hash join chain over dims ---------------------------------
     "q_broadcast_join" -> { (s, dir) =>
       t(s, dir, "customer")
@@ -215,6 +247,18 @@ object Relational {
         AND o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate <  TIMESTAMP '1999-01-01'
       GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q9_snowflake_profit" -> s"""
+      SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+             ${sqlSumFix("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_type IN ('PROMO', 'ECONOMY') AND year(l_shipdate) >= 1998
+      GROUP BY n_name, o_year ORDER BY n_name, o_year""",
 
     "q_broadcast_join" -> s"""
       SELECT r_name, n_name, count(*) AS n_customers,

@@ -230,6 +230,46 @@ class IncrementalDedupSpec extends SparkSpec {
       "forget must equal the one-shot over the kept corpus")
   }
 
+  test("incremental winnow index: one-shot equivalence, replay, re-crawl, forget") {
+    import spark.implicits._
+    val wbase = Sinks.tmpBase + "/spec_winnow"
+    IncrementalDedup.winnowReset(wbase)
+    val d = corpus.localCheckpoint()
+    val tdir = Sinks.tmpBase + "/spec_winnow_table"
+    Sinks.truncate(tdir)
+    d.write.parquet(s"$tdir/documents.parquet")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+      df.select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted
+    val truth = pairsOf(Dedup.queries("q_llm_winnow_dedup")(spark, tdir))
+    assert(truth.nonEmpty, "fixture must contain winnow near-dups")
+    d.repartitionByRange(3, $"doc_id").write.parquet(s"$wbase/src")
+    IncrementalDedup.runWinnowTicks(spark, wbase, d.schema)
+    assert(pairsOf(IncrementalDedup.winnowServe(spark, wbase)) === truth,
+      "incremental winnow store must equal the one-shot pairs")
+    // at-least-once replay of an already-folded batch
+    IncrementalDedup.winnowTick(spark, d.where($"doc_id" <= 7), 0L, wbase)
+    assert(pairsOf(IncrementalDedup.winnowServe(spark, wbase)) === truth,
+      "replay must be idempotent")
+    // re-crawl: doc 1's new content no longer matches 101 — the upsert
+    // must REPLACE its whole fingerprint set (the array-row design), so
+    // the (1, 101) pair dies while every other pair survives
+    IncrementalDedup.winnowTick(spark,
+      Seq((1L, "completely rewritten page n1 n2 n3 n4 n5 n6 n7 n8 n9"))
+        .toDF("doc_id", "text"), 99L, wbase)
+    assert(pairsOf(IncrementalDedup.winnowServe(spark, wbase)) ===
+      truth.filterNot(p => p._1 == 1L && p._2 == 101L),
+      "a re-crawled doc's stale fingerprints must not pair")
+    // forget the re-crawled copies: result = one-shot over the kept corpus
+    IncrementalDedup.winnowForget(spark, wbase,
+      d.where($"doc_id" > 100).select($"doc_id"))
+    val keptDir = Sinks.tmpBase + "/spec_winnow_kept"
+    Sinks.truncate(keptDir)
+    d.where($"doc_id" <= 100).write.parquet(s"$keptDir/documents.parquet")
+    val truthKept = pairsOf(Dedup.queries("q_llm_winnow_dedup")(spark, keptDir))
+    assert(pairsOf(IncrementalDedup.winnowServe(spark, wbase)) === truthKept,
+      "forget must equal the one-shot over the kept corpus")
+  }
+
   test("ccTick replay heals a store crashed mid-bucket-swap (persisted remap)") {
     import spark.implicits._
     val ccBase = Sinks.tmpBase + "/spec_cc_midswap"

@@ -53,21 +53,30 @@ class LlmSpec extends SparkSpec {
     assert(bits(fwd) === bits(rev))
   }
 
-  test("multimodal decode stub: byte probes + checksum match the text formula") {
+  test("multimodal PPM decode: real header parse, channel sums, reject arms") {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
-    val text = "hello world"
-    val in = Seq(Multimodal.MediaIn(7L, text.getBytes("UTF-8"))).toDS()
-    val out = Multimodal.decodeBatched(in).collect()(0)
-    assert(out.doc_id === 7L)
-    assert(out.n_bytes === text.length)
-    assert(out.b_first === 'h'.toInt)
-    assert(out.b_mid === text.charAt(text.length / 2).toInt)
-    assert(out.b_last === 'd'.toInt)
-    val expected = text.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toInt) % XHash.P)
-    assert(out.checksum === expected)
-    // and the SQL-side char hash agrees with the JVM-side stub
-    assert(evalLong(XHash.sparkCharHash(s"'$text'")) === expected)
+    // 2x2 image, raster bytes 10..21: channel sums are position-determined
+    val raster = (10 until 22).map(_.toByte).toArray
+    val good = "P6\n2 2\n255\n".getBytes("UTF-8") ++ raster
+    val in = Seq(
+      Multimodal.MediaIn(1L, good),
+      Multimodal.MediaIn(2L, "XX\n2 2\n255\n".getBytes("UTF-8") ++ raster),  // bad magic
+      Multimodal.MediaIn(3L, good.dropRight(1)),                              // truncated raster
+      Multimodal.MediaIn(4L, "P6\n2\n255\n".getBytes("UTF-8") ++ raster),     // missing height
+      Multimodal.MediaIn(5L, "P6\n0 0\n255\n".getBytes("UTF-8"))              // legal empty image
+    ).toDS()
+    val out = Multimodal.decodeBatched(in).collect().sortBy(_.doc_id)
+    val g = out(0)
+    assert(g.fmt_ok && g.width === Some(2) && g.height === Some(2) &&
+      g.maxval === Some(255) && g.n_px === Some(4L))
+    // channels: r = bytes 10,13,16,19; g = 11,14,17,20; b = 12,15,18,21
+    assert(g.sum_r === Some(58L) && g.sum_g === Some(62L) && g.sum_b === Some(66L))
+    assert(!out(1).fmt_ok && out(1).width.isEmpty, "bad magic must reject")
+    assert(!out(2).fmt_ok, "truncated raster must reject, not partially decode")
+    assert(!out(3).fmt_ok, "malformed header must reject")
+    assert(out(4).fmt_ok && out(4).n_px === Some(0L) && out(4).sum_r === Some(0L),
+      "zero-pixel image is valid")
   }
 
   test("connectedComponents: deep chain converges fast once pointer jumping kicks in") {

@@ -101,6 +101,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "expected broadcast dims")
   }
 
+  test("q9 snowflake: broadcast dims, DPP on the fact's year partitions, one shuffle") {
+    val df = SparkEntry.queries("q9_snowflake_profit")(spark, dir)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "the fact scan must carry a runtime partition-pruning subquery")
+    // the dim filter also lands STATICALLY on the partition column
+    // (constraint propagation through the equi-join), so even the
+    // planning-time file listing reads 4 of 7 year dirs
+    assert(p.contains("PartitionFilters: [((l_shipyear"),
+      "expected the inferred static year filter on the fact's partitions")
+    // the pruned fact side must reach all joins shuffle-free. AQE's
+    // toString prints Final AND Initial plans — count only the final
+    // section: the aggregation exchange + the 7-row year-dim distinct's
+    // (once for the DPP subquery, once for the broadcast build) are all
+    // that's allowed; the fact itself never shuffles
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val nEx = "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(nEx <= 3, s"expected <= 3 hash exchanges in the final plan, got $nEx:\n$p")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     import spark.implicits._
     val s = spark
