@@ -86,6 +86,51 @@ object Relational {
         .orderBy(col("r_name"), col("n_name"))
     },
 
+    // -- TPC-H Q7-ish: one dim in TWO roles + disjunctive cross-dim filter ---
+    // Nation joins twice under different roles (supplier's vs customer's
+    // nation) and the pair filter is a disjunction ACROSS the two roles —
+    // not pushable to either side alone, but Catalyst's constraint
+    // propagation still derives per-side IN filters, so both nation scans
+    // stay pruned. The planner probe q5/q9 don't ask: same-table
+    // self-role aliasing under broadcast.
+    "q7_nation_volume" -> { (s, dir) =>
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .where((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+               (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .withColumn("l_year", year(col("l_shipdate")))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sumFix(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // -- TPC-H Q13-ish: outer-join count distribution (two-level agg) --------
+    // Customers with their non-urgent order counts — LEFT join so
+    // zero-order customers survive as c_count = 0 — then the histogram
+    // of those counts. The two stacked aggregations reuse incompatible
+    // groupings (custkey, then count value), so the planner must chain
+    // two shuffles; count(o_orderkey) (null-skipping) is what makes the
+    // outer join's unmatched rows land in the 0 bucket.
+    "q13_order_distribution" -> { (s, dir) =>
+      val ords = t(s, dir, "orders").where(col("o_orderpriority") =!= "1-URGENT")
+      t(s, dir, "customer")
+        .join(ords, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
     // -- TPC-H Q9-ish: 6-table snowflake, partitioned fact, DPP --------------
     // The 100×-scale join-planning probe q5 doesn't ask: a selective part
     // filter, broadcast dims (part/supplier/nation/year), exactly ONE
@@ -247,6 +292,30 @@ object Relational {
         AND o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate <  TIMESTAMP '1999-01-01'
       GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q7_nation_volume" -> s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             ${sqlSumFix("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q13_order_distribution" -> """
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
 
     "q9_snowflake_profit" -> s"""
       SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
