@@ -178,7 +178,7 @@ object Dedup {
   }
 
   /** MinHash signatures as one hash aggregation: doc_id, m0..m15, n_shingles. */
-  private def minhashSigsOf(corpus: DataFrame): DataFrame =
+  private[llm] def minhashSigsOf(corpus: DataFrame): DataFrame =
     sigsFromShingles(shingleStreamOf(corpus))
 
   /** Signatures from an already-materialized (doc_id, sg) stream — lets a

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.sinks.Sinks
 import graft.sources.Tables
@@ -775,6 +775,77 @@ object IncrementalDedup {
       winnowServe(s, base)
     },
 
+    // Dedup-at-ingest gate — the production shape every crawl pipeline
+    // runs in front of its corpus: the EXISTING corpus's MinHash
+    // signature + band index is built once as static state; NEW
+    // documents arrive as a stream (two real micro-batches) and each
+    // batch is gated inside foreachBatch — banded candidates against the
+    // static index only (never new-vs-new: the gate's question is "is
+    // this already in the corpus?"), verdict by signature agreement
+    // (n_agree of K=16 components; >= 8 ≈ estimated Jaccard >= 0.5 —
+    // signature-only, so the gate never re-reads corpus text). Per-doc
+    // results depend only on that doc's bands, so batch boundaries can't
+    // change any verdict, and each batch's output goes to a
+    // batchId-keyed path (overwrite = replay-idempotent). Oracle = the
+    // same directional band join + agreement count in one-shot SQL.
+    "stream_llm_dedup_gate" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val oldSigs = Dedup.minhashSigsOf(d.where(col("doc_id") % 3 =!= 0))
+        .localCheckpoint()
+      val oldBands = Dedup.bandsFromSigs(oldSigs)
+        .select(col("doc_id").as("old_id"), col("band_idx"), col("band_key"))
+        .localCheckpoint()
+      val oldSigsR = oldSigs.select(
+        col("doc_id").as("old_id") +:
+          (0 until XHash.K).map(k => col(s"m$k").as(s"o$k")): _*)
+      val base = s"${Sinks.tmpBase}/stream_dedup_gate"
+      Sinks.truncate(base)
+      val newDocs = d.where(col("doc_id") % 3 === 0)
+      (0 to 1).foreach { t =>
+        val tmp = s"$base/src_stage_$t"
+        newDocs.where(expr(s"(doc_id DIV 3) % 2 = $t")).coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.createDirectories(Paths.get(s"$base/src"))
+        val dest = Paths.get(s"$base/src/t$t.parquet")
+        Files.move(part, dest)
+        Sinks.deleteRec(tmp)
+        dest.toFile.setLastModified(1700000000000L + t * 60000L)
+      }
+      val agreeExpr = (0 until XHash.K).map(k => s"IF(m$k = o$k, 1, 0)").mkString(" + ")
+      val stream = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val bSigs = Dedup.minhashSigsOf(batch).localCheckpoint()
+          val cand = Dedup.bandsFromSigs(bSigs)
+            .join(oldBands, Seq("band_idx", "band_key"))
+            .select(col("doc_id"), col("old_id")).distinct()
+          val best = cand
+            .join(bSigs, "doc_id").join(oldSigsR, "old_id")
+            .selectExpr("doc_id", "old_id", s"CAST($agreeExpr AS INT) AS agree")
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+                .orderBy(col("agree").desc, col("old_id"))))
+            .where(col("rn") === 1)
+          batch.select(col("doc_id"))
+            .join(best.select(col("doc_id"), col("old_id"), col("agree")),
+              Seq("doc_id"), "left")
+            .selectExpr("doc_id", "CAST(coalesce(agree, 0) AS INT) AS n_agree",
+              "old_id AS best_match")
+            .selectExpr("doc_id", "n_agree >= 8 AS is_dup", "best_match", "n_agree")
+            .write.mode("overwrite").parquet(s"$base/out/batch_$bid")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .orderBy(col("doc_id"))
+    },
+
     // Right-to-be-forgotten over the same store: build the index with 3
     // arrival ticks, then purge a deterministic delete list (doc_id % 7 =
     // 3 — a GDPR request hitting ~14% of the corpus) via [[forgetTick]]:
@@ -803,6 +874,37 @@ object IncrementalDedup {
     "q_llm_groups_incremental" -> Dedup.oracleSql("q_llm_dedup_groups"),
     "q_llm_dedup_simhash_incremental" -> Dedup.duckSimhashPairsSql(),
     "q_llm_winnow_incremental" -> Dedup.duckWinnowPairsSql(),
+    // directional band join (new % 3 = 0 side vs old side) + component
+    // agreement count over the shared full-corpus sig/bands CTEs; the
+    // null arm is the left join back to every new doc
+    "stream_llm_dedup_gate" -> {
+      val agreeSum = (0 until XHash.K)
+        .map(k => s"(CASE WHEN n.m$k = o.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH ${Dedup.candCtes("documents")},
+      gcand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+      agr AS (
+        SELECT c.new_id, c.old_id, CAST($agreeSum AS INT) AS agree
+        FROM gcand c JOIN sig n ON n.doc_id = c.new_id
+                     JOIN sig o ON o.doc_id = c.old_id),
+      best AS (
+        SELECT new_id, old_id, agree,
+               row_number() OVER (PARTITION BY new_id
+                 ORDER BY agree DESC, old_id) AS rn
+        FROM agr),
+      final AS (
+        SELECT d.doc_id,
+               CAST(coalesce(b.agree, 0) AS INT) AS n_agree,
+               b.old_id AS best_match
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id)
+      SELECT doc_id, n_agree >= 8 AS is_dup, best_match, n_agree
+      FROM final ORDER BY doc_id"""
+    },
     "q_llm_winnow_forget" -> s"""
       WITH kept AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
       ${Dedup.duckWinnowPairsSql("kept").trim.stripPrefix("WITH")}""",
