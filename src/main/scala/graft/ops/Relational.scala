@@ -163,6 +163,136 @@ object Relational {
         .orderBy(col("n_name"), col("o_year"))
     },
 
+    // -- TPC-H Q17-ish: correlated scalar agg (decorrelated by hand) ---------
+    // "Lines ordering far below the part's typical quantity": a per-row
+    // comparison against a PER-PART aggregate — the classic correlated
+    // scalar subquery. The scale-correct plan (and what Catalyst's
+    // decorrelation would produce) is written out explicitly: one keyed
+    // aggregate over the brand-filtered fact slice, then a self-join back
+    // on the SAME key, so both sides share one hash partitioning and no
+    // per-row subquery ever executes. The predicate is the cross-
+    // multiplied integer form qty*5*cnt < sum(qty) — exact in both
+    // engines — while the oracle states the correlated subquery verbatim.
+    "q17_small_qty_parts" -> { (s, dir) =>
+      val pt = t(s, dir, "part")
+        .where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      val stats = li.groupBy(col("l_partkey").as("sk"))
+        .agg(count(lit(1)).as("cnt"), sum(scaled(col("l_quantity"), 2)).as("sq"))
+      li.join(stats, col("l_partkey") === col("sk"))
+        .where(scaled(col("l_quantity"), 2) * lit(5L) * col("cnt") < col("sq"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"),
+          sumFix(col("l_extendedprice"), 2).as("small_revenue"))
+        .orderBy(col("p_brand"))
+    },
+
+    // -- TPC-H Q18-ish: IN over a grouped-HAVING subquery + top-k ------------
+    // Large-volume orders: the IN(grouped HAVING) membership test becomes
+    // a left-semi join against the aggregated fact — the only plan that
+    // survives at scale (the subquery's group-by output is itself huge, so
+    // it must stay distributed; both the HAVING agg and the final agg key
+    // on l_orderkey/o_orderkey and reuse one exchange).
+    "q18_big_orders" -> { (s, dir) =>
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("bk"))
+        .agg(sum(scaled(col("l_quantity"), 2)).as("sq"))
+        .where(col("sq") > lit(25000L))
+        .select(col("bk"))
+      val ord = t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("bk"), "left_semi")
+      t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sumFix(col("l_quantity"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // -- TPC-H Q2-ish: correlated MIN subquery over a multi-table chain ------
+    // Cheapest shipper per part (no partsupp table in this schema, so the
+    // part↔supplier relationship is the DISTINCT (l_partkey, l_suppkey)
+    // link derived from lineitem). The correlated min — "this supplier's
+    // balance equals the minimum over all shippers of this part" — is
+    // planned as one keyed min-aggregate + an equality join back, never a
+    // per-row subquery. Filtered parts semi-prune the link table FIRST, so
+    // the min is only computed for probed parts (what decorrelation +
+    // pushdown must achieve at scale).
+    "q2_min_shipper" -> { (s, dir) =>
+      val pt = t(s, dir, "part")
+        .where(col("p_type") === "PROMO" && col("p_size") < 15)
+        .select(col("p_partkey"), col("p_brand"))
+      val link = t(s, dir, "lineitem")
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("l_suppkey")).distinct()
+      val withBal = link.join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))),
+        col("l_suppkey") === col("s_suppkey"))
+      val mins = withBal.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      withBal.join(mins, col("p_partkey") === col("mk") &&
+          col("s_acctbal") === col("min_bal"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+        .limit(100)
+    },
+
+    // -- TPC-H Q21-ish: EXISTS + NOT EXISTS self-joins, decorrelated ---------
+    // "The sole supplier to return goods in a multi-supplier order": two
+    // correlated self-probes of the fact (EXISTS another supplier's line;
+    // NOT EXISTS another supplier's returned line). Per-row EXISTS against
+    // a 100 TB fact is unrunnable — the scale plan contracts the fact to
+    // ONE order-level aggregate (distinct suppliers, distinct returning
+    // suppliers) and turns both probes into predicates on that slim table:
+    // n_supp >= 2 ⟺ the EXISTS, n_r_supp = 1 ⟺ the NOT EXISTS (the
+    // probing line itself returns, so "no OTHER returner" means exactly
+    // one). The oracle states the EXISTS/NOT EXISTS form verbatim.
+    "q21_sole_returner" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val ostats = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_r_supp"))
+      li.where(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        .join(ostats, col("l_orderkey") === col("ok"))
+        .where(col("n_supp") >= 2 && col("n_r_supp") === 1)
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(50)
+    },
+
+    // -- TPC-H Q22-ish: anti join + scalar AVG subquery ----------------------
+    // "Well-funded customers who never place urgent orders", bucketed by
+    // the trailing digit of the customer name (the stand-in for Q22's
+    // phone country code). Two classic subquery shapes at once: a scalar
+    // aggregate threshold (balance above the positive-balance mean of the
+    // digit cohort — cross-multiplied to exact integers, one 1-row
+    // broadcast instead of a per-row subquery) and a NOT EXISTS anti join
+    // against a filtered fact slice.
+    "q22_idle_rich" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .withColumn("cty", substring(col("c_name"), -1, 1))
+        .where(col("cty").isin("1", "3", "5", "7"))
+      val stats = cust.where(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("cohort_n"),
+          sum(scaled(col("c_acctbal"), 2)).as("cohort_sum"))
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      cust.crossJoin(broadcast(stats))
+        .where(scaled(col("c_acctbal"), 2) * col("cohort_n") > col("cohort_sum"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cty"))
+        .agg(count(lit(1)).as("n_cust"), sumFix(col("c_acctbal"), 2).as("total_bal"))
+        .orderBy(col("cty"))
+    },
+
     // -- broadcast-hash join chain over dims ---------------------------------
     "q_broadcast_join" -> { (s, dir) =>
       t(s, dir, "customer")
@@ -328,6 +458,73 @@ object Relational {
       JOIN nation ON s_nationkey = n_nationkey
       WHERE p_type IN ('PROMO', 'ECONOMY') AND year(l_shipdate) >= 1998
       GROUP BY n_name, o_year ORDER BY n_name, o_year""",
+
+    "q17_small_qty_parts" -> s"""
+      SELECT p_brand, count(*) AS n_small,
+             ${sqlSumFix("l_extendedprice", 2)} AS small_revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        AND ${sqlScaled("l_quantity", 2)} * 5 *
+              (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+            < (SELECT sum(${sqlScaled("l2.l_quantity", 2)})
+               FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      GROUP BY p_brand ORDER BY p_brand""",
+
+    "q18_big_orders" -> s"""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ${sqlSumFix("l_quantity", 2)} AS total_qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(${sqlScaled("l_quantity", 2)}) > 25000)
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q2_min_shipper" -> """
+      WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      SELECT p_partkey, p_brand, s_name, s_acctbal
+      FROM part
+      JOIN link ON p_partkey = link.l_partkey
+      JOIN supplier ON s_suppkey = link.l_suppkey
+      WHERE p_type = 'PROMO' AND p_size < 15
+        AND s_acctbal = (
+          SELECT min(s2.s_acctbal)
+          FROM link l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          WHERE l2.l_partkey = p_partkey)
+      ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""",
+
+    "q21_sole_returner" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50""",
+
+    "q22_idle_rich" -> s"""
+      SELECT substr(c_name, length(c_name), 1) AS cty, count(*) AS n_cust,
+             ${sqlSumFix("c_acctbal", 2)} AS total_bal
+      FROM customer c
+      WHERE substr(c_name, length(c_name), 1) IN ('1', '3', '5', '7')
+        AND ${sqlScaled("c_acctbal", 2)} *
+              (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0
+               AND substr(c2.c_name, length(c2.c_name), 1) IN ('1', '3', '5', '7'))
+            > (SELECT sum(${sqlScaled("c2.c_acctbal", 2)}) FROM customer c2
+               WHERE c2.c_acctbal > 0
+               AND substr(c2.c_name, length(c2.c_name), 1) IN ('1', '3', '5', '7'))
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c.c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      GROUP BY cty ORDER BY cty""",
 
     "q_broadcast_join" -> s"""
       SELECT r_name, n_name, count(*) AS n_customers,

@@ -123,6 +123,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(nEx <= 3, s"expected <= 3 hash exchanges in the final plan, got $nEx:\n$p")
   }
 
+  test("q17: decorrelated scalar-agg probe — stats join reuses the partkey, no subquery exec") {
+    val p = plan("q17_small_qty_parts")
+    assert(!p.contains("Subquery") && !p.contains("CartesianProduct"),
+      "the correlated avg must be a keyed aggregate + join, never a per-row subquery")
+    assert(p.contains("BroadcastHashJoin"), "the filtered part dim must broadcast")
+  }
+
+  test("q18: grouped-HAVING membership is a distributed semi join, not a collected IN list") {
+    val p = plan("q18_big_orders")
+    assert(p.contains("LeftSemi"), "IN(grouped HAVING) must plan as a semi join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-100 must be a partial take-ordered, not a global sort")
+  }
+
+  test("q21: both correlated EXISTS probes contract to ONE order-level aggregate") {
+    val p = plan("q21_sole_returner")
+    // the order-stats aggregate (countDistinct ⇒ expand+two-phase agg) is
+    // the only probe of the fact besides the filtered l1 scan — no
+    // nested-loop or per-row subquery shape anywhere
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q22: the cohort mean is a 1-row broadcast, the urgent probe an anti join") {
+    val df = SparkEntry.queries("q22_idle_rich")(spark, dir)
+    df.collect() // finalize AQE so join strategies are the executed ones
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the scalar cohort stats must reach rows via broadcast (1-row build side)")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     import spark.implicits._
     val s = spark
