@@ -524,6 +524,34 @@ object Dedup {
     // joins wider than the segment stream.
     "q_llm_dedup_passages" -> ((s, dir) => passagesOf(docs(s, dir))),
 
+    // Corpus novelty curve: per ingestion decile (doc_id order = arrival
+    // order in these fixtures), what fraction of each doc's distinct
+    // word-3-gram shingles is seen here FIRST (min-owner = this doc)?
+    // The longitudinal dedup-effectiveness audit: a healthy crawl's
+    // novelty decays smoothly; a cliff to ~0 means a slice re-crawls
+    // content the corpus already has and should be dropped before
+    // tokenization. Shapes: one shingle scan → distinct → one min-agg
+    // keyed on the gram, one same-key join back, one decile hash-agg —
+    // all linear, the decile bound is corpus-relative (broadcast 1-row
+    // max), and no pairwise anything.
+    "q_llm_novelty_curve" -> { (s, dir) =>
+      val g = shingleStream(s, dir)
+        .selectExpr("doc_id", "sg AS g").distinct()
+        .localCheckpoint()
+      val firsts = g.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      val mx = g.agg(max(col("doc_id")).as("max_id"))
+      g.join(firsts, "g")
+        .crossJoin(broadcast(mx))
+        .selectExpr("doc_id", "first_doc",
+          "CAST(least(9, doc_id * 10 DIV (max_id + 1)) AS INT) AS decile")
+        .groupBy(col("decile"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000 DIV n_grams"))
+        .orderBy(col("decile"))
+    },
+
     // EXACT-SUBSTRING dedup (the "deduplicating training data" repeated-
     // span semantic): every character position opens a k-char gram
     // (k = SubK, stride 1); grams whose hash repeats ANYWHERE in the
@@ -1362,6 +1390,24 @@ object Dedup {
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM kept GROUP BY source ORDER BY source""",
+
+      "q_llm_novelty_curve" -> s"""
+      WITH ${duckShingleCtes()},
+      g AS (
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(shd) AS g FROM shing)),
+      firsts AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+      mx AS (SELECT max(doc_id) AS max_id FROM g),
+      agg AS (
+        SELECT CAST(least(9, doc_id * 10 // (max_id + 1)) AS INT) AS decile,
+               count(DISTINCT doc_id) AS n_docs, count(*) AS n_grams,
+               CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel
+        FROM g JOIN firsts USING (g), mx
+        GROUP BY decile)
+      SELECT decile, n_docs, n_grams, n_novel,
+             n_novel * 1000000 // n_grams AS novelty_ppm
+      FROM agg ORDER BY decile""",
 
       "q_llm_dedup_chunks" -> s"""
       WITH toks AS (

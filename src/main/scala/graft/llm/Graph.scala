@@ -95,7 +95,53 @@ object Graph {
         .select(col("doc_id"), col("canonical"), col("deg"), col("pr12"),
           col("medoid"))
         .orderBy(col("doc_id"))
+    },
+
+    // Triangle count + clustering coefficient over the verified near-dup
+    // pair graph — the cluster-cohesion audit: a template family whose
+    // members all match each other (cc ≈ 1) is one asset and safe to
+    // collapse to a single canonical; a low-cc hub is CHAINED near-dups
+    // (A≈B≈C but A≉C — the transitive-closure overreach case), where
+    // min-id collapse would merge genuinely different docs. Algorithm:
+    // the degree-oriented wedge join — each edge is oriented from its
+    // lower (deg, id) endpoint, wedges form only at each vertex's
+    // oriented out-edges, and a wedge closes iff its (id-ordered)
+    // endpoint pair is an edge. Exactly one wedge per triangle (the
+    // min-(deg, id) vertex owns it), and orienting by DEGREE bounds the
+    // wedge count by Σ out-deg² — the standard distributed-triangle
+    // trick that keeps a power-law hub from generating deg² wedges.
+    // Three keyed equi-joins + two hash aggs; never an all-pairs join.
+    "q_llm_graph_triangles" -> { (s, dir) =>
+      trianglesOf(Dedup.minhashVerifiedPairsOf(docs(s, dir))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint())
     })
+
+  /** Triangle/clustering-coefficient pipeline over an id-canonical
+    * `(doc_a < doc_b)` pair graph (q_llm_graph_triangles body; factored
+    * so specs drive it over fixture graphs). */
+  private[graft] def trianglesOf(pairs: DataFrame): DataFrame = {
+    val deg = pairs.selectExpr("doc_a AS doc").union(pairs.selectExpr("doc_b"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val or = pairs
+      .join(deg.selectExpr("doc AS doc_a", "deg AS da"), "doc_a")
+      .join(deg.selectExpr("doc AS doc_b", "deg AS db"), "doc_b")
+      .selectExpr(
+        "IF(da < db OR (da = db AND doc_a < doc_b), doc_a, doc_b) AS src",
+        "IF(da < db OR (da = db AND doc_a < doc_b), doc_b, doc_a) AS dst")
+    val wed = or.alias("x").join(or.alias("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("s"), col("x.dst").as("u"), col("y.dst").as("v"))
+    val tri = wed.join(
+        pairs.selectExpr("doc_a AS u", "doc_b AS v"), Seq("u", "v"), "left_semi")
+    val perNode = tri.selectExpr("explode(array(s, u, v)) AS doc_id")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+    deg.selectExpr("doc AS doc_id", "deg")
+      .join(perNode, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "deg", "coalesce(n_tri, 0L) AS n_tri",
+        "IF(deg >= 2, coalesce(n_tri, 0L) * 2000000 DIV (deg * (deg - 1)), 0L)" +
+          " AS cc_ppm")
+      .orderBy(col("doc_id"))
+  }
 
   def oracleSql: Map[String, String] = {
     // unrolled PageRank rounds: pr0 -> pr1 -> ... -> prIters
@@ -141,6 +187,44 @@ object Graph {
           FROM scored) WHERE rn = 1)
       SELECT s.doc_id, s.canonical, s.deg, s.pr12, m.medoid
       FROM scored s JOIN med m ON m.canonical = s.canonical
-      ORDER BY s.doc_id""")
+      ORDER BY s.doc_id""",
+
+      "q_llm_graph_triangles" -> s"""
+      WITH ${Dedup.verifiedPairCtes("documents")},
+      pairs AS (SELECT doc_a, doc_b FROM vpairs),
+      degt AS (
+        SELECT doc, count(*) AS deg FROM (
+          SELECT doc_a AS doc FROM pairs
+          UNION ALL SELECT doc_b FROM pairs)
+        GROUP BY doc),
+      ort AS (
+        SELECT CASE WHEN da < db OR (da = db AND doc_a < doc_b)
+                    THEN doc_a ELSE doc_b END AS src,
+               CASE WHEN da < db OR (da = db AND doc_a < doc_b)
+                    THEN doc_b ELSE doc_a END AS dst
+        FROM pairs
+        JOIN (SELECT doc AS doc_a, deg AS da FROM degt) USING (doc_a)
+        JOIN (SELECT doc AS doc_b, deg AS db FROM degt) USING (doc_b)),
+      wed AS (
+        SELECT x.src AS s, x.dst AS u, y.dst AS v
+        FROM ort x JOIN ort y ON x.src = y.src AND x.dst < y.dst),
+      tri AS (
+        SELECT s, u, v FROM wed
+        WHERE EXISTS (SELECT 1 FROM pairs p
+                      WHERE p.doc_a = wed.u AND p.doc_b = wed.v)),
+      pernode AS (
+        SELECT doc_id, count(*) AS n_tri FROM (
+          SELECT s AS doc_id FROM tri
+          UNION ALL SELECT u FROM tri
+          UNION ALL SELECT v FROM tri)
+        GROUP BY doc_id)
+      SELECT d.doc AS doc_id, d.deg,
+             CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+             CASE WHEN d.deg >= 2
+                  THEN CAST(coalesce(p.n_tri, 0) AS BIGINT) * 2000000
+                       // (d.deg * (d.deg - 1))
+                  ELSE CAST(0 AS BIGINT) END AS cc_ppm
+      FROM degt d LEFT JOIN pernode p ON p.doc_id = d.doc
+      ORDER BY doc_id""")
   }
 }

@@ -94,6 +94,89 @@ object Multimodal {
     in.mapPartitions(_.grouped(64).flatMap(_.map(decodePpm)))
   }
 
+  /** Decoded audio features from the RIFF/WAV walk: header fields +
+    * signed-sample fold (count, sum, peak |s|, energy). Same dead-letter
+    * shape as [[PpmFeat]]: `fmt_ok = false` + nulls on reject. */
+  final case class WavFeat(doc_id: Long, fmt_ok: Boolean,
+                           sample_rate: Option[Int], n_channels: Option[Int],
+                           bits: Option[Int], n_samples: Option[Long],
+                           sum_samples: Option[Long], peak_abs: Option[Int],
+                           sum_sq: Option[Long])
+
+  /** Synthesize a canonical 44-byte PCM WAV around `text`'s bytes as
+    * 16-bit little-endian mono samples (an odd trailing byte is dropped —
+    * the data chunk is whole samples by construction). `corrupt` flips
+    * the RIFF magic so the reject arm is exercised in-band. */
+  def wavBytes(docId: Long, tb: Array[Byte], corrupt: Boolean): Array[Byte] = {
+    val dataSize = (tb.length / 2) * 2
+    val rate = (8000 + (docId % 3) * 4000).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put((if (corrupt) "RIFX" else "RIFF").getBytes("US-ASCII"))
+    bb.putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1) // PCM, mono
+    bb.putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.put(tb, 0, dataSize)
+    bb.array()
+  }
+
+  /** REAL pure-JVM RIFF/WAV (PCM 16-bit) decoder: validates the RIFF
+    * container, walks chunks to `fmt ` and `data`, rejects non-PCM /
+    * non-16-bit / truncated payloads, and folds the signed little-endian
+    * samples into count/sum/peak/energy — the audio analog of
+    * [[decodePpm]], same strictness contract (a truncated data chunk is
+    * a reject, not a partial decode). */
+  def decodeWav(m: MediaIn): WavFeat = {
+    val b = m.payload
+    val bad = WavFeat(m.doc_id, fmt_ok = false, None, None, None, None, None, None, None)
+    def tag(off: Int): String =
+      if (off + 4 > b.length) "" else new String(b, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | (b(off + 1) & 0xffL) << 8 |
+        (b(off + 2) & 0xffL) << 16 | (b(off + 3) & 0xffL) << 24
+    def u16(off: Int): Int = (b(off) & 0xff) | (b(off + 1) & 0xff) << 8
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return bad
+    if (u32(4) != b.length - 8) return bad
+    // chunk walk: find fmt and data (canonical layout puts them in order,
+    // but the walk is the honest container parse)
+    var off = 12
+    var (rate, ch, bits, fmtOk) = (0, 0, 0, false)
+    var dataOff = -1
+    var dataLen = -1L
+    while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+      val t = tag(off); val sz = u32(off + 4)
+      if (t == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
+        if (u16(off + 8) == 1) { // PCM only
+          ch = u16(off + 10); rate = u32(off + 12).toInt
+          bits = u16(off + 22); fmtOk = true
+        }
+      } else if (t == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || ch != 1 || bits != 16 || dataOff < 0) return bad
+    if (dataLen % 2 != 0 || dataOff + dataLen > b.length) return bad
+    var (n, sum, sq) = (0L, 0L, 0L)
+    var peak = 0
+    var j = dataOff
+    val end = dataOff + dataLen.toInt
+    while (j < end) {
+      val v = (u16(j) << 16) >> 16 // sign-extend 16-bit LE
+      n += 1; sum += v; sq += v.toLong * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      j += 2
+    }
+    WavFeat(m.doc_id, fmt_ok = true, Some(rate), Some(ch), Some(bits),
+      Some(n), Some(sum), Some(peak), Some(sq))
+  }
+
+  /** Batched WAV decode — the audio lane of the multimodal decode tier. */
+  def decodeWavBatched(in: Dataset[MediaIn])(implicit s: SparkSession): Dataset[WavFeat] = {
+    import s.implicits._
+    in.mapPartitions(_.grouped(64).flatMap(_.map(decodeWav)))
+  }
+
   /** Perceptual (near-dup) media dedup: SimHash-32 over the payload's
     * byte-3-gram rolling hashes (`graft_bytesimhash` — one compiled pass
     * per payload), banded 4×8-bit for candidates, hamming ≤ 3 verify —
@@ -262,6 +345,27 @@ object Multimodal {
         .as[MediaIn]
       decodeBatched(in).toDF()
         .orderBy(col("doc_id"))
+    },
+
+    // Batched REAL audio decode: wrap each document's bytes as 16-bit
+    // little-endian mono PCM in a canonical RIFF/WAV container (synthesis
+    // happens IN the distributed map — the payload never exists on the
+    // driver), then run the pure-JVM chunk-walking parser through the
+    // same batched mapPartitions path as the image lane. Every ~47th
+    // payload gets a corrupted RIFF magic → in-band dead-letter row.
+    // The oracle recomputes sample count/sum/peak/energy from the text
+    // bytes from first principles (byte pairs little-endian, ASCII text
+    // ⇒ byte == codepoint), so the decoder is checked against the
+    // format spec, not against another decoder.
+    "q_llm_media_wav_decode" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val in = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          MediaIn(id, wavBytes(id, text.getBytes("UTF-8"), id % 47 == 0)) }
+      decodeWavBatched(in).toDF()
+        .orderBy(col("doc_id"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -402,5 +506,46 @@ object Multimodal {
              CASE WHEN d.corrupt THEN NULL ELSE CAST(coalesce(s.sg, 0) AS BIGINT) END AS sum_g,
              CASE WHEN d.corrupt THEN NULL ELSE CAST(coalesce(s.sb, 0) AS BIGINT) END AS sum_b
       FROM d2 d LEFT JOIN sums s USING (doc_id)
-      ORDER BY d.doc_id""")
+      ORDER BY d.doc_id""",
+
+    // first-principles mirror of the WAV decode: n_samples = bytes // 2,
+    // sample i = bytes[2i] + 256*bytes[2i+1] sign-extended at 32768,
+    // rate = 8000 + (doc_id % 3) * 4000, corrupt docs (% 47) → null arm
+    "q_llm_media_wav_decode" -> """
+      WITH par AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) // 2 AS ns,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+               doc_id % 47 = 0 AS corrupt
+        FROM documents),
+      smp AS (
+        SELECT doc_id,
+               ascii(substring(text, CAST(2 * i + 1 AS INT), 1))
+                 + 256 * ascii(substring(text, CAST(2 * i + 2 AS INT), 1)) AS raw
+        FROM (SELECT doc_id, text, unnest(range(0, ns)) AS i
+              FROM par WHERE NOT corrupt)),
+      sv AS (
+        SELECT doc_id,
+               CASE WHEN raw < 32768 THEN raw ELSE raw - 65536 END AS v
+        FROM smp),
+      agg AS (
+        SELECT doc_id, count(*) AS n,
+               CAST(sum(v) AS BIGINT) AS sum_samples,
+               CAST(max(abs(v)) AS INT) AS peak_abs,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM sv GROUP BY doc_id)
+      SELECT p.doc_id,
+             NOT p.corrupt AS fmt_ok,
+             CASE WHEN p.corrupt THEN NULL ELSE p.rate END AS sample_rate,
+             CASE WHEN p.corrupt THEN NULL ELSE 1 END AS n_channels,
+             CASE WHEN p.corrupt THEN NULL ELSE 16 END AS bits,
+             CASE WHEN p.corrupt THEN NULL ELSE p.ns END AS n_samples,
+             CASE WHEN p.corrupt THEN NULL
+                  ELSE CAST(coalesce(a.sum_samples, 0) AS BIGINT) END AS sum_samples,
+             CASE WHEN p.corrupt THEN NULL
+                  ELSE CAST(coalesce(a.peak_abs, 0) AS INT) END AS peak_abs,
+             CASE WHEN p.corrupt THEN NULL
+                  ELSE CAST(coalesce(a.sum_sq, 0) AS BIGINT) END AS sum_sq
+      FROM par p LEFT JOIN agg a USING (doc_id)
+      ORDER BY p.doc_id""")
 }

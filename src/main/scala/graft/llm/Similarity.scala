@@ -111,6 +111,81 @@ object Similarity {
     * [[q_llm_kcenter_sample]]. */
   val KCenters = 8
 
+  /** MMR re-ranking shape: [[MmrQ]] pseudo-queries, [[MmrArm]] candidates
+    * per query from the exact-cosine arm, [[MmrK]] greedy selections with
+    * relevance/diversity weight λ = 1/2. */
+  val MmrQ = 6
+  val MmrArm = 10
+  val MmrK = 5
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):
+    * greedily pick K results maximizing λ·rel(q,d) − (1−λ)·max sim(d, S)
+    * over the already-selected set S — the diversity re-rank a RAG
+    * retrieval stage runs so the context window isn't K near-copies of
+    * the same passage. Round 1 is the pure-relevance argmax; rounds 2..K
+    * score `(rel6 − maxsim6) DIV 2` (λ = 1/2 in scaled-long integers —
+    * truncating division matches both engines on negatives).
+    *
+    * Scale shape: the expensive part is CANDIDATE GENERATION, which is
+    * the existing ANN arm (brute here at test scale; IVF/LSH serve the
+    * same (q_id, id, rel) contract at 100 TB). The re-rank itself only
+    * ever touches O(queries × [[MmrArm]]) rows: the pairwise sim table is
+    * per-query [[MmrArm]]² — bounded by the arm width, NOT the corpus —
+    * and each greedy round is one windowed argmax + one keyed join
+    * against the single new winner (the k-center fold shape, not a
+    * K × selected rescan). Every round's state is localCheckpoint'ed so
+    * lineage stays flat at any K. */
+  private[graft] def mmrSelect(s: SparkSession, dir: String): DataFrame = {
+    val se = scaledEmb(s, dir)
+    val qs = se.where(col("vec_id") < MmrQ)
+      .select(col("vec_id").as("q_id"), col("se").as("qse"), col("nrm").as("qnrm"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("rel6").desc, col("id"))
+    val cand = se.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("id"), col("se"), col("nrm"),
+        Exact.scaled(expr(cosExpr("qse", "se", "qnrm", "nrm")), 6).as("rel6"))
+      .withColumn("rk", row_number().over(wc)).where(col("rk") <= MmrArm)
+      .select("q_id", "id", "se", "nrm", "rel6").localCheckpoint()
+    val simr = cand.as("a").join(cand.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.id") =!= col("b.id"))
+      .select(col("a.q_id").as("sq"), col("a.id").as("ia"), col("b.id").as("ib"),
+        Exact.scaled(expr(cosExpr("a.se", "b.se", "a.nrm", "b.nrm")), 6).as("sim6"))
+      .localCheckpoint()
+    def argmax(st: DataFrame, score: org.apache.spark.sql.Column): DataFrame =
+      st.withColumn("score6", score)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("score6").desc, col("id"))))
+        .where(col("rn") === 1)
+        .select(col("q_id"), col("id").as("wid"), col("score6"))
+    val w1 = argmax(cand, col("rel6"))
+    var sel = w1.select(col("q_id"), lit(1).as("round"),
+      col("wid").as("vec_id"), col("score6"))
+    var state = cand.select("q_id", "id", "rel6")
+      .join(w1.select(col("q_id"), col("wid")), Seq("q_id"))
+      .where(col("id") =!= col("wid"))
+      .join(simr, col("q_id") === col("sq") && col("id") === col("ia") &&
+        col("wid") === col("ib"))
+      .select(col("q_id"), col("id"), col("rel6"), col("sim6").as("maxsim6"))
+      .localCheckpoint()
+    for (r <- 2 to MmrK) {
+      val wr = argmax(state, expr("(rel6 - maxsim6) DIV 2"))
+      sel = sel.union(wr.select(col("q_id"), lit(r).as("round"),
+        col("wid").as("vec_id"), col("score6")))
+      if (r < MmrK)
+        state = state
+          .join(wr.select(col("q_id").as("wq"), col("wid")), col("q_id") === col("wq"))
+          .where(col("id") =!= col("wid"))
+          .join(simr, col("q_id") === col("sq") && col("id") === col("ia") &&
+            col("wid") === col("ib"))
+          .select(col("q_id"), col("id"), col("rel6"),
+            greatest(col("maxsim6"), col("sim6")).as("maxsim6"))
+          .localCheckpoint()
+    }
+    sel.select(col("q_id"), col("round"), col("vec_id"),
+        (col("score6") / lit(1000000.0)).as("mmr"))
+      .orderBy(col("q_id"), col("round"))
+  }
+
   /** Gonzalez greedy k-center (farthest-point) coreset selection: seed =
     * the max-|x|² vector, then each round adds the point farthest from
     * its nearest already-chosen center (exact integer squared-Euclidean
@@ -531,6 +606,47 @@ object Similarity {
       kcenterCenters(se).orderBy(col("round"))
     },
 
+    // MMR diversity re-ranking over the ANN arm's candidates — see
+    // [[mmrSelect]] for the greedy fold and the 100 TB posture.
+    "q_llm_mmr_rerank" -> { (s, dir) => mmrSelect(s, dir) },
+
+    // Int8 embedding-quantization audit: symmetric per-vector max-abs
+    // quantization (the serving-memory layout of every production vector
+    // store: 4× smaller + SIMD int8 dot products) evaluated EXACTLY —
+    // q_i = sign(x)·((|x|·254 + m) DIV 2m) = round(127·|x|/m) in pure
+    // integer arithmetic over the scaled-long embedding, reconstruction
+    // error |127·x − q_i·m| summed per vector, reported as exact ppm of
+    // the vector's L1 mass plus the dead-zone rate (nonzero components
+    // that quantize to 0 — the signal lost to coarse scales). One scan +
+    // one hash aggregation per label; no joins, no floats anywhere, so
+    // the audit is bit-reproducible at any partition count.
+    "q_llm_embed_quantize" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.load(s, dir, "embeddings")
+        .selectExpr("vec_id", "label", s"${sparkScaledEmb("embedding")} AS se")
+        .selectExpr("vec_id", "label",
+          "array_max(transform(se, x -> abs(x))) AS m", "se")
+        .selectExpr("vec_id", "label",
+          "CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE aggregate(transform(se, " +
+            "x -> abs(127 * x - (CASE WHEN x < 0 THEN -1L ELSE 1L END) * " +
+            "((abs(x) * 254 + m) DIV (2 * m)) * m)), 0L, (a, b) -> a + b) " +
+            "END AS err_sum",
+          "aggregate(transform(se, x -> abs(127 * x)), 0L, (a, b) -> a + b) " +
+            "AS mag_sum",
+          "CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE CAST(size(filter(se, " +
+            "x -> x <> 0 AND (abs(x) * 254 + m) DIV (2 * m) = 0)) AS BIGINT) " +
+            "END AS n_dead")
+        .selectExpr("label",
+          "CASE WHEN mag_sum = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE err_sum * 1000000 DIV mag_sum END AS err_ppm", "n_dead")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("sum(err_ppm) DIV count(*)").as("avg_err_ppm"),
+          max(col("err_ppm")).as("max_err_ppm"),
+          expr(s"sum(n_dead) * 1000000 DIV (count(*) * $EmbDim)").as("dead_ppm"))
+        .orderBy(col("label"))
+    },
+
     // Online ANN serving: the IVF index (trained centroids + assigned
     // corpus) is built ONCE as static state; QUERIES arrive as a stream
     // (two query files, maxFilesPerTrigger=1 → two real micro-batches)
@@ -700,6 +816,65 @@ object Similarity {
     sb.toString
   }
 
+  /** DuckDB mirror of [[mmrSelect]]: the same greedy fold unrolled as K
+    * round CTEs (the [[duckKcenterSql]] pattern) — each round is one
+    * per-query windowed argmax (w$r) plus one maxsim relaxation against
+    * the single new winner (st$r). */
+  private[llm] def duckMmrSql(k: Int = MmrK): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH e0 AS (SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e AS (SELECT vec_id, se,
+            sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
+      q AS (SELECT vec_id AS q_id, se AS qse, nrm AS qnrm FROM e
+            WHERE vec_id < $MmrQ),
+      cand0 AS (
+        SELECT q_id, e.vec_id AS id, e.se, e.nrm,
+               ${Exact.sqlScaled(duckCosExpr("qse", "se", "qnrm", "nrm"), 6)} AS rel6
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      cand AS (
+        SELECT q_id, id, se, nrm, rel6 FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY rel6 DESC, id) AS rk FROM cand0)
+        WHERE rk <= $MmrArm),
+      sim AS (
+        SELECT a.q_id AS sq, a.id AS ia, b.id AS ib,
+               ${Exact.sqlScaled(duckCosExpr("a.se", "b.se", "a.nrm", "b.nrm"), 6)} AS sim6
+        FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.id <> b.id),
+      w1 AS (
+        SELECT q_id, id AS wid, rel6 AS score6 FROM (
+          SELECT q_id, id, rel6, row_number() OVER (PARTITION BY q_id
+            ORDER BY rel6 DESC, id) AS rn FROM cand) WHERE rn = 1),
+      st1 AS (
+        SELECT c.q_id, c.id, c.rel6, s.sim6 AS maxsim6
+        FROM cand c
+        JOIN w1 w ON c.q_id = w.q_id AND c.id <> w.wid
+        JOIN sim s ON s.sq = c.q_id AND s.ia = c.id AND s.ib = w.wid)"""
+    for (r <- 2 to k) {
+      sb ++= s""",
+      w$r AS (
+        SELECT q_id, id AS wid, score6 FROM (
+          SELECT q_id, id, (rel6 - maxsim6) // 2 AS score6,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY (rel6 - maxsim6) // 2 DESC, id) AS rn
+          FROM st${r - 1}) WHERE rn = 1)"""
+      if (r < k) sb ++= s""",
+      st$r AS (
+        SELECT c.q_id, c.id, c.rel6, greatest(c.maxsim6, s.sim6) AS maxsim6
+        FROM st${r - 1} c
+        JOIN w$r w ON c.q_id = w.q_id AND c.id <> w.wid
+        JOIN sim s ON s.sq = c.q_id AND s.ia = c.id AND s.ib = w.wid)"""
+    }
+    sb ++= s"""
+      SELECT q_id, CAST(1 AS INT) AS round, wid AS vec_id,
+             score6 / 1000000.0 AS mmr FROM w1"""
+    for (r <- 2 to k)
+      sb ++= s"""
+      UNION ALL SELECT q_id, CAST($r AS INT), wid, score6 / 1000000.0 FROM w$r"""
+    sb ++= "\n      ORDER BY q_id, round"
+    sb.toString
+  }
+
   /** DuckDB mirror of the k-means IVF entry. */
   private[llm] def duckIvfSql(src: String = "embeddings"): String = {
     s"""
@@ -838,6 +1013,46 @@ object Similarity {
       "stream_llm_ann_serve" -> duckIvfSql(),
 
       "q_llm_kcenter_sample" -> duckKcenterSql(),
+
+      "q_llm_mmr_rerank" -> duckMmrSql(),
+
+      // mirror of q_llm_embed_quantize: identical integer quantizer and
+      // error accounting over the same scaled-long embedding; list_reduce
+      // over a 0-prepended list keeps the sums BIGINT (duckPlaneDot idiom)
+      "q_llm_embed_quantize" -> s"""
+      WITH e0 AS (
+        SELECT vec_id, label, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e1 AS (
+        SELECT vec_id, label, se,
+               list_max(list_transform(se, x -> abs(x))) AS m
+        FROM e0),
+      per AS (
+        SELECT vec_id, label,
+               CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+                 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(se, x -> abs(127 * x -
+                     (CASE WHEN x < 0 THEN -1 ELSE 1 END) *
+                     ((abs(x) * 254 + m) // (2 * m)) * m))),
+                   (a, b) -> a + b) END AS err_sum,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(se, x -> abs(127 * x))), (a, b) -> a + b)
+                 AS mag_sum,
+               CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(len(list_filter(se, x -> x <> 0
+                   AND (abs(x) * 254 + m) // (2 * m) = 0)) AS BIGINT)
+                 END AS n_dead
+        FROM e1),
+      ppm AS (
+        SELECT label,
+               CASE WHEN mag_sum = 0 THEN CAST(0 AS BIGINT)
+                 ELSE err_sum * 1000000 // mag_sum END AS err_ppm, n_dead
+        FROM per)
+      SELECT label, count(*) AS n_vecs,
+             CAST(sum(err_ppm) AS BIGINT) // count(*) AS avg_err_ppm,
+             max(err_ppm) AS max_err_ppm,
+             CAST(sum(n_dead) AS BIGINT) * 1000000 // (count(*) * $EmbDim)
+               AS dead_ppm
+      FROM ppm GROUP BY label ORDER BY label""",
 
       "q_llm_knn_pq" -> duckPqSql(),
 

@@ -218,6 +218,45 @@ object TextAnalysis {
         .orderBy(col("lang"), col("predicted"))
     },
 
+    // Code-switching / language-consistency audit: the whole-doc lang-ID
+    // verdict can hide a doc that is half one language, half another (web
+    // crawls interleave boilerplate, quotes, and embedded translations) —
+    // the standard production check runs the SAME lang-ID heuristic per
+    // SEGMENT (here fixed 20-token windows, the line-level stand-in for
+    // this newline-free corpus) and scores each doc by how many segments
+    // agree with its whole-doc prediction. Pure per-row projection + one
+    // hash aggregation (segments explode locally, never join) — the
+    // cheapest possible shape at 100 TB, like every entry in this file.
+    "q_llm_code_switch" -> { (s, dir) =>
+      val docHits = markers.map { case (l, ws) =>
+        s"size(array_intersect(td, ${sqlList(ws, duck = false)})) AS dh_$l"
+      }
+      val segHits = markers.map { case (l, ws) =>
+        s"size(array_intersect(sd, ${sqlList(ws, duck = false)})) AS sh_$l"
+      }
+      val gd = markers.map { case (l, _) => s"dh_$l" }.mkString("greatest(", ", ", ")")
+      val gs = markers.map { case (l, _) => s"sh_$l" }.mkString("greatest(", ", ", ")")
+      val predDoc = "CASE WHEN " + gd + " = 0 THEN 'und' " +
+        markers.map { case (l, _) => s"WHEN dh_$l = $gd THEN '$l'" }.mkString(" ") + " END"
+      val predSeg = "CASE WHEN " + gs + " = 0 THEN 'und' " +
+        markers.map { case (l, _) => s"WHEN sh_$l = $gs THEN '$l'" }.mkString(" ") + " END"
+      docs(s, dir)
+        .selectExpr("doc_id", "split(text, ' ') AS t")
+        .selectExpr("doc_id", "array_distinct(t) AS td",
+          "posexplode(transform(sequence(0, (size(t) - 1) DIV 20), " +
+            "i -> array_distinct(slice(t, i * 20 + 1, 20)))) AS (si, sd)")
+        .selectExpr(Seq("doc_id") ++ docHits ++ segHits: _*)
+        .selectExpr("doc_id", s"$predDoc AS pred_doc", s"$predSeg AS pred_seg")
+        .groupBy(col("doc_id"), col("pred_doc"))
+        .agg(count(lit(1)).as("n_seg"),
+          sum(when(col("pred_seg") === col("pred_doc"), 1L).otherwise(0L)).as("n_agree"),
+          sum(when(col("pred_seg") === "und", 1L).otherwise(0L)).as("n_und"))
+        .withColumn("switch_ppm", expr("(n_seg - n_agree) * 1000000 DIV n_seg"))
+        .withColumn("verdict", expr("CASE WHEN n_agree = n_seg THEN 'uniform' " +
+          "WHEN n_agree * 5 >= n_seg * 4 THEN 'mostly' ELSE 'switched' END"))
+        .orderBy(col("doc_id"))
+    },
+
     // Quality scoring: per-doc token stats, type-token ratio, stopword
     // ratio, mean word length, composite score and band.
     "q_llm_quality" -> { (s, dir) =>
@@ -801,6 +840,47 @@ object TextAnalysis {
       p AS (SELECT lang, $pred AS predicted FROM hits)
       SELECT lang, predicted, count(*) AS n
       FROM p GROUP BY lang, predicted ORDER BY lang, predicted""",
+
+      "q_llm_code_switch" -> {
+        val docHits = markers.map { case (l, ws) =>
+          s"len(list_intersect(td, ${sqlList(ws, duck = true)})) AS dh_$l"
+        }.mkString(",\n               ")
+        val segHits = markers.map { case (l, ws) =>
+          s"len(list_intersect(sd, ${sqlList(ws, duck = true)})) AS sh_$l"
+        }.mkString(",\n               ")
+        val gd = markers.map { case (l, _) => s"dh_$l" }.mkString("greatest(", ", ", ")")
+        val gs = markers.map { case (l, _) => s"sh_$l" }.mkString("greatest(", ", ", ")")
+        val predDoc = "CASE WHEN " + gd + " = 0 THEN 'und' " +
+          markers.map { case (l, _) => s"WHEN dh_$l = $gd THEN '$l'" }.mkString(" ") + " END"
+        val predSeg = "CASE WHEN " + gs + " = 0 THEN 'und' " +
+          markers.map { case (l, _) => s"WHEN sh_$l = $gs THEN '$l'" }.mkString(" ") + " END"
+        s"""
+      WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      seg AS (
+        SELECT doc_id, list_distinct(t) AS td,
+               unnest(list_transform(range(0, (len(t) - 1) // 20 + 1),
+                 i -> list_distinct(t[i * 20 + 1 : i * 20 + 20]))) AS sd
+        FROM base),
+      h AS (
+        SELECT doc_id,
+               $docHits,
+               $segHits
+        FROM seg),
+      p AS (SELECT doc_id, $predDoc AS pred_doc, $predSeg AS pred_seg FROM h),
+      agg AS (
+        SELECT doc_id, pred_doc, count(*) AS n_seg,
+               CAST(sum(CASE WHEN pred_seg = pred_doc THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_agree,
+               CAST(sum(CASE WHEN pred_seg = 'und' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_und
+        FROM p GROUP BY doc_id, pred_doc)
+      SELECT doc_id, pred_doc, n_seg, n_agree, n_und,
+             (n_seg - n_agree) * 1000000 // n_seg AS switch_ppm,
+             CASE WHEN n_agree = n_seg THEN 'uniform'
+                  WHEN n_agree * 5 >= n_seg * 4 THEN 'mostly'
+                  ELSE 'switched' END AS verdict
+      FROM agg ORDER BY doc_id"""
+      },
 
       "q_llm_quality" -> s"""
       WITH base AS (
