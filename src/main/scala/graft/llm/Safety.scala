@@ -131,6 +131,72 @@ object Safety {
         .orderBy(col("doc_id"))
     },
 
+    // Decontamination AT INGEST: the eval suite's distinct shingle set is
+    // STATIC state (benchmarks change rarely; at 100 TB it is a broadcast-
+    // sized or bucket-stored table built once), and newly crawled docs
+    // stream through a per-batch overlap gate — the screen a production
+    // ingest runs so contaminated documents never reach the training
+    // corpus instead of being hunted down later. Two real micro-batches
+    // (maxFilesPerTrigger=1); per batch: the batch's distinct shingles
+    // left-join the eval set (keyed equi-join — the batch side is small,
+    // the eval side never rescans raw eval text), per-doc hit counts,
+    // the q_llm_decontaminate verdict boundary (ContamFrac cross-
+    // multiply), docs too short to shingle stay in-band as clean/0 rows.
+    // batchId-keyed output paths ⇒ replay-idempotent. Oracle = the same
+    // overlap SQL one-shot over all streamed docs: batch boundaries
+    // provably cannot change any verdict.
+    "stream_llm_decontam_gate" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val evalSet = Dedup.shingleStreamOf(d.where(col("doc_id") % EvalMod === 0))
+        .select(col("sg")).distinct().withColumn("hit", lit(1L))
+        .localCheckpoint()
+      val base = s"${graft.sinks.Sinks.tmpBase}/stream_decontam_gate"
+      graft.sinks.Sinks.truncate(base)
+      val newDocs = d.where(col("doc_id") % EvalMod =!= 0)
+      (0 to 1).foreach { t =>
+        val tmp = s"$base/src_stage_$t"
+        newDocs.where(expr(s"doc_id % 2 = $t")).coalesce(1).write.parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+        val dest = java.nio.file.Paths.get(s"$base/src/t$t.parquet")
+        java.nio.file.Files.move(part, dest)
+        graft.sinks.Sinks.deleteRec(tmp)
+        dest.toFile.setLastModified(1700000000000L + t * 60000L)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val bSg = Dedup.shingleStreamOf(batch)
+            .select(col("doc_id"), col("sg")).distinct()
+          val per = bSg.join(evalSet, Seq("sg"), "left")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_ngrams"),
+              coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+          batch.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+            .selectExpr("doc_id",
+              "coalesce(n_ngrams, 0L) AS n_ngrams",
+              "coalesce(n_hit, 0L) AS n_hit")
+            .selectExpr("doc_id", "n_ngrams", "n_hit",
+              "CASE WHEN n_ngrams = 0 THEN 0L " +
+                "ELSE n_hit * 1000000 DIV n_ngrams END AS overlap_ppm",
+              s"CASE WHEN n_ngrams > 0 AND $ContamFrac * n_hit >= n_ngrams " +
+                "THEN 'contaminated' WHEN n_hit > 0 THEN 'flagged' " +
+                "ELSE 'clean' END AS verdict")
+            .write.mode("overwrite").parquet(s"$base/out/batch_$bid")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .orderBy(col("doc_id"))
+    },
+
     // Multi-suite decontamination matrix: a real pipeline screens
     // against MANY benchmarks at once, and the report that matters is
     // per-suite — how many training docs touch each benchmark, how many
@@ -299,6 +365,36 @@ object Safety {
     })
 
   def oracleSql: Map[String, String] = Map(
+    // one-shot mirror of the streaming gate: per-doc DISTINCT shingles
+    // (both sides declare the distinct explicitly), eval set from the
+    // % EvalMod slice, left-join overlap, shingle-less docs clean/0
+    "stream_llm_decontam_gate" -> s"""
+      WITH toks AS (
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
+      shing AS (
+        SELECT doc_id, list_distinct(${duckShingles("wh")}) AS shd
+        FROM toks WHERE len(wh) >= 3),
+      ex AS (SELECT DISTINCT doc_id, unnest(shd) AS sg FROM shing),
+      ev AS (SELECT DISTINCT sg FROM ex WHERE doc_id % $EvalMod = 0),
+      tr AS (SELECT doc_id, sg FROM ex WHERE doc_id % $EvalMod <> 0),
+      sc AS (
+        SELECT t.doc_id, count(*) AS n_ngrams, count(e.sg) AS n_hit
+        FROM tr t LEFT JOIN ev e ON t.sg = e.sg
+        GROUP BY t.doc_id),
+      final AS (
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+               CAST(coalesce(s.n_hit, 0) AS BIGINT) AS n_hit
+        FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalMod <> 0) d
+        LEFT JOIN sc s ON s.doc_id = d.doc_id)
+      SELECT doc_id, n_ngrams, n_hit,
+             CASE WHEN n_ngrams = 0 THEN CAST(0 AS BIGINT)
+                  ELSE n_hit * 1000000 // n_ngrams END AS overlap_ppm,
+             CASE WHEN n_ngrams > 0 AND $ContamFrac * n_hit >= n_ngrams
+                  THEN 'contaminated'
+                  WHEN n_hit > 0 THEN 'flagged' ELSE 'clean' END AS verdict
+      FROM final ORDER BY doc_id""",
+
     "q_llm_decontaminate" -> s"""
       WITH toks AS (
         SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),

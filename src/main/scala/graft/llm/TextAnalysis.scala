@@ -31,6 +31,43 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Per-doc add-1-smoothed bigram-LM totals `(doc_id, s6, nb)` — s6 the
+    * scaled-long sum of per-bigram log-likelihood terms, nb the bigram
+    * count. The q_llm_lm_score scoring core, factored so the CCNet
+    * bucketing entry shares the exact operation order (the cross-engine
+    * exactness contract — there is exactly one copy). Scale shape: one
+    * token scan, per-doc bigram multiset agg (map-side combinable), two
+    * slim count tables joined back on long keys, one per-doc agg — no
+    * self-joins, no windows, no driver. */
+  private[llm] def bigramNllPerDoc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // materialized once: referenced by bgd AND the vocab count — an
+    // unmaterialized stream would re-tokenize the corpus per use
+    val toks = docs(s, dir)
+      .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
+      .where(expr("size(wh) >= 2"))
+      .localCheckpoint()
+    // per-doc bigram multiset: (doc_id, h1, h2, m) — the repeated-bigram
+    // collapse cuts both count-table inputs and the join fan-in.
+    // Materialized once: c2, c1, and the scoring join all read it.
+    val bgd = toks.selectExpr("doc_id",
+        "explode(transform(sequence(1, size(wh) - 1), i -> " +
+          "named_struct('h1', element_at(wh, i), 'h2', element_at(wh, i + 1)))) AS bg")
+      .groupBy(col("doc_id"), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val c2 = bgd.groupBy(col("h1"), col("h2")).agg(sum(col("m")).as("c2"))
+    val c1 = bgd.groupBy(col("h1")).agg(sum(col("m")).as("c1"))
+    val vocab = toks.selectExpr("explode(wh) AS h")
+      .agg(countDistinct(col("h")).as("v"))
+    bgd.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("t6",
+        Exact.scaled(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m") * col("t6")).as("s6"), sum(col("m")).as("nb"))
+  }
+
   private def sqlList(ws: Seq[String], duck: Boolean): String =
     ws.map("'" + _ + "'").mkString(if (duck) "[" else "array(", ", ", if (duck) "]" else ")")
 
@@ -637,38 +674,90 @@ object TextAnalysis {
     // agg (map-side combinable), two slim count tables joined back on
     // long keys, one per-doc agg — no self-joins, no windows, no driver.
     "q_llm_lm_score" -> { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      // materialized once: referenced by bgd AND the vocab count — an
-      // unmaterialized stream would re-tokenize the corpus per use
-      val toks = docs(s, dir)
-        .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
-        .where(expr("size(wh) >= 2"))
-        .localCheckpoint()
-      // per-doc bigram multiset: (doc_id, h1, h2, m) — the repeated-bigram
-      // collapse cuts both count-table inputs and the join fan-in.
-      // Materialized once: c2, c1, and the scoring join all read it.
-      val bgd = toks.selectExpr("doc_id",
-          "explode(transform(sequence(1, size(wh) - 1), i -> " +
-            "named_struct('h1', element_at(wh, i), 'h2', element_at(wh, i + 1)))) AS bg")
-        .groupBy(col("doc_id"), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
-        .agg(count(lit(1)).as("m"))
-        .localCheckpoint()
-      val c2 = bgd.groupBy(col("h1"), col("h2")).agg(sum(col("m")).as("c2"))
-      val c1 = bgd.groupBy(col("h1")).agg(sum(col("m")).as("c1"))
-      val vocab = toks.selectExpr("explode(wh) AS h")
-        .agg(countDistinct(col("h")).as("v"))
-      val per = bgd.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
-        .crossJoin(broadcast(vocab))
-        .withColumn("t6",
-          Exact.scaled(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))), 6))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("m") * col("t6")).as("s6"), sum(col("m")).as("nb"))
+      val per = bigramNllPerDoc(s, dir)
       per.select(col("doc_id"), col("nb").as("n_bigrams"),
           ((-col("s6")).cast("double") / col("nb") / lit(1000000.0)).as("avg_nll"),
           Exact.fix(exp((-col("s6")).cast("double") / col("nb") / lit(1000000.0)), 4).as("ppl"),
           // keep/drop on the exact integers: avg_nll > 7 nats (ppl ~1100)
           expr("CASE WHEN -s6 > 7000000 * nb THEN 'drop' ELSE 'keep' END").as("verdict"))
         .orderBy(col("doc_id"))
+    },
+
+    // CCNet-style perplexity bucketing: each source's docs split into
+    // head/middle/tail by WITHIN-SOURCE terciles of the bigram-LM average
+    // NLL — the published CCNet output layout (head = most fluent third,
+    // the slice most pipelines keep; tail = the noisy third they drop or
+    // down-weight). Terciles are per-source for the same reason
+    // q_llm_quality_calibrate's percentiles are: one absolute perplexity
+    // cut over-prunes noisy sources and under-prunes clean ones. The
+    // per-doc scalar is the exact integer (-s6) DIV nb; boundaries use
+    // the cross-multiplied tests 3·cnt_le ≤ n_src / ≤ 2·n_src, and the
+    // CDF is built on the AGGREGATED (source, avg6) table — distinct-
+    // score rows, never a corpus-wide sort (the calibrate scale shape).
+    "q_llm_ccnet_buckets" -> { (s, dir) =>
+      val pd = bigramNllPerDoc(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .selectExpr("doc_id", "source", "nb", "(-s6) DIV nb AS avg6")
+      val wcum = Window.partitionBy(col("source")).orderBy(col("avg6"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wsrc = Window.partitionBy(col("source"))
+      val cdf = pd.groupBy(col("source"), col("avg6"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cnt_le", sum(col("n")).over(wcum))
+        .withColumn("n_src", sum(col("n")).over(wsrc))
+        .select(col("source"), col("avg6"), col("cnt_le"), col("n_src"))
+      pd.join(cdf, Seq("source", "avg6"))
+        .withColumn("bucket", expr("CASE WHEN 3 * cnt_le <= n_src THEN 'head' " +
+          "WHEN 3 * cnt_le <= 2 * n_src THEN 'middle' ELSE 'tail' END"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bigrams"),
+          (min(col("avg6")) / lit(1000000.0)).as("min_nll"),
+          (max(col("avg6")) / lit(1000000.0)).as("max_nll"))
+        .orderBy(col("source"), col("bucket"))
+    },
+
+    // Heuristic-vs-LM signal agreement: the 3×3 contingency of corpus-wide
+    // quality-score terciles against bigram-LM NLL terciles — the audit
+    // run before adding a second filter signal to a pipeline (if the LM
+    // ranking is redundant with the cheap heuristic, the LM pass buys
+    // nothing; if the off-diagonal mass is large, the two signals cut
+    // DIFFERENT documents and stacking them compounds retention loss).
+    // Both tercile boundaries use the aggregated-CDF + cross-multiplied
+    // integer tests (the calibrate shape — distinct-score rows, never a
+    // corpus sort); cell shares are exact ppm of the joined universe
+    // (docs with >= 2 tokens, where both signals are defined).
+    "q_llm_signal_agreement" -> { (s, dir) =>
+      val stops = sqlList(markers.flatMap(_._2).distinct, duck = false)
+      val qd = docs(s, dir)
+        .selectExpr("doc_id", "split(text, ' ') AS t")
+        .selectExpr("doc_id", "size(t) AS n_tok",
+          "size(array_distinct(t)) AS n_uniq",
+          s"size(filter(t, w -> array_contains($stops, w))) AS n_stop")
+        .where(col("n_tok") >= 2)
+        .withColumn("q6", Exact.scaled(
+          expr("0.4 * (CAST(n_uniq AS DOUBLE) / n_tok) " +
+            "+ 0.3 * (CAST(n_stop AS DOUBLE) / n_tok) " +
+            "+ 0.3 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)"), 6))
+        .select(col("doc_id"), col("q6"))
+      val pd = bigramNllPerDoc(s, dir).selectExpr("doc_id", "(-s6) DIV nb AS p6")
+      def terciles(src: DataFrame, v: String, band: String): DataFrame = {
+        val wcum = Window.orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cdf = src.groupBy(col(v)).agg(count(lit(1)).as("n"))
+          .withColumn("cnt_le", sum(col("n")).over(wcum))
+          .crossJoin(broadcast(src.agg(count(lit(1)).as("n_all"))))
+          .selectExpr(v, "CASE WHEN 3 * cnt_le <= n_all THEN 'lo' " +
+            s"WHEN 3 * cnt_le <= 2 * n_all THEN 'mid' ELSE 'hi' END AS $band")
+        src.join(cdf, v).select(col("doc_id"), col(band))
+      }
+      val joined = terciles(qd, "q6", "q_band")
+        .join(terciles(pd, "p6", "nll_band"), "doc_id")
+      joined.groupBy(col("q_band"), col("nll_band"))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(joined.agg(count(lit(1)).as("n_total"))))
+        .selectExpr("q_band", "nll_band", "n_docs",
+          "n_docs * 1000000 DIV n_total AS share_ppm")
+        .orderBy(col("q_band"), col("nll_band"))
     },
 
     // Per-source quality calibration: the q_llm_quality score mapped to
@@ -829,6 +918,27 @@ object TextAnalysis {
     val pred = "CASE WHEN " + g + " = 0 THEN 'und' " +
       markers.map { case (l, _) => s"WHEN h_$l = $g THEN '$l'" }.mkString(" ") + " END"
     val stops = sqlList(markers.flatMap(_._2).distinct, duck = true)
+    // shared mirror of [[bigramNllPerDoc]] — ONE copy of the bigram-LM
+    // chain, reused by lm_score / ccnet_buckets / signal_agreement
+    val bigramPerCtes = s"""toks AS (
+        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
+      t2 AS (SELECT doc_id, wh FROM toks WHERE len(wh) >= 2),
+      bg AS (
+        SELECT doc_id, unnest(wh[1:len(wh)-1]) AS h1, unnest(wh[2:len(wh)]) AS h2
+        FROM t2),
+      bgd AS (SELECT doc_id, h1, h2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+      c2 AS (SELECT h1, h2, CAST(sum(m) AS BIGINT) AS c2 FROM bgd GROUP BY 1, 2),
+      c1 AS (SELECT h1, CAST(sum(m) AS BIGINT) AS c1 FROM bgd GROUP BY 1),
+      vocab AS (
+        SELECT count(DISTINCT h) AS v FROM (SELECT unnest(wh) AS h FROM t2)),
+      terms AS (
+        SELECT doc_id, m,
+               ${Exact.sqlScaled("ln((c2 + 1.0) / (c1 + v))", 6)} AS t6
+        FROM bgd JOIN c2 USING (h1, h2) JOIN c1 USING (h1), vocab),
+      per AS (
+        SELECT doc_id, CAST(sum(m * t6) AS BIGINT) AS s6,
+               CAST(sum(m) AS BIGINT) AS nb
+        FROM terms GROUP BY doc_id)"""
     Map(
       "q_llm_lang_id" -> s"""
       WITH td AS (
@@ -1213,30 +1323,87 @@ object TextAnalysis {
       // argument (the double division (c2+1.0)/(c1+v) on identical
       // integer inputs), scaled to longs before any aggregation
       "q_llm_lm_score" -> s"""
-      WITH toks AS (
-        SELECT doc_id, ${duckWordHashes("text")} AS wh FROM documents),
-      t2 AS (SELECT doc_id, wh FROM toks WHERE len(wh) >= 2),
-      bg AS (
-        SELECT doc_id, unnest(wh[1:len(wh)-1]) AS h1, unnest(wh[2:len(wh)]) AS h2
-        FROM t2),
-      bgd AS (SELECT doc_id, h1, h2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
-      c2 AS (SELECT h1, h2, CAST(sum(m) AS BIGINT) AS c2 FROM bgd GROUP BY 1, 2),
-      c1 AS (SELECT h1, CAST(sum(m) AS BIGINT) AS c1 FROM bgd GROUP BY 1),
-      vocab AS (
-        SELECT count(DISTINCT h) AS v FROM (SELECT unnest(wh) AS h FROM t2)),
-      terms AS (
-        SELECT doc_id, m,
-               ${Exact.sqlScaled("ln((c2 + 1.0) / (c1 + v))", 6)} AS t6
-        FROM bgd JOIN c2 USING (h1, h2) JOIN c1 USING (h1), vocab),
-      per AS (
-        SELECT doc_id, CAST(sum(m * t6) AS BIGINT) AS s6,
-               CAST(sum(m) AS BIGINT) AS nb
-        FROM terms GROUP BY doc_id)
+      WITH $bigramPerCtes
       SELECT doc_id, nb AS n_bigrams,
              CAST(-s6 AS DOUBLE) / nb / 1000000.0 AS avg_nll,
              ${Exact.sqlFix("exp(CAST(-s6 AS DOUBLE) / nb / 1000000.0)", 4)} AS ppl,
              CASE WHEN -s6 > 7000000 * nb THEN 'drop' ELSE 'keep' END AS verdict
       FROM per ORDER BY doc_id""",
+
+      // mirror of q_llm_ccnet_buckets: the identical bigram-LM chain down
+      // to per(s6, nb), then (-s6) // nb per-doc scalar, per-source
+      // aggregated CDF and the same 3·cnt_le tercile tests
+      "q_llm_ccnet_buckets" -> s"""
+      WITH $bigramPerCtes,
+      pd AS (
+        SELECT p.doc_id, d.source, p.nb, (-p.s6) // p.nb AS avg6
+        FROM per p JOIN documents d USING (doc_id)),
+      cdf0 AS (SELECT source, avg6, count(*) AS n FROM pd GROUP BY 1, 2),
+      cdf AS (
+        SELECT source, avg6,
+               sum(n) OVER (PARTITION BY source ORDER BY avg6
+                 ROWS UNBOUNDED PRECEDING) AS cnt_le,
+               sum(n) OVER (PARTITION BY source) AS n_src
+        FROM cdf0),
+      b AS (
+        SELECT pd.doc_id, pd.source, pd.nb, pd.avg6,
+               CASE WHEN 3 * cnt_le <= n_src THEN 'head'
+                    WHEN 3 * cnt_le <= 2 * n_src THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM pd JOIN cdf USING (source, avg6))
+      SELECT source, bucket, count(*) AS n_docs,
+             CAST(sum(nb) AS BIGINT) AS n_bigrams,
+             min(avg6) / 1000000.0 AS min_nll,
+             max(avg6) / 1000000.0 AS max_nll
+      FROM b GROUP BY source, bucket ORDER BY source, bucket""",
+
+      // mirror of q_llm_signal_agreement: same quality formula as
+      // calibrate (restricted to n_tok >= 2), the shared bigram chain,
+      // corpus-wide aggregated-CDF terciles on both signals
+      "q_llm_signal_agreement" -> s"""
+      WITH $bigramPerCtes,
+      qd0 AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      qd1 AS (
+        SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq,
+               len(list_filter(t, w -> list_contains($stops, w))) AS n_stop
+        FROM qd0 WHERE len(t) >= 2),
+      qd AS (
+        SELECT doc_id,
+               ${Exact.sqlScaled(
+                 "0.4 * (CAST(n_uniq AS DOUBLE) / n_tok) " +
+                 "+ 0.3 * (CAST(n_stop AS DOUBLE) / n_tok) " +
+                 "+ 0.3 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)", 6)} AS q6
+        FROM qd1),
+      pdx AS (SELECT doc_id, (-s6) // nb AS p6 FROM per),
+      qcdf AS (
+        SELECT q6,
+               sum(n) OVER (ORDER BY q6 ROWS UNBOUNDED PRECEDING) AS cnt_le,
+               sum(n) OVER () AS n_all
+        FROM (SELECT q6, count(*) AS n FROM qd GROUP BY q6)),
+      qb AS (
+        SELECT qd.doc_id,
+               CASE WHEN 3 * cnt_le <= n_all THEN 'lo'
+                    WHEN 3 * cnt_le <= 2 * n_all THEN 'mid'
+                    ELSE 'hi' END AS q_band
+        FROM qd JOIN qcdf USING (q6)),
+      pcdf AS (
+        SELECT p6,
+               sum(n) OVER (ORDER BY p6 ROWS UNBOUNDED PRECEDING) AS cnt_le,
+               sum(n) OVER () AS n_all
+        FROM (SELECT p6, count(*) AS n FROM pdx GROUP BY p6)),
+      pb AS (
+        SELECT pdx.doc_id,
+               CASE WHEN 3 * cnt_le <= n_all THEN 'lo'
+                    WHEN 3 * cnt_le <= 2 * n_all THEN 'mid'
+                    ELSE 'hi' END AS nll_band
+        FROM pdx JOIN pcdf USING (p6)),
+      j AS (SELECT q_band, nll_band FROM qb JOIN pb USING (doc_id)),
+      tot AS (SELECT count(*) AS n_total FROM j)
+      SELECT q_band, nll_band, count(*) AS n_docs,
+             count(*) * 1000000 // n_total AS share_ppm
+      FROM j, tot GROUP BY q_band, nll_band, n_total
+      ORDER BY q_band, nll_band""",
 
       // mirror of q_llm_quality_calibrate: identical score formula, the
       // same aggregated-CDF shape (cume over distinct scaled scores)

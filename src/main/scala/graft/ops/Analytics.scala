@@ -57,6 +57,38 @@ object Analytics {
       .orderBy(col("step"))
   }
 
+  /** Conversion-window funnel: like [[funnel]], but every later step must
+    * land within `hours` of the user's STEP-1 time (the fixed-anchor
+    * conversion window every product funnel actually uses — an unbounded
+    * funnel credits conversions that happen months later). The window
+    * anchor `t1` rides through the per-user stage frames, so each stage
+    * stays one keyed join + one hash agg. */
+  def funnelWindowed(e: DataFrame, steps: Seq[String], hours: Int): DataFrame = {
+    val stage1 = e.where(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      .withColumn("t1", col("t"))
+    val stages = steps.tail.scanLeft(stage1) { (prev, step) =>
+      e.where(col("event_type") === step)
+        .join(prev, "user_id")
+        .where(col("ts") >= col("t") &&
+          col("ts") <= expr(s"t1 + INTERVAL $hours HOURS"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t"), min(col("t1")).as("t1"))
+    }
+    val counts = stages.zip(steps.zipWithIndex).map {
+      case (df, (name, i)) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+            col("n_users"))
+    }.reduce(_ unionByName _)
+    val base = counts.where(col("step") === 1)
+      .select(col("n_users").as("n0"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("step_name"), col("n_users"),
+        fix(col("n_users") * lit(100.0) / col("n0"), 2).as("conv_pct"))
+      .orderBy(col("step"))
+  }
+
   /** Cohort retention: cohort = Monday of the user's first-event week;
     * cell (cohort, k) = distinct users of that cohort active in week
     * cohort+k, as a percentage of the cohort's size. Week offsets use
@@ -339,6 +371,35 @@ object Analytics {
     "q_anomaly_zscore" -> ((s, dir) => anomalies(ev(s, dir))),
     "q_anomaly_mad" -> ((s, dir) => anomaliesMad(ev(s, dir))),
     "q_funnel" -> ((s, dir) => funnel(ev(s, dir), FunnelSteps)),
+    "q_funnel_windowed" -> ((s, dir) => funnelWindowed(ev(s, dir), FunnelSteps, 72)),
+
+    // Seasonal (day-of-week) anomaly baseline: each day's event volume
+    // vs the LEAVE-ONE-OUT mean of the same weekday's other days — the
+    // seasonality-aware sibling of q_anomaly_zscore (a quiet Sunday is
+    // normal; the same volume on a Tuesday is an outage). Leave-one-out
+    // keeps a spike from inflating its own baseline. All comparisons are
+    // cross-multiplied integers (n·(cnt−1)·10 vs 13·Σothers /
+    // 7·Σothers): no divisions, no floats, bit-stable at any partition
+    // count. ISO weekday via weekday()+1 == DuckDB isodow — the engines'
+    // dayofweek() origins differ, so the portable form is explicit.
+    "q_anomaly_seasonal" -> { (s, dir) =>
+      val days = ev(s, dir)
+        .selectExpr("CAST(ts AS DATE) AS d")
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+        .withColumn("dow", expr("weekday(d) + 1"))
+      val dow = days.groupBy(col("dow"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n")).as("sn"))
+      days.join(dow, "dow")
+        .selectExpr("d", "dow", "n", "cnt - 1 AS n_peers", "sn - n AS peer_sum")
+        .selectExpr("d", "dow", "n", "n_peers", "peer_sum",
+          "CASE WHEN peer_sum > 0 THEN n * n_peers * 1000000 DIV peer_sum " +
+            "ELSE CAST(0 AS BIGINT) END AS ratio_ppm",
+          "CASE WHEN n_peers = 0 THEN 'no_baseline' " +
+            "WHEN n * n_peers * 10 > 13 * peer_sum THEN 'high' " +
+            "WHEN n * n_peers * 10 < 7 * peer_sum THEN 'low' " +
+            "ELSE 'normal' END AS verdict")
+        .orderBy(col("d"))
+    },
     "q_cohort_retention" -> ((s, dir) => cohortRetention(ev(s, dir))),
     "q_entity_resolution" -> ((s, dir) =>
       entityResolution(Tables.load(s, dir, "customer")
@@ -493,6 +554,33 @@ object Analytics {
       FROM counts, base ORDER BY step"""
     },
 
+    // mirror of q_funnel_windowed: the q_funnel CTE chain with the t1
+    // anchor carried through each stage and the 72h window predicate
+    "q_funnel_windowed" -> {
+      val s1 =
+        s"""SELECT user_id, min(ts) AS t, min(ts) AS t1 FROM events
+            WHERE event_type = '${FunnelSteps(0)}' GROUP BY user_id"""
+      val stageCtes = FunnelSteps.tail.zipWithIndex.map { case (step, i) =>
+        s"""s${i + 2} AS (
+              SELECT e.user_id, min(e.ts) AS t, min(s${i + 1}.t1) AS t1
+              FROM events e JOIN s${i + 1} ON e.user_id = s${i + 1}.user_id
+              WHERE e.event_type = '$step' AND e.ts >= s${i + 1}.t
+                AND e.ts <= s${i + 1}.t1 + INTERVAL 72 HOURS
+              GROUP BY e.user_id)"""
+      }.mkString(",\n          ")
+      val unions = FunnelSteps.zipWithIndex.map { case (name, i) =>
+        s"SELECT ${i + 1} AS step, '$name' AS step_name, count(*) AS n_users FROM s${i + 1}"
+      }.mkString("\n          UNION ALL ")
+      s"""
+      WITH s1 AS ($s1),
+          $stageCtes,
+          counts AS ($unions),
+          base AS (SELECT n_users AS n0 FROM counts WHERE step = 1)
+      SELECT step, step_name, n_users,
+             ${sqlFix("n_users * 100.0 / n0", 2)} AS conv_pct
+      FROM counts, base ORDER BY step"""
+    },
+
     "q_entity_resolution" -> s"""
       WITH RECURSIVE cust AS (
         SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer),
@@ -528,6 +616,28 @@ object Analytics {
       SELECT c_custkey, entity,
              count(*) OVER (PARTITION BY entity) AS n_members
       FROM ent ORDER BY c_custkey""",
+
+    // mirror of q_anomaly_seasonal: isodow == Spark weekday()+1, same
+    // leave-one-out integer comparisons
+    "q_anomaly_seasonal" -> """
+      WITH days AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1),
+      dw AS (SELECT d, CAST(isodow(d) AS INT) AS dow, n FROM days),
+      tot AS (
+        SELECT dow, count(*) AS cnt, CAST(sum(n) AS BIGINT) AS sn
+        FROM dw GROUP BY dow),
+      j AS (
+        SELECT d, dw.dow, n, cnt - 1 AS n_peers, sn - n AS peer_sum
+        FROM dw JOIN tot ON dw.dow = tot.dow)
+      SELECT d, dow, n, n_peers, peer_sum,
+             CASE WHEN peer_sum > 0 THEN n * n_peers * 1000000 // peer_sum
+                  ELSE CAST(0 AS BIGINT) END AS ratio_ppm,
+             CASE WHEN n_peers = 0 THEN 'no_baseline'
+                  WHEN n * n_peers * 10 > 13 * peer_sum THEN 'high'
+                  WHEN n * n_peers * 10 < 7 * peer_sum THEN 'low'
+                  ELSE 'normal' END AS verdict
+      FROM j ORDER BY d""",
 
     "q_cohort_retention" -> s"""
       WITH first AS (

@@ -268,6 +268,30 @@ object Relational {
         .limit(50)
     },
 
+    // -- TPC-H Q15-ish: scalar MAX over an aggregate (argmax by equality) ----
+    // "The top supplier(s) by quarter revenue": the revenue view aggregates
+    // the filtered fact per supplier, and the winner is selected by
+    // EQUALITY against the view's global max — Q15's view + scalar
+    // subquery shape. The max contracts to ONE row and broadcasts back
+    // over the per-supplier aggregate (never a global sort); ties all
+    // surface (the reason Q15 uses equality, not LIMIT 1). Supplier
+    // attributes attach by broadcast AFTER the argmax, so the wide dim
+    // row never rides through the aggregation.
+    "q15_top_supplier" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01").cast(TimestampType) &&
+               col("l_shipdate") <  lit("1998-04-01").cast(TimestampType))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(scaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .as("rev4"))
+      val mx = rev.agg(max(col("rev4")).as("max4"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("rev4") === col("max4"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .selectExpr("s_suppkey", "s_name", "rev4 / 10000.0 AS total_revenue")
+        .orderBy(col("s_suppkey"))
+    },
+
     // -- TPC-H Q22-ish: anti join + scalar AVG subquery ----------------------
     // "Well-funded customers who never place urgent orders", bucketed by
     // the trailing digit of the customer name (the stand-in for Q22's
@@ -509,6 +533,19 @@ object Relational {
                           AND l3.l_suppkey <> l1.l_suppkey
                           AND l3.l_returnflag = 'R')
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50""",
+
+    "q15_top_supplier" -> s"""
+      WITH rev AS (
+        SELECT l_suppkey,
+               sum(${sqlScaled("l_extendedprice * (1 - l_discount)", 4)}) AS rev4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, rev4 / 10000.0 AS total_revenue
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE rev4 = (SELECT max(rev4) FROM rev)
+      ORDER BY s_suppkey""",
 
     "q22_idle_rich" -> s"""
       SELECT substr(c_name, length(c_name), 1) AS cty, count(*) AS n_cust,

@@ -60,6 +60,27 @@ object Windows {
         .orderBy(col("o_orderkey"))
     },
 
+    // Calendar-interval RANGE frame: rolling 3-day order count/revenue
+    // per customer, the time-windowed running aggregate a numeric RANGE
+    // frame (q_window_range) can't express — the frame boundary is a
+    // CALENDAR offset on the ORDER BY timestamp, so peers at the same
+    // date share one frame and gaps in the calendar shrink it. The DSL
+    // has no interval rangeBetween, so the frame is declared in SQL —
+    // same engine path (WindowExec with a RangeFrame bound). Revenue
+    // sums scaled longs INSIDE the frame and divides once (the Exact
+    // discipline applied to a window aggregate).
+    "q_window_range_interval" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .selectExpr("o_orderkey", "o_custkey", "o_orderdate",
+          "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
+            "RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW) AS n_3d",
+          "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER " +
+            "(PARTITION BY o_custkey ORDER BY o_orderdate " +
+            "RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW) / 100.0 " +
+            "AS rev_3d")
+        .orderBy(col("o_orderkey"))
+    },
+
     "q_topk_per_group" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -132,6 +153,17 @@ object Windows {
                             ORDER BY o_totalprice
                             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
                AS n_within_10k
+      FROM orders ORDER BY o_orderkey""",
+
+    "q_window_range_interval" -> """
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                            RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                            AND CURRENT ROW) AS n_3d,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)
+               / 100.0 AS rev_3d
       FROM orders ORDER BY o_orderkey""",
 
     "q_topk_per_group" -> """

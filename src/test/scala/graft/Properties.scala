@@ -103,6 +103,26 @@ object SparkProperties extends Properties("spark-ops") {
       }
     }
 
+  property("oriented wedge join == brute-force triangle enumeration") =
+    forAll(ccCase) { case (edges, _) =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val es = edges.toSet
+        // model: per-node triangle participation by direct enumeration
+        val nodes = es.flatMap { case (a, b) => Set(a, b) }.toList.sorted
+        val tris = for {
+          (i, ai) <- nodes.zipWithIndex; j <- nodes.drop(ai + 1)
+          if es((i, j)); k <- nodes.dropWhile(_ <= j)
+          if es((i, k)) && es((j, k))
+        } yield (i, j, k)
+        val model = nodes.map(n =>
+          n -> tris.count(t => t._1 == n || t._2 == n || t._3 == n).toLong).toMap
+        val got = graft.llm.Graph.trianglesOf(edges.toDF("doc_a", "doc_b"))
+          .select($"doc_id", $"n_tri").as[(Long, Long)].collect().toMap
+        got == model
+      }
+    }
+
   property("upsert is idempotent: applying a batch twice == once") =
     forAll(batch, batch) { (existRows, inRows) =>
       import spark.implicits._
