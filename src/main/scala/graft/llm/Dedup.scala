@@ -1062,6 +1062,58 @@ object Dedup {
     // candidates IS that family's verified output — one verification
     // chain scores every family. Still no all-pairs anywhere: truth is
     // only ever evaluated on banded candidates.
+    // MinHash estimator calibration: for every banded candidate pair,
+    // compare the K-signature agreement ESTIMATE (agree/K — what the
+    // incremental gate and dedup-at-ingest verdicts actually use) against
+    // the EXACT capped Jaccard, and report the absolute-error histogram in
+    // 0.1-wide bands. The audit that justifies K: a fat error tail means
+    // the K=16 estimator misclassifies near the 0.5 boundary and the
+    // banded gate needs either more rows or exact re-verification. Truth
+    // is evaluated ONLY on banded candidates (the family-recall caveat —
+    // never all-pairs); pairs sharing no capped shingle stay in-band with
+    // i = 0 via the left joins.
+    "q_llm_minhash_estimate" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val raw = shingleStreamOf(d).localCheckpoint()
+      val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
+      val sigs = sigsFromShingles(raw).localCheckpoint()
+      val cand = candidatesFromBands(bandsFromSigs(sigs).localCheckpoint())
+        .localCheckpoint()
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val ex = raw.join(cappedDfreq(dfreq, corpusCountOf(d)), "sg")
+        .join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("sg")).localCheckpoint()
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val co = ex.alias("a").join(ex.alias("b"),
+          col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val sa = sigs.select(
+        col("doc_id").as("doc_a") +: (0 until K).map(k => col(s"m$k").as(s"a$k")): _*)
+      val sb = sigs.select(
+        col("doc_id").as("doc_b") +: (0 until K).map(k => col(s"m$k").as(s"b$k")): _*)
+      val agreeExpr = (0 until K).map(k => s"IF(a$k = b$k, 1L, 0L)").mkString(" + ")
+      cand
+        .join(co, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.selectExpr("doc_id AS doc_a", "n AS na"), Seq("doc_a"), "left")
+        .join(sizes.selectExpr("doc_id AS doc_b", "n AS nb"), Seq("doc_b"), "left")
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .selectExpr("coalesce(i, 0L) AS i",
+          "coalesce(na, 0L) + coalesce(nb, 0L) - coalesce(i, 0L) AS u",
+          s"CAST($agreeExpr AS BIGINT) AS agree")
+        .selectExpr(s"agree * 1000000 DIV $K AS est_ppm",
+          "CASE WHEN u > 0 THEN i * 1000000 DIV u ELSE CAST(0 AS BIGINT) END AS true_ppm")
+        .selectExpr("est_ppm", "true_ppm", "abs(est_ppm - true_ppm) AS err_ppm")
+        .selectExpr("least(9L, err_ppm DIV 100000) AS err_band",
+          "est_ppm", "true_ppm")
+        .groupBy(col("err_band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(est_ppm) DIV count(*)").as("avg_est_ppm"),
+          expr("sum(true_ppm) DIV count(*)").as("avg_true_ppm"))
+        .orderBy(col("err_band"))
+    },
+
     "q_llm_dedup_family_recall" -> { (s, dir) =>
       val d = docs(s, dir)
       val raw = shingleStreamOf(d).localCheckpoint()
@@ -1284,7 +1336,51 @@ object Dedup {
     // the Store-checkpointed variant computes the identical result —
     // strategy is availability/cost, never semantics
     m + ("q_llm_dedup_groups_store" -> m("q_llm_dedup_groups")) +
-      ("q_llm_dedup_family_recall" -> familyRecallSql)
+      ("q_llm_dedup_family_recall" -> familyRecallSql) +
+      ("q_llm_minhash_estimate" -> minhashEstimateSql)
+  }
+
+  // Mirror of q_llm_minhash_estimate: the candidate/verification chain
+  // WITHOUT the >= 0.5 vpairs threshold (truth on every banded candidate),
+  // K-signature agreement from two sig self-joins, identical integer ppm
+  // and band arithmetic.
+  private def minhashEstimateSql: String = {
+    val agreeSum = (0 until K)
+      .map(k => s"(CASE WHEN x.m$k = y.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH ${candCtes("documents")},
+      ex AS (SELECT doc_id, unnest(shd) AS sg FROM shing),
+      dfreq AS (SELECT sg, count(*) AS f FROM ex GROUP BY sg),
+      exc AS (SELECT doc_id, sg FROM ex JOIN dfreq USING (sg)
+              WHERE f <= greatest($MaxDf,
+                (SELECT count(*) FROM documents) // $MaxDfRatio)),
+      szs AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY doc_id),
+      co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM exc a JOIN exc b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      base AS (
+        SELECT CAST(coalesce(co.i, 0) AS BIGINT) AS i,
+               CAST(coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                 - coalesce(co.i, 0) AS BIGINT) AS u,
+               CAST($agreeSum AS BIGINT) AS agree
+        FROM cpairs c
+        LEFT JOIN co ON co.doc_a = c.doc_a AND co.doc_b = c.doc_b
+        LEFT JOIN szs sa ON sa.doc_id = c.doc_a
+        LEFT JOIN szs sb ON sb.doc_id = c.doc_b
+        JOIN sig x ON x.doc_id = c.doc_a
+        JOIN sig y ON y.doc_id = c.doc_b),
+      ppm AS (
+        SELECT agree * 1000000 // $K AS est_ppm,
+               CASE WHEN u > 0 THEN i * 1000000 // u
+                    ELSE CAST(0 AS BIGINT) END AS true_ppm
+        FROM base),
+      e2 AS (
+        SELECT est_ppm, true_ppm, abs(est_ppm - true_ppm) AS err FROM ppm)
+      SELECT least(9, err // 100000) AS err_band, count(*) AS n_pairs,
+             CAST(sum(est_ppm) AS BIGINT) // count(*) AS avg_est_ppm,
+             CAST(sum(true_ppm) AS BIGINT) // count(*) AS avg_true_ppm
+      FROM e2 GROUP BY err_band ORDER BY err_band"""
   }
 
   // Mirror of q_llm_dedup_family_recall: one verification chain over the

@@ -425,10 +425,16 @@ object IncrementalDedup {
     Seq("src", "fps", "bands", "ckpt")
       .foreach(p => Sinks.truncate(s"$base/$p"))
 
+  /** Default fingerprint kernel: word-level SimHash. The media variant
+    * swaps in the byte-3-gram kernel (`graft_bytesimhash(text)`) — same
+    * 64-bit fingerprint contract, same store machinery. */
+  private[graft] val TextFpExpr = s"graft_simhash(${sparkWordHashes("text")})"
+  private[graft] val MediaFpExpr = "graft_bytesimhash(text)"
+
   /** (doc_id, simhash) of a batch — per-row compiled kernel work. */
-  private def simhashOfBatch(b: DataFrame): DataFrame = {
+  private def simhashOfBatch(b: DataFrame, fpExpr: String): DataFrame = {
     graft.functions.GraftFunctions.register(b.sparkSession)
-    b.selectExpr("doc_id", s"graft_simhash(${sparkWordHashes("text")}) AS simhash")
+    b.selectExpr("doc_id", s"$fpExpr AS simhash")
   }
 
   private def simhashBandsOf(fp: DataFrame): DataFrame = {
@@ -445,8 +451,10 @@ object IncrementalDedup {
     * (batch, batchId); a re-crawled doc's new fingerprint and band keys
     * replace its old ones. */
   private[graft] def simhashTick(s: SparkSession, batch: DataFrame, batchId: Long,
-                                 base: String): Unit = {
-    val fp = simhashOfBatch(batch.select(col("doc_id"), col("text"))).localCheckpoint()
+                                 base: String,
+                                 fpExpr: String = TextFpExpr): Unit = {
+    val fp = simhashOfBatch(batch.select(col("doc_id"), col("text")), fpExpr)
+      .localCheckpoint()
     Sinks.mergeByKeyBucket(s, s"$base/fps",
       fp.withColumn("_tick", lit(batchId)), "doc_id", Seq("_tick"))
     Sinks.mergeByKeyBucket(s, s"$base/bands",
@@ -498,12 +506,13 @@ object IncrementalDedup {
   /** Drain the file-stream of document batches through a simhash tick —
     * crash-safe resume via the checkpoint — then compact the band store. */
   private[graft] def runSimhashTicks(s: SparkSession, base: String,
-                                     schema: StructType): Unit = {
+                                     schema: StructType,
+                                     fpExpr: String = TextFpExpr): Unit = {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch((b: DataFrame, id: Long) => simhashTick(s, b, id, base))
+      .foreachBatch((b: DataFrame, id: Long) => simhashTick(s, b, id, base, fpExpr))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -746,6 +755,37 @@ object IncrementalDedup {
       simhashVerify(s, base)
     },
 
+    // Incremental maintenance for the MEDIA near-dup index: the same
+    // persisted fingerprint/band store as the text SimHash tier — byte
+    // fingerprints are corpus-independent, so fold ticks are the whole
+    // maintenance surface — with the byte-3-gram kernel
+    // (`graft_bytesimhash`) swapped in. New media assets fold in O(batch)
+    // kernel work; the payload store is never re-read. Oracle = the
+    // one-shot q_llm_media_neardup SQL — rebuild equivalence.
+    "q_llm_media_neardup_incremental" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/media_fp_inc"
+      simhashReset(base)
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.repartitionByRange(3, col("doc_id")).write.parquet(s"$base/src")
+      runSimhashTicks(s, base, d.schema, fpExpr = MediaFpExpr)
+      simhashVerify(s, base)
+    },
+
+    // GDPR delete through the media fingerprint index (a takedown notice
+    // against specific assets): build over 2 ticks, purge doc_id % 7 = 3
+    // from both keyed stores — removed assets can never candidate again
+    // and the capped bucket counts shrink. Oracle = one-shot media SQL
+    // over the kept corpus.
+    "q_llm_media_neardup_forget" -> { (s, dir) =>
+      val base = s"${Sinks.tmpBase}/media_fp_forget"
+      simhashReset(base)
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.repartitionByRange(2, col("doc_id")).write.parquet(s"$base/src")
+      runSimhashTicks(s, base, d.schema, fpExpr = MediaFpExpr)
+      simhashForget(s, base, d.where(col("doc_id") % 7 === 3))
+      simhashVerify(s, base)
+    },
+
     // The winnow family's incremental tier: 3 arrival batches fold into
     // the persisted per-doc fingerprint-set store (O(batch) window work
     // per tick, corpus never re-read), pairs served from the store via
@@ -874,6 +914,10 @@ object IncrementalDedup {
     "q_llm_groups_incremental" -> Dedup.oracleSql("q_llm_dedup_groups"),
     "q_llm_dedup_simhash_incremental" -> Dedup.duckSimhashPairsSql(),
     "q_llm_winnow_incremental" -> Dedup.duckWinnowPairsSql(),
+    "q_llm_media_neardup_incremental" -> Multimodal.duckMediaNearDupSql(),
+    "q_llm_media_neardup_forget" -> s"""
+      WITH kept AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+      ${Multimodal.duckMediaNearDupSql("kept").trim.stripPrefix("WITH")}""",
     // directional band join (new % 3 = 0 side vs old side) + component
     // agreement count over the shared full-corpus sig/bands CTEs; the
     // null arm is the left join back to every new doc

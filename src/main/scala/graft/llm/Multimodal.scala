@@ -368,20 +368,20 @@ object Multimodal {
         .orderBy(col("doc_id"))
     })
 
-  def oracleSql: Map[String, String] = Map(
-    // relational mirror of graft_bytesimhash + banding: byte array ->
-    // 3-gram shingle unnest -> 32 majority sums -> 4x8-bit bands ->
-    // hamming <= 3. Docs under 3 bytes have no 3-grams and fingerprint
-    // to 0 (the LEFT JOIN + coalesce arm).
-    "q_llm_media_neardup" -> {
-      val bandUnion = (0 until 4).map(bd =>
-        s"SELECT doc_id, $bd AS band_idx, (fp >> ${bd * 8}) & 255 AS band_key FROM fp")
-        .mkString("\n        UNION ALL ")
-      s"""
+  /** Relational mirror of graft_bytesimhash + banding over `src`: byte
+    * array -> 3-gram shingle unnest -> 32 majority sums -> 4x8-bit bands
+    * -> hamming <= 3. Docs under 3 bytes have no 3-grams and fingerprint
+    * to 0 (the LEFT JOIN + coalesce arm). Parameterized so the
+    * incremental/forget store entries can run it over a kept CTE. */
+  private[llm] def duckMediaNearDupSql(src: String = "documents"): String = {
+    val bandUnion = (0 until 4).map(bd =>
+      s"SELECT doc_id, $bd AS band_idx, (fp >> ${bd * 8}) & 255 AS band_key FROM fp")
+      .mkString("\n        UNION ALL ")
+    s"""
       WITH bv AS (
         SELECT doc_id,
                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS bs
-        FROM documents),
+        FROM $src),
       sg AS (
         SELECT doc_id, unnest(${XHash.duckShingles("bs")}) AS h
         FROM bv WHERE len(bs) >= 3),
@@ -392,10 +392,10 @@ object Multimodal {
       fp0 AS (SELECT doc_id, ${Dedup.simhashVal} AS fp FROM bitsums),
       fp AS (
         SELECT d.doc_id, coalesce(f.fp, CAST(0 AS BIGINT)) AS fp
-        FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.doc_id),
+        FROM $src d LEFT JOIN fp0 f ON d.doc_id = f.doc_id),
       bands AS (
         $bandUnion),
-      ${Dedup.duckCapBandCtes("documents")},
+      ${Dedup.duckCapBandCtes(src)},
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bkept a JOIN bkept b
@@ -408,7 +408,10 @@ object Multimodal {
       JOIN fp fb ON fb.doc_id = doc_b
       WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
       ORDER BY doc_a, doc_b"""
-    },
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_llm_media_neardup" -> duckMediaNearDupSql(),
 
     // frame slices via unnest(range), same ceil(len/100) frame count,
     // same df window [2, greatest(50, N DIV 100)], same exact per-frame

@@ -400,6 +400,58 @@ object Analytics {
             "ELSE 'normal' END AS verdict")
         .orderBy(col("d"))
     },
+    // Rolling active users: per day, the exact distinct-user count for
+    // the day (DAU) and the trailing 7-day window (WAU), plus the
+    // DAU/WAU stickiness ratio — the engagement report every product
+    // pipeline ships. Exact sliding DISTINCT doesn't fold into a window
+    // aggregate (distinct isn't subtractable), so the honest shape is:
+    // contract events to (user, day) ONCE (the only corpus-sized agg),
+    // then EXPLODE each row into the 7 window-ends it contributes to and
+    // re-distinct — a bounded 7× fan-out of the already-contracted
+    // table, never of raw events, and never a range join. (The
+    // approximate path at extreme scale
+    // is per-day HLL sketch union — q_agg_sketch_lifecycle — traded
+    // here for exactness.)
+    "q_rolling_active_users" -> { (s, dir) =>
+      val ud = ev(s, dir)
+        .selectExpr("user_id", "CAST(ts AS DATE) AS d").distinct()
+        .localCheckpoint() // feeds the spine, DAU, and the window fan-out
+      val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      // each (user, day) contributes to the 7 window-ends d..d+6: a pure
+      // bounded-fan-out projection (no range join); window-ends past the
+      // observed calendar are dropped by the spine semi join
+      val wau = ud
+        .selectExpr("user_id", "explode(sequence(d, date_add(d, 6))) AS d")
+        .distinct()
+        .join(ud.select(col("d")).distinct(), Seq("d"), "left_semi")
+        .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "d")
+        .selectExpr("d", "dau", "wau", "dau * 1000000 DIV wau AS stickiness_ppm")
+        .orderBy(col("d"))
+    },
+
+    // k-anonymity / l-diversity privacy audit: group the customer table
+    // by its quasi-identifier tuple (nation, segment, coarse balance
+    // band) and flag equivalence classes smaller than k = 5 — each such
+    // row is re-identifiable by an attacker who knows the QI values —
+    // plus the class's distinct-sensitive-value count (l-diversity on
+    // the balance cents: a class where everyone shares one sensitive
+    // value leaks it even at k-anonymous size). One hash aggregation;
+    // the release/no-release verdict is pure integer comparison.
+    "q_privacy_kanon" -> { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .selectExpr("c_nationkey", "c_mktsegment",
+          "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band",
+          "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("cents")).as("l_distinct"))
+        .selectExpr("c_nationkey", "c_mktsegment", "bal_band", "class_size",
+          "l_distinct",
+          "CASE WHEN class_size < 5 THEN 'reidentifiable' " +
+            "WHEN l_distinct < 2 THEN 'homogeneous' ELSE 'ok' END AS verdict")
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+    },
     "q_cohort_retention" -> ((s, dir) => cohortRetention(ev(s, dir))),
     "q_entity_resolution" -> ((s, dir) =>
       entityResolution(Tables.load(s, dir, "customer")
@@ -616,6 +668,45 @@ object Analytics {
       SELECT c_custkey, entity,
              count(*) OVER (PARTITION BY entity) AS n_members
       FROM ent ORDER BY c_custkey""",
+
+    // mirror of q_rolling_active_users: same contract-then-fan-out shape;
+    // generate_series(d, d+6) == Spark sequence(d, date_add(d, 6))
+    "q_rolling_active_users" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+      spine AS (SELECT DISTINCT d FROM ud),
+      wexp AS (
+        SELECT DISTINCT user_id, CAST(wd AS DATE) AS d FROM (
+          SELECT user_id,
+                 unnest(generate_series(CAST(d AS TIMESTAMP),
+                   CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                   INTERVAL 1 DAY)) AS wd
+          FROM ud)),
+      wau AS (
+        SELECT w.d, count(*) AS wau
+        FROM wexp w JOIN spine USING (d) GROUP BY w.d)
+      SELECT d, dau, wau, dau * 1000000 // wau AS stickiness_ppm
+      FROM dau JOIN wau USING (d) ORDER BY d""",
+
+    // mirror of q_privacy_kanon: identical QI tuple, band, cents, and
+    // integer verdict boundaries
+    "q_privacy_kanon" -> """
+      WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        FROM customer),
+      g AS (
+        SELECT c_nationkey, c_mktsegment, bal_band,
+               count(*) AS class_size,
+               count(DISTINCT cents) AS l_distinct
+        FROM q GROUP BY 1, 2, 3)
+      SELECT c_nationkey, c_mktsegment, bal_band, class_size, l_distinct,
+             CASE WHEN class_size < 5 THEN 'reidentifiable'
+                  WHEN l_distinct < 2 THEN 'homogeneous'
+                  ELSE 'ok' END AS verdict
+      FROM g ORDER BY c_nationkey, c_mktsegment, bal_band""",
 
     // mirror of q_anomaly_seasonal: isodow == Spark weekday()+1, same
     // leave-one-out integer comparisons
