@@ -42,6 +42,24 @@ object Retrieval {
   /** BM25 shape parameters (standard Robertson defaults). */
   val K1 = 1.2
   val B = 0.75
+
+  /** Late-interaction (MaxSim) shape: [[LiDim]]-dim deterministic token
+    * vectors, [[LiQ]] pseudo-queries, [[LiCand]] lexical-prefilter
+    * candidates re-ranked per query. */
+  val LiDim = 8
+  val LiQ = 4
+  val LiCand = 50
+
+  /** Integer dot product of the deterministic [[LiDim]]-dim token vectors
+    * of two token hashes — component j is `((A_j·h + B_j) % P) % 7 − 3`
+    * (small ints centered on 0, derived from the MinHash permutation
+    * constants). One SQL text valid in BOTH engines: every operand is a
+    * non-negative long before the subtraction, so `%` agrees. */
+  private def liDot(a: String, b: String): String =
+    (0 until LiDim).map { j =>
+      s"((((${XHash.A(j)} * $a + ${XHash.B(j)}) % ${XHash.P}) % 7 - 3) * " +
+        s"(((${XHash.A(j)} * $b + ${XHash.B(j)}) % ${XHash.P}) % 7 - 3))"
+    }.mkString(" + ")
   /** Pseudo-query docs: doc_id < QMax. */
   val QMax = 8
   /** Per-arm candidate depth feeding RRF. */
@@ -169,6 +187,57 @@ object Retrieval {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // Late-interaction retrieval (ColBERT-style MaxSim): score(q, d) =
+    // Σ over q's tokens of the MAX token-vector dot product against d's
+    // tokens — token-level matching that credits partial phrase overlap
+    // where BM25's bag-of-words and the doc-vector cosine arm both
+    // average it away. Token vectors here are deterministic LiDim-dim
+    // integer vectors derived from the token hash (the operator shape is
+    // the point; swap in learned vectors and nothing else changes).
+    // Scale shape = the production two-stage serve: candidates come from
+    // a LEXICAL PREFILTER (shared df-capped tokens, top-LiCand per query
+    // by overlap count — an inverted-index join, never corpus×queries),
+    // and only the ≤ LiQ × LiCand survivors pay the |q_tok| × |d_tok|
+    // MaxSim join. All-integer scoring ⇒ bit-exact oracle.
+    "q_llm_late_interaction" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val toks = docs(s, dir)
+        .selectExpr("doc_id", s"explode(${sparkWordHashes("text")}) AS h")
+        .distinct().localCheckpoint()
+      val nd = toks.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs"))
+      val capped = toks.groupBy(col("h")).agg(count(lit(1)).as("f"))
+        .crossJoin(broadcast(nd)).where(expr("f <= n_docs DIV 2"))
+        .select(col("h"))
+      val tc = toks.join(capped, "h").localCheckpoint()
+      val qt = tc.where(col("doc_id") < LiQ)
+        .select(col("doc_id").as("q_id"), col("h").as("qh"))
+      val cand = tc.join(broadcast(qt), col("h") === col("qh"))
+        .where(col("doc_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("n_shared").desc, col("doc_id"))))
+        .where(col("rn") <= LiCand)
+        .select(col("q_id"), col("doc_id"), col("n_shared"))
+        .localCheckpoint()
+      val pairs = cand
+        .join(qt, "q_id")
+        .join(tc.select(col("doc_id"), col("h").as("dh")), "doc_id")
+        .selectExpr("q_id", "doc_id", "n_shared", "qh",
+          s"${liDot("qh", "dh")} AS dp")
+      val ms = pairs.groupBy(col("q_id"), col("doc_id"), col("n_shared"), col("qh"))
+        .agg(max(col("dp")).as("m"))
+        .groupBy(col("q_id"), col("doc_id"), col("n_shared"))
+        .agg(sum(col("m")).as("maxsim"))
+      ms.withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("maxsim").desc, col("doc_id"))))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("doc_id"), col("maxsim"),
+          col("n_shared"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // Per-source distinctive vocabulary by TF-IDF: tf = total occurrences
     // of the term within the source, idf = ln(n_docs / df) over the whole
     // corpus, top-5 terms per source — the "what is this slice actually
@@ -292,6 +361,47 @@ object Retrieval {
              CAST(rank_b IS NOT NULL AS INT) AS in_lex,
              CAST(rank_a IS NOT NULL AS INT) AS in_sem
       FROM rr WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // mirror of q_llm_late_interaction: identical distinct-token /
+    // df-cap / prefilter / MaxSim chain, the same unrolled integer dot
+    "q_llm_late_interaction" -> s"""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, h FROM (
+          SELECT doc_id, unnest(${duckWordHashes("text")}) AS h FROM documents)),
+      nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+      capped AS (
+        SELECT h FROM (SELECT h, count(*) AS f FROM toks GROUP BY h), nd
+        WHERE f <= n_docs // 2),
+      tc AS (SELECT toks.* FROM toks JOIN capped USING (h)),
+      qt AS (SELECT doc_id AS q_id, h AS qh FROM tc WHERE doc_id < $LiQ),
+      cand AS (
+        SELECT q_id, doc_id, n_shared FROM (
+          SELECT q_id, doc_id, count(*) AS n_shared,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY count(*) DESC, doc_id) AS rn
+          FROM tc JOIN qt ON tc.h = qt.qh
+          WHERE tc.doc_id <> qt.q_id
+          GROUP BY q_id, doc_id)
+        WHERE rn <= $LiCand),
+      pairs AS (
+        SELECT c.q_id, c.doc_id, c.n_shared, q.qh,
+               ${liDot("q.qh", "d.h")} AS dp
+        FROM cand c
+        JOIN qt q ON q.q_id = c.q_id
+        JOIN tc d ON d.doc_id = c.doc_id),
+      permax AS (
+        SELECT q_id, doc_id, n_shared, qh, max(dp) AS m
+        FROM pairs GROUP BY q_id, doc_id, n_shared, qh),
+      ms AS (
+        SELECT q_id, doc_id, n_shared, CAST(sum(m) AS BIGINT) AS maxsim
+        FROM permax GROUP BY q_id, doc_id, n_shared),
+      r AS (
+        SELECT q_id, doc_id, maxsim, n_shared,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY maxsim DESC, doc_id) AS INT) AS rank
+        FROM ms)
+      SELECT q_id, rank, doc_id, maxsim, n_shared
+      FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
 
     // mirror of q_llm_tfidf_terms: same postings/df tables, same stop cap,
     // identical tf·ln(n_docs/f) operand order scaled at 6 decimals

@@ -65,6 +65,34 @@ object Sinks {
     * Readers see the old table or the new one, never a partial batch; a
     * crash between the two renames is healed by [[recover]] on the next
     * write (or by any caller invoking it at startup). */
+  /** Publish a SET of tables as one atomic unit: every table's data lands
+    * under `base/tables/<name>/v_<version>` first, then the one-line
+    * MANIFEST pointer swaps via temp-write + atomic rename. A crash
+    * anywhere before the swap leaves readers on the previous complete
+    * set; after it, on the new complete set — never a cross-version mix
+    * (the guarantee per-table [[writeAtomic]] cannot give across tables). */
+  def publishSet(s: SparkSession, base: String, version: Long,
+                 tables: Map[String, DataFrame]): Unit = {
+    tables.foreach { case (name, df) =>
+      val dest = s"$base/tables/$name/v_$version"
+      deleteRec(dest)
+      df.write.mode("overwrite").parquet(dest)
+    }
+    Files.createDirectories(Paths.get(base))
+    val tmp = Paths.get(s"$base/MANIFEST.tmp")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, Paths.get(s"$base/MANIFEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Current committed version of a [[publishSet]] store. */
+  def manifestVersion(base: String): Long =
+    Files.readString(Paths.get(s"$base/MANIFEST")).trim.toLong
+
+  /** Read one table of the committed set — always the manifest's version. */
+  def readSet(s: SparkSession, base: String, name: String): DataFrame =
+    s.read.parquet(s"$base/tables/$name/v_${manifestVersion(base)}")
+
   def writeAtomic(df: DataFrame, dest: String, partitionCols: Seq[String] = Nil): Unit = {
     val destPath = Paths.get(dest)
     Files.createDirectories(destPath.getParent)
@@ -634,6 +662,43 @@ object Sinks {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Multi-table ATOMIC publish: two summary tables committed as ONE
+    // versioned set behind a manifest pointer — the cross-table
+    // consistency writeAtomic can't give (two independent table swaps
+    // have a window where readers see new A with old B; a report joining
+    // them silently mixes versions). Publish writes every table's
+    // v_<N> directory FIRST and swaps the one-line MANIFEST last, so
+    // readers resolve the pointer and see either the complete old set or
+    // the complete new set — never a mix. The entry publishes v1 and v2,
+    // then simulates a CRASHED v3 (one table's data written, manifest
+    // never updated): the read-through still serves the consistent v2
+    // set, which is exactly what the oracle expects. Orphaned version
+    // dirs are garbage, not corruption — a janitor deletes dirs above
+    // the manifest pointer.
+    "q_sink_multi_atomic" -> { (s, dir) =>
+      val base = s"$tmpBase/multi_atomic"
+      truncate(base)
+      val or = Tables.load(s, dir, "orders")
+      def stats(src: org.apache.spark.sql.DataFrame, key: String) =
+        src.groupBy(col(key).as("k"))
+          .agg(count(lit(1)).as("n"), sumFix(col("o_totalprice"), 2).as("total"))
+      publishSet(s, base, 1L, Map(
+        "by_status" -> stats(or.where(year(col("o_orderdate")) < 1997), "o_orderstatus"),
+        "by_prio" -> stats(or.where(year(col("o_orderdate")) < 1997), "o_orderpriority")))
+      publishSet(s, base, 2L, Map(
+        "by_status" -> stats(or, "o_orderstatus"),
+        "by_prio" -> stats(or, "o_orderpriority")))
+      // crashed v3: one table written, manifest never swapped
+      stats(or.where(col("o_totalprice") > 200000), "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$base/tables/by_status/v_3")
+      val v = manifestVersion(base)
+      readSet(s, base, "by_status").selectExpr("'by_status' AS tbl", "k", "n", "total")
+        .unionByName(readSet(s, base, "by_prio")
+          .selectExpr("'by_prio' AS tbl", "k", "n", "total"))
+        .withColumn("v", lit(v))
+        .orderBy(col("tbl"), col("k"))
+    },
+
     // O11: write, truncate, re-write a subset; result reflects only the
     // post-truncate state.
     "q_sink_truncate" -> { (s, dir) =>
@@ -931,6 +996,19 @@ object Sinks {
       SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value
       FROM events WHERE event_type IN ('click', 'view')
       GROUP BY event_type ORDER BY event_type""",
+
+    // the consistent v2 set: both tables over ALL orders, version 2 —
+    // the crashed partial v3 must be invisible
+    "q_sink_multi_atomic" -> s"""
+      SELECT * FROM (
+        SELECT 'by_prio' AS tbl, o_orderpriority AS k, count(*) AS n,
+               ${sqlSumFix("o_totalprice", 2)} AS total, CAST(2 AS BIGINT) AS v
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'by_status', o_orderstatus, count(*),
+               ${sqlSumFix("o_totalprice", 2)}, CAST(2 AS BIGINT)
+        FROM orders GROUP BY o_orderstatus)
+      ORDER BY tbl, k""",
 
     "q_sink_atomic_overwrite" -> s"""
       SELECT o_orderstatus, count(*) AS n, ${sqlSumFix("o_totalprice", 2)} AS total

@@ -39,7 +39,8 @@ class PlanShapeSpec extends SparkSpec {
         "q_llm_dedup_containment", "q_llm_winnow_dedup", "q_llm_lm_trigram",
         "q_llm_memorization", "q_llm_soft_dedup", "q_llm_pmi_terms",
         "q_llm_repeat_plan", "q_llm_novelty_curve", "q_llm_graph_triangles",
-        "q_llm_minhash_estimate", "q_llm_ccnet_buckets")) {
+        "q_llm_minhash_estimate", "q_llm_ccnet_buckets",
+        "q_llm_late_interaction")) {
       assert(!plan(q).contains("CartesianProduct"), s"cartesian in $q")
     }
   }

@@ -339,4 +339,27 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("par"))
     assert(pruned.count() === 50)
   }
+
+  test("publishSet: readers never see a cross-version mix; republish idempotent") {
+    import spark.implicits._
+    val dest = s"$base/multiset"
+    Sinks.truncate(dest)
+    def tbls(v: String) = Map(
+      "a" -> Seq((1, v)).toDF("k", "v"),
+      "b" -> Seq((2, v)).toDF("k", "v"))
+    Sinks.publishSet(spark, dest, 1L, tbls("one"))
+    // mid-publish crash: v2 data for BOTH tables is on disk, but the
+    // manifest was never swapped — readers must stay on the complete v1
+    tbls("two").foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$dest/tables/$n/v_2") }
+    assert(Sinks.manifestVersion(dest) === 1L)
+    assert(Sinks.readSet(spark, dest, "a").as[(Int, String)].head() === ((1, "one")))
+    assert(Sinks.readSet(spark, dest, "b").as[(Int, String)].head() === ((2, "one")))
+    // completed publish flips both at once; replaying it is a no-op
+    Sinks.publishSet(spark, dest, 2L, tbls("two"))
+    Sinks.publishSet(spark, dest, 2L, tbls("two"))
+    assert(Sinks.manifestVersion(dest) === 2L)
+    assert(Sinks.readSet(spark, dest, "a").as[(Int, String)].head() === ((1, "two")))
+    assert(Sinks.readSet(spark, dest, "b").as[(Int, String)].head() === ((2, "two")))
+  }
 }
