@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -400,6 +401,62 @@ object Analytics {
             "ELSE 'normal' END AS verdict")
         .orderBy(col("d"))
     },
+    // Last-touch attribution: every purchase attributed to the latest
+    // preceding click by the same user within a 7-day lookback — the
+    // marketing-attribution join. Shape: ONE per-user event timeline
+    // with a forward-carried "last click so far" window (the ffill
+    // pattern — max over the preceding frame), then a per-purchase
+    // window test; linear, no range join, no per-purchase subquery.
+    // Ties at the same timestamp resolve by event_id in the ORDER BY.
+    "q_attribution_last_touch" -> { (s, dir) =>
+      val e = ev(s, dir).where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_click_ts",
+          max(when(col("event_type") === "click", col("ts"))).over(w))
+        .where(col("event_type") === "purchase")
+        .selectExpr("user_id", "event_id AS purchase_id", "ts AS purchase_ts",
+          "CASE WHEN last_click_ts IS NOT NULL AND " +
+            "last_click_ts >= ts - INTERVAL 7 DAYS THEN last_click_ts END " +
+            "AS attributed_click_ts")
+        .selectExpr("user_id", "purchase_id", "purchase_ts",
+          "attributed_click_ts",
+          "CASE WHEN attributed_click_ts IS NULL THEN 'organic' " +
+            "ELSE 'attributed' END AS attribution",
+          // exact microsecond subtraction, then integer seconds — a
+          // date_diff('second') would count boundary crossings instead
+          "CASE WHEN attributed_click_ts IS NULL THEN CAST(NULL AS BIGINT) " +
+            "ELSE (unix_micros(CAST(purchase_ts AS TIMESTAMP)) - " +
+            "unix_micros(CAST(attributed_click_ts AS TIMESTAMP))) " +
+            "DIV 1000000 END AS lag_seconds")
+        .orderBy(col("purchase_id"))
+    },
+
+    // Event-transition matrix: for each user's time-ordered event
+    // sequence, count (event_type -> next event_type) transitions and
+    // their share of the source type's outgoing mass — the Markov-chain
+    // view of product flows (which screens lead where; the input to
+    // next-step prediction and funnel DESIGN, where q_funnel measures a
+    // funnel already chosen). One lead() window over per-user
+    // partitions + one hash agg; ppm shares in exact integers.
+    "q_event_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wsrc = Window.partitionBy(col("from_type"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("from_total", sum(col("n")).over(wsrc))
+        .selectExpr("from_type", "to_type", "n",
+          "n * 1000000 DIV from_total AS share_ppm")
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     // Rolling active users: per day, the exact distinct-user count for
     // the day (DAU) and the trailing 7-day window (WAU), plus the
     // DAU/WAU stickiness ratio — the engagement report every product
@@ -668,6 +725,49 @@ object Analytics {
       SELECT c_custkey, entity,
              count(*) OVER (PARTITION BY entity) AS n_members
       FROM ent ORDER BY c_custkey""",
+
+    // mirror of q_attribution_last_touch: same carry-forward window and
+    // lookback test; epoch_us == Spark unix_micros
+    "q_attribution_last_touch" -> """
+      WITH e AS (
+        SELECT user_id, event_id, ts, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      c AS (
+        SELECT *, max(CASE WHEN event_type = 'click' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS last_click_ts
+        FROM e),
+      p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               CASE WHEN last_click_ts IS NOT NULL
+                     AND last_click_ts >= ts - INTERVAL 7 DAY
+                    THEN last_click_ts END AS attributed_click_ts
+        FROM c WHERE event_type = 'purchase')
+      SELECT user_id, purchase_id, purchase_ts, attributed_click_ts,
+             CASE WHEN attributed_click_ts IS NULL THEN 'organic'
+                  ELSE 'attributed' END AS attribution,
+             CASE WHEN attributed_click_ts IS NULL THEN CAST(NULL AS BIGINT)
+                  ELSE (epoch_us(purchase_ts) - epoch_us(attributed_click_ts))
+                       // 1000000 END AS lag_seconds
+      FROM p ORDER BY purchase_id""",
+
+    // mirror of q_event_transitions: same lead() pairs and ppm shares
+    "q_event_transitions" -> """
+      WITH nx AS (
+        SELECT event_type AS from_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_type
+        FROM events),
+      t AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM nx WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type),
+      tt AS (
+        SELECT from_type, to_type, n,
+               CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total
+        FROM t)
+      SELECT from_type, to_type, n, n * 1000000 // from_total AS share_ppm
+      FROM tt ORDER BY from_type, to_type""",
 
     // mirror of q_rolling_active_users: same contract-then-fan-out shape;
     // generate_series(d, d+6) == Spark sequence(d, date_add(d, 6))
