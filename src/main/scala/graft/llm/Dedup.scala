@@ -1073,35 +1073,7 @@ object Dedup {
     // never all-pairs); pairs sharing no capped shingle stay in-band with
     // i = 0 via the left joins.
     "q_llm_minhash_estimate" -> { (s, dir) =>
-      val d = docs(s, dir)
-      val raw = shingleStreamOf(d).localCheckpoint()
-      val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
-      val sigs = sigsFromShingles(raw).localCheckpoint()
-      val cand = candidatesFromBands(bandsFromSigs(sigs).localCheckpoint())
-        .localCheckpoint()
-      val candDocs = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val ex = raw.join(cappedDfreq(dfreq, corpusCountOf(d)), "sg")
-        .join(candDocs, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("sg")).localCheckpoint()
-      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val co = ex.alias("a").join(ex.alias("b"),
-          col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      val sa = sigs.select(
-        col("doc_id").as("doc_a") +: (0 until K).map(k => col(s"m$k").as(s"a$k")): _*)
-      val sb = sigs.select(
-        col("doc_id").as("doc_b") +: (0 until K).map(k => col(s"m$k").as(s"b$k")): _*)
-      val agreeExpr = (0 until K).map(k => s"IF(a$k = b$k, 1L, 0L)").mkString(" + ")
-      cand
-        .join(co, Seq("doc_a", "doc_b"), "left")
-        .join(sizes.selectExpr("doc_id AS doc_a", "n AS na"), Seq("doc_a"), "left")
-        .join(sizes.selectExpr("doc_id AS doc_b", "n AS nb"), Seq("doc_b"), "left")
-        .join(sa, "doc_a").join(sb, "doc_b")
-        .selectExpr("coalesce(i, 0L) AS i",
-          "coalesce(na, 0L) + coalesce(nb, 0L) - coalesce(i, 0L) AS u",
-          s"CAST($agreeExpr AS BIGINT) AS agree")
+      estimatorPairsOf(s, dir)
         .selectExpr(s"agree * 1000000 DIV $K AS est_ppm",
           "CASE WHEN u > 0 THEN i * 1000000 DIV u ELSE CAST(0 AS BIGINT) END AS true_ppm")
         .selectExpr("est_ppm", "true_ppm", "abs(est_ppm - true_ppm) AS err_ppm")
@@ -1112,6 +1084,35 @@ object Dedup {
           expr("sum(est_ppm) DIV count(*)").as("avg_est_ppm"),
           expr("sum(true_ppm) DIV count(*)").as("avg_true_ppm"))
         .orderBy(col("err_band"))
+    },
+
+    // b-bit MinHash (Li & König '10): store only the lowest b bits of
+    // each of the K hash values — 1/32nd the signature bytes at b=2 —
+    // and correct the inflated collision rate analytically:
+    // E[agree_b/K] = J + (1−J)/2^b ⇒ Ĵ_b = (2^b·agree_b − K) /
+    // ((2^b − 1)·K). The space-accuracy audit run before shrinking a
+    // planet-scale signature store: per banded candidate pair, the
+    // absolute error of the full-width, b=2, and b=1 estimators against
+    // exact capped Jaccard, in exact integer ppm (truncating division
+    // agrees on negatives in both engines). One pairs table feeds all
+    // three estimators; candidates only ever come from bands.
+    "q_llm_minhash_bbit" -> { (s, dir) =>
+      estimatorPairsOf(s, dir)
+        .selectExpr(
+          "CASE WHEN u > 0 THEN i * 1000000 DIV u ELSE CAST(0 AS BIGINT) END AS true_ppm",
+          s"agree * 1000000 DIV $K AS est_full",
+          s"(4 * agree_b2 - $K) * 1000000 DIV (3 * $K) AS est_b2",
+          s"(2 * agree_b1 - $K) * 1000000 DIV $K AS est_b1")
+        .selectExpr("true_ppm",
+          "stack(3, 'full', CAST(30 AS INT), est_full, " +
+            "'b2', CAST(2 AS INT), est_b2, " +
+            "'b1', CAST(1 AS INT), est_b1) AS (estimator, bits, est_ppm)")
+        .selectExpr("estimator", "bits", "abs(est_ppm - true_ppm) AS err_ppm")
+        .groupBy(col("estimator"), col("bits"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(err_ppm) DIV count(*)").as("avg_err_ppm"),
+          max(col("err_ppm")).as("max_err_ppm"))
+        .orderBy(col("estimator"))
     },
 
     "q_llm_dedup_family_recall" -> { (s, dir) =>
@@ -1337,18 +1338,62 @@ object Dedup {
     // strategy is availability/cost, never semantics
     m + ("q_llm_dedup_groups_store" -> m("q_llm_dedup_groups")) +
       ("q_llm_dedup_family_recall" -> familyRecallSql) +
-      ("q_llm_minhash_estimate" -> minhashEstimateSql)
+      ("q_llm_minhash_estimate" -> minhashEstimateSql) +
+      ("q_llm_minhash_bbit" -> minhashBbitSql)
+  }
+
+  /** Shared base of the estimator-calibration entries: every banded
+    * candidate pair with exact intersection/union sizes over the capped
+    * shingle universe (NO ≥ 0.5 threshold — truth on every candidate)
+    * and the K-component agreement counts at full width, b = 2, and
+    * b = 1. Pairs sharing no capped shingle stay in-band (i = 0). */
+  private def estimatorPairsOf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val raw = shingleStreamOf(d).localCheckpoint()
+    val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
+    val sigs = sigsFromShingles(raw).localCheckpoint()
+    val cand = candidatesFromBands(bandsFromSigs(sigs).localCheckpoint())
+      .localCheckpoint()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val ex = raw.join(cappedDfreq(dfreq, corpusCountOf(d)), "sg")
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("sg")).localCheckpoint()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = ex.alias("a").join(ex.alias("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val sa = sigs.select(
+      col("doc_id").as("doc_a") +: (0 until K).map(k => col(s"m$k").as(s"a$k")): _*)
+    val sb = sigs.select(
+      col("doc_id").as("doc_b") +: (0 until K).map(k => col(s"m$k").as(s"b$k")): _*)
+    def agreeOf(mask: String): String = (0 until K)
+      .map(k => s"IF((a$k$mask) = (b$k$mask), 1L, 0L)").mkString(" + ")
+    cand
+      .join(co, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.selectExpr("doc_id AS doc_a", "n AS na"), Seq("doc_a"), "left")
+      .join(sizes.selectExpr("doc_id AS doc_b", "n AS nb"), Seq("doc_b"), "left")
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .selectExpr("coalesce(i, 0L) AS i",
+        "coalesce(na, 0L) + coalesce(nb, 0L) - coalesce(i, 0L) AS u",
+        s"CAST(${agreeOf("")} AS BIGINT) AS agree",
+        s"CAST(${agreeOf(" & 3")} AS BIGINT) AS agree_b2",
+        s"CAST(${agreeOf(" & 1")} AS BIGINT) AS agree_b1")
   }
 
   // Mirror of q_llm_minhash_estimate: the candidate/verification chain
   // WITHOUT the >= 0.5 vpairs threshold (truth on every banded candidate),
   // K-signature agreement from two sig self-joins, identical integer ppm
   // and band arithmetic.
-  private def minhashEstimateSql: String = {
-    val agreeSum = (0 until K)
-      .map(k => s"(CASE WHEN x.m$k = y.m$k THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""
-      WITH ${candCtes("documents")},
+  /** The estimator entries' shared oracle prefix: candidate pairs with
+    * exact i/u and the three agreement counts — mirror of
+    * [[estimatorPairsOf]]. Ends with the `base` CTE. */
+  private def estimatorBaseCtes: String = {
+    def agreeSum(mask: String) = (0 until K)
+      .map(k => s"(CASE WHEN (x.m$k$mask) = (y.m$k$mask) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""${candCtes("documents")},
       ex AS (SELECT doc_id, unnest(shd) AS sg FROM shing),
       dfreq AS (SELECT sg, count(*) AS f FROM ex GROUP BY sg),
       exc AS (SELECT doc_id, sg FROM ex JOIN dfreq USING (sg)
@@ -1363,13 +1408,43 @@ object Dedup {
         SELECT CAST(coalesce(co.i, 0) AS BIGINT) AS i,
                CAST(coalesce(sa.n, 0) + coalesce(sb.n, 0)
                  - coalesce(co.i, 0) AS BIGINT) AS u,
-               CAST($agreeSum AS BIGINT) AS agree
+               CAST(${agreeSum("")} AS BIGINT) AS agree,
+               CAST(${agreeSum(" & 3")} AS BIGINT) AS agree_b2,
+               CAST(${agreeSum(" & 1")} AS BIGINT) AS agree_b1
         FROM cpairs c
         LEFT JOIN co ON co.doc_a = c.doc_a AND co.doc_b = c.doc_b
         LEFT JOIN szs sa ON sa.doc_id = c.doc_a
         LEFT JOIN szs sb ON sb.doc_id = c.doc_b
         JOIN sig x ON x.doc_id = c.doc_a
-        JOIN sig y ON y.doc_id = c.doc_b),
+        JOIN sig y ON y.doc_id = c.doc_b)"""
+  }
+
+  // Mirror of q_llm_minhash_bbit: same base, the three estimators'
+  // absolute errors vs exact Jaccard, stacked and aggregated.
+  private def minhashBbitSql: String = s"""
+      WITH $estimatorBaseCtes,
+      per AS (
+        SELECT CASE WHEN u > 0 THEN i * 1000000 // u
+                    ELSE CAST(0 AS BIGINT) END AS true_ppm,
+               agree * 1000000 // $K AS est_full,
+               (4 * agree_b2 - $K) * 1000000 // (3 * $K) AS est_b2,
+               (2 * agree_b1 - $K) * 1000000 // $K AS est_b1
+        FROM base),
+      stacked AS (
+        SELECT 'full' AS estimator, CAST(30 AS INT) AS bits,
+               abs(est_full - true_ppm) AS err_ppm FROM per
+        UNION ALL
+        SELECT 'b2', CAST(2 AS INT), abs(est_b2 - true_ppm) FROM per
+        UNION ALL
+        SELECT 'b1', CAST(1 AS INT), abs(est_b1 - true_ppm) FROM per)
+      SELECT estimator, bits, count(*) AS n_pairs,
+             CAST(sum(err_ppm) AS BIGINT) // count(*) AS avg_err_ppm,
+             max(err_ppm) AS max_err_ppm
+      FROM stacked GROUP BY estimator, bits ORDER BY estimator"""
+
+  private def minhashEstimateSql: String = {
+    s"""
+      WITH $estimatorBaseCtes,
       ppm AS (
         SELECT agree * 1000000 // $K AS est_ppm,
                CASE WHEN u > 0 THEN i * 1000000 // u

@@ -178,6 +178,37 @@ object Aggregates {
         .orderBy(col("event_type"))
     },
 
+    // Approximate set INTERSECTION from mergeable sketches: HLL unions
+    // compose, intersections don't — the standard serve is
+    // inclusion-exclusion over three union-able sketches:
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B). The audit every sketch-backed
+    // overlap dashboard needs ("how many customers ordered under BOTH
+    // statuses?") without ever re-scanning raw data: the two per-slice
+    // sketches are built once and the cross-slice answer is pure sketch
+    // algebra. Estimates are engine-specific ⇒ the established
+    // bounded-error contract: exact payloads + a boolean the oracle pins
+    // (inclusion-exclusion compounds the per-sketch error ~3×, so the
+    // bound is 10% of the UNION size, the quantity the subtraction
+    // actually perturbs).
+    "q_agg_sketch_intersect" -> { (s, dir) =>
+      val or = t(s, dir, "orders")
+      def side(st: String) = or.where(col("o_orderstatus") === st)
+        .agg(expr("hll_sketch_agg(o_custkey, 14)").as(s"sk_$st"),
+          countDistinct(col("o_custkey")).as(s"n_$st"))
+      val exact = or.where(col("o_orderstatus") === "F")
+        .select(col("o_custkey")).intersect(
+          or.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .agg(count(lit(1)).as("exact_both"))
+      side("F").crossJoin(side("O")).crossJoin(broadcast(exact))
+        .selectExpr("n_F AS exact_f", "n_O AS exact_o", "exact_both",
+          "hll_sketch_estimate(sk_F) + hll_sketch_estimate(sk_O) - " +
+            "hll_sketch_estimate(hll_union(sk_F, sk_O)) AS est_both_raw",
+          "hll_sketch_estimate(hll_union(sk_F, sk_O)) AS est_union_raw")
+        .selectExpr("exact_f", "exact_o", "exact_both",
+          "CAST(abs(est_both_raw - exact_both) AS DOUBLE) / est_union_raw " +
+            "<= 0.10 AS within_bound")
+    },
+
     "q_agg_approx_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -284,6 +315,21 @@ object Aggregates {
       UNION ALL
       SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
       ORDER BY event_type""",
+
+    // inclusion-exclusion estimates are engine-specific; the oracle pins
+    // the exact per-slice and intersection counts and asserts the bound
+    "q_agg_sketch_intersect" -> """
+      SELECT
+        (SELECT count(DISTINCT o_custkey) FROM orders
+         WHERE o_orderstatus = 'F') AS exact_f,
+        (SELECT count(DISTINCT o_custkey) FROM orders
+         WHERE o_orderstatus = 'O') AS exact_o,
+        (SELECT count(*) FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+          AS exact_both,
+        TRUE AS within_bound""",
 
     // the bound check is Spark-side (DuckDB has no GK sketch); the oracle
     // pins the exact payload and asserts the contract held (TRUE)

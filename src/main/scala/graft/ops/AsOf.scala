@@ -52,6 +52,40 @@ object AsOf {
       .select(leftCols ++ payCols: _*)
   }
 
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `right.tsCol >= left.tsCol` in the key group (inclusive) — the
+    * "next scheduled event" direction ([[asofJoin]] mirrored: ascending
+    * ts with left-before-right at equal ts, and the carried value comes
+    * from the FOLLOWING frame). Same cost: one hash shuffle + per-key
+    * sort. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTs: String, rightTs: String,
+                      payloadCols: Seq[String]): DataFrame = {
+    val payloadT = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
+    val lNorm = left.select(
+      col(leftKey).as("_asof_k"), col(leftTs).as("_asof_ts"),
+      lit(0).as("_asof_src"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_asof_left"),
+      lit(null).cast(payloadT).as("_asof_payload"))
+    val rNorm = right.select(
+      col(rightKey).as("_asof_k"), col(rightTs).as("_asof_ts"),
+      lit(1).as("_asof_src"),
+      lit(null).cast(lNorm.schema("_asof_left").dataType).as("_asof_left"),
+      struct(payloadCols.map(col): _*).as("_asof_payload"))
+    // left rows sort before right rows at equal ts => inclusive bound
+    val w = Window.partitionBy(col("_asof_k"))
+      .orderBy(col("_asof_ts"), col("_asof_src"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val leftCols = left.columns.toIndexedSeq.map(c => col("_asof_left." + c).as(c))
+    val payCols = payloadCols.map(c => col("_asof_match." + c).as("asof_" + c))
+    lNorm.unionByName(rNorm)
+      .withColumn("_asof_match", first(col("_asof_payload"), ignoreNulls = true).over(w))
+      .where(col("_asof_src") === 0)
+      .select(leftCols ++ payCols: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the same query through the NATIVE custom operator
     // (graft.plans.AsOfJoinNative: LogicalPlan + Strategy + SparkPlan with
@@ -86,6 +120,45 @@ object AsOf {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("asof_o_orderkey"), col("asof_o_totalprice"))
         .orderBy(col("event_id"))
+    },
+
+    // FORWARD direction: each event picks up the customer's NEXT order
+    // at-or-after event time — "what did this touchpoint lead to", the
+    // attribution-style direction the backward join can't ask.
+    "q_asof_join_forward" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ord = Tables.load(s, dir, "orders")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+      asofJoinForward(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_o_orderkey"), col("asof_o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
+    // TOLERANCE: backward as-of, but a match older than 90 days is no
+    // match (stale quotes must not propagate — the asof-with-tolerance
+    // every market-data join uses). The matched ts rides along in the
+    // payload so the bound is one CASE after the join; both engines
+    // evaluate the identical interval test.
+    "q_asof_join_tolerance" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ord = Tables.load(s, dir, "orders")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+      asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+        .selectExpr("event_id", "user_id", "ts",
+          "asof_o_orderdate IS NOT NULL AND " +
+            "asof_o_orderdate >= ts - INTERVAL 90 DAYS AS in_window",
+          "CASE WHEN asof_o_orderdate >= ts - INTERVAL 90 DAYS " +
+            "THEN asof_o_orderkey END AS asof_o_orderkey",
+          "CASE WHEN asof_o_orderdate >= ts - INTERVAL 90 DAYS " +
+            "THEN asof_o_totalprice END AS asof_o_totalprice")
+        .orderBy(col("event_id"))
     })
 
   private val asofOracle = """
@@ -103,6 +176,38 @@ object AsOf {
 
   def oracleSql: Map[String, String] = Map(
     "q_asof_join_native" -> asofOracle,
+
+    // DuckDB ASOF supports the forward inequality directly (<=)
+    "q_asof_join_forward" -> """
+      WITH ord AS (
+        SELECT * FROM (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                    ORDER BY o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1)
+      SELECT event_id, user_id, ts,
+             o_orderkey AS asof_o_orderkey, o_totalprice AS asof_o_totalprice
+      FROM events ASOF LEFT JOIN ord
+        ON events.user_id = ord.o_custkey AND events.ts <= ord.o_orderdate
+      ORDER BY event_id""",
+
+    "q_asof_join_tolerance" -> """
+      WITH ord AS (
+        SELECT * FROM (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                    ORDER BY o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1)
+      SELECT event_id, user_id, ts,
+             o_orderdate IS NOT NULL
+               AND o_orderdate >= ts - INTERVAL 90 DAY AS in_window,
+             CASE WHEN o_orderdate >= ts - INTERVAL 90 DAY
+                  THEN o_orderkey END AS asof_o_orderkey,
+             CASE WHEN o_orderdate >= ts - INTERVAL 90 DAY
+                  THEN o_totalprice END AS asof_o_totalprice
+      FROM events ASOF LEFT JOIN ord
+        ON events.user_id = ord.o_custkey AND events.ts >= ord.o_orderdate
+      ORDER BY event_id""",
     "q_asof_join" -> """
       WITH ord AS (
         SELECT * FROM (
