@@ -647,6 +647,59 @@ object Similarity {
         .orderBy(col("label"))
     },
 
+    // Johnson–Lindenstrauss projection-distortion audit: how faithfully
+    // do the 32 hyperplane projections (the same deterministic planes the
+    // LSH family banks on) preserve pairwise squared distances? Per
+    // banded candidate pair: exact ||a−b||² in the original 64-dim
+    // scaled-long space vs Σ(p_j(a) − p_j(b))² in projection space (dots
+    // pre-scaled by 2²¹ so the 32-term square-sum stays in long range —
+    // truncating division, identical in both engines). JL says the ratio
+    // concentrates around a common scale; the reported min/max/avg ratio
+    // and spread ppm quantify the worst-case distortion — the audit run
+    // before trusting projected distances for candidate FILTERING rather
+    // than just bucketing. Candidates only from bands, never all pairs;
+    // distances attach to slim id pairs after the distinct.
+    "q_llm_jl_distortion" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val se = Tables.load(s, dir, "embeddings")
+        .selectExpr("vec_id", s"${sparkScaledEmb("embedding")} AS se")
+        .selectExpr("vec_id", "se",
+          "transform(graft_planedots(se), x -> x DIV 2097152) AS dl")
+        .localCheckpoint()
+      val bandKey = (bd: Int) => (0 until 8)
+        .map(r => s"IF(element_at(dl, ${bd * 8 + r + 1}) > 0L, ${1L << r}L, 0L)")
+        .mkString(" + ")
+      val bandStructs = (0 until 4)
+        .map(bd => s"named_struct('band_idx', $bd, 'band_key', ${bandKey(bd)})")
+        .mkString(", ")
+      val bands = se
+        .selectExpr("vec_id", s"explode(array($bandStructs)) AS band")
+        .selectExpr("vec_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
+      val pairIds = bands.alias("a").join(bands.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      pairIds
+        .join(se.select(col("vec_id").as("vec_a"), col("se").as("sa"),
+          col("dl").as("da")), "vec_a")
+        .join(se.select(col("vec_id").as("vec_b"), col("se").as("sb"),
+          col("dl").as("db")), "vec_b")
+        .selectExpr(
+          "aggregate(zip_with(sa, sb, (x, y) -> (x - y) * (x - y)), 0L, " +
+            "(acc, v) -> acc + v) AS d2",
+          "aggregate(zip_with(da, db, (x, y) -> (x - y) * (x - y)), 0L, " +
+            "(acc, v) -> acc + v) AS d2p")
+        .where(col("d2") > 0)
+        .selectExpr("d2p DIV d2 AS r")
+        .agg(count(lit(1)).as("n_pairs"), min(col("r")).as("r_min"),
+          max(col("r")).as("r_max"), expr("sum(r) DIV count(*)").as("r_avg"))
+        .selectExpr("n_pairs", "r_min", "r_max", "r_avg",
+          "CASE WHEN r_avg > 0 THEN (r_max - r_min) * 1000000 DIV r_avg " +
+            "ELSE CAST(0 AS BIGINT) END AS spread_ppm")
+    },
+
     // Online ANN serving: the IVF index (trained centroids + assigned
     // corpus) is built ONCE as static state; QUERIES arrive as a stream
     // (two query files, maxFilesPerTrigger=1 → two real micro-batches)
@@ -1015,6 +1068,52 @@ object Similarity {
       "q_llm_kcenter_sample" -> duckKcenterSql(),
 
       "q_llm_mmr_rerank" -> duckMmrSql(),
+
+      // mirror of q_llm_jl_distortion: same scaled-down plane dots (the
+      // // 2^21 truncation agrees with Spark DIV on negatives), same
+      // dl-derived bands, exact integer square-sums
+      "q_llm_jl_distortion" -> {
+        val dlist = (0 until NPlanes)
+          .map(p => s"(${duckPlaneDot("se", p)}) // 2097152")
+          .mkString("[", ",\n               ", "]")
+        val bandUnion = (0 until 4).map { bd =>
+          val key = (0 until 8)
+            .map(r => s"CASE WHEN dl[${bd * 8 + r + 1}] > 0 THEN ${1L << r} ELSE 0 END")
+            .mkString(" + ")
+          s"SELECT vec_id, $bd AS band_idx, $key AS band_key FROM d"
+        }.mkString("\n        UNION ALL ")
+        s"""
+      WITH e0 AS (
+        SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      d AS (SELECT vec_id, se, $dlist AS dl FROM e0),
+      bands AS (
+        $bandUnion),
+      pids AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id),
+      pp AS (
+        SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, ${EmbDim + 1}),
+                   i -> (x.se[i] - y.se[i]) * (x.se[i] - y.se[i]))),
+                 (a, b) -> a + b) AS d2,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, ${NPlanes + 1}),
+                   j -> (x.dl[j] - y.dl[j]) * (x.dl[j] - y.dl[j]))),
+                 (a, b) -> a + b) AS d2p
+        FROM pids
+        JOIN d x ON x.vec_id = vec_a
+        JOIN d y ON y.vec_id = vec_b),
+      rr AS (SELECT d2p // d2 AS r FROM pp WHERE d2 > 0)
+      SELECT count(*) AS n_pairs, min(r) AS r_min, max(r) AS r_max,
+             CAST(sum(r) AS BIGINT) // count(*) AS r_avg,
+             CASE WHEN CAST(sum(r) AS BIGINT) // count(*) > 0
+                  THEN (max(r) - min(r)) * 1000000
+                       // (CAST(sum(r) AS BIGINT) // count(*))
+                  ELSE CAST(0 AS BIGINT) END AS spread_ppm
+      FROM rr"""
+      },
 
       // mirror of q_llm_embed_quantize: identical integer quantizer and
       // error accounting over the same scaled-long embedding; list_reduce
