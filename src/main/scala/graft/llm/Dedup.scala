@@ -759,6 +759,59 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // Cluster-size distribution: the histogram of near-dup family sizes
+    // including singletons — the power-law audit behind dedup planning
+    // (a corpus whose mass sits in a few giant template families deflates
+    // very differently from one with many pairs; the tail also sizes the
+    // CC working set). Rides the standing verified-pair CC labels; the
+    // singleton count is one anti join, never a per-doc subquery.
+    "q_llm_cluster_sizes" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val cc = connectedComponents(
+        minhashVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .localCheckpoint()
+      val hist = cc.groupBy(col("canonical")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      val singles = d.join(cc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_clusters"))
+        .selectExpr("CAST(1 AS BIGINT) AS cluster_size", "n_clusters")
+      val total = d.agg(count(lit(1)).as("n_total"))
+      hist.unionByName(singles)
+        .groupBy(col("cluster_size"))
+        .agg(sum(col("n_clusters")).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .crossJoin(broadcast(total))
+        .selectExpr("cluster_size", "n_clusters", "n_docs",
+          "n_docs * 1000000 DIV n_total AS doc_share_ppm")
+        .orderBy(col("cluster_size"))
+    },
+
+    // Token-weighted duplication inflation per source: total tokens vs
+    // tokens surviving near-dup collapse (min-id canonicals + all
+    // unclustered docs) — the "effective dataset size" a mixture planner
+    // must weight by, where doc-count dedup stats hide that duplicated
+    // docs may be systematically longer. Exact integer ppm both ways
+    // (inflation over kept, duplicated share over all).
+    "q_llm_dup_inflation" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .selectExpr("doc_id", "source",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+      val cc = connectedComponents(
+        minhashVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      d.join(cc, Seq("doc_id"), "left")
+        .selectExpr("source", "n_tok",
+          "canonical IS NULL OR canonical = doc_id AS kept")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_tok")).as("tok_all"),
+          sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tok_kept"))
+        .selectExpr("source", "n_docs", "n_kept", "tok_all", "tok_kept",
+          "tok_all * 1000000 DIV tok_kept AS inflation_ppm",
+          "(tok_all - tok_kept) * 1000000 DIV tok_all AS dup_tok_share_ppm")
+        .orderBy(col("source"))
+    },
+
     // Quality-aware canonical election: production dedup keeps the BEST
     // copy of each near-dup group, not the lowest id — rank every cluster
     // member by the shared quality score (scaled to a long, so the
@@ -1746,6 +1799,70 @@ object Dedup {
       SELECT doc_id, canonical,
              count(*) OVER (PARTITION BY canonical) AS cluster_size
       FROM canon ORDER BY doc_id""",
+
+      // mirror of q_llm_cluster_sizes: same closure canon, singleton arm
+      // via anti-semantics NOT IN over matched docs
+      "q_llm_cluster_sizes" -> s"""
+      WITH RECURSIVE ${verifiedPairCtes("documents")},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM vpairs
+        UNION SELECT doc_b, doc_a FROM vpairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      canon AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical
+        FROM reach GROUP BY a),
+      hist AS (
+        SELECT cluster_size, count(*) AS n_clusters FROM (
+          SELECT canonical, count(*) AS cluster_size
+          FROM canon GROUP BY canonical)
+        GROUP BY cluster_size),
+      singles AS (
+        SELECT CAST(1 AS BIGINT) AS cluster_size, count(*) AS n_clusters
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.doc_id = d.doc_id)),
+      merged AS (
+        SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+        FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+        GROUP BY cluster_size),
+      tot AS (SELECT count(*) AS n_total FROM documents)
+      SELECT cluster_size, n_clusters,
+             cluster_size * n_clusters AS n_docs,
+             cluster_size * n_clusters * 1000000 // n_total AS doc_share_ppm
+      FROM merged, tot ORDER BY cluster_size""",
+
+      // mirror of q_llm_dup_inflation: same canon + min-id keep rule,
+      // token sums as BIGINT before the ppm divisions
+      "q_llm_dup_inflation" -> s"""
+      WITH RECURSIVE ${verifiedPairCtes("documents")},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM vpairs
+        UNION SELECT doc_b, doc_a FROM vpairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      canon AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical
+        FROM reach GROUP BY a),
+      base AS (
+        SELECT d.source,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+               c.canonical IS NULL OR c.canonical = d.doc_id AS kept
+        FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id),
+      agg AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(n_tok) AS BIGINT) AS tok_all,
+               CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+                 AS tok_kept
+        FROM base GROUP BY source)
+      SELECT source, n_docs, n_kept, tok_all, tok_kept,
+             tok_all * 1000000 // tok_kept AS inflation_ppm,
+             (tok_all - tok_kept) * 1000000 // tok_all AS dup_tok_share_ppm
+      FROM agg ORDER BY source""",
 
       // mirror of q_llm_dedup_prefix: identical prompt seeding, prefix
       // slice, char-poly fingerprints, completion-diversity verdicts

@@ -1125,4 +1125,37 @@ class LlmSpec extends SparkSpec {
       EtlConfig.fromMap(Map("repo" -> "r", "owner" -> "o", "clearOnStartup" -> "yes")))
     assert(EtlConfig.fromMap(Map("repo" -> "r", "owner" -> "o", "useAuthToken" -> "true")).useAuthToken)
   }
+
+  test("int8 quantizer arithmetic: hand-computed vector, exact err/dead-zone") {
+    import spark.implicits._
+    // se = [1e6, -5e5, 2.5e5]: m = 1e6; q = [127, -64, 32];
+    // errs = |127·x − q·m| = [0, 5e5, 2.5e5]; mag = 127·1.75e6
+    val df = Seq((1L, Seq(1000000L, -500000L, 250000L))).toDF("vec_id", "se")
+      .selectExpr("vec_id", "array_max(transform(se, x -> abs(x))) AS m", "se")
+      .selectExpr(
+        "aggregate(transform(se, x -> abs(127 * x - " +
+          "(CASE WHEN x < 0 THEN -1L ELSE 1L END) * " +
+          "((abs(x) * 254 + m) DIV (2 * m)) * m)), 0L, (a, b) -> a + b) AS err",
+        "aggregate(transform(se, x -> abs(127 * x)), 0L, (a, b) -> a + b) AS mag",
+        "size(filter(se, x -> x <> 0 AND (abs(x) * 254 + m) DIV (2 * m) = 0)) " +
+          "AS n_dead")
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 750000L)
+    assert(r.getLong(1) === 127L * 1750000L)
+    assert(r.getInt(2) === 0)
+    assert(750000L * 1000000L / (127L * 1750000L) === 3374L) // the ppm the entry reports
+  }
+
+  test("MMR re-rank: K selections per query, all distinct, never the query itself") {
+    val out = SparkEntry.queries("q_llm_mmr_rerank")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size === graft.llm.Similarity.MmrQ)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to graft.llm.Similarity.MmrK))
+      val picks = rows.map(_._3)
+      assert(picks.distinct.length === picks.length, s"duplicate picks for q=$q")
+      assert(!picks.contains(q), s"query $q selected itself")
+    }
+  }
 }
