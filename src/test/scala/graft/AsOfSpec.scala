@@ -67,4 +67,29 @@ class AsOfSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       asofJoin(left, longTsR, col("k"), col("rk"), col("t"), col("rt")))
   }
+
+  test("forward asof picks earliest right row at-or-after each left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // before r1 -> r1 (earliest following)
+      (1L, ts("2024-01-02 00:00:00")), // exactly at r1 -> r1 (inclusive)
+      (1L, ts("2024-01-02 12:00:00")), // between r1 and r2 -> r2
+      (1L, ts("2024-01-04 00:00:00")), // after all right rows -> nulls
+      (2L, ts("2024-01-01 00:00:00"))) // other key -> its only row
+      .toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 100.0),
+      (1L, ts("2024-01-03 00:00:00"), 200.0),
+      (2L, ts("2024-01-04 00:00:00"), 300.0))
+      .toDF("rk", "rt", "payload")
+    val out = AsOf.asofJoinForward(left, right, "k", "rk", "t", "rt", Seq("payload"))
+      .orderBy("k", "t")
+      .select("k", "t", "asof_payload")
+      .collect()
+    assert(out(0).getDouble(2) === 100.0)
+    assert(out(1).getDouble(2) === 100.0) // inclusive at equal ts
+    assert(out(2).getDouble(2) === 200.0)
+    assert(out(3).isNullAt(2)) // nothing follows
+    assert(out(4).getDouble(2) === 300.0)
+  }
 }
