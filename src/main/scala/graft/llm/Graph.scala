@@ -83,8 +83,7 @@ object Graph {
     // component's max-rank member (ties -> min id). Both the pair
     // generation and the iteration are banded/keyed — no all-pairs work.
     "q_llm_centrality" -> { (s, dir) =>
-      val pairs = Dedup.minhashVerifiedPairsOf(docs(s, dir))
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val pairs = Dedup.verifiedPairsCached(s, dir)
       val pr = pagerank(pairs)
       val cc = Dedup.connectedComponents(pairs)
       val w = Window.partitionBy(col("canonical"))
@@ -112,8 +111,7 @@ object Graph {
     // trick that keeps a power-law hub from generating deg² wedges.
     // Three keyed equi-joins + two hash aggs; never an all-pairs join.
     "q_llm_graph_triangles" -> { (s, dir) =>
-      trianglesOf(Dedup.minhashVerifiedPairsOf(docs(s, dir))
-        .select(col("doc_a"), col("doc_b")).localCheckpoint())
+      trianglesOf(Dedup.verifiedPairsCached(s, dir))
     })
 
   /** Triangle/clustering-coefficient pipeline over an id-canonical

@@ -128,7 +128,7 @@ object IncrementalDedup {
   /** Wipe the incremental-CC state (edge stream, label store, remap/forget
     * recovery artifacts, checkpoint). */
   private[graft] def ccReset(base: String): Unit =
-    Seq("src", "labels", "edges", "remaps", "forgets", "ckpt")
+    Seq("src", "labels", "edges", "remaps", "emoves", "forgets", "ckpt")
       .foreach(p => Sinks.truncate(s"$base/$p"))
 
   /** True iff a prior attempt COMPLETED the parquet write at `p` (the
@@ -206,13 +206,25 @@ object IncrementalDedup {
     // Invariant: every stored edge lives in the bucket of its component's
     // CURRENT label, so [[ccForget]]'s subgraph read prunes to the
     // affected labels' buckets instead of scanning every edge ever
-    // ingested. Maintenance piggybacks on this tick's remap: edges of
-    // merged components MOVE to the winning label's bucket (O(edges of
-    // merged components) — same order as the member remap above), new
-    // edges land under their post-tick label. Bucket content is deduped
-    // by edge, so replays are idempotent; runs AFTER the label merge so
-    // a replayed tick that already merged still derives identical labels
-    // (remap artifact + cur are both replay-stable).
+    // ingested. Maintenance piggybacks on this tick's remap, split into
+    // the cheapest operation that preserves the invariant per row class:
+    //  - edges of MERGED-AWAY labels physically move: their SOURCE buckets
+    //    (buckets of remap.label — the only place the invariant allows
+    //    them to live) are read and rewritten without them;
+    //  - moved edges and NEW edges are APPENDED to their target buckets
+    //    as one deterministic per-tick file each ([[Sinks.appendBuckets]])
+    //    — no read, no swap of the target. A merge-free tick (the common
+    //    case) therefore touches NO existing bucket content at all,
+    //    where the previous design read + deduped + rewrote every bucket
+    //    the batch landed in.
+    // Replay/crash safety: the computed move-set is persisted to a
+    // `batch_<id>`-keyed artifact BEFORE any bucket mutates (same
+    // discipline as the remap artifact above) — a replay applies the
+    // PERSISTED moves, so a crash between the source-bucket rewrite and
+    // the target-bucket append can never lose a moved edge (re-deriving
+    // from the half-rewritten buckets would). The source rewrite is
+    // idempotent (anti-join on remap passes already-moved rows through);
+    // the append overwrites its own per-tick file by name.
     val elog = s"$base/edges"
     Sinks.healBuckets(elog)
     val nE = Sinks.storedBucketCount(elog).getOrElse {
@@ -222,24 +234,37 @@ object IncrementalDedup {
     val newLabeled = edges
       .join(newRows.select(col("doc").as("doc_a"), col("label").as("elabel")), "doc_a")
       .select(col("doc_a"), col("doc_b"), col("elabel").as("label"))
-    // touched buckets: sources and targets of moved edges + new edges'
-    // buckets — a metadata-sized list (<= nBuckets ints)
-    val touchedE = newLabeled.select(bucketOf(col("label")).as("_bucket"))
-      .union(remap.select(bucketOf(col("label")).as("_bucket")))
-      .union(remap.select(bucketOf(col("canonical")).as("_bucket")))
+    val srcBuckets = remap.select(bucketOf(col("label")).as("_bucket"))
       .distinct().collect().map(_.getInt(0)).toIndexedSeq
-    if (touchedE.nonEmpty) {
-      val dirs = Sinks.bucketDirs(elog, touchedE)
-      val existing =
-        if (dirs.isEmpty) newLabeled.limit(0)
-        else s.read.parquet(dirs: _*).select(col("doc_a"), col("doc_b"), col("label"))
-      val relabeled = existing.join(remap, Seq("label"), "left")
-        .select(col("doc_a"), col("doc_b"),
-          coalesce(col("canonical"), col("label")).as("label"))
-      val content = relabeled.unionByName(newLabeled).distinct()
-        .withColumn("_bucket", bucketOf(col("label")))
-      Sinks.rewriteBuckets(s, elog, content, touchedE, dropMissing = true)
+    val srcDirs = Sinks.bucketDirs(elog, srcBuckets)
+    val movesPath = s"$base/emoves/batch_$batchId"
+    if (!committed(movesPath)) {
+      // move-set = remap-matching rows of the source buckets, relabeled
+      val existingSrc =
+        if (srcDirs.isEmpty) newLabeled.limit(0)
+        else s.read.parquet(srcDirs: _*).select(col("doc_a"), col("doc_b"), col("label"))
+      existingSrc.join(remap, "label")
+        .select(col("doc_a"), col("doc_b"), col("canonical").as("label"))
+        .write.mode("overwrite").parquet(movesPath)
     }
+    val moved = s.read.parquet(movesPath)
+    val landing = moved.unionByName(newLabeled)
+      .withColumn("_bucket", bucketOf(col("label"))).localCheckpoint()
+    if (srcBuckets.nonEmpty) {
+      // rewrite ONLY the move-source buckets: drop moved-out rows, fold in
+      // any moved/new rows that land back inside this same bucket set
+      val staying =
+        if (srcDirs.isEmpty) newLabeled.limit(0)
+        else s.read.parquet(srcDirs: _*)
+          .select(col("doc_a"), col("doc_b"), col("label"))
+          .join(remap.select(col("label")), Seq("label"), "left_anti")
+      val content = staying.withColumn("_bucket", bucketOf(col("label")))
+        .unionByName(landing.where(col("_bucket").isin(srcBuckets: _*)))
+        .distinct()
+      Sinks.rewriteBuckets(s, elog, content, srcBuckets, dropMissing = true)
+    }
+    val appended = landing.where(!col("_bucket").isin(srcBuckets: _*))
+    Sinks.appendBuckets(s, elog, appended, s"t$batchId")
   }
 
   /** Forget nodes from the incremental-CC store — the HARD direction of
@@ -427,7 +452,8 @@ object IncrementalDedup {
 
   /** Default fingerprint kernel: word-level SimHash. The media variant
     * swaps in the byte-3-gram kernel (`graft_bytesimhash(text)`) — same
-    * 64-bit fingerprint contract, same store machinery. */
+    * 32-bit SimHash fingerprint contract (the 4×8-bit banding covers all
+    * 32 bits), same store machinery. */
   private[graft] val TextFpExpr = s"graft_simhash(${sparkWordHashes("text")})"
   private[graft] val MediaFpExpr = "graft_bytesimhash(text)"
 
@@ -685,9 +711,7 @@ object IncrementalDedup {
     "q_llm_groups_incremental" -> { (s, dir) =>
       val base = s"${Sinks.tmpBase}/cc_inc"
       ccReset(base)
-      val p = Dedup.minhashVerifiedPairsOf(
-          Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
-        .select(col("doc_a"), col("doc_b"))
+      val p = Dedup.verifiedPairsCached(s, dir)
       p.repartitionByRange(3, col("doc_a")).write.parquet(s"$base/src")
       runCcTicks(s, base)
       s.read.parquet(s"$base/labels")
@@ -708,9 +732,7 @@ object IncrementalDedup {
     "q_llm_groups_forget" -> { (s, dir) =>
       val base = s"${Sinks.tmpBase}/cc_forget"
       ccReset(base)
-      val p = Dedup.minhashVerifiedPairsOf(
-          Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
-        .select(col("doc_a"), col("doc_b"))
+      val p = Dedup.verifiedPairsCached(s, dir)
       // 2 arrival ticks (vs the 3 of q_llm_groups_incremental): forget
       // semantics need an incrementally built store, not a tick count
       p.repartitionByRange(2, col("doc_a")).write.parquet(s"$base/src")

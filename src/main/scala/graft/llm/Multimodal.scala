@@ -147,6 +147,11 @@ object Multimodal {
     var dataLen = -1L
     while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
       val t = tag(off); val sz = u32(off + 4)
+      // sz is an unsigned u32 from untrusted bytes: a value >= 2^31 would
+      // truncate to a negative Int and send the walk backwards (or loop at
+      // a zero step) — reject instead of walking. Also reject a declared
+      // size that overruns the payload: that's a truncated container.
+      if (sz > Int.MaxValue - 9 || off + 8 + sz > b.length) return bad
       if (t == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
         if (u16(off + 8) == 1) { // PCM only
           ch = u16(off + 10); rate = u32(off + 12).toInt

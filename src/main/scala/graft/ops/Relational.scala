@@ -288,7 +288,8 @@ object Relational {
       rev.crossJoin(broadcast(mx))
         .where(col("rev4") === col("max4"))
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .selectExpr("s_suppkey", "s_name", "rev4 / 10000.0 AS total_revenue")
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev4") / lit(1e4)).as("total_revenue"))
         .orderBy(col("s_suppkey"))
     },
 
@@ -398,7 +399,65 @@ object Relational {
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
-        .orderBy(col("o_orderstatus"), col("o_orderpriority"))))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+
+    // -- TPC-H Q11-ish: group-HAVING against a GLOBAL scalar aggregate -------
+    // "Parts whose shipped value from the chosen nations exceeds a fixed
+    // fraction of the total": the classic uncorrelated-scalar HAVING.
+    // Scale plan: ONE keyed aggregate over the nation-sliced fact (the
+    // dims broadcast), localCheckpoint'ed so the global total is a
+    // re-aggregation of the part-count-sized result — the fact is scanned
+    // ONCE, never once per side. The 1-row total broadcasts back over the
+    // per-part rows (no per-group recompute), and the fraction test is
+    // cross-multiplied to exact integers. Oracle states the scalar
+    // subquery verbatim.
+    "q11_important_stock" -> { (s, dir) =>
+      val natSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .where(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val perPart = t(s, dir, "lineitem")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(scaled(col("l_extendedprice"), 2) * scaled(col("l_quantity"), 2))
+          .as("v4"))
+        .localCheckpoint()
+      val total = perPart.agg(sum(col("v4")).as("t4"))
+      perPart.crossJoin(broadcast(total))
+        .where(col("v4") * lit(1000L) > col("t4"))
+        .select(col("l_partkey"), (col("v4") / lit(1e4)).as("stock_value"))
+        .orderBy(col("stock_value").desc, col("l_partkey"))
+    },
+
+    // -- TPC-H Q20-ish: two-level correlated IN chain ------------------------
+    // "Suppliers who dominate some promo part": suppliers IN (per-
+    // (supplier, part) shipments over promo parts HAVING more than an
+    // eighth of the part's total) — an IN whose subquery carries a correlated
+    // scalar subquery. Decorrelated by hand to the only shape that scales:
+    // promo-part membership is a broadcast semi join; the (supplier, part)
+    // aggregate shuffles ONCE on l_partkey-involving keys; the per-part
+    // total is a RE-aggregation of that same result (no second fact
+    // scan) joined back on the shared key; the outer IN is a left-semi.
+    // The oracle states the nested subqueries verbatim, which is the
+    // probe: Spark's plan and DuckDB's decorrelation must agree.
+    "q20_dominant_suppliers" -> { (s, dir) =>
+      val promo = t(s, dir, "part").where(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val perPS = t(s, dir, "lineitem")
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(scaled(col("l_quantity"), 2)).as("sq"))
+        .localCheckpoint()
+      val perPart = perPS.groupBy(col("l_partkey")).agg(sum(col("sq")).as("tq"))
+      val dominant = perPS.join(perPart, "l_partkey")
+        .where(col("sq") * lit(8L) > col("tq"))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    })
 
   def oracleSql: Map[String, String] = Map(
     "q_filter_project" -> s"""
@@ -622,5 +681,38 @@ object Relational {
 
     "q_distinct" -> """
       SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
-      ORDER BY o_orderstatus, o_orderpriority""")
+      ORDER BY o_orderstatus, o_orderpriority""",
+
+    // Q11 shape: the scalar subquery stated verbatim — DuckDB decorrelates
+    // it itself; the Spark side hand-writes the one-scan plan.
+    "q11_important_stock" -> s"""
+      SELECT l_partkey,
+             sum(${sqlScaled("l_extendedprice", 2)} * ${sqlScaled("l_quantity", 2)})
+               / 10000.0 AS stock_value
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11'))
+      GROUP BY l_partkey
+      HAVING sum(${sqlScaled("l_extendedprice", 2)} * ${sqlScaled("l_quantity", 2)}) * 1000 > (
+        SELECT sum(${sqlScaled("l_extendedprice", 2)} * ${sqlScaled("l_quantity", 2)})
+        FROM lineitem
+        WHERE l_suppkey IN (
+          SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')))
+      ORDER BY stock_value DESC, l_partkey""",
+
+    // Q20 shape: IN over a grouped subquery whose HAVING carries a
+    // correlated scalar subquery on the group key — two decorrelation
+    // levels stated verbatim.
+    "q20_dominant_suppliers" -> s"""
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l1.l_suppkey FROM lineitem l1
+        WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        GROUP BY l1.l_suppkey, l1.l_partkey
+        HAVING 8 * sum(${sqlScaled("l1.l_quantity", 2)}) > (
+          SELECT sum(${sqlScaled("l2.l_quantity", 2)}) FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey))
+      ORDER BY s_suppkey""")
 }

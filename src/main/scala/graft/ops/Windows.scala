@@ -74,9 +74,9 @@ object Windows {
         .selectExpr("o_orderkey", "o_custkey", "o_orderdate",
           "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
             "RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW) AS n_3d",
-          "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER " +
+          "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER " +
             "(PARTITION BY o_custkey ORDER BY o_orderdate " +
-            "RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW) / 100.0 " +
+            "RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 " +
             "AS rev_3d")
         .orderBy(col("o_orderkey"))
     },

@@ -60,23 +60,30 @@ object Sinks {
       Files.move(old, destPath, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Crash-safe atomic overwrite: stage into `dest.inprogress`, rename into
-    * place. Optional `partitionBy` produces a layout whose reads prune.
-    * Readers see the old table or the new one, never a partial batch; a
-    * crash between the two renames is healed by [[recover]] on the next
-    * write (or by any caller invoking it at startup). */
   /** Publish a SET of tables as one atomic unit: every table's data lands
     * under `base/tables/<name>/v_<version>` first, then the one-line
     * MANIFEST pointer swaps via temp-write + atomic rename. A crash
     * anywhere before the swap leaves readers on the previous complete
     * set; after it, on the new complete set — never a cross-version mix
-    * (the guarantee per-table [[writeAtomic]] cannot give across tables). */
+    * (the guarantee per-table [[writeAtomic]] cannot give across tables).
+    *
+    * Replay-safe: a crash-recovery re-run of an already-committed version
+    * is a no-op — readers are LIVE on those `v_<version>` dirs, so
+    * rewriting them in place would break the never-partial guarantee. An
+    * uncommitted version's dirs (crash before the manifest swap) are
+    * invisible to readers and are staged + atomically renamed per table. */
   def publishSet(s: SparkSession, base: String, version: Long,
                  tables: Map[String, DataFrame]): Unit = {
+    val committed =
+      try manifestVersion(base) catch { case _: Exception => Long.MinValue }
+    if (version == committed) return // replay of a committed publish
     tables.foreach { case (name, df) =>
       val dest = s"$base/tables/$name/v_$version"
-      deleteRec(dest)
-      df.write.mode("overwrite").parquet(dest)
+      val staging = dest + ".staging"
+      deleteRec(staging)
+      df.write.mode("overwrite").parquet(staging)
+      deleteRec(dest) // uncommitted leftovers only — version != committed
+      Files.move(Paths.get(staging), Paths.get(dest), StandardCopyOption.ATOMIC_MOVE)
     }
     Files.createDirectories(Paths.get(base))
     val tmp = Paths.get(s"$base/MANIFEST.tmp")
@@ -93,6 +100,11 @@ object Sinks {
   def readSet(s: SparkSession, base: String, name: String): DataFrame =
     s.read.parquet(s"$base/tables/$name/v_${manifestVersion(base)}")
 
+  /** Crash-safe atomic overwrite: stage into `dest.inprogress`, rename into
+    * place. Optional `partitionBy` produces a layout whose reads prune.
+    * Readers see the old table or the new one, never a partial batch; a
+    * crash between the two renames is healed by [[recover]] on the next
+    * write (or by any caller invoking it at startup). */
   def writeAtomic(df: DataFrame, dest: String, partitionCols: Seq[String] = Nil): Unit = {
     val destPath = Paths.get(dest)
     Files.createDirectories(destPath.getParent)
@@ -276,6 +288,45 @@ object Sinks {
     val want = math.max(1L, (nRows + targetRowsPerBucket - 1) / targetRowsPerBucket)
     val pow = java.lang.Long.highestOneBit(math.max(1L, want - 1)) << 1
     math.min(65536L, math.max(16L, pow)).toInt
+  }
+
+  /** Append `df`'s rows (carrying an int `_bucket` column) to a bucketed
+    * MULTISET store without reading or rewriting existing bucket content:
+    * rows are staged partitioned-by-bucket (repartitioned on `_bucket`, so
+    * each bucket's rows land in one task → one staged file), then each
+    * staged file moves into the live bucket dir under a DETERMINISTIC
+    * per-(tag, bucket) name with REPLACE_EXISTING — a replayed tick
+    * overwrites its own file instead of duplicating rows. This is what
+    * makes a merge-free edge-log tick O(batch): no existing bucket is
+    * listed, read, or swapped. [[compactBuckets]] later folds the
+    * accumulated per-tick files. Only valid for multiset stores — a keyed
+    * store's upsert must go through [[mergeByKeyBucket]]. */
+  def appendBuckets(s: SparkSession, dest: String, df: DataFrame, tag: String): Unit = {
+    val staging = s"$dest/_append_staging_$tag"
+    deleteRec(staging)
+    df.repartition(col("_bucket")).write.mode("overwrite")
+      .partitionBy("_bucket").parquet(staging)
+    val stagingPath = Paths.get(staging)
+    if (Files.exists(stagingPath)) {
+      val listing = Files.list(stagingPath)
+      val staged = try listing.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith("_bucket="))
+      finally listing.close()
+      staged.foreach { bd =>
+        val b = bd.getFileName.toString.stripPrefix("_bucket=")
+        val live = Paths.get(s"$dest/_bucket=$b")
+        Files.createDirectories(live)
+        val files = Files.list(bd)
+        val parts = try files.iterator().asScala.toList
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        finally files.close()
+        parts.zipWithIndex.foreach { case (p, i) =>
+          Files.move(p, live.resolve(s"append_${tag}_$i.parquet"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    deleteRec(staging)
   }
 
   /** Coalesce each bucket holding more than `maxFilesPerBucket` parquet
