@@ -313,10 +313,14 @@ object Dedup {
     * the life of the session, which is the life of a Bench/Verify run. */
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private[graft] def verifiedPairsCached(s: SparkSession, dir: String): DataFrame =
+  /** Full-width (doc_a, doc_b, i, na, nb) cached artifact — consumers that
+    * only need the edge list project it down. */
+  private[graft] def verifiedPairsFullCached(s: SparkSession, dir: String): DataFrame =
     pairsCache.computeIfAbsent(dir, _ =>
-      minhashVerifiedPairsOf(docs(s, dir))
-        .select(col("doc_a"), col("doc_b")).localCheckpoint())
+      minhashVerifiedPairsOf(docs(s, dir)).localCheckpoint())
+  /** Edge-list view of [[verifiedPairsFullCached]]. */
+  private[graft] def verifiedPairsCached(s: SparkSession, dir: String): DataFrame =
+    verifiedPairsFullCached(s, dir).select(col("doc_a"), col("doc_b"))
 
   /** Connected components over an undirected pair graph (doc_a, doc_b) by
     * min-label propagation with ADAPTIVE pointer jumping, run to FIXPOINT.

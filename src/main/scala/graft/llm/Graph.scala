@@ -112,6 +112,33 @@ object Graph {
     // Three keyed equi-joins + two hash aggs; never an all-pairs join.
     "q_llm_graph_triangles" -> { (s, dir) =>
       trianglesOf(Dedup.verifiedPairsCached(s, dir))
+    },
+
+    // Cluster-cohesion audit: per near-dup component — member count,
+    // verified-edge count, mean pairwise Jaccard (per-pair fixed-point
+    // floor(1e6·J + .5), the portable Exact form; summed as longs and
+    // divided once), and edge density vs the complete graph. High
+    // density + high J = one template family, safe to collapse to one
+    // canonical; a sparse low-J component is CHAINED near-dups where
+    // min-id collapse would merge genuinely different docs. Consumes
+    // the run-cached pairs artifact at full width (i/na/nb ride along).
+    "q_llm_cluster_cohesion" -> { (s, dir) =>
+      val vp = Dedup.verifiedPairsFullCached(s, dir)
+      val cc = Dedup.connectedComponents(vp.select(col("doc_a"), col("doc_b")))
+      val sizes = cc.groupBy(col("canonical"))
+        .agg(count(lit(1)).as("cluster_size"))
+      val edges = vp
+        .withColumn("j6",
+          floor(lit(1e6) * col("i") / (col("na") + col("nb") - col("i")) + lit(0.5)))
+        .join(cc.select(col("doc_id").as("doc_a"), col("canonical")), "doc_a")
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_edges"), sum(col("j6")).as("sj6"))
+      sizes.join(edges, "canonical")
+        .select(col("canonical"), col("cluster_size"), col("n_edges"),
+          (col("sj6") / col("n_edges") / lit(1e6)).as("mean_jaccard"),
+          ((col("n_edges") * lit(2L)).cast("double") /
+            (col("cluster_size") * (col("cluster_size") - lit(1L)))).as("density"))
+        .orderBy(col("canonical"))
     })
 
   /** Triangle/clustering-coefficient pipeline over an id-canonical
@@ -186,6 +213,33 @@ object Graph {
       SELECT s.doc_id, s.canonical, s.deg, s.pr12, m.medoid
       FROM scored s JOIN med m ON m.canonical = s.canonical
       ORDER BY s.doc_id""",
+
+      "q_llm_cluster_cohesion" -> s"""
+      WITH RECURSIVE ${Dedup.verifiedPairCtes("documents")},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM vpairs
+        UNION SELECT doc_b, doc_a FROM vpairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      canon AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical
+        FROM reach GROUP BY a),
+      sizes AS (
+        SELECT canonical, count(*) AS cluster_size FROM canon GROUP BY canonical),
+      ea AS (
+        SELECT c.canonical, count(*) AS n_edges,
+               sum(CAST(floor(1000000.0 * v.i / (v.na + v.nb - v.i) + 0.5)
+                        AS BIGINT)) AS sj6
+        FROM vpairs v JOIN canon c ON v.doc_a = c.doc_id
+        GROUP BY c.canonical)
+      SELECT s.canonical, s.cluster_size, e.n_edges,
+             e.sj6 / e.n_edges / 1000000.0 AS mean_jaccard,
+             CAST(2 * e.n_edges AS DOUBLE)
+               / (s.cluster_size * (s.cluster_size - 1)) AS density
+      FROM sizes s JOIN ea e ON e.canonical = s.canonical
+      ORDER BY s.canonical""",
 
       "q_llm_graph_triangles" -> s"""
       WITH ${Dedup.verifiedPairCtes("documents")},

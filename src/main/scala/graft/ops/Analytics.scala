@@ -350,6 +350,32 @@ object Analytics {
     // O(events-per-user) on a 1500-group analytic — not a corpus hot
     // path); DuckDB's list_reduce seeds from the first element exactly
     // like aggregate(slice(seq, 2, n-1), seq[1].cents, ...).
+    // Time-weighted average over an IRREGULAR sample series — the metric
+    // plain avg() gets wrong whenever sampling is bursty (a value held
+    // for 3 days must weigh 3 days, not 1 row). Per user: each value
+    // holds from its event to the next (step interpolation), weight =
+    // whole seconds held; last observation holds nothing (no next
+    // boundary). All-integer accumulation (cents × seconds as longs,
+    // one division at the end), so partition order can't perturb the
+    // result — and seconds (not μs) keep cents×weight far from Long
+    // overflow at a 30-day span. One lead() window + one hash agg.
+    "q_time_weighted_avg" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          graft.util.Exact.scaled(col("value"), 2).as("cents"))
+        .withColumn("nts", lead(col("ts"), 1).over(w))
+        .where(col("nts").isNotNull)
+        .withColumn("dsec",
+          expr("(unix_micros(nts) - unix_micros(ts)) div 1000000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dsec")).as("held_secs"),
+          (sum(col("cents") * col("dsec")) / sum(col("dsec")) / lit(100.0))
+            .as("twap"))
+        .orderBy(col("user_id"))
+    },
+
     "q_ewma_smooth" -> { (s, dir) =>
       ev(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
@@ -519,6 +545,22 @@ object Analytics {
 
     // mirror of q_ewma_smooth: list_reduce seeds from the first element,
     // exactly aggregate(slice(seq, 2, n-1), seq[1], ...) on the Spark side
+    // step interpolation: each value holds until the next sample; whole
+    // seconds as exact integer weights, one division at the end
+    "q_time_weighted_avg" -> s"""
+      WITH e AS (
+        SELECT user_id, ts, event_id, ${graft.util.Exact.sqlScaled("value", 2)} AS cents,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+        FROM events),
+      iv AS (
+        SELECT user_id, cents,
+               (epoch_us(nts) - epoch_us(ts)) // 1000000 AS dsec
+        FROM e WHERE nts IS NOT NULL)
+      SELECT user_id, count(*) AS n_intervals,
+             CAST(sum(dsec) AS BIGINT) AS held_secs,
+             sum(cents * dsec) / sum(dsec) / 100.0 AS twap
+      FROM iv GROUP BY user_id ORDER BY user_id""",
+
     "q_ewma_smooth" -> s"""
       WITH e AS (
         SELECT user_id, ts, event_id,

@@ -138,6 +138,41 @@ object AsOf {
         .orderBy(col("event_id"))
     },
 
+    // NEAREST: each event picks the temporally CLOSEST order in either
+    // direction (ties -> the backward match, the convention pandas
+    // merge_asof(direction='nearest') uses). Composed as backward ∘
+    // forward over the SAME key — two window passes on one shuffle key
+    // (the second reuses the first's hash partitioning), then a μs-exact
+    // integer distance compare; no engine has this as a primitive, both
+    // sides state it as the same two ASOF joins + CASE.
+    "q_asof_join_nearest" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ord = Tables.load(s, dir, "orders")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+      val back = asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+        .withColumnRenamed("asof_o_orderkey", "bk")
+        .withColumnRenamed("asof_o_totalprice", "bp")
+        .withColumnRenamed("asof_o_orderdate", "bd")
+      asofJoinForward(back, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+        .withColumn("_back_wins",
+          col("bd").isNotNull && (col("asof_o_orderdate").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("bd")) <=
+              unix_micros(col("asof_o_orderdate")) - unix_micros(col("ts"))))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("_back_wins"), col("bk")).otherwise(col("asof_o_orderkey"))
+            .as("asof_o_orderkey"),
+          when(col("_back_wins"), col("bp")).otherwise(col("asof_o_totalprice"))
+            .as("asof_o_totalprice"),
+          when(col("bd").isNull && col("asof_o_orderdate").isNull, lit(null).cast("string"))
+            .when(col("_back_wins"), lit("backward")).otherwise(lit("forward"))
+            .as("direction"))
+        .orderBy(col("event_id"))
+    },
+
     // TOLERANCE: backward as-of, but a match older than 90 days is no
     // match (stale quotes must not propagate — the asof-with-tolerance
     // every market-data join uses). The matched ts rides along in the
@@ -176,6 +211,37 @@ object AsOf {
 
   def oracleSql: Map[String, String] = Map(
     "q_asof_join_native" -> asofOracle,
+
+    // nearest = backward ∘ forward ASOF + the identical μs distance CASE
+    "q_asof_join_nearest" -> """
+      WITH ord AS (
+        SELECT * FROM (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                    ORDER BY o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1),
+      b AS (
+        SELECT event_id, user_id, ts, o_orderkey AS bk, o_totalprice AS bp,
+               o_orderdate AS bd
+        FROM events ASOF LEFT JOIN ord
+          ON events.user_id = ord.o_custkey AND events.ts >= ord.o_orderdate),
+      f AS (
+        SELECT event_id, o_orderkey AS fk, o_totalprice AS fp,
+               o_orderdate AS fd
+        FROM events ASOF LEFT JOIN ord
+          ON events.user_id = ord.o_custkey AND events.ts <= ord.o_orderdate),
+      j AS (
+        SELECT b.*, f.fk, f.fp, f.fd,
+               bd IS NOT NULL AND (fd IS NULL OR
+                 epoch_us(ts) - epoch_us(bd) <= epoch_us(fd) - epoch_us(ts))
+                 AS back_wins
+        FROM b JOIN f USING (event_id))
+      SELECT event_id, user_id, ts,
+             CASE WHEN back_wins THEN bk ELSE fk END AS asof_o_orderkey,
+             CASE WHEN back_wins THEN bp ELSE fp END AS asof_o_totalprice,
+             CASE WHEN bd IS NULL AND fd IS NULL THEN NULL
+                  WHEN back_wins THEN 'backward' ELSE 'forward' END AS direction
+      FROM j ORDER BY event_id""",
 
     // DuckDB ASOF supports the forward inequality directly (<=)
     "q_asof_join_forward" -> """

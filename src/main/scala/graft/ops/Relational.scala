@@ -401,6 +401,57 @@ object Relational {
         .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
 
+    // -- TPC-H Q8-ish: ratio of conditional aggregates per group -------------
+    // "Market share of one nation's suppliers per order year": the
+    // sum(CASE)/sum(total) shape — BOTH sums ride one keyed aggregate
+    // over one fact pass (never two scans joined back), and the division
+    // happens once per group on exact scaled-long partials. Dims
+    // broadcast; the fact⨝fact orders join shuffles once.
+    "q8_market_share" -> { (s, dir) =>
+      val supNat = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("vol4", scaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("n_name") === "NATION_5", col("vol4")).otherwise(lit(0L)))
+            .as("nat4"),
+          sum(col("vol4")).as("tot4"))
+        .select(col("o_year"),
+          (col("nat4") / col("tot4")).as("mkt_share"),
+          (col("tot4") / lit(1e4)).as("total_volume"))
+        .orderBy(col("o_year"))
+    },
+
+    // -- TPC-H Q19-ish: disjunctive multi-predicate join ---------------------
+    // The OR-of-ANDs shape: three alternative (type, size, quantity)
+    // bands OR'ed inside one join predicate. The planner probe: Spark
+    // must extract the COMMON l_partkey = p_partkey conjunct so the join
+    // stays a broadcast-hash join with the disjunction as a residual
+    // filter — a naive reading of the OR is a nested-loop over the fact.
+    // The oracle states the disjunction verbatim.
+    "q19_disjunctive_predicates" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val pt = broadcast(t(s, dir, "part"))
+      li.join(pt,
+          col("l_partkey") === col("p_partkey") && (
+            (col("p_type") === "PROMO" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 15)) ||
+            (col("p_type") === "ECONOMY" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 25)) ||
+            (col("p_type") === "STANDARD" && col("p_size").between(20, 50) &&
+              col("l_quantity").between(20, 40))))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_lines"),
+          sumFix(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy(col("p_type"))
+    },
+
     // -- TPC-H Q11-ish: group-HAVING against a GLOBAL scalar aggregate -------
     // "Parts whose shipped value from the chosen nations exceeds a fixed
     // fraction of the total": the classic uncorrelated-scalar HAVING.
@@ -682,6 +733,33 @@ object Relational {
     "q_distinct" -> """
       SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
       ORDER BY o_orderstatus, o_orderpriority""",
+
+    "q8_market_share" -> s"""
+      SELECT year(o_orderdate) AS o_year,
+             sum(CASE WHEN n_name = 'NATION_5'
+                      THEN ${sqlScaled("l_extendedprice * (1 - l_discount)", 4)}
+                      ELSE 0 END)
+               / sum(${sqlScaled("l_extendedprice * (1 - l_discount)", 4)})
+               AS mkt_share,
+             sum(${sqlScaled("l_extendedprice * (1 - l_discount)", 4)}) / 10000.0
+               AS total_volume
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_year ORDER BY o_year""",
+
+    "q19_disjunctive_predicates" -> s"""
+      SELECT p_type, count(*) AS n_lines,
+             ${sqlSumFix("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 15)
+         OR (p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30
+             AND l_quantity BETWEEN 10 AND 25)
+         OR (p_type = 'STANDARD' AND p_size BETWEEN 20 AND 50
+             AND l_quantity BETWEEN 20 AND 40)
+      GROUP BY p_type ORDER BY p_type""",
 
     // Q11 shape: the scalar subquery stated verbatim — DuckDB decorrelates
     // it itself; the Spark side hand-writes the one-scan plan.

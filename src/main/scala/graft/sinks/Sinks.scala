@@ -989,6 +989,50 @@ object Sinks {
         .orderBy(col("change_type"), col("o_orderkey"))
     },
 
+    // CDC APPLY — the consumer half of q_sink_changefeed's producer: a
+    // downstream keyed replica is maintained purely from the change feed,
+    // never by re-reading the source of truth. Seed from the v0 snapshot,
+    // then fold each feed window: insert/update rows upsert
+    // ([[mergeByKeyBucket]], touched buckets only), delete rows purge
+    // ([[deleteByKeyBucket]]) — per window the replica pays O(changed
+    // keys + touched buckets), the contract that holds when the source
+    // is 100 TB and a window touches 0.1% of keys. The oracle states the
+    // source's FINAL state declaratively: apply ≡ recompute.
+    "q_sink_cdc_apply" -> { (s, dir) =>
+      val src = s"$tmpBase/cdc_apply_src"
+      val rep = s"$tmpBase/cdc_apply_replica"
+      deleteRec(src); truncate(rep)
+      val base = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey").as("val"))
+      commitVersion(s, src, base, "o_orderkey")                         // v0
+      val upd = base.where(col("o_orderkey") % 3 === 0)
+        .withColumn("val", col("val") + 1000000L)
+      val ins = base.where(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      commitVersion(s, src, upd.unionByName(ins), "o_orderkey")         // v1
+      commitDeletes(s, src,
+        base.where(col("o_orderkey") % 7 === 0).select(col("o_orderkey")),
+        "o_orderkey")                                                   // v2
+      mergeByKeyBucket(s, rep,
+        snapshotAt(s, src, 0L, "o_orderkey")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("val"))
+          .withColumn("_ord", lit(0L)),
+        "o_orderkey", Seq("_ord"))
+      Seq((0L, 1L), (1L, 2L)).foreach { case (f, t) =>
+        val ch = changesBetween(s, src, f, t, "o_orderkey").localCheckpoint()
+        val ups = ch.where(col("change_type").isin("insert", "update"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("val"))
+          .withColumn("_ord", lit(t))
+        if (!ups.isEmpty) mergeByKeyBucket(s, rep, ups, "o_orderkey", Seq("_ord"))
+        deleteByKeyBucket(s, rep,
+          ch.where(col("change_type") === "delete").select(col("o_orderkey")),
+          "o_orderkey")
+      }
+      s.read.parquet(rep)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("val"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Incrementally-maintained materialized aggregate: the streaming
     // groupBy holds running (n, cents) per (event_type, day) in the state
     // store; update-mode emits ONLY keys whose aggregate changed each
@@ -1188,5 +1232,19 @@ object Sinks {
       SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
              ${sqlSumFix("value", 2)} AS sum_value
       FROM events GROUP BY event_type, day
-      ORDER BY event_type, day""")
+      ORDER BY event_type, day""",
+
+    // final state after applying the whole feed = source of truth with
+    // every change folded in (apply ≡ recompute)
+    "q_sink_cdc_apply" -> """
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus, o_custkey AS val FROM orders)
+      SELECT k AS o_orderkey, o_orderstatus,
+             CAST(CASE WHEN k % 3 = 0 THEN val + 1000000 ELSE val END
+                  AS BIGINT) AS val
+      FROM base WHERE k % 7 <> 0
+      UNION ALL
+      SELECT k + 10000000, o_orderstatus, CAST(val AS BIGINT)
+      FROM base WHERE k % 11 = 0
+      ORDER BY o_orderkey""")
 }

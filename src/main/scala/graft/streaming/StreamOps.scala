@@ -335,6 +335,36 @@ object StreamOps {
         .orderBy(col("cohort"))
     },
 
+    // LEFT OUTER stream-stream join — the operator whose null side can
+    // only be emitted BY THE WATERMARK: an unmatched click is provably
+    // unmatched only once the watermark passes the end of its match
+    // window (c_ts + 1h), at which point its state row is evicted and
+    // the null-padded result emits. Clicks younger than that at end of
+    // stream stay in state, unemitted — streaming outer joins are
+    // eventually-complete, and the oracle states that boundary
+    // explicitly (emit iff c_ts + 1h < final watermark = min of the two
+    // sides' max event time - 1h delay). The final no-data micro-batch
+    // (on by default) is what flushes the last eviction.
+    "stream_stream_outer" -> { (s, dir) =>
+      val clicks = eventsStream(s, dir).where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+          expr("c_user = p_user AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("c_user"), col("c_id"), col("p_id"))
+      runToParquet(s, "ssouter", joined, complete = false)
+        .groupBy((col("c_user") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_rows"), count(col("p_id")).as("n_matched"),
+          sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_null"))
+        .orderBy(col("cohort"))
+    },
+
     // The reference's cron cadence literally: a ProcessingTime trigger
     // (micro-batch every 200ms — the 5-minute cron scaled down), drained
     // with processAllAvailable() then stopped. Stateless transform, so
@@ -570,6 +600,30 @@ object StreamOps {
       FROM c JOIN p ON c.u = p.u
         AND cts BETWEEN pts - INTERVAL 1 HOUR AND pts
       GROUP BY cohort ORDER BY cohort""",
+
+    // matched pairs + null-padded clicks whose match window closed below
+    // the final watermark (min of the two sides' max event time - the 1h
+    // delay); younger unmatched clicks are still in state at end of
+    // stream and correctly absent
+    "stream_stream_outer" -> """
+      WITH c AS (SELECT user_id AS u, ts AS cts, event_id AS cid
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id AS u, ts AS pts, event_id AS pid
+            FROM events WHERE event_type = 'purchase'),
+      wm AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+                    - INTERVAL 1 HOUR AS fw),
+      j AS (SELECT c.u, c.cid, p.pid FROM c JOIN p ON c.u = p.u
+              AND p.pts BETWEEN c.cts AND c.cts + INTERVAL 1 HOUR),
+      nulls AS (
+        SELECT c.u, c.cid, CAST(NULL AS BIGINT) AS pid
+        FROM c, wm
+        WHERE c.cts + INTERVAL 1 HOUR < wm.fw
+          AND NOT EXISTS (SELECT 1 FROM p WHERE p.u = c.u
+                          AND p.pts BETWEEN c.cts AND c.cts + INTERVAL 1 HOUR)),
+      em AS (SELECT * FROM j UNION ALL SELECT * FROM nulls)
+      SELECT u % 10 AS cohort, count(*) AS n_rows, count(pid) AS n_matched,
+             count(*) - count(pid) AS n_null
+      FROM em GROUP BY cohort ORDER BY cohort""",
 
     "stream_processing_time" -> s"""
       SELECT event_type, count(*) AS n, ${sqlSumFix("value", 2)} AS sum_value

@@ -223,6 +223,16 @@ class PlanShapeSpec extends SparkSpec {
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
+  test("Q19 disjunction: equi-conjunct extracted to a hash join, ORs pushed to scans") {
+    val p = plan("q19_disjunctive_predicates")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the common l_partkey = p_partkey conjunct to keep a hash join:\n$p")
+    assert(!p.contains("NestedLoop"),
+      "a naive reading of the OR-of-ANDs degraded the join to a nested loop")
+    assert(p.contains("Or(Or(And("),
+      "expected the CNF-derived per-side disjunction pushed into the parquet scans")
+  }
+
   test("shingle streams use the custom Generator, not interpreted HOFs") {
     val p = plan("q_llm_minhash_sig")
     assert(p.contains("graft_shingles"), "expected the UDTF in the plan")
