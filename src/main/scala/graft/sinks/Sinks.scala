@@ -145,7 +145,16 @@ object Sinks {
     * log's job, out of scope for the filesystem expression. */
   def mergeByKeyBucket(s: SparkSession, dest: String, batch: DataFrame,
                        key: String, orderCols: Seq[String],
-                       nBuckets: Int = 16): Unit = {
+                       nBuckets: Int = 16,
+                       bucketCol: String = null): Unit = {
+    // bucketCol (default: the key) lets a store physically cluster by a
+    // DIFFERENT column than its merge key — e.g. a denormalized join view
+    // keyed by fact id but bucketed by the dimension FK, so dim-driven
+    // backfills prune to the changed keys' buckets. The caller's contract:
+    // bucketCol is functionally dependent on the key and IMMUTABLE for a
+    // given key (otherwise an update could land beside a stale twin it
+    // never reads).
+    val bCol = Option(bucketCol).getOrElse(key)
     if (!Files.exists(Paths.get(dest))) {
       // first write: stage + single rename, so readers never see a
       // half-written initial store. The chosen bucket count is persisted
@@ -154,7 +163,7 @@ object Sinks {
       // every later merge buckets against the store's true layout.
       // int-typed so it round-trips partition discovery with a stable type
       val bucketed = batch.withColumn("_bucket",
-        pmod(col(key), lit(nBuckets)).cast("int"))
+        pmod(col(bCol), lit(nBuckets)).cast("int"))
       Files.createDirectories(Paths.get(dest).getParent)
       val init = dest + ".init"
       deleteRec(init)
@@ -172,7 +181,7 @@ object Sinks {
       // pre-metadata stores fall back to the caller's value.
       val n = storedBucketCount(dest).getOrElse(nBuckets)
       val bucketed = batch.withColumn("_bucket",
-        pmod(col(key), lit(n)).cast("int"))
+        pmod(col(bCol), lit(n)).cast("int"))
       // touched-bucket list is partition METADATA (<= nBuckets values)
       val touched = bucketed.select(col("_bucket")).distinct()
         .collect().map(_.getInt(0)).toIndexedSeq
@@ -1033,6 +1042,59 @@ object Sinks {
         .orderBy(col("o_orderkey"))
     },
 
+    // Incrementally-maintained DENORMALIZED JOIN VIEW (orders ⨝ customer)
+    // — the materialization every serving layer wants and a naive
+    // pipeline rebuilds nightly. Both maintenance directions stay pruned:
+    // fact appends join ONLY the batch against the broadcast current dim
+    // (O(batch) upsert); dim updates backfill ONLY the affected
+    // customers' rows — the view is KEYED by o_orderkey but BUCKETED by
+    // o_custkey (mergeByKeyBucket's bucketCol contract: the FK is
+    // immutable per order), so the backfill reads just the changed keys'
+    // buckets, never the view. Oracle: the one-shot join against the
+    // updated dim (maintenance ≡ recompute).
+    "q_sink_join_mv" -> { (s, dir) =>
+      val store = s"$tmpBase/join_mv"
+      truncate(store)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+      def mvRows(o: DataFrame) =
+        o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("c_name"), col("c_mktsegment"))
+      mergeByKeyBucket(s, store,                       // tick 0: seed
+        mvRows(ord.where(year(col("o_orderdate")) < 1996))
+          .withColumn("_ord", lit(0L)),
+        "o_orderkey", Seq("_ord"), bucketCol = "o_custkey")
+      mergeByKeyBucket(s, store,                       // tick 1: fact append
+        mvRows(ord.where(year(col("o_orderdate")) >= 1996))
+          .withColumn("_ord", lit(1L)),
+        "o_orderkey", Seq("_ord"), bucketCol = "o_custkey")
+      // tick 2: dim update — backfill reads ONLY the changed keys' buckets
+      val dimChange = cust.where(col("c_custkey") % 10 === 0)
+        .withColumn("c_mktsegment", lit("CHANGED"))
+      val n = storedBucketCount(store).getOrElse(16)
+      val touched = dimChange
+        .select(pmod(col("c_custkey"), lit(n)).cast("int").as("_b"))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      val affected = s.read.parquet(bucketDirs(store, touched): _*)
+      val backfill = affected
+        .join(broadcast(dimChange.select(col("c_custkey").as("o_custkey"),
+          col("c_name").as("new_name"), col("c_mktsegment").as("new_seg"))),
+          "o_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("new_name").as("c_name"), col("new_seg").as("c_mktsegment"))
+        .withColumn("_ord", lit(2L))
+      mergeByKeyBucket(s, store, backfill, "o_orderkey", Seq("_ord"),
+        bucketCol = "o_custkey")
+      s.read.parquet(store)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Incrementally-maintained materialized aggregate: the streaming
     // groupBy holds running (n, cents) per (event_type, day) in the state
     // store; update-mode emits ONLY keys whose aggregate changed each
@@ -1233,6 +1295,14 @@ object Sinks {
              ${sqlSumFix("value", 2)} AS sum_value
       FROM events GROUP BY event_type, day
       ORDER BY event_type, day""",
+
+    // maintenance ≡ recompute: the one-shot join against the updated dim
+    "q_sink_join_mv" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice, c_name,
+             CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""",
 
     // final state after applying the whole feed = source of truth with
     // every change folded in (apply ≡ recompute)

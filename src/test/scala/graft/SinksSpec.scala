@@ -340,6 +340,35 @@ class SinksSpec extends SparkSpec {
     assert(pruned.count() === 50)
   }
 
+  test("appendBuckets: no-read append; replayed tick overwrites its own file, never duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dest = s"$base/append_store"
+    Sinks.truncate(dest)
+    Sinks.initBucketStore(dest, 4)
+    def batch(r: Range) = r.toDF("v")
+      .withColumn("_bucket", pmod(col("v"), lit(4)).cast("int"))
+    Sinks.appendBuckets(spark, dest, batch(1 to 40), "t0")
+    Sinks.appendBuckets(spark, dest, batch(41 to 60), "t1")
+    assert(spark.read.parquet(dest).select("v").as[Int].collect().sorted
+      === (1 to 60).toArray)
+    // replay of tick t1 (crash-recovery): same tag -> same per-bucket file
+    // names -> overwrite, not duplicate
+    Sinks.appendBuckets(spark, dest, batch(41 to 60), "t1")
+    assert(spark.read.parquet(dest).select("v").as[Int].collect().sorted
+      === (1 to 60).toArray)
+    // each bucket dir holds exactly one file per tick (deterministic names)
+    val b1 = Paths.get(s"$dest/_bucket=1")
+    val files = Files.list(b1)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toList.sorted
+    } finally files.close()
+    assert(names === List("append_t0_0.parquet", "append_t1_0.parquet"),
+      s"expected one deterministic file per tick, got $names")
+  }
+
   test("publishSet: readers never see a cross-version mix; republish idempotent") {
     import spark.implicits._
     val dest = s"$base/multiset"
