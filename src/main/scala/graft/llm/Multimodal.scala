@@ -182,6 +182,265 @@ object Multimodal {
     in.mapPartitions(_.grouped(64).flatMap(_.map(decodeWav)))
   }
 
+  /** Decoded gzip-member features: byte/token/byte-sum stats of the
+    * DECOMPRESSED text. Same dead-letter shape as the other decoders. */
+  final case class GzFeat(doc_id: Long, ok: Boolean, n_bytes: Option[Long],
+                          ws_tokens: Option[Long], sum_bytes: Option[Long])
+
+  /** Gzip a text payload, with two deterministic corruption arms: a
+    * broken magic (header reject) and a flipped trailer ISIZE byte
+    * (integrity reject after a full inflate). */
+  def gzipBytes(tb: Array[Byte], corruptHdr: Boolean, corruptTrailer: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(tb); gz.close()
+    val out = bos.toByteArray
+    if (corruptHdr) out(0) = 0x00
+    if (corruptTrailer) out(out.length - 1) = (out(out.length - 1) ^ 0x41).toByte
+    out
+  }
+
+  /** REAL pure-JVM gzip (RFC 1952) member decoder: validates the magic +
+    * method, walks the optional FEXTRA/FNAME/FCOMMENT/FHCRC header
+    * fields, inflates the raw-deflate body (`Inflater(nowrap)`), and
+    * verifies BOTH trailer integrity fields — CRC32 and ISIZE — against
+    * the decompressed stream. A corpus's .gz shards are exactly this
+    * container (one member per file in the common crawl layout); the
+    * stats fold (bytes, single-space tokens, byte sum) happens inside
+    * the inflate loop, so the decompressed text never materializes. */
+  def decodeGzip(m: MediaIn): GzFeat = {
+    val b = m.payload
+    val bad = GzFeat(m.doc_id, ok = false, None, None, None)
+    if (b.length < 18) return bad
+    if ((b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b || b(2) != 8) return bad
+    val flg = b(3) & 0xff
+    var off = 10
+    if ((flg & 4) != 0) {
+      if (off + 2 > b.length) return bad
+      off += 2 + ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8))
+    }
+    def skipZeroTerminated(): Boolean = {
+      while (off < b.length && b(off) != 0) off += 1
+      if (off >= b.length) false else { off += 1; true }
+    }
+    if ((flg & 8) != 0 && !skipZeroTerminated()) return bad
+    if ((flg & 16) != 0 && !skipZeroTerminated()) return bad
+    if ((flg & 2) != 0) off += 2
+    if (off > b.length - 8) return bad
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(b, off, b.length - off - 8)
+    val crc = new java.util.zip.CRC32
+    val buf = new Array[Byte](8192)
+    var n = 0L; var sum = 0L; var spaces = 0L
+    try {
+      var done = false
+      while (!done) {
+        val k = inf.inflate(buf)
+        if (k > 0) {
+          crc.update(buf, 0, k)
+          var i = 0
+          while (i < k) {
+            val c = buf(i) & 0xff
+            sum += c
+            if (c == ' ') spaces += 1
+            i += 1
+          }
+          n += k
+        } else if (inf.finished()) done = true
+        else return bad // inflater stalled: truncated deflate stream
+      }
+      def u32(o: Int): Long =
+        (b(o) & 0xffL) | (b(o + 1) & 0xffL) << 8 |
+          (b(o + 2) & 0xffL) << 16 | (b(o + 3) & 0xffL) << 24
+      val t = b.length - 8
+      if (u32(t) != crc.getValue || u32(t + 4) != (n & 0xffffffffL)) return bad
+      GzFeat(m.doc_id, ok = true, Some(n), Some(spaces + 1), Some(sum))
+    } catch {
+      case _: java.util.zip.DataFormatException => bad
+    } finally inf.end()
+  }
+
+  /** Batched gzip decode — the compressed-text lane of the decode tier. */
+  def decodeGzipBatched(in: Dataset[MediaIn])(implicit s: SparkSession): Dataset[GzFeat] = {
+    import s.implicits._
+    in.mapPartitions(_.grouped(64).flatMap(_.map(decodeGzip)))
+  }
+
+  /** Decoded PNG features — header fields + per-channel raster sums,
+    * same shape as [[PpmFeat]] (bit depth in place of maxval). */
+  final case class PngFeat(doc_id: Long, fmt_ok: Boolean,
+                           width: Option[Int], height: Option[Int],
+                           bit_depth: Option[Int], n_px: Option[Long],
+                           sum_r: Option[Long], sum_g: Option[Long],
+                           sum_b: Option[Long])
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG Paeth predictor (spec §9.4) — shared by encode and decode. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Synthesize a REAL 8-bit RGB PNG around a w×h raster (row r uses
+    * filter type r % 5, so all five PNG filters are exercised on the
+    * decode side): signature + IHDR + one zlib IDAT + IEND, each chunk
+    * CRC32-protected. `corrupt` flips a byte of the IHDR CRC so the
+    * integrity-reject arm runs. */
+  def pngBytes(raster: Array[Byte], w: Int, h: Int, corrupt: Boolean): Array[Byte] = {
+    val bpp = 3
+    val stride = w * bpp
+    val filtered = new Array[Byte](h * (1 + stride))
+    var r = 0
+    while (r < h) {
+      val ft = r % 5
+      filtered(r * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val raw = raster(r * stride + x) & 0xff
+        val left = if (x >= bpp) raster(r * stride + x - bpp) & 0xff else 0
+        val up = if (r > 0) raster((r - 1) * stride + x) & 0xff else 0
+        val upLeft = if (r > 0 && x >= bpp) raster((r - 1) * stride + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw - left
+          case 2 => raw - up
+          case 3 => raw - (left + up) / 2
+          case 4 => raw - paeth(left, up, upLeft)
+        }
+        filtered(r * (1 + stride) + 1 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val out = PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    if (corrupt) out(8 + 8 + 13 + 2) = (out(8 + 8 + 13 + 2) ^ 0x41).toByte
+    out
+  }
+
+  /** REAL pure-JVM PNG decoder (8-bit RGB, non-interlaced): validates
+    * the signature, walks the chunk stream verifying EVERY chunk's
+    * CRC32, parses IHDR, zlib-inflates the concatenated IDAT stream,
+    * reverses all five scanline filters (None/Sub/Up/Average/Paeth,
+    * spec §9), and folds per-channel sums. Strict: a CRC mismatch, a
+    * wrong inflated length, an unknown filter type, or a missing IEND
+    * is a reject — never a partial decode. */
+  def decodePng(m: MediaIn): PngFeat = {
+    val b = m.payload
+    val bad = PngFeat(m.doc_id, fmt_ok = false, None, None, None, None, None, None, None)
+    if (b.length < 8 + 25 || !PngSig.indices.forall(i => b(i) == PngSig(i))) return bad
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) << 24 | (b(o + 1) & 0xffL) << 16 |
+        (b(o + 2) & 0xffL) << 8 | (b(o + 3) & 0xffL)
+    var off = 8
+    var (w, h, depth) = (-1, -1, -1)
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      if (off + 12 > b.length) return bad
+      val len = u32(off)
+      if (len > Int.MaxValue - 12 || off + 12 + len > b.length) return bad
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(b, off + 4, 4 + len.toInt)
+      if (crc.getValue != u32(off + 8 + len.toInt)) return bad
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return bad
+          w = u32(off + 8).toInt; h = u32(off + 12).toInt
+          depth = b(off + 16) & 0xff
+          val (color, comp, filt, inter) =
+            (b(off + 17) & 0xff, b(off + 18) & 0xff, b(off + 19) & 0xff, b(off + 20) & 0xff)
+          if (w < 0 || h < 0 || depth != 8 || color != 2 ||
+              comp != 0 || filt != 0 || inter != 0) return bad
+        case "IDAT" => idat.write(b, off + 8, len.toInt)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks: CRC-checked above, content skipped
+      }
+      off += 12 + len.toInt
+    }
+    if (w < 0) return bad // no IHDR seen
+    val bpp = 3
+    val stride = w * bpp
+    val want = h.toLong * (1 + stride)
+    if (want > Int.MaxValue) return bad
+    val raw = new Array[Byte](want.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (!inf.finished()) {
+        val k = inf.inflate(raw, got, raw.length - got)
+        if (k > 0) got += k
+        else if (!inf.finished()) {
+          // zero progress: output full (probe for excess/end) or truncated
+          if (got < raw.length) return bad // stalled: truncated stream
+          val probe = new Array[Byte](1)
+          if (inf.inflate(probe) > 0 || !inf.finished()) return bad // too long
+        }
+      }
+      if (got != raw.length) return bad
+    } catch { case _: java.util.zip.DataFormatException => return bad }
+    finally inf.end()
+    // reverse the scanline filters in place (recon overwrites raw)
+    val recon = new Array[Byte](h * stride)
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * (1 + stride)) & 0xff
+      if (ft > 4) return bad
+      var x = 0
+      while (x < stride) {
+        val f = raw(r * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= bpp) recon(r * stride + x - bpp) & 0xff else 0
+        val up = if (r > 0) recon((r - 1) * stride + x) & 0xff else 0
+        val upLeft = if (r > 0 && x >= bpp) recon((r - 1) * stride + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, upLeft)
+        }
+        recon(r * stride + x) = (v & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var j = 0
+    while (j < recon.length) {
+      sr += recon(j) & 0xff; sg += recon(j + 1) & 0xff; sb += recon(j + 2) & 0xff
+      j += 3
+    }
+    PngFeat(m.doc_id, fmt_ok = true, Some(w), Some(h), Some(depth),
+      Some(w.toLong * h), Some(sr), Some(sg), Some(sb))
+  }
+
+  /** Batched PNG decode. */
+  def decodePngBatched(in: Dataset[MediaIn])(implicit s: SparkSession): Dataset[PngFeat] = {
+    import s.implicits._
+    in.mapPartitions(_.grouped(64).flatMap(_.map(decodePng)))
+  }
+
   /** Perceptual (near-dup) media dedup: SimHash-32 over the payload's
     * byte-3-gram rolling hashes (`graft_bytesimhash` — one compiled pass
     * per payload), banded 4×8-bit for candidates, hamming ≤ 3 verify —
@@ -371,6 +630,45 @@ object Multimodal {
           MediaIn(id, wavBytes(id, text.getBytes("UTF-8"), id % 47 == 0)) }
       decodeWavBatched(in).toDF()
         .orderBy(col("doc_id"))
+    },
+
+    // The PNG lane: same dims/raster as the PPM entry (so the oracle is
+    // first-principles channel sums over the text bytes), but the
+    // payload is a REAL 8-bit RGB PNG — zlib IDAT, all five scanline
+    // filters cycling per row, per-chunk CRC32. The decode is the full
+    // inverse walk: chunk CRC verification, inflate, unfilter
+    // (Sub/Up/Average/Paeth reconstruction), channel fold. Every ~61st
+    // payload gets a flipped IHDR CRC byte -> integrity-reject arm.
+    "q_llm_media_png_decode" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val in = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val w = math.min(tb.length / 3, 16)
+          val h = if (w == 0) 0 else (tb.length / 3) / w
+          MediaIn(id, pngBytes(tb.take(w * h * 3), w, h, corrupt = id % 61 == 0)) }
+      decodePngBatched(in).toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    // Compressed-text ingestion: every doc rides as a gzip member (the
+    // .gz shard layout every crawl distributes), decoded by the REAL
+    // RFC 1952 walk + Inflater + dual trailer verification. Two
+    // deterministic corruption arms exercise both reject paths: broken
+    // magic (header) and flipped ISIZE (integrity after full inflate).
+    // Oracle recomputes the decompressed stats from the plain text.
+    "q_llm_gzip_ingest" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val in = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          MediaIn(id, gzipBytes(text.getBytes("UTF-8"),
+            corruptHdr = id % 53 == 0, corruptTrailer = id % 59 == 0)) }
+      decodeGzipBatched(in).toDF()
+        .orderBy(col("doc_id"))
     })
 
   /** Relational mirror of graft_bytesimhash + banding over `src`: byte
@@ -555,5 +853,59 @@ object Multimodal {
              CASE WHEN p.corrupt THEN NULL
                   ELSE CAST(coalesce(a.sum_sq, 0) AS BIGINT) END AS sum_sq
       FROM par p LEFT JOIN agg a USING (doc_id)
-      ORDER BY p.doc_id""")
+      ORDER BY p.doc_id""",
+
+    // identical dims/channel math to q_llm_media_decode's oracle; only
+    // the corrupt arm (% 61, the flipped IHDR CRC) and the bit_depth
+    // column differ — the PNG container round-trips the same raster
+    "q_llm_media_png_decode" -> """
+      WITH dims AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) // 3 AS npx0,
+               least(CAST(octet_length(encode(text)) AS BIGINT) // 3, 16) AS w,
+               doc_id % 61 = 0 AS corrupt
+        FROM documents),
+      d2 AS (
+        SELECT doc_id, text, w, corrupt,
+               CASE WHEN w = 0 THEN 0 ELSE npx0 // w END AS h
+        FROM dims),
+      px AS (
+        SELECT doc_id, i % 3 AS c,
+               ascii(substring(text, CAST(i + 1 AS INT), 1)) AS v
+        FROM (SELECT doc_id, text, unnest(range(0, w * h * 3)) AS i
+              FROM d2 WHERE NOT corrupt)),
+      sums AS (
+        SELECT doc_id,
+               sum(CASE WHEN c = 0 THEN v END) AS sr,
+               sum(CASE WHEN c = 1 THEN v END) AS sg,
+               sum(CASE WHEN c = 2 THEN v END) AS sb
+        FROM px GROUP BY doc_id)
+      SELECT d.doc_id,
+             NOT d.corrupt AS fmt_ok,
+             CASE WHEN d.corrupt THEN NULL ELSE CAST(d.w AS INT) END AS width,
+             CASE WHEN d.corrupt THEN NULL ELSE CAST(d.h AS INT) END AS height,
+             CASE WHEN d.corrupt THEN NULL ELSE 8 END AS bit_depth,
+             CASE WHEN d.corrupt THEN NULL ELSE CAST(d.w * d.h AS BIGINT) END AS n_px,
+             CASE WHEN d.corrupt THEN NULL ELSE CAST(coalesce(s.sr, 0) AS BIGINT) END AS sum_r,
+             CASE WHEN d.corrupt THEN NULL ELSE CAST(coalesce(s.sg, 0) AS BIGINT) END AS sum_g,
+             CASE WHEN d.corrupt THEN NULL ELSE CAST(coalesce(s.sb, 0) AS BIGINT) END AS sum_b
+      FROM d2 d LEFT JOIN sums s USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // decompressed stats from the plain text; both corruption arms
+    // (magic, ISIZE) land in the same reject shape
+    "q_llm_gzip_ingest" -> """
+      SELECT doc_id,
+             NOT (doc_id % 53 = 0 OR doc_id % 59 = 0) AS ok,
+             CASE WHEN doc_id % 53 = 0 OR doc_id % 59 = 0 THEN NULL
+                  ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+             CASE WHEN doc_id % 53 = 0 OR doc_id % 59 = 0 THEN NULL
+                  ELSE CAST(len(text) - len(replace(text, ' ', '')) + 1
+                       AS BIGINT) END AS ws_tokens,
+             CASE WHEN doc_id % 53 = 0 OR doc_id % 59 = 0 THEN NULL
+                  ELSE CAST(coalesce(list_sum(list_transform(
+                         string_split(text, ''),
+                         c -> CAST(ascii(c) AS BIGINT))), 0) AS BIGINT)
+                  END AS sum_bytes
+      FROM documents ORDER BY doc_id""")
 }

@@ -64,6 +64,63 @@ class MultimodalSpec extends SparkSpec {
 
   /** Canonical 44-byte header + data, via the production synthesizer then
     * patched to the wanted rate (wavBytes derives rate from doc_id). */
+  test("wav: oversized u32 chunk size rejects instead of walking backwards") {
+    // declared chunk size 0xFFFFFFF8 truncates to -8 as an Int — the old
+    // walk would step 0 (or negative) and loop; the guard must reject
+    val base = Multimodal.wavBytes(0L, "abcdef".getBytes("US-ASCII"), corrupt = false)
+    val evil = spliceChunk(base,
+      "JUNK".getBytes("US-ASCII") ++ Array(0xf8, 0xff, 0xff, 0xff).map(_.toByte))
+    assert(!Multimodal.decodeWav(MediaIn(0L, evil)).fmt_ok)
+  }
+
+  test("png: all five filters reconstruct; corrupt chunk CRC rejects") {
+    val raster = Array.tabulate(16 * 5 * 3)(i => ((i * 7 + 3) % 256).toByte)
+    val ok = Multimodal.decodePng(MediaIn(1L,
+      Multimodal.pngBytes(raster, 16, 5, corrupt = false)))
+    assert(ok.fmt_ok && ok.width.contains(16) && ok.height.contains(5))
+    val (er, eg, eb) = (0 until raster.length by 3).foldLeft((0L, 0L, 0L)) {
+      case ((r, g, b), j) =>
+        (r + (raster(j) & 0xff), g + (raster(j + 1) & 0xff), b + (raster(j + 2) & 0xff))
+    }
+    assert(ok.sum_r.contains(er) && ok.sum_g.contains(eg) && ok.sum_b.contains(eb),
+      "unfiltered raster must be byte-identical to the encoder input")
+    assert(!Multimodal.decodePng(MediaIn(1L,
+      Multimodal.pngBytes(raster, 16, 5, corrupt = true))).fmt_ok,
+      "a flipped IHDR CRC byte must reject")
+  }
+
+  test("png rejects: bad signature, truncated IDAT, wrong inflated length") {
+    val raster = Array.tabulate(9 * 2 * 3)(i => (i % 251).toByte)
+    val good = Multimodal.pngBytes(raster, 9, 2, corrupt = false)
+    val badSig = good.clone(); badSig(0) = 0x00
+    assert(!Multimodal.decodePng(MediaIn(2L, badSig)).fmt_ok)
+    assert(!Multimodal.decodePng(MediaIn(2L, good.take(good.length - 20))).fmt_ok,
+      "a truncated chunk stream must reject")
+    // a 0x0 image is structurally valid and folds to zero sums
+    val empty = Multimodal.decodePng(MediaIn(3L,
+      Multimodal.pngBytes(Array.emptyByteArray, 0, 0, corrupt = false)))
+    assert(empty.fmt_ok && empty.n_px.contains(0L) && empty.sum_r.contains(0L))
+  }
+
+  test("gzip: real member round-trips; both corruption arms reject") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val tb = text.getBytes("UTF-8")
+    val ok = Multimodal.decodeGzip(MediaIn(1L,
+      Multimodal.gzipBytes(tb, corruptHdr = false, corruptTrailer = false)))
+    assert(ok.ok && ok.n_bytes.contains(tb.length.toLong))
+    assert(ok.ws_tokens.contains(9L), "8 spaces -> 9 single-space tokens")
+    assert(ok.sum_bytes.contains(tb.map(_ & 0xff).map(_.toLong).sum))
+    assert(!Multimodal.decodeGzip(MediaIn(1L,
+      Multimodal.gzipBytes(tb, corruptHdr = true, corruptTrailer = false))).ok)
+    assert(!Multimodal.decodeGzip(MediaIn(1L,
+      Multimodal.gzipBytes(tb, corruptHdr = false, corruptTrailer = true))).ok,
+      "a flipped ISIZE byte must fail the trailer check after a full inflate")
+    // truncated deflate body: inflater stalls -> reject, not hang
+    val good = Multimodal.gzipBytes(tb, corruptHdr = false, corruptTrailer = false)
+    assert(!Multimodal.decodeGzip(MediaIn(1L,
+      good.take(12) ++ good.takeRight(8))).ok)
+  }
+
   private def wavWithData(data: Array[Byte], rate: Int): Array[Byte] = {
     val base = Multimodal.wavBytes(0L, data, corrupt = false)
     val bb = java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -223,6 +223,22 @@ class PlanShapeSpec extends SparkSpec {
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
+  test("Q11 global-scalar HAVING: the 1-row total broadcasts back over the groups") {
+    val p = plan("q11_important_stock")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),
+      s"expected the re-aggregated 1-row total as a broadcast over the per-part rows:\n$p")
+    assert(!p.contains("SubqueryExec"),
+      "the scalar threshold must be a broadcast, not a per-row subquery")
+  }
+
+  test("Q20 correlated IN chain decorrelates to semi joins on shared keys") {
+    val p = plan("q20_dominant_suppliers")
+    assert(p.contains("LeftSemi"),
+      s"expected the outer IN as a left-semi join:\n$p")
+    assert(!p.contains("SubqueryExec"),
+      "both nesting levels must be keyed aggregates + joins, never per-row subqueries")
+  }
+
   test("Q19 disjunction: equi-conjunct extracted to a hash join, ORs pushed to scans") {
     val p = plan("q19_disjunctive_predicates")
     assert(p.contains("BroadcastHashJoin"),
