@@ -263,6 +263,29 @@ object Extras {
         .orderBy(col("message"))
     },
 
+    // DataSource V2 WRITE (the sink half of O8: persist the batch —
+    // git_etl.ts:127-132 — as Spark's two-phase commit): executor task
+    // attempts stage uniquely-named files, the driver publishes exactly
+    // the committed attempts' files behind an atomically-swapped
+    // manifest (sources/KvStoreSink.scala). 4 writer partitions
+    // exercise the commit fan-in; the read-back resolves THROUGH the
+    // manifest, so staged/orphaned files can't leak into the answer.
+    "q_dsv2_write" -> { (s, dir) =>
+      val dest = s"${graft.sinks.Sinks.tmpBase}/dsv2_write_store"
+      graft.sinks.Sinks.truncate(dest)
+      Tables.load(s, dir, "events")
+        .selectExpr("event_id AS k", "event_type AS v",
+          "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+        .repartition(4)
+        .write.format("graft.sources.KvStoreSink").option("path", dest)
+        .mode("append").save()
+      val files = graft.sources.KvStoreSink.committedFiles(dest)
+      s.read.schema(graft.sources.KvStoreSink.schema).json(files: _*)
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("v"))
+    },
+
     // Aggregate pushdown into the DSv2 source (SupportsPushDownAggregates,
     // COMPLETE pushdown): the grouped COUNT(*)/MIN(ts)/MAX(ts) is answered
     // by the source itself in closed form — the physical plan carries NO
@@ -500,6 +523,14 @@ object Extras {
              count(DISTINCT email) AS n_authors
       FROM src WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
       GROUP BY message ORDER BY message""",
+
+    // the store round-trips the batch exactly, so the committed read-back
+    // aggregates like the source table
+    "q_dsv2_write" -> """
+      SELECT event_type AS v, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events GROUP BY v ORDER BY v""",
 
     "q_dsv2_topn_pushdown" -> """
       WITH src AS (

@@ -174,4 +174,36 @@ class CommitSourceSpec extends SparkSpec {
       .orderBy(asc("ts")).limit(2).select(col("sha")).collect()
     assert(f.map(_.getString(0)).toSeq === Seq("c00000097", "c00000098"))
   }
+
+  test("DSv2 write: manifest-gated visibility, append accumulates, overwrite truncates") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val dest = graft.sinks.Sinks.tmpBase + "/spec/kvsink"
+    graft.sinks.Sinks.truncate(dest)
+    def rows(r: Range, tag: String) =
+      r.map(i => (i.toLong, tag, i.toLong * 10)).toDF("k", "v", "cents")
+    def write(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+      df.repartition(3).write.format("graft.sources.KvStoreSink")
+        .option("path", dest).mode(mode).save()
+    def readBack = spark.read.schema(graft.sources.KvStoreSink.schema)
+      .json(graft.sources.KvStoreSink.committedFiles(dest): _*)
+    write(rows(1 to 50, "a"), "append")
+    assert(readBack.count() === 50)
+    write(rows(51 to 70, "b"), "append") // second batch ACCUMULATES
+    assert(readBack.count() === 70)
+    // a live-dir file NOT named by the manifest (a crashed publish, a
+    // losing speculative attempt) is invisible to readers
+    Files.writeString(Paths.get(dest, "part-9-999.jsonl"),
+      "{\"k\":999,\"v\":\"x\",\"cents\":1}\n")
+    assert(readBack.count() === 70)
+    assert(!readBack.where($"k" === 999L).head(1).nonEmpty)
+    // overwrite mode routes through SupportsTruncate: atomic replace
+    write(rows(1 to 5, "c"), "overwrite")
+    assert(readBack.count() === 5)
+    assert(readBack.select($"v").distinct().as[String].collect().toSeq === Seq("c"))
+    // staging is always drained after a successful commit
+    assert(!Files.exists(Paths.get(dest, ".staging")) ||
+      { val l = Files.list(Paths.get(dest, ".staging"))
+        try !l.iterator().hasNext finally l.close() })
+  }
 }
