@@ -672,3 +672,46 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_wordcount(s)` — fused single-space token count, the codegen
+  * replacement [[FuseWordCount]] swaps in for `size(split(s, ' '))`.
+  * Exact semantics proof: `split(s, ' ', -1)` (regex " ", keep trailing
+  * empties) yields exactly `count(' ' in s) + 1` segments for EVERY
+  * string — leading/trailing/consecutive spaces produce empty segments
+  * that size() counts, and the empty string yields [""] = 1. So the
+  * array never needs to exist: one byte scan over the UTF8String (0x20
+  * bytes in UTF-8 are always the space character — multi-byte sequences
+  * use bytes >= 0x80) replaces regex split + array allocation + size. */
+case class WordCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = IntegerType
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_wordcount"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    var (i, n) = (0, 1)
+    while (i < b.length) { if (b(i) == ' '.toByte) n += 1; i += 1 }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $b = $c.getBytes();
+         |int ${ev.value}_n = 1;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  if ($b[$i] == (byte) 0x20) ${ev.value}_n++;
+         |}
+         |${ev.value} = ${ev.value}_n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordCount =
+    copy(child = newChild)
+}

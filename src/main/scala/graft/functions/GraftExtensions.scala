@@ -15,10 +15,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    any session the driver hands us.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => FuseWordCount)
+  }
 }
 
 object GraftFunctions {
@@ -57,9 +59,15 @@ object GraftFunctions {
       (args: Seq[Expression]) => ByteSimHash32(args.head)))
 
   /** Idempotent runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
+    // live-session optimizer hook (idempotent): the FuseWordCount rewrite
+    // reaches sessions the driver built without spark.sql.extensions
+    if (!spark.experimental.extraOptimizations.contains(FuseWordCount))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseWordCount
+  }
 }

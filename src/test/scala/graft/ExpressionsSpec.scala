@@ -196,4 +196,37 @@ class ExpressionsSpec extends SparkSpec {
     assert(GraftKernels.longDot(
       ArrayData.toArrayData(a), ArrayData.toArrayData(b)) === expected)
   }
+
+  test("FuseWordCount rewrites size(split(s,' ')) and preserves exact semantics") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // every segment-shape edge case: empty, leading/trailing/consecutive
+    // spaces, only-spaces, no spaces, multi-byte UTF-8 around spaces
+    val cases = Seq("", " ", "  ", "a", "a b", "a  b", " a", "a ",
+      "a b c d", "héllo wörld", "日本 語 テスト", "tab\tand space")
+    val df = cases.toDF("text")
+      .selectExpr("text", "size(split(text, ' ')) AS n")
+    val expected = cases.map(s => s.count(_ == ' ') + 1)
+    assert(df.select($"n").as[Int].collect().toSeq === expected)
+    // plan assertion needs a non-literal source (a literal relation is
+    // constant-folded away before the shape is visible)
+    val scan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fused = scan.selectExpr("size(split(text, ' ')) AS n")
+    val optimized = fused.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_wordcount"),
+      s"expected the fused token counter in the optimized plan:\n$optimized")
+    assert(!optimized.contains("split("),
+      "the split + size pipeline should be gone after the rewrite")
+    // non-matching shapes are untouched: different separator
+    val other = scan.selectExpr("size(split(text, ',')) AS n")
+    assert(other.queryExecution.optimizedPlan.toString.contains("split("))
+    // fused and unfused agree over the corpus (rewrite licensed by proof,
+    // checked by measurement)
+    import org.apache.spark.sql.functions.sum
+    val a = fused.agg(sum($"n")).as[Long].head()
+    val b = scan
+      .selectExpr("length(text) - length(replace(text, ' ', '')) + 1 AS n")
+      .agg(sum($"n")).as[Long].head()
+    assert(a === b)
+  }
 }
