@@ -312,12 +312,18 @@ object Dedup {
     * results are identical; `localCheckpoint` (eager) pins the blocks for
     * the life of the session, which is the life of a Bench/Verify run. */
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   /** Full-width (doc_a, doc_b, i, na, nb) cached artifact — consumers that
-    * only need the edge list project it down. */
-  private[graft] def verifiedPairsFullCached(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent(dir, _ =>
+    * only need the edge list project it down. Keyed by (session, dir):
+    * a localCheckpoint-backed DataFrame is bound to ONE SparkContext, so
+    * a later session in the same JVM must rebuild, not inherit blocks of
+    * a possibly-stopped context. */
+  private[graft] def verifiedPairsFullCached(s: SparkSession, dir: String): DataFrame = {
+    val ctx = s.sparkContext.applicationId // fresh per SparkContext
+    pairsCache.keySet.removeIf(k => k._1 != ctx) // drop dead contexts' pins
+    pairsCache.computeIfAbsent((ctx, dir), _ =>
       minhashVerifiedPairsOf(docs(s, dir)).localCheckpoint())
+  }
   /** Edge-list view of [[verifiedPairsFullCached]]. */
   private[graft] def verifiedPairsCached(s: SparkSession, dir: String): DataFrame =
     verifiedPairsFullCached(s, dir).select(col("doc_a"), col("doc_b"))

@@ -238,12 +238,23 @@ object IncrementalDedup {
       .distinct().collect().map(_.getInt(0)).toIndexedSeq
     val srcDirs = Sinks.bucketDirs(elog, srcBuckets)
     val movesPath = s"$base/emoves/batch_$batchId"
-    if (!committed(movesPath)) {
+    // ONE physical read of the source buckets serves both projections
+    // (move-set derivation and the staying set below) on the normal path —
+    // localCheckpoint pins the rows so the anti-join doesn't pay the scan
+    // twice. On a replay (moves artifact already committed) the buckets
+    // may be half-rewritten, so the staying set reads them fresh (lazy,
+    // no checkpoint) and the moves come from the persisted artifact.
+    val freshTick = !committed(movesPath)
+    val srcRows =
+      if (srcDirs.isEmpty) newLabeled.limit(0)
+      else {
+        val r = s.read.parquet(srcDirs: _*)
+          .select(col("doc_a"), col("doc_b"), col("label"))
+        if (freshTick) r.localCheckpoint() else r
+      }
+    if (freshTick) {
       // move-set = remap-matching rows of the source buckets, relabeled
-      val existingSrc =
-        if (srcDirs.isEmpty) newLabeled.limit(0)
-        else s.read.parquet(srcDirs: _*).select(col("doc_a"), col("doc_b"), col("label"))
-      existingSrc.join(remap, "label")
+      srcRows.join(remap, "label")
         .select(col("doc_a"), col("doc_b"), col("canonical").as("label"))
         .write.mode("overwrite").parquet(movesPath)
     }
@@ -254,10 +265,7 @@ object IncrementalDedup {
       // rewrite ONLY the move-source buckets: drop moved-out rows, fold in
       // any moved/new rows that land back inside this same bucket set
       val staying =
-        if (srcDirs.isEmpty) newLabeled.limit(0)
-        else s.read.parquet(srcDirs: _*)
-          .select(col("doc_a"), col("doc_b"), col("label"))
-          .join(remap.select(col("label")), Seq("label"), "left_anti")
+        srcRows.join(remap.select(col("label")), Seq("label"), "left_anti")
       val content = staying.withColumn("_bucket", bucketOf(col("label")))
         .unionByName(landing.where(col("_bucket").isin(srcBuckets: _*)))
         .distinct()

@@ -380,6 +380,7 @@ object Multimodal {
     }
     if (w < 0) return bad // no IHDR seen
     val bpp = 3
+    if (w.toLong * bpp > Int.MaxValue) return bad // stride must fit an Int
     val stride = w * bpp
     val want = h.toLong * (1 + stride)
     if (want > Int.MaxValue) return bad
@@ -642,7 +643,13 @@ object Multimodal {
     "q_llm_media_png_decode" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
+      // ASCII-only domain guard (char count == UTF-8 byte count): the
+      // oracle reconstructs raster bytes per CHARACTER (ascii(c)), which
+      // only equals the UTF-8 byte walk for pure-ASCII text. Both sides
+      // filter identically, so a future non-ASCII generator degrades to
+      // fewer rows, never to a silent hash mismatch.
       val in = Tables.load(s, dir, "documents")
+        .where("length(text) = octet_length(text)")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val tb = text.getBytes("UTF-8")
@@ -662,7 +669,10 @@ object Multimodal {
     "q_llm_gzip_ingest" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
+      // same ASCII-only guard as the PNG lane: oracle sums ascii(c) per
+      // character, the decoder sums real UTF-8 bytes — equal iff ASCII
       val in = Tables.load(s, dir, "documents")
+        .where("length(text) = octet_length(text)")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           MediaIn(id, gzipBytes(text.getBytes("UTF-8"),
@@ -864,7 +874,8 @@ object Multimodal {
                CAST(octet_length(encode(text)) AS BIGINT) // 3 AS npx0,
                least(CAST(octet_length(encode(text)) AS BIGINT) // 3, 16) AS w,
                doc_id % 61 = 0 AS corrupt
-        FROM documents),
+        FROM documents
+        WHERE length(text) = strlen(text)),
       d2 AS (
         SELECT doc_id, text, w, corrupt,
                CASE WHEN w = 0 THEN 0 ELSE npx0 // w END AS h
@@ -907,5 +918,7 @@ object Multimodal {
                          string_split(text, ''),
                          c -> CAST(ascii(c) AS BIGINT))), 0) AS BIGINT)
                   END AS sum_bytes
-      FROM documents ORDER BY doc_id""")
+      FROM documents
+      WHERE length(text) = strlen(text)
+      ORDER BY doc_id""")
 }

@@ -76,7 +76,9 @@ object Sinks {
                  tables: Map[String, DataFrame]): Unit = {
     val committed =
       try manifestVersion(base) catch { case _: Exception => Long.MinValue }
-    if (version == committed) return // replay of a committed publish
+    // <= not ==: a delayed replay of an OLDER committed publish must not
+    // roll readers back to stale data (versions are monotone by contract)
+    if (version <= committed) return // replay of a committed publish
     tables.foreach { case (name, df) =>
       val dest = s"$base/tables/$name/v_$version"
       val staging = dest + ".staging"
@@ -170,6 +172,10 @@ object Sinks {
       bucketed.write.partitionBy("_bucket").parquet(init)
       Files.write(Paths.get(init, "_graft_buckets"),
         nBuckets.toString.getBytes("UTF-8"))
+      // persist the bucketing column too: a later delete/merge must bucket
+      // by the store's TRUE layout column, not assume the merge key
+      Files.write(Paths.get(init, "_graft_bucket_col"),
+        bCol.getBytes("UTF-8"))
       Files.move(Paths.get(init), Paths.get(dest), StandardCopyOption.ATOMIC_MOVE)
     } else {
       healBuckets(dest)
@@ -206,10 +212,23 @@ object Sinks {
     if (!Files.exists(Paths.get(dest))) return
     healBuckets(dest)
     val n = storedBucketCount(dest).getOrElse(16)
-    val del = keys.select(col(key)).distinct()
-      .withColumn("_bucket", pmod(col(key), lit(n)).cast("int"))
-    val touched = del.select(col("_bucket")).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+    // Bucket by the store's TRUE layout column (persisted at init), not by
+    // the merge key: a bucketCol store (e.g. the FK-bucketed join MV) hashes
+    // rows by the FK, so pmod(key) would read buckets the rows do NOT live
+    // in and the delete would silently remove nothing.
+    val bCol = storedBucketCol(dest).getOrElse(key)
+    val canPrune = bCol == key || keys.columns.contains(bCol)
+    val del = keys.select((col(key) +: (if (bCol == key) Nil
+      else if (canPrune) Seq(col(bCol)) else Nil)): _*).distinct()
+    val touched =
+      if (canPrune)
+        del.select(pmod(col(bCol), lit(n)).cast("int").as("_bucket"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      else
+        // delete list lacks the bucketing column: correct-but-unpruned
+        // fallback — anti-join every existing bucket (the caller should
+        // supply bCol in `keys` to keep the 100 TB pruning property)
+        existingBuckets(dest)
     if (touched.isEmpty) return
     val remaining = s.read.parquet(dest)
       .where(col("_bucket").isin(touched: _*))
@@ -285,6 +304,30 @@ object Sinks {
     if (Files.exists(meta))
       Some(new String(Files.readAllBytes(meta), "UTF-8").trim.toInt)
     else None
+  }
+
+  /** The store's bucketing COLUMN from its `_graft_bucket_col` metadata;
+    * None for stores predating it (which always bucketed by the key). */
+  def storedBucketCol(dest: String): Option[String] = {
+    val meta = Paths.get(dest, "_graft_bucket_col")
+    if (Files.exists(meta))
+      Some(new String(Files.readAllBytes(meta), "UTF-8").trim)
+    else None
+  }
+
+  /** The bucket ids that physically exist in the store right now —
+    * parsed from the `_bucket=N` partition dirs. */
+  def existingBuckets(dest: String): Seq[Int] = {
+    val d = Paths.get(dest)
+    if (!Files.exists(d)) Nil
+    else {
+      val st = Files.list(d)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("_bucket="))
+        .map(_.stripPrefix("_bucket=").toInt).toIndexedSeq
+      finally st.close()
+    }
   }
 
   /** Bucket count sized from expected store rows: one bucket per

@@ -68,20 +68,23 @@ class KvStoreTable(path: String) extends Table with SupportsWrite {
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new KvWriteBuilder(path, info.schema(), truncate = false)
+    new KvWriteBuilder(path, info.schema(), info.queryId(), truncate = false)
 }
 
-class KvWriteBuilder(path: String, schema: StructType, truncate: Boolean)
+class KvWriteBuilder(path: String, schema: StructType, queryId: String,
+                     truncate: Boolean)
     extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder = new KvWriteBuilder(path, schema, truncate = true)
+  override def truncate(): WriteBuilder =
+    new KvWriteBuilder(path, schema, queryId, truncate = true)
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncate)
+    override def toBatch: BatchWrite = new KvBatchWrite(path, schema, queryId, truncate)
   }
 }
 
 case class KvCommitMessage(fileName: String, rows: Long) extends WriterCommitMessage
 
-class KvBatchWrite(path: String, schema: StructType, truncate: Boolean)
+class KvBatchWrite(path: String, schema: StructType, queryId: String,
+                   truncate: Boolean)
     extends BatchWrite {
   require(schema.fields.map(f => (f.name, f.dataType)).sameElements(
     KvStoreSink.schema.fields.map(f => (f.name, f.dataType))),
@@ -89,7 +92,7 @@ class KvBatchWrite(path: String, schema: StructType, truncate: Boolean)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(path, ".staging"))
-    new KvWriterFactory(path)
+    new KvWriterFactory(path, queryId)
   }
 
   /** Driver-side publish: move exactly the committed attempts' files
@@ -125,18 +128,21 @@ class KvBatchWrite(path: String, schema: StructType, truncate: Boolean)
   }
 }
 
-class KvWriterFactory(path: String) extends DataWriterFactory {
+class KvWriterFactory(path: String, queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, partitionId, taskId)
+    new KvDataWriter(path, queryId, partitionId, taskId)
 }
 
-/** One task attempt's writer: rows stream to a file named by (partition,
-  * task attempt) — collisions impossible across attempts — and the file
-  * only becomes eligible for publishing via this attempt's commit
-  * message. */
-class KvDataWriter(path: String, partitionId: Int, taskId: Long)
+/** One task attempt's writer: rows stream to a file named by (query id,
+  * partition, task attempt). taskId alone is only unique within one
+  * SparkContext — a restarted JVM's counter resets to 0, and an append
+  * from the new app would clobber run 1's committed `part-0-0` AND list
+  * it twice in the manifest. The write's queryId (a UUID) scopes the name
+  * globally. The file only becomes eligible for publishing via this
+  * attempt's commit message. */
+class KvDataWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val fileName = s"part-$partitionId-$taskId.jsonl"
+  private val fileName = s"part-$queryId-$partitionId-$taskId.jsonl"
   private val out = Files.newBufferedWriter(Paths.get(path, ".staging", fileName))
   private var rows = 0L
 
@@ -152,8 +158,12 @@ class KvDataWriter(path: String, partitionId: Int, taskId: Long)
     }
 
   override def write(row: InternalRow): Unit = {
+    // every field null-checked: getLong on a null slot returns 0, which
+    // would silently turn a NULL into a countable value on read-back
+    val k = if (row.isNullAt(0)) "null" else row.getLong(0).toString
     val v = if (row.isNullAt(1)) "null" else "\"" + esc(row.getUTF8String(1).toString) + "\""
-    out.write(s"""{"k":${row.getLong(0)},"v":$v,"cents":${row.getLong(2)}}""")
+    val cents = if (row.isNullAt(2)) "null" else row.getLong(2).toString
+    out.write(s"""{"k":$k,"v":$v,"cents":$cents}""")
     out.newLine()
     rows += 1
   }

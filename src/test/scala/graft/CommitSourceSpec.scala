@@ -206,4 +206,34 @@ class CommitSourceSpec extends SparkSpec {
       { val l = Files.list(Paths.get(dest, ".staging"))
         try !l.iterator().hasNext finally l.close() })
   }
+
+  test("DSv2 write: NULL fields serialize as JSON null, never 0") {
+    import spark.implicits._
+    val dest = graft.sinks.Sinks.tmpBase + "/spec/kvsink_nulls"
+    graft.sinks.Sinks.truncate(dest)
+    Seq[(Option[Long], Option[String], Option[Long])](
+      (Some(1L), Some("a"), Some(100L)),
+      (Some(2L), None, None),
+      (None, Some("c"), Some(5L)))
+      .toDF("k", "v", "cents")
+      .write.format("graft.sources.KvStoreSink").option("path", dest)
+      .mode("append").save()
+    val back = spark.read.schema(graft.sources.KvStoreSink.schema)
+      .json(graft.sources.KvStoreSink.committedFiles(dest): _*)
+    assert(back.count() === 3)
+    // a NULL cents row must vanish from the sum (0 would corrupt it to 105+0)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"cents"))
+      .head.getLong(0) === 105L)
+    assert(back.where($"cents".isNull && $"v".isNull).count() === 1)
+    assert(back.where($"k".isNull).count() === 1)
+    // staged names are query-scoped: a second append (fresh queryId) can
+    // never collide with run 1's committed files even if taskIds repeat
+    val first = graft.sources.KvStoreSink.committedFiles(dest).toSet
+    Seq((Some(9L), Some("z"), Some(1L))).toDF("k", "v", "cents")
+      .write.format("graft.sources.KvStoreSink").option("path", dest)
+      .mode("append").save()
+    val second = graft.sources.KvStoreSink.committedFiles(dest).toSet
+    assert(first.subsetOf(second) && second.size === first.size + 1,
+      "append must add a new uniquely-named file, clobbering nothing")
+  }
 }

@@ -102,6 +102,31 @@ class MultimodalSpec extends SparkSpec {
     assert(empty.fmt_ok && empty.n_px.contains(0L) && empty.sum_r.contains(0L))
   }
 
+  test("png: a CRC-valid IHDR with overflowing width rejects, never crashes") {
+    import java.util.zip.CRC32
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def be32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      bo.write(be32(data.length.toLong), 0, 4)
+      bo.write(typ.getBytes("US-ASCII"), 0, 4)
+      bo.write(data, 0, data.length)
+      val crc = new CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bo.write(be32(crc.getValue), 0, 4)
+    }
+    // w = 0x2AAAAAAB passes the w >= 0 check but w*3 wraps negative in
+    // Int — the stride guard must dead-letter instead of letting the
+    // negative array allocation escape the DataFormatException catch
+    val ihdr = be32(0x2AAAAAABL) ++ be32(1L) ++ Array[Byte](8, 2, 0, 0, 0)
+    chunk("IHDR", ihdr)
+    chunk("IEND", Array.emptyByteArray)
+    val out = Multimodal.decodePng(MediaIn(7L, bo.toByteArray))
+    assert(!out.fmt_ok, "overflowing stride must reject, not throw")
+  }
+
   test("gzip: real member round-trips; both corruption arms reject") {
     val text = "the quick brown fox jumps over the lazy dog"
     val tb = text.getBytes("UTF-8")

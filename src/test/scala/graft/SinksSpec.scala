@@ -390,5 +390,30 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.manifestVersion(dest) === 2L)
     assert(Sinks.readSet(spark, dest, "a").as[(Int, String)].head() === ((1, "two")))
     assert(Sinks.readSet(spark, dest, "b").as[(Int, String)].head() === ((2, "two")))
+    // a DELAYED replay of an OLDER committed version (at-least-once
+    // redelivery) must not roll readers back to stale data
+    Sinks.publishSet(spark, dest, 1L, tbls("stale"))
+    assert(Sinks.manifestVersion(dest) === 2L)
+    assert(Sinks.readSet(spark, dest, "a").as[(Int, String)].head() === ((1, "two")))
+  }
+
+  test("deleteByKeyBucket honors a bucketCol store's true layout") {
+    import spark.implicits._
+    val store = s"$base/fk_delete"
+    Sinks.truncate(store)
+    // keyed by k, physically bucketed by the FK — the join-MV layout
+    val rows = Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 20L, "c"), (4L, 30L, "d"))
+      .toDF("k", "fk", "v")
+    Sinks.mergeByKeyBucket(spark, store, rows, "k", Seq("v"),
+      nBuckets = 8, bucketCol = "fk")
+    // delete list carries the bucketing column -> pruned path finds the row
+    Sinks.deleteByKeyBucket(spark, store, Seq((2L, 10L)).toDF("k", "fk"), "k")
+    assert(spark.read.parquet(store).select("k").as[Long].collect().sorted
+      === Seq(1L, 3L, 4L))
+    // delete list WITHOUT fk -> unpruned fallback must still delete (a
+    // pmod(k) bucket guess would read the wrong buckets and drop nothing)
+    Sinks.deleteByKeyBucket(spark, store, Seq(3L).toDF("k"), "k")
+    assert(spark.read.parquet(store).select("k").as[Long].collect().sorted
+      === Seq(1L, 4L))
   }
 }
