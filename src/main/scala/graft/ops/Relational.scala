@@ -508,6 +508,118 @@ object Relational {
         .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"))
         .orderBy(col("s_suppkey"))
+    },
+
+    // -- TPC-H Q4-class: EXISTS with a NON-EQUI correlated conjunct ----------
+    // Priority distribution of orders that had a late shipment (a line
+    // shipped >60 days after the order date). The probe: the EXISTS
+    // decorrelates to a LEFT SEMI whose condition carries BOTH the equi
+    // key (hash-joinable) and a cross-table date comparison — Spark must
+    // keep the hash join on l_orderkey and evaluate the date conjunct as
+    // a join residual, never fall back to a nested loop. The oracle
+    // states the correlated EXISTS verbatim.
+    "q4_order_priority" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+               col("o_orderdate") <  lit("1997-04-01").cast(TimestampType))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+                   col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // -- TPC-H Q6: the fully-pushed scalar aggregate -------------------------
+    // One global sum under three tight predicates — the canonical "does
+    // every filter reach the scan" probe (explain must show all three in
+    // PushedFilters and a 2-column ReadSchema... plus the agg columns).
+    // At 100 TB this is the shape where pushdown is the entire game:
+    // a correct plan reads a fraction of one column pair.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+               col("l_shipdate") <  lit("1998-01-01").cast(TimestampType) &&
+               col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sumFix(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))),
+
+    // -- TPC-H Q10: returned-revenue top-k over a 4-table join ---------------
+    // Who returned the most money in a quarter: fact⨝fact shuffle join
+    // (orders⨝lineitem, both filtered first), customer + nation broadcast,
+    // wide GROUP BY carrying the customer attributes, top-20 by revenue.
+    // TakeOrderedAndProject must sit on top of the partial-aggregated
+    // exchange — never a global sort of the full group set.
+    "q10_returned_items" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1997-07-01").cast(TimestampType) &&
+               col("o_orderdate") <  lit("1997-10-01").cast(TimestampType))
+      t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sumFix(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // -- TPC-H Q12-class: conditional counts after a fact⨝fact join ----------
+    // Per return-flag, how many lines belong to critical- vs normal-
+    // priority orders (the reference Q12 pivots on ship mode, which the
+    // fixture lacks; the planner shape — join two facts, then CASE-sum
+    // against a dimension attribute of the OTHER fact — is identical).
+    // Both conditional sums come from ONE pass of the joined rows.
+    "q12_priority_shipping" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+               col("l_shipdate") <  lit("1998-01-01").cast(TimestampType))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
+            .as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // -- TPC-H Q14: conditional-over-total ratio (promo revenue share) -------
+    // Numerator and denominator from ONE aggregate pass (CASE-sum of the
+    // same scaled integer), ratio taken ONCE on the 1-row result with a
+    // DOUBLE literal — the decimal-literal class the SchemaGuard now
+    // gates stays dead. Part is broadcast; the month filter pushes down.
+    "q14_promo_share" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-09-01").cast(TimestampType) &&
+               col("l_shipdate") <  lit("1997-10-01").cast(TimestampType))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .withColumn("rev4", scaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev4")).otherwise(lit(0L))).as("p4"),
+          sum(col("rev4")).as("t4"))
+        .select((lit(100.0) * col("p4") / col("t4")).as("promo_revenue_pct"))
+    },
+
+    // -- TPC-H Q16-class: distinct-count + null-aware NOT-IN exclusion -------
+    // Supplier variety per (brand, type, size) over the DISTINCT
+    // (part, supplier) shipment pairs (the fixture has no partsupp; the
+    // observed pairs are its lineitem-derived stand-in), excluding
+    // deadbeat suppliers via NOT IN — which Spark must recognize as a
+    // broadcastable anti join since s_suppkey is non-null. The distinct
+    // pair reduction shuffles once, BEFORE the part join fans attributes in.
+    "q16_supplier_variety" -> { (s, dir) =>
+      val bad = t(s, dir, "supplier").where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "part")
+            .where(col("p_type") =!= "PROMO" &&
+                   col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -792,5 +904,77 @@ object Relational {
         HAVING 8 * sum(${sqlScaled("l1.l_quantity", 2)}) > (
           SELECT sum(${sqlScaled("l2.l_quantity", 2)}) FROM lineitem l2
           WHERE l2.l_partkey = l1.l_partkey))
-      ORDER BY s_suppkey""")
+      ORDER BY s_suppkey""",
+
+    // Q4 shape: the correlated EXISTS (equi key + non-equi date conjunct)
+    // stated verbatim — DuckDB decorrelates it its own way; the hash
+    // compare proves both plans agree.
+    "q4_order_priority" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q6_forecast_revenue" -> s"""
+      SELECT ${sqlSumFix("l_extendedprice * l_discount", 4)} AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""",
+
+    "q10_returned_items" -> s"""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             ${sqlSumFix("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey  = o_orderkey
+      JOIN customer ON o_custkey   = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-07-01'
+        AND o_orderdate <  TIMESTAMP '1997-10-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""",
+
+    "q12_priority_shipping" -> """
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+             count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q14_promo_share" -> s"""
+      SELECT CAST(100 AS DOUBLE)
+               * sum(CASE WHEN p_type = 'PROMO'
+                     THEN ${sqlScaled("l_extendedprice * (1 - l_discount)", 4)}
+                     ELSE 0 END)
+               / sum(${sqlScaled("l_extendedprice * (1 - l_discount)", 4)})
+               AS promo_revenue_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l_shipdate <  TIMESTAMP '1997-10-01'""",
+
+    "q16_supplier_variety" -> """
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_type <> 'PROMO'
+        AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
 }

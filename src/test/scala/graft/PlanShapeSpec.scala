@@ -157,6 +157,24 @@ class PlanShapeSpec extends SparkSpec {
       "the scalar cohort stats must reach rows via broadcast (1-row build side)")
   }
 
+  test("Q4/Q6/Q10/Q16 probes keep their scale plans") {
+    // Q4: the non-equi date conjunct must ride the hash semi join as a
+    // residual — never degrade the EXISTS to a nested loop
+    val p4 = plan("q4_order_priority")
+    assert(p4.contains("LeftSemi") && !p4.contains("BroadcastNestedLoopJoin") &&
+      !p4.contains("CartesianProduct"), s"Q4 semi join degraded:\n$p4")
+    // Q6: the predicates reach the parquet scan
+    val p6 = plan("q6_forecast_revenue")
+    assert(p6.contains("PushedFilters") && p6.contains("l_discount"),
+      s"Q6 filters must push into the scan:\n$p6")
+    // Q10: top-20 is a TakeOrderedAndProject, never a global sort
+    assert(plan("q10_returned_items").contains("TakeOrderedAndProject"),
+      "Q10 must keep the partial top-k")
+    // Q16: the NOT-IN exclusion plans as an anti join (non-null key)
+    assert(plan("q16_supplier_variety").contains("LeftAnti"),
+      "Q16 NOT IN must plan as an anti join")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     import spark.implicits._
     val s = spark
