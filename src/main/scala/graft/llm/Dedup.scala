@@ -548,6 +548,33 @@ object Dedup {
     // joins wider than the segment stream.
     "q_llm_dedup_passages" -> ((s, dir) => passagesOf(docs(s, dir))),
 
+    // Dedup threshold-sensitivity sweep: before committing to a Jaccard
+    // cutoff, measure what each candidate threshold WOULD do — pairs
+    // surviving, distinct docs implicated, min-id-greedy drop count —
+    // all from ONE pass of the run-cached verified-pairs artifact (the
+    // banded candidates already bound the work; the sweep itself is a
+    // 5-row broadcast fan-out, never a re-shingle of the corpus). The
+    // cut predicate is the exact integer cross-multiply
+    // 100·i ≥ t·(na+nb−i), so both engines agree bit-for-bit; the
+    // 50-row reproduces the cached artifact's own J ≥ 0.5 base cut.
+    "q_llm_dedup_threshold_sweep" -> { (s, dir) =>
+      import s.implicits._
+      val vp = verifiedPairsFullCached(s, dir)
+      val thr = Seq(50, 60, 70, 80, 90).toDF("threshold_pct")
+      vp.crossJoin(broadcast(thr))
+        .where(col("i") * lit(100L) >=
+               col("threshold_pct") * (col("na") + col("nb") - col("i")))
+        .select(col("threshold_pct"), col("doc_a"), col("doc_b"))
+        .withColumn("d", explode(array(col("doc_a"), col("doc_b"))))
+        .groupBy(col("threshold_pct"))
+        .agg(
+          count(when(col("d") === col("doc_a"), lit(1))).as("n_pairs"),
+          countDistinct(col("d")).as("n_docs"),
+          countDistinct(when(col("d") === col("doc_b"), col("doc_b")))
+            .as("n_dropped"))
+        .orderBy(col("threshold_pct"))
+    },
+
     // Corpus novelty curve: per ingestion decile (doc_id order = arrival
     // order in these fixtures), what fraction of each doc's distinct
     // word-3-gram shingles is seen here FIRST (min-owner = this doc)?
@@ -1621,6 +1648,23 @@ object Dedup {
     }.mkString("\n        UNION ALL ")
 
     Map(
+      "q_llm_dedup_threshold_sweep" -> s"""
+      WITH ${verifiedPairCtes("documents")},
+      tsw_thr AS (SELECT unnest([50, 60, 70, 80, 90]) AS threshold_pct),
+      tsw_surv AS (
+        SELECT t.threshold_pct, v.doc_a, v.doc_b
+        FROM vpairs v CROSS JOIN tsw_thr t
+        WHERE v.i * 100 >= t.threshold_pct * (v.na + v.nb - v.i)),
+      tsw_ex AS (
+        SELECT threshold_pct, doc_a AS d, doc_a, doc_b FROM tsw_surv
+        UNION ALL
+        SELECT threshold_pct, doc_b, doc_a, doc_b FROM tsw_surv)
+      SELECT threshold_pct,
+             count(*) FILTER (WHERE d = doc_a) AS n_pairs,
+             count(DISTINCT d) AS n_docs,
+             count(DISTINCT d) FILTER (WHERE d = doc_b) AS n_dropped
+      FROM tsw_ex GROUP BY threshold_pct ORDER BY threshold_pct""",
+
       "q_llm_pipeline_e2e" -> s"""
       WITH base AS (
         SELECT * FROM documents

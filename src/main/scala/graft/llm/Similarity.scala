@@ -348,6 +348,48 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // Matryoshka truncation audit: would retrieval on the PREFIX half of
+    // the embedding (dims 0..31) keep the full-dim top-5? Per query:
+    // overlap@5 between the full-dim and prefix-dim rankings, plus the
+    // regret (sum of full-dim cosines of the prefix-chosen 5 minus the
+    // true top-5's, in exact 1e-6 units — integers summed, never floats,
+    // so partition order can't move the result). The operator a team
+    // runs BEFORE deploying a truncated cheap tier: overlap ~5 and
+    // regret ~0 say the prefix carries the geometry. Both dots ride the
+    // same pair pass; the prefix dot is an unrolled 32-term integer
+    // expression (codegen, like the 64-dim kernel).
+    "q_llm_matryoshka_audit" -> { (s, dir) =>
+      def preDot(a: String, b: String): String =
+        (0 until 32).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+      val base = scaledEmb(s, dir).selectExpr("vec_id", "se", "nrm",
+        s"sqrt(CAST(${preDot("se", "se")} AS DOUBLE)) AS pnrm")
+      val qs = base.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("se").as("qse"),
+          col("nrm").as("qnrm"), col("pnrm").as("qpnrm"))
+      val scored = base.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id AS neighbor_id",
+          s"${cosExpr("qse", "se", "qnrm", "nrm")} AS cos_full",
+          s"CAST((${preDot("qse", "se")}) AS DOUBLE) / (qpnrm * pnrm) AS cos_pre")
+      val rf = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_full").desc, col("neighbor_id"))
+      val rp = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_pre").desc, col("neighbor_id"))
+      scored
+        .withColumn("rf", row_number().over(rf))
+        .withColumn("rp", row_number().over(rp))
+        .where(col("rf") <= 5 || col("rp") <= 5)
+        .withColumn("c6",
+          floor(col("cos_full") * lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy(col("q_id"))
+        .agg(
+          count(when(col("rf") <= 5 && col("rp") <= 5, lit(1))).as("n_overlap"),
+          (coalesce(sum(when(col("rp") <= 5, col("c6"))), lit(0L)) -
+           coalesce(sum(when(col("rf") <= 5, col("c6"))), lit(0L)))
+            .cast("long").as("regret_micros"))
+        .orderBy(col("q_id"))
+    },
+
     // IVF ANN with a REAL trained coarse quantizer: deterministic k-means
     // (seeded init from hashed vec_ids, 2 Lloyd iterations, all as
     // DataFrame aggregations — no driver-side loops over data), one
@@ -1058,6 +1100,45 @@ object Similarity {
         FROM scored)
       SELECT q_id, rank, neighbor_id, ${Exact.sqlFix("cos_raw", 6)} AS cos
       FROM r WHERE rank <= 5 ORDER BY q_id, rank""",
+
+      "q_llm_matryoshka_audit" -> {
+        def preDot(a: String, b: String): String =
+          (1 to 32).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+        s"""
+      WITH e0 AS (
+        SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
+      e AS (
+        SELECT vec_id, se,
+               sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm,
+               sqrt(CAST(${preDot("se", "se")} AS DOUBLE)) AS pnrm
+        FROM e0),
+      q AS (SELECT vec_id AS q_id, se AS qse, nrm AS qnrm, pnrm AS qpnrm
+            FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q_id, e.vec_id AS neighbor_id,
+               CAST(${duckPairDot("qse", "se")} AS DOUBLE) / (qnrm * nrm)
+                 AS cos_full,
+               CAST(${preDot("qse", "se")} AS DOUBLE) / (qpnrm * pnrm)
+                 AS cos_pre
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      r AS (
+        SELECT q_id, neighbor_id, cos_full,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_full DESC, neighbor_id) AS rf,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_pre DESC, neighbor_id) AS rp
+        FROM scored),
+      c AS (
+        SELECT q_id, rf, rp,
+               CAST(floor(cos_full * 1000000 + 0.5) AS BIGINT) AS c6
+        FROM r WHERE rf <= 5 OR rp <= 5)
+      SELECT q_id,
+             count(*) FILTER (WHERE rf <= 5 AND rp <= 5) AS n_overlap,
+             CAST(coalesce(sum(c6) FILTER (WHERE rp <= 5), 0)
+                - coalesce(sum(c6) FILTER (WHERE rf <= 5), 0) AS BIGINT)
+               AS regret_micros
+      FROM c GROUP BY q_id ORDER BY q_id"""
+      },
 
       "q_llm_knn_ivf" -> duckIvfSql(),
 
