@@ -186,8 +186,13 @@ object Sinks {
       // duplicate keys. The metadata file makes the layout self-describing;
       // pre-metadata stores fall back to the caller's value.
       val n = storedBucketCount(dest).getOrElse(nBuckets)
+      // same self-describing discipline for the bucketing COLUMN: a later
+      // merge that omits bucketCol must still bucket by the store's true
+      // layout, or the upsert reads the wrong buckets and leaves stale
+      // twins alive (exactly the mismatched-nBuckets failure mode)
+      val storeBCol = storedBucketCol(dest).getOrElse(bCol)
       val bucketed = batch.withColumn("_bucket",
-        pmod(col(bCol), lit(n)).cast("int"))
+        pmod(col(storeBCol), lit(n)).cast("int"))
       // touched-bucket list is partition METADATA (<= nBuckets values)
       val touched = bucketed.select(col("_bucket")).distinct()
         .collect().map(_.getInt(0)).toIndexedSeq

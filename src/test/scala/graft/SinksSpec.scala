@@ -415,5 +415,14 @@ class SinksSpec extends SparkSpec {
     Sinks.deleteByKeyBucket(spark, store, Seq(3L).toDF("k"), "k")
     assert(spark.read.parquet(store).select("k").as[Long].collect().sorted
       === Seq(1L, 4L))
+    // a later merge that OMITS bucketCol must still bucket by the store's
+    // persisted layout column — an update to k=1 (fk=10) lands beside its
+    // stored twin and upserts it, never strands a stale copy
+    Sinks.mergeByKeyBucket(spark, store,
+      Seq((1L, 10L, "a2")).toDF("k", "fk", "v"), "k", Seq("v"))
+    val after = spark.read.parquet(store)
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(after.toSeq === Seq((1L, "a2"), (4L, "d")),
+      "update must replace the twin in the fk bucket, not duplicate k=1")
   }
 }
