@@ -1,0 +1,36 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Coverage-contract guard: SURVEY.md §2's backtick-quoted query index,
+  * the registered `SparkEntry.queries`, and `SparkEntry.oracleSql` must
+  * all be the SAME name set, both directions. A new entry committed
+  * without its SURVEY row, a renamed query leaving a stale row, or a
+  * query missing its oracle fails HERE instead of in external review
+  * (the index is diffed programmatically there). Pure-JVM: no session. */
+class SurveyIndexSpec extends AnyFunSuite {
+
+  private val namePat = "^(q\\d*_|q_|stream_|ingest_)[a-z0-9_]+$".r
+
+  test("SURVEY.md query index equals SparkEntry.queries, both directions") {
+    val survey = new String(Files.readAllBytes(Paths.get("SURVEY.md")), "UTF-8")
+    val listed = "`([A-Za-z0-9_]+)`".r.findAllMatchIn(survey).map(_.group(1))
+      .filter(n => namePat.findFirstIn(n).isDefined).toSet
+    val registered = SparkEntry.queries.keySet
+    val missingRows = registered -- listed
+    val staleRows = listed -- registered
+    assert(missingRows.isEmpty,
+      s"registered but missing a SURVEY row: ${missingRows.toSeq.sorted}")
+    assert(staleRows.isEmpty,
+      s"in SURVEY but not registered: ${staleRows.toSeq.sorted}")
+  }
+
+  test("every registered query has an oracle, and no oracle is orphaned") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+}
