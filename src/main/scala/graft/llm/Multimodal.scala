@@ -50,9 +50,11 @@ object Multimodal {
     * decode) — the failure mode that matters when the corpus carries
     * mangled crawls. No native codecs: P6 is the deliberate choice of a
     * format a JVM can decode from first principles. */
-  def decodePpm(m: MediaIn): PpmFeat = {
-    val b = m.payload
-    val bad = PpmFeat(m.doc_id, fmt_ok = false, None, None, None, None, None, None, None)
+  /** Parse a P6 header: returns (width, height, maxval, raster offset),
+    * or None for any malformation (bad magic, overflowing dims, missing
+    * separator, truncated raster) — shared by the decode and resize
+    * lanes so header strictness can't drift between them. */
+  private def parsePpmHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\t' || c == '\r'
     var i = 2
     // parse one whitespace-preceded ASCII unsigned int; -1 = malformed
@@ -65,26 +67,85 @@ object Multimodal {
       }
       if (i == st || v > Int.MaxValue) -1L else v
     }
-    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return bad
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
     val (w, h, mv) = (parseInt(), parseInt(), parseInt())
-    if (w < 0 || h < 0 || mv <= 0 || mv > 255) return bad
+    if (w < 0 || h < 0 || mv <= 0 || mv > 255) return None
     // exactly ONE whitespace byte separates maxval from the raster (spec);
     // then the raster must be complete
-    if (i >= b.length || !isWs(b(i))) return bad
+    if (i >= b.length || !isWs(b(i))) return None
     i += 1
-    val need = w * h * 3
-    if (i + need > b.length) return bad
-    var (sr, sg, sb) = (0L, 0L, 0L)
-    var j = i
-    val end = i + need.toInt
-    while (j < end) {
-      sr += b(j) & 0xff
-      sg += b(j + 1) & 0xff
-      sb += b(j + 2) & 0xff
-      j += 3
+    if (i + w * h * 3 > b.length) return None
+    Some((w.toInt, h.toInt, mv.toInt, i))
+  }
+
+  def decodePpm(m: MediaIn): PpmFeat = {
+    val b = m.payload
+    val bad = PpmFeat(m.doc_id, fmt_ok = false, None, None, None, None, None, None, None)
+    parsePpmHeader(b) match {
+      case None => bad
+      case Some((w, h, mv, off)) =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var j = off
+        val end = off + w * h * 3
+        while (j < end) {
+          sr += b(j) & 0xff
+          sg += b(j + 1) & 0xff
+          sb += b(j + 2) & 0xff
+          j += 3
+        }
+        PpmFeat(m.doc_id, fmt_ok = true, Some(w), Some(h),
+          Some(mv), Some(w.toLong * h), Some(sr), Some(sg), Some(sb))
     }
-    PpmFeat(m.doc_id, fmt_ok = true, Some(w.toInt), Some(h.toInt),
-      Some(mv.toInt), Some(w * h), Some(sr), Some(sg), Some(sb))
+  }
+
+  /** Resized-raster features: the decode → RESIZE stage image pipelines
+    * run before feature extraction. Same dead-letter shape as the other
+    * decoders; an empty (0-pixel) raster resizes to 0×0 with zero sums. */
+  final case class ResizeFeat(doc_id: Long, fmt_ok: Boolean,
+                              out_w: Option[Int], out_h: Option[Int],
+                              sum_r: Option[Long], sum_g: Option[Long],
+                              sum_b: Option[Long])
+
+  /** Decode a P6 payload, then nearest-neighbor-resample its raster to a
+    * fixed outDim×outDim grid: out(r, c) = in(r·h DIV outDim,
+    * c·w DIV outDim) — pure integer index math, so every engine (and the
+    * oracle) lands on the identical source pixel. Folds per-channel sums
+    * of the SAMPLED pixels only; the full raster is read but never
+    * copied. Down- and up-sampling both work (an input smaller than the
+    * grid repeats pixels — standard nearest-neighbor). */
+  def decodeResizePpm(m: MediaIn, outDim: Int = 8): ResizeFeat = {
+    val b = m.payload
+    val bad = ResizeFeat(m.doc_id, fmt_ok = false, None, None, None, None, None)
+    parsePpmHeader(b) match {
+      case None => bad
+      case Some((w, h, _, off)) =>
+        if (w == 0 || h == 0)
+          ResizeFeat(m.doc_id, fmt_ok = true, Some(0), Some(0),
+            Some(0L), Some(0L), Some(0L))
+        else {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var r = 0
+          while (r < outDim) {
+            val sy = r * h / outDim
+            var c = 0
+            while (c < outDim) {
+              val sx = c * w / outDim
+              val p = off + 3 * (sy * w + sx)
+              sr += b(p) & 0xff; sg += b(p + 1) & 0xff; sb += b(p + 2) & 0xff
+              c += 1
+            }
+            r += 1
+          }
+          ResizeFeat(m.doc_id, fmt_ok = true, Some(outDim), Some(outDim),
+            Some(sr), Some(sg), Some(sb))
+        }
+    }
+  }
+
+  /** Batched resize — the transform tier of the multimodal lane. */
+  def decodeResizeBatched(in: Dataset[MediaIn])(implicit s: SparkSession): Dataset[ResizeFeat] = {
+    import s.implicits._
+    in.mapPartitions(_.grouped(64).flatMap(_.map(m => decodeResizePpm(m))))
   }
 
   /** The batched decode operator: binary rows in, feature rows out.
@@ -612,6 +673,33 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // The RESIZE stage: decode the same P6 payload, nearest-neighbor
+    // resample to a fixed 8×8 grid (out(r,c) = in(r·h DIV 8, c·w DIV 8)
+    // — pure integer index math), fold per-channel sums of the SAMPLED
+    // pixels. The oracle recomputes the identical sample indices
+    // directly over the text bytes, so the resize is checked against
+    // first principles. Same %53 corrupt-magic dead-letter arm; ASCII
+    // domain guard on both sides (the oracle indexes per character).
+    "q_llm_media_resize" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val in = Tables.load(s, dir, "documents")
+        .where("length(text) = octet_length(text)")
+        .selectExpr("doc_id", "text",
+          "CAST(length(encode(text, 'UTF-8')) AS BIGINT) DIV 3 AS npx0")
+        .selectExpr("doc_id", "text", "npx0", "least(npx0, 16L) AS w")
+        .selectExpr("doc_id", "text", "w",
+          "IF(w = 0, 0L, npx0 DIV w) AS h")
+        .selectExpr("doc_id",
+          "concat(encode(concat(" +
+            "CASE WHEN doc_id % 53 = 0 THEN 'XX' ELSE 'P6' END, '\\n', " +
+            "CAST(w AS STRING), ' ', CAST(h AS STRING), '\\n255\\n'), 'UTF-8'), " +
+            "substring(encode(text, 'UTF-8'), 1, CAST(w * h * 3 AS INT))) AS payload")
+        .as[MediaIn]
+      decodeResizeBatched(in).toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // Batched REAL audio decode: wrap each document's bytes as 16-bit
     // little-endian mono PCM in a canonical RIFF/WAV container (synthesis
     // happens IN the distributed map — the payload never exists on the
@@ -827,6 +915,49 @@ object Multimodal {
     // first-principles mirror of the WAV decode: n_samples = bytes // 2,
     // sample i = bytes[2i] + 256*bytes[2i+1] sign-extended at 32768,
     // rate = 8000 + (doc_id % 3) * 4000, corrupt docs (% 47) → null arm
+    // first-principles mirror of the resize: same header math, the 8×8
+    // nearest-neighbor sample indices recomputed over the text bytes
+    // (3·((r·h//8)·w + c·w//8) + ch), per-channel sums of the samples
+    "q_llm_media_resize" -> """
+      WITH dims AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) // 3 AS npx0,
+               least(CAST(octet_length(encode(text)) AS BIGINT) // 3, 16) AS w,
+               doc_id % 53 = 0 AS corrupt
+        FROM documents
+        WHERE length(text) = strlen(text)),
+      d2 AS (
+        SELECT doc_id, text, w, corrupt,
+               CASE WHEN w = 0 THEN 0 ELSE npx0 // w END AS h
+        FROM dims),
+      px AS (
+        SELECT d.doc_id, tc.ch,
+               ascii(substring(d.text,
+                 CAST(3 * ((tr.r * d.h // 8) * d.w + (tc2.c * d.w // 8))
+                      + tc.ch + 1 AS INT), 1)) AS v
+        FROM d2 d, range(0, 8) tr(r), range(0, 8) tc2(c), range(0, 3) tc(ch)
+        WHERE NOT d.corrupt AND d.w > 0 AND d.h > 0),
+      sums AS (
+        SELECT doc_id,
+               sum(CASE WHEN ch = 0 THEN v END) AS sr,
+               sum(CASE WHEN ch = 1 THEN v END) AS sg,
+               sum(CASE WHEN ch = 2 THEN v END) AS sb
+        FROM px GROUP BY doc_id)
+      SELECT d.doc_id,
+             NOT d.corrupt AS fmt_ok,
+             CASE WHEN d.corrupt THEN NULL
+                  WHEN d.w = 0 OR d.h = 0 THEN 0 ELSE 8 END AS out_w,
+             CASE WHEN d.corrupt THEN NULL
+                  WHEN d.w = 0 OR d.h = 0 THEN 0 ELSE 8 END AS out_h,
+             CASE WHEN d.corrupt THEN NULL
+                  ELSE CAST(coalesce(s.sr, 0) AS BIGINT) END AS sum_r,
+             CASE WHEN d.corrupt THEN NULL
+                  ELSE CAST(coalesce(s.sg, 0) AS BIGINT) END AS sum_g,
+             CASE WHEN d.corrupt THEN NULL
+                  ELSE CAST(coalesce(s.sb, 0) AS BIGINT) END AS sum_b
+      FROM d2 d LEFT JOIN sums s USING (doc_id)
+      ORDER BY d.doc_id""",
+
     "q_llm_media_wav_decode" -> """
       WITH par AS (
         SELECT doc_id, text,

@@ -102,6 +102,33 @@ class MultimodalSpec extends SparkSpec {
     assert(empty.fmt_ok && empty.n_px.contains(0L) && empty.sum_r.contains(0L))
   }
 
+  test("resize: nearest-neighbor 8x8 sample sums match hand-computed indices") {
+    // 16x5 RGB raster with distinct per-byte values
+    val (w, h) = (16, 5)
+    val raster = Array.tabulate(w * h * 3)(i => ((i * 11 + 5) % 256).toByte)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val ok = Multimodal.decodeResizePpm(MediaIn(1L, header ++ raster))
+    assert(ok.fmt_ok && ok.out_w.contains(8) && ok.out_h.contains(8))
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val p = 3 * ((r * h / 8) * w + (c * w / 8))
+      er += raster(p) & 0xff; eg += raster(p + 1) & 0xff; eb += raster(p + 2) & 0xff
+    }
+    assert(ok.sum_r.contains(er) && ok.sum_g.contains(eg) && ok.sum_b.contains(eb),
+      "sampled sums must come from exactly the r*h/8, c*w/8 source pixels")
+    // upsampling repeats pixels: a 2x1 raster sampled to 8x8 is 32 of each
+    val tiny = Array[Byte](10, 20, 30, 40, 50, 60)
+    val up = Multimodal.decodeResizePpm(MediaIn(2L,
+      "P6\n2 1\n255\n".getBytes("US-ASCII") ++ tiny))
+    assert(up.sum_r.contains(32L * 10 + 32L * 40))
+    // empty raster -> 0x0, zero sums; corrupt magic -> dead-letter
+    val empty = Multimodal.decodeResizePpm(MediaIn(3L,
+      "P6\n0 0\n255\n".getBytes("US-ASCII")))
+    assert(empty.fmt_ok && empty.out_w.contains(0) && empty.sum_r.contains(0L))
+    assert(!Multimodal.decodeResizePpm(MediaIn(4L,
+      "XX\n2 1\n255\n".getBytes("US-ASCII") ++ tiny)).fmt_ok)
+  }
+
   test("png: a CRC-valid IHDR with overflowing width rejects, never crashes") {
     import java.util.zip.CRC32
     val bo = new java.io.ByteArrayOutputStream()
