@@ -311,18 +311,21 @@ object Dedup {
     * fully deterministic (hash shingles, no RNG), so cached vs recomputed
     * results are identical; `localCheckpoint` (eager) pins the blocks for
     * the life of the session, which is the life of a Bench/Verify run. */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (org.apache.spark.SparkContext, DataFrame)]()
   /** Full-width (doc_a, doc_b, i, na, nb) cached artifact — consumers that
-    * only need the edge list project it down. Keyed by (session, dir):
+    * only need the edge list project it down. Keyed by (context, dir):
     * a localCheckpoint-backed DataFrame is bound to ONE SparkContext, so
     * a later session in the same JVM must rebuild, not inherit blocks of
-    * a possibly-stopped context. */
+    * a possibly-stopped context. Eviction checks the owning context's
+    * OWN liveness (`isStopped`), not identity with the caller's context —
+    * two concurrent live sessions in one JVM keep their pins; only
+    * genuinely dead contexts' entries are dropped. */
   private[graft] def verifiedPairsFullCached(s: SparkSession, dir: String): DataFrame = {
-    val ctx = s.sparkContext.applicationId // fresh per SparkContext
-    pairsCache.keySet.removeIf(k => k._1 != ctx) // drop dead contexts' pins
-    pairsCache.computeIfAbsent((ctx, dir), _ =>
-      minhashVerifiedPairsOf(docs(s, dir)).localCheckpoint())
+    val ctx = s.sparkContext
+    pairsCache.entrySet.removeIf(e => e.getValue._1.isStopped)
+    pairsCache.computeIfAbsent((ctx.applicationId, dir), _ =>
+      (ctx, minhashVerifiedPairsOf(docs(s, dir)).localCheckpoint()))._2
   }
   /** Edge-list view of [[verifiedPairsFullCached]]. */
   private[graft] def verifiedPairsCached(s: SparkSession, dir: String): DataFrame =

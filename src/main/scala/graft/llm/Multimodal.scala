@@ -126,10 +126,13 @@ object Multimodal {
           var (sr, sg, sb) = (0L, 0L, 0L)
           var r = 0
           while (r < outDim) {
-            val sy = r * h / outDim
+            // Long intermediate: r*h overflows Int for a legal ~2GB 1xN
+            // raster (h up to ~715M, r>=4) — the quotient itself always
+            // fits (sy < h), only the product needs widening.
+            val sy = (r.toLong * h / outDim).toInt
             var c = 0
             while (c < outDim) {
-              val sx = c * w / outDim
+              val sx = (c.toLong * w / outDim).toInt
               val p = off + 3 * (sy * w + sx)
               sr += b(p) & 0xff; sg += b(p + 1) & 0xff; sb += b(p + 2) & 0xff
               c += 1
@@ -286,7 +289,18 @@ object Multimodal {
     }
     if ((flg & 8) != 0 && !skipZeroTerminated()) return bad
     if ((flg & 16) != 0 && !skipZeroTerminated()) return bad
-    if ((flg & 2) != 0) off += 2
+    if ((flg & 2) != 0) {
+      // FHCRC: CRC16 = low 16 bits of CRC32 over every header byte that
+      // precedes this field (RFC 1952 §2.3.1) — verified, not skipped, so
+      // a member with a corrupted header CRC is rejected even when the
+      // body still inflates cleanly.
+      if (off + 2 > b.length) return bad
+      val hcrc = new java.util.zip.CRC32
+      hcrc.update(b, 0, off)
+      val stored = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      if ((hcrc.getValue & 0xffffL).toInt != stored) return bad
+      off += 2
+    }
     if (off > b.length - 8) return bad
     val inf = new java.util.zip.Inflater(true)
     inf.setInput(b, off, b.length - off - 8)

@@ -377,6 +377,16 @@ object Sinks {
         val parts = try files.iterator().asScala.toList
           .filter(_.getFileName.toString.endsWith(".parquet"))
         finally files.close()
+        // Replay idempotence must not depend on the replay staging the
+        // SAME file count as the first attempt: clear every file this tag
+        // previously moved into the bucket before laying down the new
+        // set, so a replay that stages fewer files cannot leave a stale
+        // higher-index file (= duplicated rows) behind.
+        val prior = Files.list(live)
+        try prior.iterator().asScala.toList
+          .filter(_.getFileName.toString.startsWith(s"append_${tag}_"))
+          .foreach(Files.deleteIfExists(_))
+        finally prior.close()
         parts.zipWithIndex.foreach { case (p, i) =>
           Files.move(p, live.resolve(s"append_${tag}_$i.parquet"),
             StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

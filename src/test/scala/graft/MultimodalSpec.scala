@@ -173,6 +173,26 @@ class MultimodalSpec extends SparkSpec {
       good.take(12) ++ good.takeRight(8))).ok)
   }
 
+  test("gzip: FHCRC header field is verified, not skipped") {
+    val tb = "header crc coverage".getBytes("UTF-8")
+    val base = Multimodal.gzipBytes(tb, corruptHdr = false, corruptTrailer = false)
+    // Set FLG.FHCRC and splice the CRC16 (low 16 bits of CRC32 over the
+    // 10-byte fixed header, which is all that precedes it here) after it.
+    def withFhcrc(crcXor: Int): Array[Byte] = {
+      val hdr = base.take(10)
+      hdr(3) = (hdr(3) | 2).toByte
+      val c = new java.util.zip.CRC32
+      c.update(hdr, 0, 10)
+      val v = ((c.getValue & 0xffffL).toInt ^ crcXor)
+      hdr ++ Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte) ++ base.drop(10)
+    }
+    val okOut = Multimodal.decodeGzip(MediaIn(2L, withFhcrc(0)))
+    assert(okOut.ok && okOut.n_bytes.contains(tb.length.toLong),
+      "a correct FHCRC member must decode identically")
+    assert(!Multimodal.decodeGzip(MediaIn(2L, withFhcrc(0x5a5a))).ok,
+      "a corrupted header CRC16 must reject even though the body inflates")
+  }
+
   private def wavWithData(data: Array[Byte], rate: Int): Array[Byte] = {
     val base = Multimodal.wavBytes(0L, data, corrupt = false)
     val bb = java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
