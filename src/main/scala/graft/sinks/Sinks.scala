@@ -241,6 +241,128 @@ object Sinks {
     stageAndSwap(s, dest, remaining, touched, dropMissing = true)
   }
 
+  /** Merge-on-read keyed DELETE — the cheap tier [[deleteByKeyBucket]]'s
+    * copy-on-write rewrite pairs with (the standard lakehouse split:
+    * Delta/Iceberg deletion vectors vs rewrite). A 100-key GDPR delete on
+    * a 100 TB store should not rewrite ~100 multi-hundred-MB buckets at
+    * request time; it appends the keys to an underscore-prefixed sidecar
+    * (`dest/_deletes/` — invisible to plain parquet readers of `dest`),
+    * [[readWithDeletes]] anti-joins the sidecar at read time, and
+    * [[compactDeletes]] later folds the log into the data buckets with
+    * the same crash-safe swap as the CoW path. The delete itself moves
+    * O(delete-list) bytes and touches ZERO data buckets (spec-asserted).
+    *
+    * Replay-idempotent via `tag`: a replayed tick first clears its own
+    * `del_<tag>_*` files, so re-shipping a delete list never duplicates
+    * sidecar rows (harmless anyway — the anti-join is set-semantics —
+    * but unbounded sidecar growth isn't).
+    *
+    * Sidecar schema: (key, `_del_bucket` int) where `_del_bucket` is the
+    * target data bucket when derivable from the store's persisted layout
+    * column (bCol == key, or `keys` carries bCol) — compaction prunes to
+    * those buckets; a null `_del_bucket` row falls back to an all-bucket
+    * anti-join at compaction (still correct, just unpruned — same
+    * contract as [[deleteByKeyBucket]]'s missing-bucketCol fallback).
+    *
+    * CONTRACT: the sidecar masks by KEY until compacted, with no
+    * sequence numbers — re-upserting a key whose delete is still pending
+    * would leave the new row masked. Callers that resurrect keys must
+    * [[compactDeletes]] first (the incremental-store orchestration does
+    * exactly this ordering). */
+  def deleteByKeyMoR(s: SparkSession, dest: String, keys: DataFrame,
+                     key: String, tag: String): Unit = {
+    if (!Files.exists(Paths.get(dest))) return
+    val n = storedBucketCount(dest).getOrElse(16)
+    val bCol = storedBucketCol(dest).getOrElse(key)
+    val withBucket =
+      if (bCol == key)
+        keys.select(col(key)).distinct()
+          .withColumn("_del_bucket", pmod(col(key), lit(n)).cast("int"))
+      else if (keys.columns.contains(bCol))
+        keys.select(col(key), col(bCol)).distinct()
+          .select(col(key), pmod(col(bCol), lit(n)).cast("int").as("_del_bucket"))
+      else
+        keys.select(col(key)).distinct()
+          .withColumn("_del_bucket", lit(null).cast("int"))
+    val delDir = Paths.get(dest, "_deletes")
+    Files.createDirectories(delDir)
+    // stage then move under deterministic per-tag names (dot-prefixed
+    // staging dir: invisible to the sidecar reader if a crash strands it)
+    val staging = s"$dest/_deletes/.staging_$tag"
+    deleteRec(staging)
+    withBucket.write.mode("overwrite").parquet(staging)
+    val listing = Files.list(delDir)
+    try listing.iterator().asScala.toList
+      .filter(_.getFileName.toString.startsWith(s"del_${tag}_"))
+      .foreach(Files.deleteIfExists(_))
+    finally listing.close()
+    val stFiles = Files.list(Paths.get(staging))
+    val parts = try stFiles.iterator().asScala.toList
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    finally stFiles.close()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, delDir.resolve(s"del_${tag}_$i.parquet"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    deleteRec(staging)
+  }
+
+  /** The store's pending (un-compacted) delete keys, or None if the
+    * sidecar is absent/empty. Bounded by the delete traffic since the
+    * last compaction, not by store size. */
+  def pendingDeleteKeys(s: SparkSession, dest: String): Option[DataFrame] = {
+    val delDir = Paths.get(dest, "_deletes")
+    if (!Files.exists(delDir)) return None
+    val listing = Files.list(delDir)
+    val any = try listing.iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".parquet"))
+    finally listing.close()
+    if (any) Some(s.read.parquet(delDir.toString)) else None
+  }
+
+  /** Read a bucketed store with pending MoR deletes applied: base scan
+    * anti-joined against the sidecar keys. No broadcast hint — the
+    * sidecar is usually tiny (AQE broadcasts it), but nothing bounds it
+    * between compactions, so forcing a broadcast would be the 100 TB
+    * OOM; AQE picks per the sidecar's actual size. A store with no
+    * sidecar reads with zero overhead (no join in the plan at all). */
+  def readWithDeletes(s: SparkSession, dest: String, key: String): DataFrame = {
+    val base = s.read.parquet(dest)
+    pendingDeleteKeys(s, dest) match {
+      case None => base
+      case Some(d) =>
+        base.join(d.select(col(key)).distinct(), Seq(key), "left_anti")
+    }
+  }
+
+  /** Fold the pending delete sidecar into the data buckets (the
+    * compaction half of the MoR contract): anti-join ONLY the buckets
+    * the sidecar names (all-bucket fallback when any row lacks a
+    * recorded bucket), swap them with the crash-safe two-rename, then
+    * clear the sidecar. Crash anywhere = still correct: before the swap
+    * loop the sidecar masks at read; between swap and sidecar clear the
+    * keys are gone from the data AND the anti-join of already-deleted
+    * keys is a no-op, so a replayed compaction converges. The result is
+    * row-identical to having taken [[deleteByKeyBucket]] directly
+    * (spec-asserted). */
+  def compactDeletes(s: SparkSession, dest: String, key: String): Unit = {
+    pendingDeleteKeys(s, dest).foreach { d =>
+      val buckets = d.select(col("_del_bucket")).distinct().collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      val touched: Seq[Int] =
+        if (buckets.nonEmpty && buckets.forall(_.isDefined))
+          buckets.flatten.toIndexedSeq.intersect(existingBuckets(dest))
+        else existingBuckets(dest)
+      if (touched.nonEmpty) {
+        val remaining = s.read.parquet(dest)
+          .where(col("_bucket").isin(touched: _*))
+          .join(d.select(col(key)).distinct(), Seq(key), "left_anti")
+        stageAndSwap(s, dest, remaining, touched, dropMissing = true)
+      }
+    }
+    deleteRec(s"$dest/_deletes")
+  }
+
   /** Write `df` (which carries an int `_bucket` column) to the store's
     * staging dir, then swap each touched bucket live with the crash-safe
     * two-rename pattern (see [[mergeByKeyBucket]]'s scaladoc).
@@ -729,6 +851,38 @@ object Sinks {
         .orderBy(col("event_type"))
     },
 
+    // Merge-on-read delete tier: the delete request itself writes only a
+    // key sidecar (ZERO data buckets rewritten — SinksSpec asserts the
+    // bucket files byte-identical), readers anti-join the sidecar, and
+    // compaction folds it in via the same crash-safe swap as the CoW
+    // path. The entry exposes all three visibility states in one result:
+    // a raw reader pre-compaction still sees the rows (a_pre_raw), the
+    // MoR reader already doesn't (b_pre_mor), and after compaction the
+    // raw reader agrees (c_post_raw) — rows physically gone, sidecar
+    // cleared. The two pre-compaction aggregates are materialized to a
+    // phase snapshot BEFORE compactDeletes mutates the store (DataFrames
+    // are lazy; executing them afterwards would read the compacted data).
+    "q_sink_delete_mor" -> { (s, dir) =>
+      val dest = s"$tmpBase/orders_mor"
+      val snap = s"$tmpBase/orders_mor_phases"
+      truncate(dest); truncate(snap)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      mergeByKeyBucket(s, dest, orders, "o_orderkey", Seq("o_totalprice"))
+      val delKeys = orders.where(col("o_custkey") % 97 === 0)
+        .select(col("o_orderkey"))
+      deleteByKeyMoR(s, dest, delKeys, "o_orderkey", tag = "gdpr1")
+      def agg(df: DataFrame, phase: String) =
+        df.agg(count(lit(1)).as("n"), sumFix(col("o_totalprice"), 2).as("total"))
+          .select(lit(phase).as("phase"), col("n"), col("total"))
+      writeAtomic(agg(s.read.parquet(dest), "a_pre_raw")
+        .union(agg(readWithDeletes(s, dest, "o_orderkey"), "b_pre_mor")), snap)
+      compactDeletes(s, dest, "o_orderkey")
+      s.read.parquet(snap)
+        .unionByName(agg(s.read.parquet(dest), "c_post_raw"))
+        .orderBy(col("phase"))
+    },
+
     // O7: write events partitioned by event_type, read back with a
     // partition filter — the scan touches only the matching directory
     // (PartitionFilters in .explain), exactly the reference's prefix scan.
@@ -1201,6 +1355,21 @@ object Sinks {
              ${sqlSumFix("CASE WHEN ts >= TIMESTAMP '2024-01-10' THEN value + 1 ELSE value END", 2)} AS sum_value
       FROM events WHERE ts < TIMESTAMP '2024-01-20' OR ts >= TIMESTAMP '2024-01-10'
       GROUP BY event_type ORDER BY event_type""",
+    // three visibility states of the MoR delete: raw-pre sees everything,
+    // MoR-pre and raw-post both see the kept set
+    "q_sink_delete_mor" -> s"""
+      WITH mor_kept AS (
+        SELECT * FROM orders WHERE o_orderkey NOT IN
+          (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0))
+      SELECT * FROM (
+        SELECT 'a_pre_raw' AS phase, count(*) AS n,
+               ${sqlSumFix("o_totalprice", 2)} AS total FROM orders
+        UNION ALL
+        SELECT 'b_pre_mor', count(*), ${sqlSumFix("o_totalprice", 2)} FROM mor_kept
+        UNION ALL
+        SELECT 'c_post_raw', count(*), ${sqlSumFix("o_totalprice", 2)} FROM mor_kept)
+      ORDER BY phase""",
+
     "q_sink_partitioned_prune" -> s"""
       SELECT user_id % 10 AS cohort, count(*) AS n,
              ${sqlSumFix("value", 2)} AS sum_value

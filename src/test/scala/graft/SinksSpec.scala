@@ -425,4 +425,52 @@ class SinksSpec extends SparkSpec {
     assert(after.toSeq === Seq((1L, "a2"), (4L, "d")),
       "update must replace the twin in the fk bucket, not duplicate k=1")
   }
+
+  test("deleteByKeyMoR: zero data-bucket rewrites; compaction converges to the CoW result") {
+    import spark.implicits._
+    val mor = s"$base/mor_store"
+    val cow = s"$base/cow_store"
+    Sinks.truncate(mor); Sinks.truncate(cow)
+    val rows = (0L until 64L).map(k => (k, s"v$k")).toDF("k", "v")
+    Sinks.mergeByKeyBucket(spark, mor, rows, "k", Seq("v"), nBuckets = 8)
+    Sinks.mergeByKeyBucket(spark, cow, rows, "k", Seq("v"), nBuckets = 8)
+    def dataFiles(dest: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(dest)
+      Option(d.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("_bucket="))
+        .flatMap(b => Option(b.listFiles).getOrElse(Array.empty).toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${b.getName}/${f.getName}" -> (f.length, f.lastModified)))
+        .toMap
+    }
+    val before = dataFiles(mor)
+    val delKeys = (0L until 64L).filter(_ % 10 == 3)
+    Sinks.deleteByKeyMoR(spark, mor, delKeys.toDF("k"), "k", tag = "d1")
+    assert(dataFiles(mor) === before,
+      "a MoR delete must not touch any data bucket file")
+    // raw read still carries the rows; the MoR read masks them
+    assert(spark.read.parquet(mor).count() === 64)
+    val masked = Sinks.readWithDeletes(spark, mor, "k").select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(masked === (0L until 64L).filterNot(_ % 10 == 3))
+    // replayed delete (same tag, fewer keys): sidecar reflects the replay,
+    // still zero data rewrites
+    Sinks.deleteByKeyMoR(spark, mor, delKeys.take(2).toDF("k"), "k", tag = "d1")
+    assert(dataFiles(mor) === before)
+    Sinks.deleteByKeyMoR(spark, mor, delKeys.toDF("k"), "k", tag = "d1")
+    assert(Sinks.readWithDeletes(spark, mor, "k").count() === masked.size.toLong)
+    // fold in; compare against the direct CoW delete of the twin store
+    Sinks.compactDeletes(spark, mor, "k")
+    assert(!Files.exists(Paths.get(s"$mor/_deletes")), "sidecar must be cleared")
+    Sinks.deleteByKeyBucket(spark, cow, delKeys.toDF("k"), "k")
+    def snap(dest: String) = spark.read.parquet(dest)
+      .select("k", "v", "_bucket").as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(snap(mor) === snap(cow),
+      "compacted MoR store must be row-identical to the CoW path")
+    // replayed compaction on a clean store is a no-op
+    Sinks.compactDeletes(spark, mor, "k")
+    assert(snap(mor) === snap(cow))
+    // post-compaction MoR read has no sidecar join at all
+    assert(Sinks.readWithDeletes(spark, mor, "k").count() === masked.size.toLong)
+  }
 }
