@@ -26,19 +26,26 @@ object StreamOps {
     * handling as [[Tables.load]]: ns→µs truncation for NANOS fixtures,
     * direct TimestampType for MICROS ones; `nanosAsLong` comes from
     * [[Tables.sessionConfs]] at session build). */
-  private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    // the streaming file source wants a directory to watch; the test table
-    // is a single file, so watch the sf dir filtered down to it
+  /** The streaming file source wants a directory to watch. A driver
+    * fixture table is a single FILE (watch the sf dir filtered down to
+    * it); a generated table (GenData) is a DIRECTORY of part files
+    * (watch it directly — the glob would match nothing inside). */
+  private def streamReader(s: SparkSession, dir: String, name: String,
+                           schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, s"$name.parquet")
+    if (java.nio.file.Files.isDirectory(p))
+      s.readStream.schema(schema).parquet(p.toString)
+    else
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
+
+  private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame =
     if (Tables.eventsIsNanos(s, dir))
-      s.readStream.schema(Tables.eventsRawNs)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      streamReader(s, dir, "events", Tables.eventsRawNs)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else
-      s.readStream.schema(Tables.events)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-  }
+      streamReader(s, dir, "events", Tables.events)
 
   /** Drain a streaming transform into a parquet sink and read it back.
     * `complete=true` routes through foreachBatch + atomic overwrite (the
@@ -64,9 +71,7 @@ object StreamOps {
 
   /** Streaming read of the documents table (schema is static). */
   private def documentsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(Tables.documents)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    streamReader(s, dir, "documents", Tables.documents)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

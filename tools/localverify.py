@@ -16,15 +16,22 @@ only = set(sys.argv[3:])
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def tpath(d, t):
+    """Driver fixtures are single parquet FILES; GenData tables are
+    DIRECTORIES of part files - glob accordingly."""
+    import os
+    p = f"{d}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
 con = duckdb.connect()
 for t in TABLES:
     if t == "events":
         # mirror Spark's ns->us truncation of the TIMESTAMP_NS column
         con.execute(f"CREATE VIEW events AS SELECT event_id, "
                     f"CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
-                    f"value, props FROM '{sfdir}/events.parquet'")
+                    f"value, props FROM '{tpath(sfdir, 'events')}'")
     else:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tpath(sfdir, t)}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 

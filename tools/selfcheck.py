@@ -10,6 +10,13 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def tpath(d, t):
+    """Driver fixtures are single parquet FILES; GenData tables are
+    DIRECTORIES of part files - glob accordingly."""
+    import os
+    p = f"{d}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
 con = duckdb.connect()
 for t in TABLES:
     if t == "events":
@@ -17,9 +24,9 @@ for t in TABLES:
         # (a no-op when the fixture is already TIMESTAMP_MICROS)
         con.execute(f"CREATE VIEW events AS SELECT event_id, "
                     f"CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
-                    f"value, props FROM '{sf_dir}/events.parquet'")
+                    f"value, props FROM '{tpath(sf_dir, 'events')}'")
     else:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tpath(sf_dir, t)}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = skipped = 0
