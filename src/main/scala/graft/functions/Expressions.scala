@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -72,6 +72,53 @@ object GraftKernels {
       i += 1
     }
     acc
+  }
+
+  /** The n nearest centroids of a scaled-long embedding, as one compiled
+    * argmin scan over the packed centroid list — the kernel under
+    * [[graft.llm.Similarity.assignCells]]. `cells` is
+    * `array<struct<cent_id bigint, cse array<bigint>, cn2 bigint>>`
+    * (the whole trained centroid table collected into ONE row and
+    * broadcast); nearness is the exact integer squared-Euclidean argmin
+    * `cn2 − 2·se·cse` with ascending-`cent_id` tie-break — bit-identical
+    * to the `row_number() OVER (ORDER BY dscore, cent_id) <= n` shape it
+    * replaces, but without materializing a (vector × cell) row per
+    * candidate: the join-then-rank form copied both 64-long arrays into
+    * every one of the N·k intermediate rows (≈350 M rows at 500 k
+    * vectors), which dominated IVF training/assignment cost; this form
+    * touches each candidate in-register and emits only the n winners. */
+  def nearestCells(se: ArrayData, cells: ArrayData, n: Int): ArrayData = {
+    val k = cells.numElements()
+    val nn = math.max(0, math.min(n, k))
+    val bd = new Array[Long](math.max(nn, 1))
+    val bi = new Array[Long](math.max(nn, 1))
+    var filled = 0
+    val dim = se.numElements()
+    var c = 0
+    while (c < k) {
+      val st = cells.getStruct(c, 3)
+      val cid = st.getLong(0)
+      val cse = st.getArray(1)
+      val cn2 = st.getLong(2)
+      var dot = 0L
+      val m = math.min(dim, cse.numElements())
+      var d = 0
+      while (d < m) { dot += se.getLong(d) * cse.getLong(d); d += 1 }
+      val dist = cn2 - 2L * dot
+      if (nn > 0 && (filled < nn || dist < bd(nn - 1) ||
+          (dist == bd(nn - 1) && cid < bi(nn - 1)))) {
+        var pos = if (filled < nn) filled else nn - 1
+        while (pos > 0 && (bd(pos - 1) > dist ||
+            (bd(pos - 1) == dist && bi(pos - 1) > cid))) {
+          bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+        }
+        bd(pos) = dist; bi(pos) = cid
+        if (filled < nn) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bi, filled))
   }
 
   // Per-bit affine vote hashes for SimHash (same Weyl family as
@@ -671,6 +718,52 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDot =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_nearest_cells(se, cells, n)`: the ids of the `n` nearest
+  * trained centroids for one embedding — the coarse-quantizer assignment
+  * kernel (see [[GraftKernels.nearestCells]] for the exact argmin
+  * contract). Evaluated per corpus row against the ONE-row packed
+  * centroid broadcast, so assignment is a single whole-stage-codegen
+  * projection instead of an N·k-row join + window rank. */
+case class NearestCells(se: Expression, cells: Expression, n: Expression)
+    extends TernaryExpression {
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def first: Expression = se
+  override def second: Expression = cells
+  override def third: Expression = n
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val cellsOk = cells.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 3 =>
+        fs(0).dataType == LongType && isLongArray(fs(1).dataType) &&
+          fs(2).dataType == LongType
+      case _ => false
+    }
+    if (isLongArray(se.dataType) && cellsOk && n.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<BIGINT>, ARRAY<STRUCT<BIGINT, " +
+        s"ARRAY<BIGINT>, BIGINT>>, INT), got ${se.dataType.catalogString}, " +
+        s"${cells.dataType.catalogString}, ${n.dataType.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  override protected def nullSafeEval(seV: Any, cellsV: Any, nV: Any): Any =
+    GraftKernels.nearestCells(seV.asInstanceOf[ArrayData],
+      cellsV.asInstanceOf[ArrayData], nV.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.GraftKernels.nearestCells($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): NearestCells =
+    copy(se = newFirst, cells = newSecond, n = newThird)
 }
 
 /** `graft_wordcount(s)` — fused single-space token count, the codegen

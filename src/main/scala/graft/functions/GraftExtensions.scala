@@ -56,7 +56,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => ScaledEmb(args.head)),
     ("graft_bytesimhash",
       new ExpressionInfo(classOf[ByteSimHash32].getName, "graft_bytesimhash"),
-      (args: Seq[Expression]) => ByteSimHash32(args.head)))
+      (args: Seq[Expression]) => ByteSimHash32(args.head)),
+    ("graft_nearest_cells",
+      new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
+      (args: Seq[Expression]) => NearestCells(args(0), args(1), args(2))))
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -1224,7 +1224,16 @@ object Dedup {
 
     "q_llm_dedup_family_recall" -> { (s, dir) =>
       val d = docs(s, dir)
-      val raw = shingleStreamOf(d).localCheckpoint()
+      // The positional shingle stream is O(total tokens) — the one
+      // intermediate here that grows with corpus SIZE, not doc count
+      // (≈20 M rows at the generated sf1). localCheckpoint pins it in
+      // executor heap as deserialized rows, which is exactly what OOM'd
+      // the sf1 scale run: parquet-round-trip it instead (columnar,
+      // compressed, off-heap) and let the three consumers (signatures,
+      // df counts, pair verification) stream it from disk.
+      val rawBase = s"${graft.sinks.Sinks.tmpBase}/family_recall_raw"
+      graft.sinks.Sinks.truncate(rawBase)
+      val raw = graft.util.Checkpointer.Store(rawBase)(shingleStreamOf(d))
       val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
       val mhCand = candidatesFromBands(
         bandsFromSigs(sigsFromShingles(raw)).localCheckpoint()).localCheckpoint()

@@ -274,17 +274,23 @@ object Similarity {
   /** Attach each vector's `n` nearest cells. Nearness is the integer
     * squared-Euclidean argmin — |a−c|² ordered by |c|² − 2·a·c since |a|²
     * is constant per row — so cell choice is exact long arithmetic. The
-    * centroid table is an isqrt(N)-row broadcast (1e5 rows at 1e10
-    * vectors — still a few MB); the rank<=n
-    * filter hits Spark's WindowGroupLimit, so only ~n rows per vector
-    * survive the map side of the window shuffle. */
+    * centroid table is collected into ONE packed row (isqrt(N) structs —
+    * 1e5 at 1e10 vectors, still a few MB) and broadcast; each vector then
+    * evaluates the compiled [[graft.functions.NearestCells]] argmin scan
+    * in-register and emits only its n winning cell ids. The previous
+    * join-then-rank form (crossJoin every vector with every centroid,
+    * row_number window, rn<=n) produced an N·k intermediate row carrying
+    * BOTH 64-long arrays per candidate — ≈350 M 1-KB rows at 500 k
+    * vectors — and was the measured super-linear term in the sf1 scale
+    * runs (IVF forget tail exponent 1.33, recall 1.69); the packed scan
+    * computes the identical argmin (same dscore, same ascending cent_id
+    * tie-break) at O(N·k) multiply-adds with no intermediate rows. */
   private[llm] def assignCells(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dscore"), col("cent_id"))
-    df.crossJoin(broadcast(cents))
-      .withColumn("dscore", expr("cn2 - 2L * graft_dot(se, cse)"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= n)
-      .drop("cse", "cn2", "dscore", "rn")
+    val packed = cents
+      .agg(collect_list(struct(col("cent_id"), col("cse"), col("cn2"))).as("_cells"))
+    df.crossJoin(broadcast(packed))
+      .withColumn("cent_id", explode(expr(s"graft_nearest_cells(se, _cells, $n)")))
+      .drop("_cells")
   }
 
   /** Per-subspace codebooks (m, code, cse, cn2): the same deterministic
