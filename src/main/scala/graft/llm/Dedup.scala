@@ -1224,41 +1224,47 @@ object Dedup {
 
     "q_llm_dedup_family_recall" -> { (s, dir) =>
       val d = docs(s, dir)
-      // The positional shingle stream is O(total tokens) — the one
-      // intermediate here that grows with corpus SIZE, not doc count
-      // (≈20 M rows at the generated sf1). localCheckpoint pins it in
-      // executor heap as deserialized rows, which is exactly what OOM'd
-      // the sf1 scale run: parquet-round-trip it instead (columnar,
-      // compressed, off-heap) and let the three consumers (signatures,
-      // df counts, pair verification) stream it from disk.
-      val rawBase = s"${graft.sinks.Sinks.tmpBase}/family_recall_raw"
-      graft.sinks.Sinks.truncate(rawBase)
-      val raw = graft.util.Checkpointer.Store(rawBase)(shingleStreamOf(d))
+      // This audit materializes MORE reused intermediates than any other
+      // entry (shingle stream, three candidate families, fingerprints,
+      // truth) — seven tables referenced 2-3× each. localCheckpoint pins
+      // them in executor storage as deserialized rows, and at the
+      // generated sf1 (500 k docs, ≈20 M-row shingle stream) the pinned
+      // set plus 32 concurrent hash aggregates exhausted the unified
+      // pool twice — first as a heap OOM (the shingle stream), then,
+      // with that fixed, as UNABLE_TO_ACQUIRE_MEMORY when a partial agg
+      // couldn't allocate its initial map. So EVERY reused intermediate
+      // here parquet-round-trips through the tmp store instead
+      // (columnar, compressed, zero executor-storage residency) — at
+      // 100 TB these are exactly the tables a production audit would
+      // publish, not pin.
+      val ckBase = s"${graft.sinks.Sinks.tmpBase}/family_recall_ck"
+      graft.sinks.Sinks.truncate(ckBase)
+      val ck = graft.util.Checkpointer.Store(ckBase)
+      val raw = ck(shingleStreamOf(d))
       val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
-      val mhCand = candidatesFromBands(
-        bandsFromSigs(sigsFromShingles(raw)).localCheckpoint()).localCheckpoint()
-      val fp = simhashOf(d).localCheckpoint()
+      val mhCand = ck(candidatesFromBands(ck(bandsFromSigs(sigsFromShingles(raw)))))
+      val fp = ck(simhashOf(d))
       val bandStructs = (0 until 4).map(bd =>
         s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * 8}) & 255L)")
         .mkString(", ")
       val shBands = fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
         .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
-      val shKept = capSimBands(shBands, corpusCountOf(d)).localCheckpoint()
-      val shCand = shKept.alias("a").join(shKept.alias("b"),
+      val shKept = ck(capSimBands(shBands, corpusCountOf(d)))
+      val shCand = ck(shKept.alias("a").join(shKept.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct().localCheckpoint()
+        .distinct())
       val shPairs = shCand
         .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")), "doc_a")
         .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), "doc_b")
         .where(expr("bit_count(fa ^ fb) <= 3"))
         .select(col("doc_a"), col("doc_b"))
-      val wCand = winnowCandidatesOf(d).localCheckpoint()
-      val truth = verifiedPairsFrom(mhCand.union(shCand).union(wCand).distinct(),
+      val wCand = ck(winnowCandidatesOf(d))
+      val truth = ck(verifiedPairsFrom(mhCand.union(shCand).union(wCand).distinct(),
           raw, dfreq, corpusCountOf(d))
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        .select(col("doc_a"), col("doc_b")))
       def famEval(name: String, found: DataFrame): DataFrame =
         truth.join(found.select(col("doc_a"), col("doc_b"))
             .withColumn("_hit", lit(1)), Seq("doc_a", "doc_b"), "left")

@@ -391,6 +391,24 @@ object IncrementalDedup {
     * file count grows linearly in ticks — the classic streaming-store
     * decay. Compaction is the same crash-safe staged swap as the merge and
     * is spec-asserted result-identical. */
+  /** The labels store, or an empty (doc, label) table when no tick ever
+    * wrote it — an EMPTY edge stream is a legal corpus state (a fully
+    * distinct corpus verifies zero near-dup pairs), and the store read
+    * must degrade to "no groups" instead of failing schema inference on
+    * a bare directory. */
+  private[graft] def labelsOrEmpty(s: SparkSession, base: String): DataFrame = {
+    val p = s"$base/labels"
+    val hasData = Files.exists(Paths.get(p)) && {
+      val walk = Files.walk(Paths.get(p))
+      try walk.anyMatch(f => f.toString.endsWith(".parquet")) finally walk.close()
+    }
+    if (hasData) s.read.parquet(p)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType))))
+  }
+
   private[graft] def runCcTicks(s: SparkSession, base: String): Unit = {
     val schema = StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
@@ -722,7 +740,7 @@ object IncrementalDedup {
       val p = Dedup.verifiedPairsCached(s, dir)
       p.repartitionByRange(3, col("doc_a")).write.parquet(s"$base/src")
       runCcTicks(s, base)
-      s.read.parquet(s"$base/labels")
+      labelsOrEmpty(s, base)
         .select(col("doc").as("doc_id"), col("label").as("canonical"))
         .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("canonical"))))
@@ -745,10 +763,10 @@ object IncrementalDedup {
       // semantics need an incrementally built store, not a tick count
       p.repartitionByRange(2, col("doc_a")).write.parquet(s"$base/src")
       runCcTicks(s, base)
-      val deleted = s.read.parquet(s"$base/labels")
+      val deleted = labelsOrEmpty(s, base)
         .select(col("doc").as("doc_id")).where(col("doc_id") % 7 === 3)
-      ccForget(s, base, deleted, tickId = 1L << 40)
-      s.read.parquet(s"$base/labels")
+      if (!deleted.isEmpty) ccForget(s, base, deleted, tickId = 1L << 40)
+      labelsOrEmpty(s, base)
         .select(col("doc").as("doc_id"), col("label").as("canonical"))
         .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("canonical"))))

@@ -147,15 +147,35 @@ object GenData {
     // documents: ~10% of rows are near-duplicates of their predecessor
     // (same word stream + one appended word), mirroring the fixtures'
     // all-distinct-texts-with-shared-shingles shape that the dedup
-    // families candidate on; lang mix profiled (en 44%, rest ~14% each)
+    // families candidate on; lang mix profiled (en 44%, rest ~14% each).
+    //
+    // Vocabulary follows Heaps' law (V ∝ sqrt(N), anchored so the sf0.01
+    // output — 5 000 docs, the profiled 31 words — is bit-identical to
+    // the fixture-profiled generation). Holding the 31-word vocab FIXED
+    // while doc count grows is a degenerate corpus no natural text
+    // exhibits: at 500 k docs every 3-gram shingle lands in >600 docs,
+    // which (a) blows past the corpus-relative stop-shingle cap
+    // greatest(100, N/10000) so the capped shingle universe collapses
+    // and verified near-dup pairs go EMPTY, and (b) drives MinHash band
+    // collisions toward all-pairs, turning the dedup families' linear
+    // candidate structure quadratic. Measured at sf1 before this change:
+    // empty-pair crashes in both groups entries and a memory-exhausted
+    // family-recall audit. Words beyond the 31 profiled ones are
+    // deterministic suffixed variants ("join_7"), so small-sf text is
+    // untouched and the word-frequency SHAPE (uniform draw) is preserved.
+    val nVocab = math.max(31L, (31.0 * math.sqrt(nDoc / 5000.0)).toLong)
     val vocabArr = array(vocab.map(lit): _*)
+    def wordOf(idx: Column): Column = {
+      val base31 = element_at(vocabArr, (idx % 31).cast("int") + 1)
+      when(idx < 31, base31)
+        .otherwise(concat(base31, lit("_"), floor(idx / lit(31)).cast("long")))
+    }
     val baseId = when(col("id") % 10 === 9, col("id") - 1).otherwise(col("id"))
     def textOf(base: Column, extra: Column): Column = {
       val len = (h("d_len", base) % 72) + 8
       concat(
         array_join(transform(sequence(lit(1), len.cast("int")),
-          i => element_at(vocabArr,
-            (abs(xxhash64(lit("d_w"), base, i)) % 31).cast("int") + 1)), " "),
+          i => wordOf(abs(xxhash64(lit("d_w"), base, i)) % nVocab)), " "),
         extra)
     }
     out("documents", s.range(nDoc).select(

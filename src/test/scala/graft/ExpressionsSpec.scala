@@ -197,6 +197,51 @@ class ExpressionsSpec extends SparkSpec {
       ArrayData.toArrayData(a), ArrayData.toArrayData(b)) === expected)
   }
 
+  test("graft_nearest_cells matches the join-then-rank argmin it replaced") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // deterministic vectors + centroids; reference = brute (dist, cid)
+    // sort per vector, exactly the old crossJoin + row_number contract
+    val dim = 8
+    def vec(seed: Int): Array[Long] =
+      Array.tabulate(dim)(j => ((seed * 31 + j * 7) % 101 - 50).toLong)
+    val cents = (0 until 5).map(c => (c.toLong, vec(c * 17 + 3)))
+    val centRows = cents.map { case (cid, cse) =>
+      (cid, cse, cse.map(x => x * x).sum) }
+    def expectTop(se: Array[Long], n: Int): Seq[Long] =
+      centRows.map { case (cid, cse, cn2) =>
+        (cn2 - 2L * se.zip(cse).map { case (a, b) => a * b }.sum, cid)
+      }.sorted.take(n).map(_._2)
+    val vectors = (0 until 12).map(i => (i.toLong, vec(i)))
+    val df = vectors.toDF("vec_id", "se")
+      .crossJoin(broadcast(centRows.toDF("cent_id", "cse", "cn2")
+        .agg(collect_list(struct(col("cent_id"), col("cse"), col("cn2")))
+          .as("_cells"))))
+    for (n <- Seq(1, 2, 5, 9)) {
+      val got = df.selectExpr("vec_id", s"graft_nearest_cells(se, _cells, $n) AS c")
+        .as[(Long, Seq[Long])].collect().toMap
+      vectors.foreach { case (id, se) =>
+        assert(got(id) === expectTop(se, math.min(n, 5)),
+          s"vec $id n=$n: ${got(id)}")
+      }
+    }
+    // interpreted path: the kernel is the shared implementation
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val packed = new GenericArrayData(centRows.map { case (cid, cse, cn2) =>
+      InternalRow(cid, ArrayData.toArrayData(cse), cn2) }.toArray[Any])
+    vectors.foreach { case (_, se) =>
+      val got = GraftKernels.nearestCells(ArrayData.toArrayData(se), packed, 2)
+        .toLongArray().toSeq
+      assert(got === expectTop(se, 2))
+    }
+    // n = 0 and empty centroid list both yield an empty assignment
+    assert(GraftKernels.nearestCells(
+      ArrayData.toArrayData(vec(1)), packed, 0).numElements() === 0)
+    assert(GraftKernels.nearestCells(ArrayData.toArrayData(vec(1)),
+      new GenericArrayData(Array.empty[Any]), 2).numElements() === 0)
+  }
+
   test("FuseWordCount rewrites size(split(s,' ')) and preserves exact semantics") {
     import spark.implicits._
     GraftFunctions.register(spark)

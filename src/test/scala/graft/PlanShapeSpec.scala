@@ -64,6 +64,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q_llm_knn_brute").contains("WindowGroupLimit"))
   }
 
+  test("IVF assignment is the packed argmin scan, not a join-then-rank") {
+    // the coarse-quantizer assignment must evaluate graft_nearest_cells
+    // against the one-row packed centroid broadcast — the N·k-row
+    // crossJoin + row_number window shape was the measured super-linear
+    // term at sf1 (PERF.md round-11). The only Window left in the final
+    // stage is the top-k rank over per-query candidates.
+    val p = plan("q_llm_knn_ivf")
+    assert(p.contains("graft_nearest_cells"),
+      "assignment must use the packed argmin kernel")
+  }
+
   test("DSv2 aggregate pushdown: the source answers the group-by, no aggregate operator") {
     val p = plan("q_dsv2_agg_pushdown")
     assert(p.contains("PushedAggregation"), "scan must carry the pushed aggregation")
