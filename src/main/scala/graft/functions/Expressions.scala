@@ -122,7 +122,7 @@ object GraftKernels {
   }
 
   // Per-bit affine vote hashes for SimHash (same Weyl family as
-  // XHash.A/B, extended to 32): bit j's vote is the PARITY of
+  // XHash.A/B, extended to SimBits): bit j's vote is the PARITY of
   // (h·A_j + B_j) mod P. Voting on the raw bits of h was structurally
   // biased — h < P < 2^30, so bits 30/31 are constant-zero and bits
   // 24..29 lean zero, which degenerated the high band into an all-pairs
@@ -131,14 +131,31 @@ object GraftKernels {
   def simA(j: Int): Long = (j * 2654435761L + 1) % P
   def simB(j: Int): Long = (j * 40503L + 17) % P
 
-  def simhash32(wh: ArrayData): Long = {
+  /** SimHash geometry — the Manku/Jain/Das Sarma '07 production triple:
+    * a 64-bit fingerprint, hamming radius 3, banded as 4 blocks of
+    * 16 bits (pigeonhole: ≤3 flipped bits leave ≥1 block intact, so the
+    * band equi-join is a complete candidate generator for ham ≤ 3). The
+    * original 32-bit / 4×8-bit-band shape was a measured scale bug: an
+    * 8-bit key gives only 256 buckets per band, so bucket population
+    * grows as N/256 and the band self-join is Θ(N²/1024) BY CONSTRUCTION
+    * — at the generated sf1 (500 k docs) it emitted 1.59 BILLION
+    * candidate pairs and OOM'd the run. With 16-bit keys the bucket
+    * count scales with fingerprint space (65 536/band), holding expected
+    * bucket load at N/65 536 — sub-quadratic pair volume until corpus
+    * sizes where the corpus-relative stop-bucket cap takes over. */
+  val SimBits = 64
+  val SimBands = 4
+  val SimBandBits: Int = SimBits / SimBands // 16
+  val SimBandMask: Long = (1L << SimBandBits) - 1 // 65535
+
+  def simhashFp(wh: ArrayData): Long = {
     val n = wh.numElements()
-    val cnt = new Array[Int](32)
+    val cnt = new Array[Int](SimBits)
     var i = 0
     while (i < n) {
       val h = wh.getLong(i)
       var j = 0
-      while (j < 32) {
+      while (j < SimBits) {
         if (((h * simA(j) + simB(j)) % P & 1L) != 0L) cnt(j) += 1
         j += 1
       }
@@ -146,7 +163,7 @@ object GraftKernels {
     }
     var fp = 0L
     var j = 0
-    while (j < 32) {
+    while (j < SimBits) {
       // bit j set iff the +1/-1 vote sum is strictly positive: 2*cnt > n
       if (2 * cnt(j) > n) fp |= 1L << j
       j += 1
@@ -154,7 +171,7 @@ object GraftKernels {
     fp
   }
 
-  /** SimHash-32 over the rolling byte-3-gram hashes of a payload string
+  /** SimHash ([[SimBits]]-bit) over the rolling byte-3-gram hashes of a payload string
     * (ASCII payloads: codepoint == byte — the [[graft.llm.Multimodal]]
     * decodeStub contract), all in one pass: window hash
     * `((b0*131 + b1) % P * 131 + b2) % P` (the shared shingle formula over
@@ -162,7 +179,7 @@ object GraftKernels {
     * intermediate array is ever materialized. Strings shorter than 3
     * bytes have no 3-grams and fingerprint to 0. */
   def byteSimHash32(s: String): Long = {
-    val cnt = new Array[Int](32)
+    val cnt = new Array[Int](SimBits)
     var n = 0
     var b0 = 0L
     var b1 = 0L
@@ -173,7 +190,7 @@ object GraftKernels {
       if (seen >= 2) {
         val sg = ((b0 * 131L + b1) % P * 131L + cp) % P
         var j = 0
-        while (j < 32) {
+        while (j < SimBits) {
           if (((sg * simA(j) + simB(j)) % P & 1L) != 0L) cnt(j) += 1
           j += 1
         }
@@ -186,7 +203,7 @@ object GraftKernels {
     }
     var fp = 0L
     var j = 0
-    while (j < 32) {
+    while (j < SimBits) {
       if (2 * cnt(j) > n) fp |= 1L << j
       j += 1
     }
@@ -492,12 +509,14 @@ case class ChunkHashes(child: Expression, width: Expression)
     copy(child = newLeft, width = newRight)
 }
 
-/** `graft_simhash(array<bigint>)`: 32-bit SimHash fingerprint of a
-  * word-hash array — per-bit majority vote (`bit j set iff
-  * sum((h>>j & 1)*2-1) > 0`), one compiled pass per document.
+/** `graft_simhash(array<bigint>)`: [[GraftKernels.SimBits]]-bit SimHash
+  * fingerprint of a word-hash array — per-bit majority vote (`bit j set
+  * iff sum over words of ±1(parity(h·A_j+B_j)) > 0`), one compiled pass
+  * per document.
   *
-  * Replaces the relational form (explode every word, 32 sum-aggregations,
-  * shuffle of 32 columns per doc): the vote is a per-document fold, so a
+  * Replaces the relational form (explode every word, SimBits
+  * sum-aggregations, shuffle of SimBits columns per doc): the vote is a
+  * per-document fold, so a
   * scalar expression computes it where the word-hash array is already in
   * hand — zero row explosion, zero aggregation shuffle. The DuckDB oracle
   * keeps the unnest+sum form; both compute the same majority, so results
@@ -516,7 +535,7 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash"
 
   override protected def nullSafeEval(input: Any): Any =
-    GraftKernels.simhash32(input.asInstanceOf[ArrayData])
+    GraftKernels.simhashFp(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -528,21 +547,22 @@ case class SimHash32(child: Expression) extends UnaryExpression {
       val fp = ctx.freshName("fp")
       val sa = ctx.freshName("sa")
       val sb = ctx.freshName("sb")
-      val aLits = (0 until 32).map(GraftKernels.simA(_).toString + "L").mkString(", ")
-      val bLits = (0 until 32).map(GraftKernels.simB(_).toString + "L").mkString(", ")
+      val bits = GraftKernels.SimBits
+      val aLits = (0 until bits).map(GraftKernels.simA(_).toString + "L").mkString(", ")
+      val bLits = (0 until bits).map(GraftKernels.simB(_).toString + "L").mkString(", ")
       s"""
          |int $n = $c.numElements();
-         |int[] $cnt = new int[32];
+         |int[] $cnt = new int[$bits];
          |long[] $sa = new long[]{$aLits};
          |long[] $sb = new long[]{$bLits};
          |for (int $i = 0; $i < $n; $i++) {
          |  long $h = $c.getLong($i);
-         |  for (int $j = 0; $j < 32; $j++) {
+         |  for (int $j = 0; $j < $bits; $j++) {
          |    if ((($h * $sa[$j] + $sb[$j]) % ${GraftKernels.P}L & 1L) != 0L) $cnt[$j]++;
          |  }
          |}
          |long $fp = 0L;
-         |for (int $j = 0; $j < 32; $j++) {
+         |for (int $j = 0; $j < $bits; $j++) {
          |  if (2 * $cnt[$j] > $n) $fp |= 1L << $j;
          |}
          |${ev.value} = $fp;
@@ -553,14 +573,15 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `graft_bytesimhash(str)`: perceptual media fingerprint — SimHash-32
-  * over the payload's rolling byte-3-gram hashes, one compiled pass per
+/** `graft_bytesimhash(str)`: perceptual media fingerprint — SimHash
+  * ([[GraftKernels.SimBits]]-bit) over the payload's rolling byte-3-gram
+  * hashes, one compiled pass per
   * row ([[GraftKernels.byteSimHash32]]). The content-level complement to
   * `q_llm_media_dedup`'s exact md5: small byte perturbations (re-encode
   * headers, trims, single-field edits) leave most 3-grams — and so most
   * fingerprint bits — intact, which banded matching then catches. The
   * DuckDB oracle reproduces it relationally (byte array → shingle unnest →
-  * 32 majority sums); a HOF composition of the same pieces
+  * SimBits majority sums); a HOF composition of the same pieces
   * (`graft_simhash` over the shingle-transform of the ascii array) is the
   * in-Spark parity model (spec-asserted). */
 case class ByteSimHash32(child: Expression) extends UnaryExpression {
@@ -590,10 +611,10 @@ case class ByteSimHash32(child: Expression) extends UnaryExpression {
       val fp = ctx.freshName("fp")
       s"""
          |String $str = $c.toString();
-         |int[] $cnt = new int[32];
-         |long[] ${sg}_a = new long[]{${(0 until 32)
+         |int[] $cnt = new int[${GraftKernels.SimBits}];
+         |long[] ${sg}_a = new long[]{${(0 until GraftKernels.SimBits)
             .map(GraftKernels.simA(_).toString + "L").mkString(", ")}};
-         |long[] ${sg}_b = new long[]{${(0 until 32)
+         |long[] ${sg}_b = new long[]{${(0 until GraftKernels.SimBits)
             .map(GraftKernels.simB(_).toString + "L").mkString(", ")}};
          |int $n = 0;
          |long $b0 = 0L, $b1 = 0L;
@@ -604,7 +625,7 @@ case class ByteSimHash32(child: Expression) extends UnaryExpression {
          |  if ($seen >= 2) {
          |    long $sg = (($b0 * 131L + $b1) % ${GraftKernels.P}L * 131L + $cp)
          |      % ${GraftKernels.P}L;
-         |    for (int $j = 0; $j < 32; $j++) {
+         |    for (int $j = 0; $j < ${GraftKernels.SimBits}; $j++) {
          |      if ((($sg * ${sg}_a[$j] + ${sg}_b[$j]) % ${GraftKernels.P}L & 1L) != 0L) $cnt[$j]++;
          |    }
          |    $n++;
@@ -615,7 +636,7 @@ case class ByteSimHash32(child: Expression) extends UnaryExpression {
          |  $i += Character.charCount($cp);
          |}
          |long $fp = 0L;
-         |for (int $j = 0; $j < 32; $j++) {
+         |for (int $j = 0; $j < ${GraftKernels.SimBits}; $j++) {
          |  if (2 * $cnt[$j] > $n) $fp |= 1L << $j;
          |}
          |${ev.value} = $fp;

@@ -973,7 +973,7 @@ object Dedup {
       // re-runs the explode + 32-aggregation pipeline
       val fp = simhashOf(docs(s, dir)).localCheckpoint()
       val bandStructs = (0 until 4).map(bd =>
-        s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * 8}) & 255L)")
+        s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * graft.functions.GraftKernels.SimBandBits}) & ${graft.functions.GraftKernels.SimBandMask}L)")
         .mkString(", ")
       val bands = fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
         .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
@@ -1245,7 +1245,7 @@ object Dedup {
       val mhCand = ck(candidatesFromBands(ck(bandsFromSigs(sigsFromShingles(raw)))))
       val fp = ck(simhashOf(d))
       val bandStructs = (0 until 4).map(bd =>
-        s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * 8}) & 255L)")
+        s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * graft.functions.GraftKernels.SimBandBits}) & ${graft.functions.GraftKernels.SimBandMask}L)")
         .mkString(", ")
       val shBands = fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
         .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
@@ -1336,11 +1336,11 @@ object Dedup {
   // SimHash bit-j vote = parity of (h·A_j + B_j) mod P (the debiased form
   // — see GraftKernels.simA's scaladoc for why raw bits of a < 2^30 hash
   // degenerate the high band into an all-pairs generator)
-  private[llm] val simhashSums = (0 until 32)
+  private[llm] val simhashSums = (0 until graft.functions.GraftKernels.SimBits)
     .map(j => s"sum((((h * ${graft.functions.GraftKernels.simA(j)} + " +
       s"${graft.functions.GraftKernels.simB(j)}) % $P) & 1) * 2 - 1) AS s$j")
     .mkString(",\n               ")
-  private[llm] val simhashVal = (0 until 32)
+  private[llm] val simhashVal = (0 until graft.functions.GraftKernels.SimBits)
     .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString(" + ")
 
@@ -1438,7 +1438,7 @@ object Dedup {
       fp AS (SELECT doc_id, $simhashVal AS simhash FROM bitsums),
       bands AS (
         ${(0 until 4).map(bd =>
-          s"SELECT doc_id, $bd AS band_idx, (simhash >> ${bd * 8}) & 255 AS band_key FROM fp")
+          s"SELECT doc_id, $bd AS band_idx, (simhash >> ${bd * graft.functions.GraftKernels.SimBandBits}) & ${graft.functions.GraftKernels.SimBandMask} AS band_key FROM fp")
           .mkString("\n        UNION ALL ")}),
       ${duckCapBandCtes(src)},
       cand AS (
@@ -1586,7 +1586,7 @@ object Dedup {
   // avoid colliding with the shingle chain's toks.
   private def familyRecallSql: String = {
     val sbandUnion = (0 until 4).map(bd =>
-      s"SELECT doc_id, $bd AS band_idx, (simhash >> ${bd * 8}) & 255 AS band_key FROM sfp")
+      s"SELECT doc_id, $bd AS band_idx, (simhash >> ${bd * graft.functions.GraftKernels.SimBandBits}) & ${graft.functions.GraftKernels.SimBandMask} AS band_key FROM sfp")
       .mkString("\n        UNION ALL ")
     val famCand = s"""
       ${duckShingleCtes("documents")},

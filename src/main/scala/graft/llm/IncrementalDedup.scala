@@ -491,7 +491,7 @@ object IncrementalDedup {
 
   private def simhashBandsOf(fp: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map(bd =>
-      s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * 8}) & 255L)")
+      s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * graft.functions.GraftKernels.SimBandBits}) & ${graft.functions.GraftKernels.SimBandMask}L)")
       .mkString(", ")
     fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
       .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")

@@ -534,7 +534,7 @@ object Multimodal {
     val fp = d.selectExpr("doc_id", "graft_bytesimhash(text) AS fp")
       .localCheckpoint() // band self-join sides + two re-attach joins
     val bandStructs = (0 until 4).map(bd =>
-      s"named_struct('band_idx', $bd, 'band_key', shiftright(fp, ${bd * 8}) & 255L)")
+      s"named_struct('band_idx', $bd, 'band_key', shiftright(fp, ${bd * graft.functions.GraftKernels.SimBandBits}) & ${graft.functions.GraftKernels.SimBandMask}L)")
       .mkString(", ")
     val bands = fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
       .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
@@ -790,7 +790,7 @@ object Multimodal {
     * incremental/forget store entries can run it over a kept CTE. */
   private[llm] def duckMediaNearDupSql(src: String = "documents"): String = {
     val bandUnion = (0 until 4).map(bd =>
-      s"SELECT doc_id, $bd AS band_idx, (fp >> ${bd * 8}) & 255 AS band_key FROM fp")
+      s"SELECT doc_id, $bd AS band_idx, (fp >> ${bd * graft.functions.GraftKernels.SimBandBits}) & ${graft.functions.GraftKernels.SimBandMask} AS band_key FROM fp")
       .mkString("\n        UNION ALL ")
     s"""
       WITH bv AS (

@@ -90,12 +90,12 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
-  test("graft_simhash matches the explode + 32-sum majority-vote model") {
+  test("graft_simhash matches the explode + per-bit majority-vote model") {
     import spark.implicits._
     GraftFunctions.register(spark)
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
-      (2L, "a"),                       // single word: fingerprint = its low 32 bits
+      (2L, "a"),                       // single word: every bit = that word's vote
       (3L, "x y"),                     // tie on every bit where the two differ -> 0 vote -> unset
       (4L, "alpha beta gamma alpha"))  // repeats weight the vote
       .toDF("doc_id", "text")
@@ -105,25 +105,25 @@ class ExpressionsSpec extends SparkSpec {
     val ex = docs.selectExpr("doc_id", "explode(wh) AS h")
     // the debiased vote: bit j's ±1 comes from the parity of
     // (h·A_j + B_j) mod P, same formula the DuckDB oracle embeds
-    val sums = (0 until 32).map(j => expr(
+    val sums = (0 until GraftKernels.SimBits).map(j => expr(
       s"sum((((h * ${GraftKernels.simA(j)} + ${GraftKernels.simB(j)}) " +
         s"% ${GraftKernels.P}) & 1) * 2 - 1)").as(s"s$j"))
     val model = ex.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
       .selectExpr("doc_id",
-        (0 until 32).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END")
+        (0 until GraftKernels.SimBits).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j}L ELSE 0L END")
           .mkString("", " + ", " AS fp"))
       .as[(Long, Long)].collect().sorted.toSeq
     assert(viaKernel === model)
     // kernel matches an independent JVM reference of the same vote
     import org.apache.spark.sql.catalyst.util.ArrayData
-    def refFp(hs: Seq[Long]): Long = (0 until 32).map { j =>
+    def refFp(hs: Seq[Long]): Long = (0 until GraftKernels.SimBits).map { j =>
       val votes = hs.map(h =>
         if (((h * GraftKernels.simA(j) + GraftKernels.simB(j))
           % GraftKernels.P & 1L) == 1L) 1 else -1).sum
       if (votes > 0) 1L << j else 0L
     }.sum
     for (hs <- Seq(Seq(5L), Seq(1L, 2L), Seq(3L, 1L), Seq(7L, 7L, 9L)))
-      assert(GraftKernels.simhash32(ArrayData.toArrayData(hs.toArray)) === refFp(hs))
+      assert(GraftKernels.simhashFp(ArrayData.toArrayData(hs.toArray)) === refFp(hs))
   }
 
   test("graft_chunks (UDTF) matches the HOF slice-fold chunk hashes") {
