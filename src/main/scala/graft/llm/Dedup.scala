@@ -1345,18 +1345,32 @@ object Dedup {
     .mkString(" + ")
 
   /** Corpus-relative stop-bucket cap for SimHash-family band joins: a
-    * band bucket holding more than `greatest(BandCapFloor, N DIV
-    * BandCapRatio)` docs is non-discriminative geometry (convergent
-    * language statistics, template mass) and is dropped from CANDIDATE
-    * GENERATION — the [[XHash.MaxDf]] stop-shingle pattern applied to
-    * fingerprint buckets. Without it one hot bucket is a quadratic pair
-    * generator (measured pre-fix: the degenerate high band put the whole
-    * sf0.1 corpus under ONE key = all-pairs). Both engines embed the
-    * identical arithmetic, so results stay hash-equal; the recall cost
-    * (pairs reachable ONLY via stop buckets) is the documented LSH
-    * trade, exactly like stop shingles. */
+    * band bucket holding more than `greatest(BandCapFloor, floor(sqrt(N)))`
+    * docs is non-discriminative geometry (convergent language statistics,
+    * template mass) and is dropped from CANDIDATE GENERATION — the
+    * [[XHash.MaxDf]] stop-shingle pattern applied to fingerprint buckets.
+    *
+    * The cap law matters as much as its existence. With band rows summing
+    * to `SimBands·N` and every kept bucket at size ≤ cap, candidate pairs
+    * are bounded by `Σ bn²/2 ≤ SimBands·N·cap/2` — so a LINEAR cap
+    * (`N DIV 100`, the pre-r11 law) only bounds candidates QUADRATICALLY,
+    * and the sf1 scale run measured exactly that on the byte-3-gram media
+    * kernel: 731M kept pairs at 500k docs (95× growth for 10× docs; char
+    * statistics converge to the corpus mean, so mid-size hot buckets
+    * dominate and a cap of N/100 never binds on them). `floor(sqrt(N))`
+    * makes the worst case O(N^1.5) while still dominating the
+    * uniform-geometry average load N/65536 until N ≈ 4.3e9 docs per
+    * dedup scope — past that, capping average buckets is the correct
+    * behavior anyway (the 16-bit key space is exhausted).
+    *
+    * Cross-engine determinism: IEEE-754 `sqrt` is correctly rounded and
+    * bit-identical in Spark and DuckDB; `floor` yields an integer-valued
+    * double, so the engines' differing double→int cast conventions
+    * (truncate vs round — the round-7 trap) cannot diverge. Both engines
+    * embed the identical arithmetic, so results stay hash-equal; the
+    * recall cost (pairs reachable ONLY via stop buckets) is the
+    * documented LSH trade, exactly like stop shingles. */
   val BandCapFloor = 50L
-  val BandCapRatio = 100L
 
   /** Keep only bands in buckets at or under the corpus-relative cap.
     * `nCorpus` is the 1-row [[corpusCountOf]] broadcast. */
@@ -1364,7 +1378,7 @@ object Dedup {
     val bc = bands.groupBy(col("band_idx"), col("band_key")).agg(count(lit(1)).as("bn"))
     bands.join(bc, Seq("band_idx", "band_key"))
       .crossJoin(broadcast(nCorpus))
-      .where(expr(s"bn <= greatest(${BandCapFloor}L, n_corpus DIV ${BandCapRatio}L)"))
+      .where(expr(s"bn <= greatest(${BandCapFloor}L, CAST(floor(sqrt(CAST(n_corpus AS DOUBLE))) AS BIGINT))"))
       .select(col("doc_id"), col("band_idx"), col("band_key"))
   }
 
@@ -1375,7 +1389,7 @@ object Dedup {
       bkept AS (
         SELECT b.doc_id, b.band_idx, b.band_key
         FROM $bandsCte b JOIN bc USING (band_idx, band_key)
-        WHERE bc.bn <= greatest($BandCapFloor, (SELECT count(*) FROM $src) // $BandCapRatio))"""
+        WHERE bc.bn <= greatest($BandCapFloor, CAST(floor(sqrt((SELECT count(*) FROM $src))) AS BIGINT)))"""
 
   /** DuckDB mirror of the winnowing fingerprint chain ([[winnowCappedFps]]):
     * CTEs ending in `wfpc (doc_id, fh)` — the capped fingerprint universe.
