@@ -42,7 +42,8 @@ object SparkEntry {
       graft.llm.TextAnalysis.queries ++ graft.llm.Multimodal.queries ++
       graft.llm.Curation.queries ++ graft.llm.Safety.queries ++
       graft.llm.Retrieval.queries ++ graft.llm.IncrementalRetrieval.queries ++
-      graft.llm.Graph.queries ++ graft.llm.MultiIndex.queries ++ graft.sinks.Sinks.queries ++ Cbo.queries
+      graft.llm.Graph.queries ++ graft.llm.MultiIndex.queries ++ graft.sinks.Sinks.queries ++ Cbo.queries ++
+      graft.sources.Spj.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -56,5 +57,6 @@ object SparkEntry {
       graft.llm.TextAnalysis.oracleSql ++ graft.llm.Multimodal.oracleSql ++
       graft.llm.Curation.oracleSql ++ graft.llm.Safety.oracleSql ++
       graft.llm.Retrieval.oracleSql ++ graft.llm.IncrementalRetrieval.oracleSql ++
-      graft.llm.Graph.oracleSql ++ graft.llm.MultiIndex.oracleSql ++ graft.sinks.Sinks.oracleSql ++ Cbo.oracleSql
+      graft.llm.Graph.oracleSql ++ graft.llm.MultiIndex.oracleSql ++ graft.sinks.Sinks.oracleSql ++ Cbo.oracleSql ++
+      graft.sources.Spj.oracleSql
 }
