@@ -63,6 +63,42 @@ object GraftKernels {
     acc
   }
 
+  /** Rolling k-codepoint window hashes of `s`: out(i) ==
+    * charPolyHash(s.substring-by-codepoints(i, i + k)) for every window
+    * start i in [0, n − k], via the standard polynomial roll
+    * `h' = ((h − cp_out·31^(k−1)) · 31 + cp_in) mod P`. Empty array when
+    * the text has fewer than k codepoints. One O(n) pass per doc vs the
+    * O(n·k) re-fold of hashing each window independently — the kernel
+    * under [[GramHashes]] / the exact-substring dedup gram stream. */
+  def gramHashes(s: String, k: Int): Array[Long] = {
+    val cps = new Array[Int](math.max(s.length, 1))
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n < k) return Array.emptyLongArray
+    var pow = 1L // 31^(k-1) mod P: the outgoing codepoint's coefficient
+    i = 1
+    while (i < k) { pow = pow * 31L % P; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var acc = 0L
+    i = 0
+    while (i < k) { acc = (acc * 31L + cps(i)) % P; i += 1 }
+    out(0) = acc
+    i = 1
+    while (i <= n - k) {
+      acc = (acc - cps(i - 1) * pow % P + P) % P
+      acc = (acc * 31L + cps(i + k - 1)) % P
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
   def longDot(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
@@ -506,6 +542,73 @@ case class ChunkHashes(child: Expression, width: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ChunkHashes =
+    copy(child = newLeft, width = newRight)
+}
+
+/** `graft_gramhashes(text, k)` — `array<bigint>` of the sliding
+  * `k`-codepoint window hashes of `text`: element `i` (0-based) is
+  * EXACTLY `graft_charhash(substring(text, i + 1, k))` — the charhash
+  * polynomial is degree-fixed per window, so each position's value comes
+  * from the standard rolling update
+  * `h' = ((h − cp_out·31^(k−1)) · 31 + cp_in) mod P`
+  * instead of re-folding k codepoints per position. Windows are in
+  * codepoint units, the same unit `length()`/`substring()` count in.
+  *
+  * This is the exact-substring-dedup gram stream
+  * (`graft.llm.Dedup.substringCoverageOf`), consumed as
+  * `posexplode(graft_gramhashes(text, k))`: the form it replaces
+  * (`explode(sequence(1, n−k+1))` + `graft_charhash(substring(text,p,k))`)
+  * materialized an O(n) position array per doc and did O(n·k) hash work
+  * (each position re-copies and re-folds a k-char substring); this is a
+  * single O(n) compiled pass per doc whose posexplode emits the identical
+  * row set, so the swap changes no query result — the DuckDB oracle keeps
+  * the substr() form and the hash gate pins equality. Deliberately a
+  * SCALAR expression + builtin posexplode rather than a custom Generator:
+  * a `CodegenFallback` Generator (the [[ShingleHashes]] shape) evaluates
+  * interpreted and severs whole-stage codegen right at the widest point
+  * of the plan — measured 1.8× SLOWER than the explode form it was meant
+  * to beat at generated sf1 — while posexplode over a codegen'd array
+  * keeps the whole gram stage inside WholeStageCodegen. Texts shorter
+  * than k yield an empty array (posexplode then generates nothing,
+  * matching the oracle's `WHERE n >= k` gate). */
+case class GramHashes(child: Expression, width: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = width
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType =>
+      if (width.foldable && width.dataType == IntegerType &&
+          width.eval() != null && width.eval().asInstanceOf[Int] > 0)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable positive INT width")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${dt.catalogString}")
+  }
+  override def prettyName: String = "graft_gramhashes"
+
+  private lazy val k: Int = width.eval().asInstanceOf[Int]
+
+  override protected def nullSafeEval(text: Any, w: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(GraftKernels.gramHashes(
+        text.asInstanceOf[UTF8String].toString, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, _) =>
+      // one static kernel call: the loop is JIT-compiled Scala, the
+      // expression stays inside whole-stage codegen
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.GraftKernels.gramHashes($c.toString(), $k));
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramHashes =
     copy(child = newLeft, width = newRight)
 }
 

@@ -57,6 +57,9 @@ object GraftFunctions {
     ("graft_bytesimhash",
       new ExpressionInfo(classOf[ByteSimHash32].getName, "graft_bytesimhash"),
       (args: Seq[Expression]) => ByteSimHash32(args.head)),
+    ("graft_gramhashes",
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gramhashes"),
+      (args: Seq[Expression]) => GramHashes(args(0), args(1))),
     ("graft_nearest_cells",
       new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
       (args: Seq[Expression]) => NearestCells(args(0), args(1), args(2))))

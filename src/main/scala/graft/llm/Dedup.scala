@@ -508,14 +508,28 @@ object Dedup {
     graft.functions.GraftFunctions.register(d.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
+    // gram stream via the rolling-hash kernel: ONE O(n) compiled pass per
+    // doc (posexplode of the codegen'd hash array) — bit-identical to the
+    // explode(sequence)+charhash(substring) form it replaced, which did
+    // O(n·K) fold work per doc (each position re-copies and re-folds a
+    // K-char substring); the ExpressionsSpec gramhashes test pins the
+    // row-set equality, the oracle keeps the substr() form
     val occ = d.where(length(col("text")) >= SubK)
-      .selectExpr("doc_id", "text",
-        s"explode(sequence(1, length(text) - ${SubK - 1})) AS p")
-      .selectExpr("doc_id", "p", s"graft_charhash(substring(text, p, $SubK)) AS h")
-      .localCheckpoint() // one gram scan feeds the repeat table AND the marking join
-    val rep = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .where(col("c") > 1).select(col("h"))
-    val spans = occ.join(rep, Seq("h"), "left_semi")
+      .selectExpr("doc_id", s"posexplode(graft_gramhashes(text, $SubK)) AS (i, h)")
+      .selectExpr("doc_id", "CAST(i + 1 AS INT) AS p", "h")
+    // corpus-repeated positions via a count window over the gram hash:
+    // the gram stream is touched ONCE and shuffled ONCE (hash by h).
+    // The previous shape — localCheckpoint the stream, aggregate a
+    // repeated-hash table, semi-join the stream against it — moved the
+    // O(total chars) row set three times and materialized it as row
+    // objects in the block manager; at generated sf1 (148 M gram rows)
+    // checkpoint + agg + join measured 500 s against this form's single
+    // sort-shuffle. With the rolling kernel the stream is cheap to
+    // produce, so nothing is worth pinning.
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val spans = occ
+      .withColumn("c", count(lit(1)).over(wh))
+      .where(col("c") > 1).select(col("doc_id"), col("p"))
       .withColumn("brk", when(col("p") - lag(col("p"), 1).over(w) > SubK, 1).otherwise(0))
       .withColumn("isl", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("isl"))

@@ -154,7 +154,7 @@ object IncrementalAnn {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch((b: DataFrame, id: Long) => tickFn(s, b, id, base))
+      .foreachBatch((b: DataFrame, id: Long) => tickFn(s, Tables.spread(b), id, base))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -417,7 +417,7 @@ object IncrementalDedup {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch((b: DataFrame, id: Long) => ccTick(s, b, id, base))
+      .foreachBatch((b: DataFrame, id: Long) => ccTick(s, Tables.spread(b), id, base))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -564,7 +564,7 @@ object IncrementalDedup {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch((b: DataFrame, id: Long) => simhashTick(s, b, id, base, fpExpr))
+      .foreachBatch((b: DataFrame, id: Long) => simhashTick(s, Tables.spread(b), id, base, fpExpr))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -641,7 +641,7 @@ object IncrementalDedup {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch((b: DataFrame, id: Long) => winnowTick(s, b, id, base))
+      .foreachBatch((b: DataFrame, id: Long) => winnowTick(s, Tables.spread(b), id, base))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -656,7 +656,7 @@ object IncrementalDedup {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch((b: DataFrame, id: Long) => tick(s, b, id, base))
+      .foreachBatch((b: DataFrame, id: Long) => tick(s, Tables.spread(b), id, base))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -908,7 +908,8 @@ object IncrementalDedup {
         .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
+        .foreachBatch { (rawBatch: DataFrame, bid: Long) =>
+          val batch = Tables.spread(rawBatch)
           val bSigs = Dedup.minhashSigsOf(batch).localCheckpoint()
           val cand = Dedup.bandsFromSigs(bSigs)
             .join(oldBands, Seq("band_idx", "band_key"))

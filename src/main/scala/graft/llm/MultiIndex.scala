@@ -69,7 +69,7 @@ object MultiIndex {
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (b: DataFrame, id: Long) =>
-        val batch = b.persist()
+        val batch = Tables.spread(b).persist()
         try {
           IncrementalDedup.tick(s, batch, id, s"$base/minhash")
           IncrementalDedup.simhashTick(s, batch, id, s"$base/simhash",

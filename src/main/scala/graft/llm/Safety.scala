@@ -172,7 +172,8 @@ object Safety {
         .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
+        .foreachBatch { (rawBatch: DataFrame, bid: Long) =>
+          val batch = Tables.spread(rawBatch)
           val bSg = Dedup.shingleStreamOf(batch)
             .select(col("doc_id"), col("sg")).distinct()
           val per = bSg.join(evalSet, Seq("sg"), "left")

@@ -783,8 +783,9 @@ object Similarity {
         .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
       val q = stream.writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          graft.functions.GraftFunctions.register(batch.sparkSession)
+        .foreachBatch { (rawBatch: DataFrame, bid: Long) =>
+          graft.functions.GraftFunctions.register(rawBatch.sparkSession)
+          val batch = Tables.spread(rawBatch)
           val qse = batch
             .selectExpr("vec_id", s"${sparkScaledEmb("embedding")} AS se")
             .selectExpr("vec_id", "se",

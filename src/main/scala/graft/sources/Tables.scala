@@ -124,20 +124,53 @@ object Tables {
     eventsTsIsNanos.computeIfAbsent(dir, _ =>
       spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType)
 
+  /** Scan-parallelism floor below which [[spread]] is a no-op: inputs
+    * smaller than this finish faster than the spreading shuffle costs
+    * (all driver fixtures up to sf0.1 are below it, so driver-scale
+    * plans are bit-identical with or without the guard). */
+  val SpreadMinBytes: Long = 16L << 20
+
+  /** Amplification guard: a single dense parquet file is ONE scan split
+    * (a 58 MB / 500 k-doc corpus file is also a single row group, so
+    * `maxPartitionBytes` cannot subdivide it), and the explode-shaped
+    * operators downstream (gram/shingle/token streams) amplify each
+    * scanned byte ~100-200× — every core but one idles through the
+    * widest stages of the plan. Measured at generated sf1: the
+    * exact-substring gram aggregation ran 437 s fed by a 1-split scan.
+    * If the input's planned split count is below the session's cores AND
+    * the scan is big enough that the fan-out shuffle pays for itself
+    * ([[SpreadMinBytes]]), hash-spread the rows across the cores first.
+    * At lake scale inputs arrive with thousands of splits, so this is a
+    * no-op — the guard exists for the dense-few-files layout small
+    * corpora and single-file micro-batch ticks actually have. Safe on
+    * any caller: `.rdd` here plans a bare scan (no exchanges, so no
+    * AQE stages execute), and every engine result is
+    * partitioning-independent by construction (the oracle gate
+    * hash-compares them). */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < SpreadMinBytes) df
+    else if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p)
+  }
+
   /** Load one driver table. Filter/projection on the result push down to the
-    * parquet scan (verify with `.explain`: `PushedFilters`, `ReadSchema`).
-    * `events.ts` is fixture-generation-dependent: parquet TIMESTAMP(NANOS)
-    * (which Spark 4 refuses to map to TimestampType — read as raw nanos
-    * via the legacy `nanosAsLong` conf and truncate to micros, the same
-    * truncation DuckDB applies) or plain TIMESTAMP(MICROS) (read
-    * directly). [[eventsIsNanos]] picks the branch from the footer, so
-    * both generations of driver testdata read identically (FIXTURES.md B). */
+    * parquet scan (verify with `.explain`: `PushedFilters`, `ReadSchema` —
+    * the [[spread]] guard sits above the scan and predicates push through
+    * its Repartition node). `events.ts` is fixture-generation-dependent:
+    * parquet TIMESTAMP(NANOS) (which Spark 4 refuses to map to
+    * TimestampType — read as raw nanos via the legacy `nanosAsLong` conf
+    * and truncate to micros, the same truncation DuckDB applies) or plain
+    * TIMESTAMP(MICROS) (read directly). [[eventsIsNanos]] picks the
+    * branch from the footer, so both generations of driver testdata read
+    * identically (FIXTURES.md B). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events" && eventsIsNanos(spark, dir)) {
-      spark.read.schema(eventsRawNs).parquet(s"$dir/$name.parquet")
+      spread(spark.read.schema(eventsRawNs).parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)")) // ns -> µs truncation, as DuckDB
+          "timestamp_micros(ts div 1000)"))) // ns -> µs truncation, as DuckDB
     } else {
-      spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+      spread(spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet"))
     }
 }

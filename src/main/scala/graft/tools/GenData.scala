@@ -48,7 +48,14 @@ object GenData {
     val nDoc = math.max(1L, (500000 * sf).toLong)
 
     def out(name: String, df: DataFrame, rows: Long): Unit = {
-      val parts = math.max(1, math.min(64, rows / 500000L).toInt)
+      // ~50k rows/file (≈5-10 MB): the multi-file layout a real lake
+      // table has. The old rows/500000 rule wrote sf1's 500k-doc corpus
+      // as ONE 58 MB file — which is also a single parquet row group, so
+      // it planned as a single scan split and every explode-shaped
+      // consumer ran 1-of-32 threads wide (the Tables.spread guard now
+      // defends against such inputs too, but the generator shouldn't
+      // produce a layout no sane writer would).
+      val parts = math.max(1, math.min(64, rows / 50000L).toInt)
       df.repartition(parts).write.mode("overwrite").parquet(s"$dir/$name.parquet")
     }
 

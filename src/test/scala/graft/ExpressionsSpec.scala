@@ -149,6 +149,42 @@ class ExpressionsSpec extends SparkSpec {
       df.selectExpr("graft_chunks(wh, size(wh))").collect())
   }
 
+  test("posexplode(graft_gramhashes) matches explode(sequence)+charhash(substring) exactly") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs on",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",        // max-overlap repeats
+      "exactly twenty chars",                   // length == k -> one row
+      "nineteen chars only",                    // length == k - 1 -> none
+      "κλειδί ψάχνει je länger desto besser αβγ", // non-ASCII codepoints
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val k = 20
+    val viaGen = df.where(length(col("text")) >= k)
+      .selectExpr("doc_id", s"posexplode(graft_gramhashes(text, $k)) AS (i, h)")
+      .selectExpr("doc_id", "CAST(i + 1 AS INT) AS p", "h")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val viaSub = df.where(length(col("text")) >= k)
+      .selectExpr("doc_id", s"explode(sequence(1, length(text) - ${k - 1})) AS p", "text")
+      .selectExpr("doc_id", "p", s"graft_charhash(substring(text, p, $k)) AS h")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(viaGen === viaSub)
+    assert(viaGen.nonEmpty)
+    // the length == k text contributes exactly one window at p = 1
+    assert(viaGen.count(_._1 === 2L) === 1 && viaGen.find(_._1 === 2L).get._2 === 1)
+    // interpreted eval path agrees with codegen (same kernel both ways)
+    assert(GraftKernels.gramHashes("exactly twenty chars", k).toSeq ===
+      Seq(GraftKernels.charPolyHash("exactly twenty chars")))
+    assert(GraftKernels.gramHashes("short", k).isEmpty)
+    // null text -> null array -> posexplode generates nothing
+    assert(Seq[Option[String]](None).toDF("text")
+      .selectExpr(s"posexplode(graft_gramhashes(text, $k))").count() === 0L)
+    // non-literal width is rejected
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      df.selectExpr("graft_gramhashes(text, length(text))").collect())
+  }
+
   test("graft_scaledemb matches the HOF floor-scale form on float arrays") {
     import spark.implicits._
     GraftFunctions.register(spark)
