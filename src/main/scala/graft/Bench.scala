@@ -92,7 +92,16 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               false
             }
-          ((System.nanoTime() - t0) / 1e9, ok)
+          val t = (System.nanoTime() - t0) / 1e9
+          // UNTIMED block-manager sweep: drop the query's leftover
+          // checkpoint/persist blocks so query N's measurement is
+          // independent of N — without this, accumulated blocks from
+          // earlier entries inflated the 6th sf1 entry 4.7× over its
+          // standalone time (storage pressure + GC churn; RunCache
+          // scaladoc has the numbers). Deliberately shared artifacts
+          // (verified-pairs cache) are pinned and survive.
+          graft.util.RunCache.sweep(spark)
+          (t, ok)
         }
         val (t1, ok1) = once()
         val noisy = ok1 && retryBudget > 0 &&

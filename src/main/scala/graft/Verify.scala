@@ -38,6 +38,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // block-manager hygiene between queries (see RunCache scaladoc):
+        // keeps query N's runtime independent of how many ran before it
+        graft.util.RunCache.sweep(spark)
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

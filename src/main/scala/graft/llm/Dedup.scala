@@ -325,7 +325,10 @@ object Dedup {
     val ctx = s.sparkContext
     pairsCache.entrySet.removeIf(e => e.getValue._1.isStopped)
     pairsCache.computeIfAbsent((ctx.applicationId, dir), _ =>
-      (ctx, minhashVerifiedPairsOf(docs(s, dir)).localCheckpoint()))._2
+      // pinned: the suite-level block-manager sweep (RunCache.sweep) must
+      // not unpersist this — a swept localCheckpoint cannot recompute
+      (ctx, graft.util.RunCache.pin(
+        minhashVerifiedPairsOf(docs(s, dir)).localCheckpoint())))._2
   }
   /** Edge-list view of [[verifiedPairsFullCached]]. */
   private[graft] def verifiedPairsCached(s: SparkSession, dir: String): DataFrame =

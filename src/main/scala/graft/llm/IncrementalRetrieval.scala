@@ -82,10 +82,15 @@ object IncrementalRetrieval {
       "doc_id", Seq("_tick"))
 
   /** Unpack the postings store into the `(tf, dl)` parts the scorer
-    * consumes — slim columns only, text never reappears. */
+    * consumes — slim columns only, text never reappears. Reads through
+    * the merge-on-read delete mask ([[Sinks.readWithDeletes]]): a store
+    * with no pending deletes plans with zero overhead (no join node at
+    * all), while a pending GDPR sidecar masks forgotten documents out of
+    * BOTH the stats refresh and serving without any bucket having been
+    * rewritten yet. */
   private def parts(s: SparkSession, base: String): (DataFrame, DataFrame) = {
     Sinks.healBuckets(s"$base/postings")
-    val p = s.read.parquet(s"$base/postings")
+    val p = Sinks.readWithDeletes(s, s"$base/postings", "doc_id")
     val tf = p.selectExpr("doc_id", "explode(tfs) AS z")
       .selectExpr("doc_id", "z.h AS h", "z.m AS m")
     (tf, p.select(col("doc_id"), col("dl")))
@@ -129,14 +134,21 @@ object IncrementalRetrieval {
       serve(s, base)
     },
 
-    // GDPR delete through the retrieval index: build incrementally, purge
-    // the forgotten documents' posting rows (touched-bucket rewrites —
-    // one keyed row per document, [[Sinks.deleteByKeyBucket]]), then the
-    // stats refresh rebuilds df/avgdl on the kept corpus. Deletion must
-    // propagate through BOTH stores: forgotten documents vanish from
-    // candidates via the postings purge, and from every other ranking via
-    // the idf/avgdl shift the refresh applies — which is WHY the oracle
-    // (one-shot SQL over a kept CTE) can check it with a hash compare.
+    // GDPR delete through the retrieval index — served MERGE-ON-READ:
+    // build incrementally, then the delete request only APPENDS the
+    // forgotten doc_ids to the postings store's sidecar
+    // ([[Sinks.deleteByKeyMoR]] — zero data buckets rewritten at request
+    // time; at 100 TB a delete request must not pay a store rewrite),
+    // and the stats refresh + serving read through the mask
+    // ([[parts]]/[[Sinks.readWithDeletes]]). Deletion must propagate
+    // through BOTH stores: forgotten documents vanish from candidates
+    // via the mask, and from every other ranking via the idf/avgdl
+    // shift the refresh applies — which is WHY the oracle (one-shot SQL
+    // over a kept CTE) can check it with a hash compare, pending
+    // deletes and all. The copy-on-write tier stays gate-covered by the
+    // other forget entries (simhash/winnow/ivf/pq/groups use
+    // deleteByKeyBucket) and the compaction convergence by
+    // IncrementalRetrievalSpec + SinksSpec.
     "q_llm_bm25_forget" -> { (s, dir) =>
       val base = s"${Sinks.tmpBase}/bm25_forget"
       reset(base)
@@ -145,7 +157,7 @@ object IncrementalRetrieval {
       IncrementalAnn.runTicks(s, base, d.schema, tick)
       val del = d.select(col("doc_id"))
         .where(expr(s"doc_id % 9 = 4 AND doc_id >= ${Retrieval.QMax}")) // queries stay live
-      Sinks.deleteByKeyBucket(s, s"$base/postings", del, "doc_id")
+      Sinks.deleteByKeyMoR(s, s"$base/postings", del, "doc_id", tag = "gdpr")
       refreshStats(s, base)
       serve(s, base)
     })

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -95,5 +97,46 @@ class IncrementalRetrievalSpec extends SparkSpec {
     IncrementalRetrieval.refreshStats(spark, fbase)
     assert(IncrementalRetrieval.serve(spark, fbase)
       .as[(Long, Int, Long, Double)].collect() === oneShot(kept))
+  }
+
+  test("merge-on-read forget: request rewrites zero buckets, mask serves, compaction converges") {
+    import spark.implicits._
+    val fbase = base + "_mor"
+    IncrementalRetrieval.reset(fbase)
+    val d = corpus.localCheckpoint()
+    d.coalesce(1).write.parquet(s"$fbase/src")
+    IncrementalAnn.runTicks(spark, fbase, d.schema, IncrementalRetrieval.tick)
+    val store = s"$fbase/postings"
+    def bucketListing: Seq[(String, Long)] = {
+      val root = java.nio.file.Paths.get(store)
+      val st = java.nio.file.Files.walk(root)
+      try st.iterator().asScala.toList
+        .filter(p => p.toString.endsWith(".parquet") &&
+          p.toString.contains("_bucket"))
+        .map(p => (root.relativize(p).toString, java.nio.file.Files.size(p)))
+        .sortBy(_._1)
+      finally st.close()
+    }
+    val before = bucketListing
+    val del = d.select($"doc_id").where($"doc_id" % 5 === 3 && $"doc_id" >= 8)
+    Sinks.deleteByKeyMoR(spark, store, del, "doc_id", tag = "spec")
+    // the delete REQUEST touched no data bucket (MoR contract)
+    assert(bucketListing === before,
+      "MoR delete must leave every data-bucket file byte-identical")
+    // masked refresh + serve equals a from-scratch build on the kept set
+    IncrementalRetrieval.refreshStats(spark, fbase)
+    val kept = d.where(!($"doc_id" % 5 === 3 && $"doc_id" >= 8))
+    val masked = IncrementalRetrieval.serve(spark, fbase)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(masked === oneShot(kept),
+      "pre-compaction masked serve must equal the kept-corpus build")
+    // compaction folds the sidecar in; serving is unchanged and the raw
+    // reader (no mask) now agrees too — rows physically gone
+    Sinks.compactDeletes(spark, store, "doc_id")
+    assert(Sinks.pendingDeleteKeys(spark, store).isEmpty)
+    assert(IncrementalRetrieval.serve(spark, fbase)
+      .as[(Long, Int, Long, Double)].collect() === masked)
+    assert(spark.read.parquet(store)
+      .join(del, Seq("doc_id"), "left_semi").count() === 0L)
   }
 }
