@@ -61,59 +61,100 @@ object Bench {
     // anyway. Both attempts are recorded (`remeasured`), so a genuine 3x
     // slowdown is still visible as two agreeing slow samples. Retries are
     // capped so a globally-loaded machine can at most double the run.
-    val prior: Map[String, Double] =
+    val (prior, priorTotal): (Map[String, Double], Option[Double]) =
       try {
         val p = Paths.get("BENCH_LOCAL.json")
-        if (!Files.exists(p)) Map.empty
+        if (!Files.exists(p)) (Map.empty, None)
         else {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
           val root = om.readTree(Files.readString(p))
           // prior times are only comparable at the SAME scale factor — a
           // bench at another sf would see every query "3x slower" and
           // burn the whole retry budget on phantom noise
-          if (root.path("sf").asText() != sfDir) Map.empty[String, Double]
+          if (root.path("sf").asText() != sfDir) (Map.empty[String, Double], None)
           else {
             val it = root.path("queries").properties().iterator()
             val b = Map.newBuilder[String, Double]
             while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-            b.result()
+            (b.result(),
+              Option(root.path("value").asDouble()).filter(_ > 0))
           }
         }
-      } catch { case _: Throwable => Map.empty }
+      } catch { case _: Throwable => (Map.empty, None) }
     var retryBudget = 40
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Shared-build attribution: run-scoped builds (verified-pairs cache,
+    // multi-index store) execute inside whichever consumer runs first, so
+    // that entry's raw time is build+serve. The builder records its wall
+    // time in SharedBuilds; after each query we DRAIN the ledger, subtract
+    // the drained seconds from the query's time, and accumulate them under
+    // `shared_build_<label>` pseudo-entries — per-entry numbers are then
+    // stable under alphabetical reordering while the suite total still
+    // counts every second (the builds appear under their own names).
+    val sharedCosts = scala.collection.mutable.Map.empty[String, Double]
+    def runOnce(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      val raw = (System.nanoTime() - t0) / 1e9
+      val drained = graft.util.SharedBuilds.drain()
+      drained.foreach { case (l, sec) =>
+        sharedCosts.updateWith(s"shared_build_$l")(p => Some(p.getOrElse(0.0) + sec))
+      }
+      val t = math.max(0.0, raw - drained.map(_._2).sum)
+      // UNTIMED block-manager sweep: drop the query's leftover
+      // checkpoint/persist blocks so query N's measurement is
+      // independent of N — without this, accumulated blocks from
+      // earlier entries inflated the 6th sf1 entry 4.7× over its
+      // standalone time (storage pressure + GC churn; RunCache
+      // scaladoc has the numbers). Deliberately shared artifacts
+      // (verified-pairs cache) are pinned and survive.
+      graft.util.RunCache.sweep(spark)
+      (t, ok)
+    }
+    val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
-        def once(): (Double, Boolean) = {
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              false
-            }
-          val t = (System.nanoTime() - t0) / 1e9
-          // UNTIMED block-manager sweep: drop the query's leftover
-          // checkpoint/persist blocks so query N's measurement is
-          // independent of N — without this, accumulated blocks from
-          // earlier entries inflated the 6th sf1 entry 4.7× over its
-          // standalone time (storage pressure + GC churn; RunCache
-          // scaladoc has the numbers). Deliberately shared artifacts
-          // (verified-pairs cache) are pinned and survive.
-          graft.util.RunCache.sweep(spark)
-          (t, ok)
-        }
-        val (t1, ok1) = once()
+        val (t1, ok1) = runOnce(name, fn)
         val noisy = ok1 && retryBudget > 0 &&
           prior.get(name).exists(p => p > 0 && t1 > 3 * p)
         if (noisy) {
           retryBudget -= 1
-          val (t2, ok2) = once()
+          val (t2, ok2) = runOnce(name, fn)
           (name, math.min(t1, t2), ok2, Some(t1))
         } else (name, t1, ok1, None)
       }
+    // Total-level drift check: the per-query 3x floor missed r11's broad
+    // +30% regression (nothing individually spiked). If this run's total
+    // exceeds 1.15x the last committed same-sf total, re-measure the 10
+    // largest ABSOLUTE regressors once and keep the min — a loaded-machine
+    // artifact self-corrects, a real broad regression shows up as two
+    // agreeing slow samples per regressor (both recorded in `remeasured`).
+    val driftTotal = results0.collect { case (_, v, true, _) => v }.sum
+    val results = priorTotal match {
+      case Some(pt) if only.isEmpty && driftTotal > 1.15 * pt =>
+        val regressors = results0
+          .collect { case (k, v, true, _)
+            if prior.contains(k) && v - prior(k) > 0 => (k, v - prior(k)) }
+          .sortBy(-_._2).take(10).map(_._1).toSet
+        System.err.println(s"[bench] drift: total $driftTotal > 1.15x prior $pt; " +
+          s"re-measuring ${regressors.size} largest regressors")
+        results0.map { case r @ (name, t1, ok1, first) =>
+          if (!regressors.contains(name)) r
+          else {
+            val (t2, ok2) = runOnce(name, SparkEntry.queries(name))
+            (name, math.min(t1, t2), ok1 && ok2, first.orElse(Some(t1)))
+          }
+        }
+      case _ => results0
+    }
     val remeasured = results.collect { case (k, _, _, Some(first)) => k -> first }
-    val passed = results.collect { case (k, v, true, _) => (k, v, true) }
+    val passed = results.collect { case (k, v, true, _) => (k, v, true) } ++
+      sharedCosts.toSeq.sortBy(_._1).map { case (k, v) => (k, v, true) }
     val failed = results.collect { case (k, v, false, _) => (k, v, false) }
     val qs = passed.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -127,7 +168,8 @@ object Bench {
     // keeps that floor from reading as a regression of the one-shot
     // suites when rounds are compared.
     def suiteOf(name: String): String =
-      if (name.startsWith("stream_")) "streaming"
+      if (name.startsWith("shared_build_")) "shared"
+      else if (name.startsWith("stream_")) "streaming"
       else if (name.contains("incremental") || name.contains("forget")) "ticks"
       else if (name.startsWith("q_llm_")) "llm"
       else "relational"

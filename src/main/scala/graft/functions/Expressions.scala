@@ -99,6 +99,63 @@ object GraftKernels {
     out
   }
 
+  /** Winnowing fingerprint selection from a WORD-hash array: builds the
+    * word-3-gram shingle hashes inline (`((wh(i)·131 + wh(i+1)) % P ·131
+    * + wh(i+2)) % P` — the exact [[graft.llm.XHash.sparkShingles]]
+    * formula), then for every FULL window of `w` consecutive shingle
+    * positions keeps the shingle with the minimum
+    * `enc(pos) = h·2^20 + (2^20 − 1 − pos)` (ties break to the RIGHTMOST
+    * occurrence — the standard robust-winnowing rule), returning the
+    * DISTINCT selected hashes (sorted — consumers treat the result as a
+    * set). Bit-identical to the windowed-SQL form it replaces (`min(enc)
+    * OVER (rows w−1 preceding)`, `wmin DIV 2^20`, distinct): hashes are
+    * in [0, P) so enc stays non-negative and Java `/` equals Spark
+    * `DIV`; LlmSpec pins the row-set equality against the retained
+    * window form. Empty when the doc has fewer than `w` shingles.
+    * Why shingles are built IN-kernel rather than taken as input: the
+    * SQL shingle form is a higher-order `transform(...)`, which Spark
+    * evaluates INTERPRETED — fed to a generator it is re-evaluated per
+    * inferred filter and measured SLOWER (112 s) than the windowed
+    * shuffle it replaced (62 s); from the codegen'd word-hash array the
+    * whole chain compiles (12 s; family-recall profile, sf1, r12). */
+  def winnowFps(wh: ArrayData, w: Int): Array[Long] = {
+    val nw = wh.numElements()
+    val n = nw - 2 // shingle count
+    if (n < w) return Array.emptyLongArray
+    val sgs = new Array[Long](n)
+    var s = 0
+    while (s < n) {
+      // null word hashes cannot occur (graft_wordhashes is null-free);
+      // getLong on an impossible null would read 0, a valid hash value
+      sgs(s) = ((wh.getLong(s) * 131L + wh.getLong(s + 1)) % P * 131L
+        + wh.getLong(s + 2)) % P
+      s += 1
+    }
+    val tmp = new Array[Long](n - w + 1)
+    var cnt = 0
+    var p = w - 1
+    while (p < n) {
+      var best = Long.MaxValue
+      var i = p - w + 1
+      while (i <= p) {
+        val e = sgs(i) * 1048576L + (1048575L - i)
+        if (e < best) best = e
+        i += 1
+      }
+      val fh = best / 1048576L
+      if (cnt == 0 || tmp(cnt - 1) != fh) { tmp(cnt) = fh; cnt += 1 }
+      p += 1
+    }
+    java.util.Arrays.sort(tmp, 0, cnt)
+    var out = 1
+    var j = 1
+    while (j < cnt) {
+      if (tmp(j) != tmp(out - 1)) { tmp(out) = tmp(j); out += 1 }
+      j += 1
+    }
+    java.util.Arrays.copyOf(tmp, out)
+  }
+
   def longDot(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
@@ -609,6 +666,57 @@ case class GramHashes(child: Expression, width: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GramHashes =
+    copy(child = newLeft, width = newRight)
+}
+
+/** `graft_winnowfps(wh, w)` — distinct winnowing fingerprints of a
+  * WORD-hash array (see [[GraftKernels.winnowFps]] for the exact
+  * selection rule, the in-kernel shingle construction, and the
+  * equivalence argument vs the windowed-SQL
+  * form). Deliberately a SCALAR codegen expression returning an array
+  * (consumed as `explode(graft_winnowfps(...))`), not a custom
+  * Generator: a `CodegenFallback` Generator severs whole-stage codegen
+  * at the widest plan point (the measured 1.8× trap — see
+  * [[GramHashes]]), while this stays inside the scan projection and the
+  * builtin explode handles the fan-out. The selection SHRINKS the
+  * stream (~2/(w+1) of positions, then per-doc distinct), which is what
+  * makes winnowing the index you can afford at 100 TB. */
+case class WinnowFps(child: Expression, width: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = width
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      if (width.foldable && width.dataType == IntegerType &&
+          width.eval() != null && width.eval().asInstanceOf[Int] > 0)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable positive INT window width")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${dt.catalogString}")
+  }
+  override def prettyName: String = "graft_winnowfps"
+
+  private lazy val w: Int = width.eval().asInstanceOf[Int]
+
+  override protected def nullSafeEval(sgs: Any, wd: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(GraftKernels.winnowFps(
+        sgs.asInstanceOf[ArrayData], w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, _) =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.GraftKernels.winnowFps($c, $w));
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WinnowFps =
     copy(child = newLeft, width = newRight)
 }
 

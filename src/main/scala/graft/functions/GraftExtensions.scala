@@ -26,43 +26,67 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   type Builder = Seq[Expression] => Expression
 
+  /** Wrap a builder with an arity check: SQL calling a graft function
+    * with the wrong argument count gets the standard WRONG_NUM_ARGS
+    * analysis error (naming the function and both counts) instead of the
+    * builder's raw IndexOutOfBoundsException — the same contract the
+    * builtin registry enforces. */
+  private def checked(name: String, arity: Int)(b: Builder): Builder =
+    (args: Seq[Expression]) => {
+      if (args.length != arity)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> arity.toString,
+            "actualNum" -> args.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      b(args)
+    }
+
   val descriptors: Seq[(String, ExpressionInfo, Builder)] = Seq(
-    ("graft_charhash",
+    ("graft_charhash", 1,
       new ExpressionInfo(classOf[CharPolyHash].getName, "graft_charhash"),
       (args: Seq[Expression]) => CharPolyHash(args.head)),
-    ("graft_dot",
+    ("graft_dot", 2,
       new ExpressionInfo(classOf[LongDot].getName, "graft_dot"),
       (args: Seq[Expression]) => LongDot(args(0), args(1))),
-    ("graft_wavg",
+    ("graft_wavg", 2,
       new ExpressionInfo(classOf[ExactWeightedAvg].getName, "graft_wavg"),
       (args: Seq[Expression]) => ExactWeightedAvg(args(0), args(1))),
-    ("graft_shingles",
+    ("graft_shingles", 1,
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
       (args: Seq[Expression]) => ShingleHashes(args.head)),
-    ("graft_simhash",
+    ("graft_simhash", 1,
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash32(args.head)),
-    ("graft_wordhashes",
+    ("graft_wordhashes", 1,
       new ExpressionInfo(classOf[WordHashes].getName, "graft_wordhashes"),
       (args: Seq[Expression]) => WordHashes(args.head)),
-    ("graft_planedots",
+    ("graft_planedots", 1,
       new ExpressionInfo(classOf[PlaneDots].getName, "graft_planedots"),
       (args: Seq[Expression]) => PlaneDots(args.head)),
-    ("graft_chunks",
+    ("graft_chunks", 2,
       new ExpressionInfo(classOf[ChunkHashes].getName, "graft_chunks"),
       (args: Seq[Expression]) => ChunkHashes(args(0), args(1))),
-    ("graft_scaledemb",
+    ("graft_scaledemb", 1,
       new ExpressionInfo(classOf[ScaledEmb].getName, "graft_scaledemb"),
       (args: Seq[Expression]) => ScaledEmb(args.head)),
-    ("graft_bytesimhash",
+    ("graft_bytesimhash", 1,
       new ExpressionInfo(classOf[ByteSimHash32].getName, "graft_bytesimhash"),
       (args: Seq[Expression]) => ByteSimHash32(args.head)),
-    ("graft_gramhashes",
+    ("graft_gramhashes", 2,
       new ExpressionInfo(classOf[GramHashes].getName, "graft_gramhashes"),
       (args: Seq[Expression]) => GramHashes(args(0), args(1))),
-    ("graft_nearest_cells",
+    ("graft_winnowfps", 2,
+      new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnowfps"),
+      (args: Seq[Expression]) => WinnowFps(args(0), args(1))),
+    ("graft_nearest_cells", 3,
       new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
       (args: Seq[Expression]) => NearestCells(args(0), args(1), args(2))))
+    .map { case (name, arity, info, builder) =>
+      (name, info, checked(name, arity)(builder))
+    }
 
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -100,6 +100,30 @@ object Dedup {
     * stays in BIGINT). Full windows only, distinct per doc. */
   private[graft] def winnowFingerprintsOf(corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // One compiled pass per doc (the graft_winnowfps kernel, fed by the
+    // graft_wordhashes kernel — shingles are built IN-kernel, see its
+    // scaladoc for why the interpreted HOF shingle form must not sit
+    // under the explode): winnowing is a per-document fold, so selecting
+    // inside the scan projection avoids what the windowed-SQL form paid
+    // — a (doc_id, pos) sort-shuffle of the FULL exploded position
+    // stream plus a distinct shuffle (62 s of the family-recall profile
+    // at generated sf1 → 12 s; r12). Bit-identical to that form (kept
+    // below as [[winnowFingerprintsWindowed]]; LlmSpec pins row-set
+    // equality) and the DuckDB oracle keeps the windowed mirror, so
+    // every consumer's hash gate is unchanged. No size() pre-filter: the
+    // kernel returns an empty array below 3 tokens / w shingles and
+    // explode drops the row — a filter here would re-evaluate the
+    // word-hash chain per row.
+    corpus
+      .selectExpr("doc_id", s"${sparkWordHashes("text")} AS wh")
+      .selectExpr("doc_id", s"explode(graft_winnowfps(wh, $WinnowW)) AS fh")
+  }
+
+  /** The pre-kernel windowed-SQL winnowing selection — retained as the
+    * independent model the parity spec checks [[winnowFingerprintsOf]]
+    * against (same role as sparkWordHashesHof for the word-hash kernel). */
+  private[graft] def winnowFingerprintsWindowed(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     // materialize the shingle ARRAYS before the generator: posexplode
     // over the raw HOF projection would invite the
     // InferFiltersFromGenerate inlining trap (see q_llm_dedup_ngram_jaccard)
@@ -326,9 +350,13 @@ object Dedup {
     pairsCache.entrySet.removeIf(e => e.getValue._1.isStopped)
     pairsCache.computeIfAbsent((ctx.applicationId, dir), _ =>
       // pinned: the suite-level block-manager sweep (RunCache.sweep) must
-      // not unpersist this — a swept localCheckpoint cannot recompute
-      (ctx, graft.util.RunCache.pin(
-        minhashVerifiedPairsOf(docs(s, dir)).localCheckpoint())))._2
+      // not unpersist this — a swept localCheckpoint cannot recompute.
+      // Timed as a shared build: Bench re-attributes these seconds to a
+      // `shared_build_verified_pairs` pseudo-entry so the first consumer
+      // (alphabetically) isn't charged for the whole artifact.
+      (ctx, graft.util.SharedBuilds.timed("verified_pairs")(
+        graft.util.RunCache.pin(
+          minhashVerifiedPairsOf(docs(s, dir)).localCheckpoint()))))._2
   }
   /** Edge-list view of [[verifiedPairsFullCached]]. */
   private[graft] def verifiedPairsCached(s: SparkSession, dir: String): DataFrame =
@@ -529,6 +557,18 @@ object Dedup {
     // checkpoint + agg + join measured 500 s against this form's single
     // sort-shuffle. With the rolling kernel the stream is cheap to
     // produce, so nothing is worth pinning.
+    // SKEW CAVEAT (ADVICE r11): count(1) OVER (PARTITION BY h) has no
+    // partial aggregation — every occurrence of one hot gram hash lands
+    // in a single WindowExec task and is buffered there. On the test
+    // corpora the hottest hash is ~1e4 occurrences (fine); an
+    // adversarially repetitive corpus (one boilerplate line in 10% of
+    // docs) concentrates O(N) rows in one task. The fallback for that
+    // layout is the agg + broadcast-semi-join shape (recompute occ twice
+    // — the kernel is cheap — never checkpoint it): groupBy(h).count
+    // partial-aggregates map-side, so no task ever sees a hot key's full
+    // row set, and the repeated-hash table stays small enough to
+    // broadcast. Kept out of the default path because the window form
+    // measured 2.3x faster on realistic skew (PERF.md #62).
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val spans = occ
       .withColumn("c", count(lit(1)).over(wh))
@@ -1241,47 +1281,91 @@ object Dedup {
 
     "q_llm_dedup_family_recall" -> { (s, dir) =>
       val d = docs(s, dir)
-      // This audit materializes MORE reused intermediates than any other
-      // entry (shingle stream, three candidate families, fingerprints,
-      // truth) — seven tables referenced 2-3× each. localCheckpoint pins
-      // them in executor storage as deserialized rows, and at the
-      // generated sf1 (500 k docs, ≈20 M-row shingle stream) the pinned
-      // set plus 32 concurrent hash aggregates exhausted the unified
-      // pool twice — first as a heap OOM (the shingle stream), then,
-      // with that fixed, as UNABLE_TO_ACQUIRE_MEMORY when a partial agg
-      // couldn't allocate its initial map. So EVERY reused intermediate
-      // here parquet-round-trips through the tmp store instead
-      // (columnar, compressed, zero executor-storage residency) — at
-      // 100 TB these are exactly the tables a production audit would
-      // publish, not pin.
+      // MEMBERSHIP-INVERTED audit (r12). The previous form materialized
+      // every family's candidate PAIR SET and verified their union — at
+      // generated sf1 (500 k docs) that meant 39 M simhash band pairs
+      // (79 s), a winnow pair join measured at 198.6 s, and a 41 M-row
+      // union distinct (21 s), of which verification then killed 99.9%
+      // (truth = 50 k rows; tools/Prof `famrecall`, PERF.md r12).
+      // Verification is a pure per-pair predicate over the capped
+      // shingle universe, so for ANY candidate set C:
+      //   verify(C) = C ∩ P,  P = all pairs sharing ≥1 capped shingle
+      //                           with exact Jaccard ≥ 0.5.
+      // P's inverted-index co-count is the same co join the old truth
+      // already ran (the candidate-doc gate kept ~100% of docs at sf1 —
+      // every doc was in SOME junk candidate pair), minus the junk: it
+      // costs ~30 s standalone. So compute P once, then test MEMBERSHIP
+      // of P's pairs in each family by joining back to that family's
+      // KEYED table (band table, fingerprint universe) — no candidate
+      // pair set is ever materialized. Per-family results and the oracle
+      // are bit-identical. Scale: the co join is bounded by the
+      // corpus-relative df cap (≤ max(50, N/ratio) docs per shingle) and
+      // memberships are |P| × keys-per-doc joins — nothing quadratic in
+      // bucket sizes survives.
+      // Reused intermediates parquet-round-trip through the tmp store
+      // (Store checkpointer), NOT localCheckpoint: at sf1 the pinned
+      // deserialized rows + 32 concurrent hash aggregates exhausted the
+      // unified pool twice (heap OOM, then UNABLE_TO_ACQUIRE_MEMORY) —
+      // and at 100 TB these are exactly the tables a production audit
+      // would publish, not pin.
       val ckBase = s"${graft.sinks.Sinks.tmpBase}/family_recall_ck"
       graft.sinks.Sinks.truncate(ckBase)
       val ck = graft.util.Checkpointer.Store(ckBase)
       val raw = ck(shingleStreamOf(d))
       val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
+      val nC = corpusCountOf(d)
+      // P: the verified universe — capped stream, inverted-index
+      // co-count, exact Jaccard ≥ 0.5 (same arithmetic as
+      // verifiedPairsFrom, with no candidate gate)
+      val ex = ck(raw.join(cappedDfreq(dfreq, nC), "sg")
+        .select(col("doc_id"), col("sg")))
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val co = ex.alias("a").join(ex.alias("b"),
+          col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val p = ck(co
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .where(expr("2 * i >= na + nb - i"))
+        .select(col("doc_a"), col("doc_b")))
+      // minhash family: the banded candidate set is small (bands agree on
+      // 4 consecutive minima), so it IS materialized — famEval scores it
+      // directly, membership is a semi-join
       val mhCand = ck(candidatesFromBands(ck(bandsFromSigs(sigsFromShingles(raw)))))
+      val tMh = p.join(mhCand, Seq("doc_a", "doc_b"), "left_semi")
+      // simhash family: membership = the pair shares a capped band bucket
       val fp = ck(simhashOf(d))
       val bandStructs = (0 until 4).map(bd =>
         s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * graft.functions.GraftKernels.SimBandBits}) & ${graft.functions.GraftKernels.SimBandMask}L)")
         .mkString(", ")
       val shBands = fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
         .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
-      val shKept = ck(capSimBands(shBands, corpusCountOf(d)))
-      val shCand = ck(shKept.alias("a").join(shKept.alias("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val shKept = ck(capSimBands(shBands, nC))
+      val tSh = ck(p.alias("p")
+        .join(shKept.alias("x"), col("p.doc_a") === col("x.doc_id"))
+        .join(shKept.alias("y"), col("p.doc_b") === col("y.doc_id") &&
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct())
-      val shPairs = shCand
+      // the family's VERDICT (hamming ≤ 3) applied to its truth-side
+      // members — famEval only counts found ∩ truth, so restricting the
+      // found set to P first changes nothing
+      val shFound = tSh
         .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")), "doc_a")
         .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), "doc_b")
         .where(expr("bit_count(fa ^ fb) <= 3"))
         .select(col("doc_a"), col("doc_b"))
-      val wCand = ck(winnowCandidatesOf(d))
-      val truth = ck(verifiedPairsFrom(mhCand.union(shCand).union(wCand).distinct(),
-          raw, dfreq, corpusCountOf(d))
-        .select(col("doc_a"), col("doc_b")))
+      // winnow family: membership = the pair shares a capped fingerprint
+      val fpc = ck(winnowCappedFps(d))
+      val tW = ck(p.alias("p")
+        .join(fpc.alias("x"), col("p.doc_a") === col("x.doc_id"))
+        .join(fpc.alias("y"), col("p.doc_b") === col("y.doc_id") &&
+          col("x.fh") === col("y.fh"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct())
+      val truth = ck(tMh.union(tSh).union(tW).distinct())
       def famEval(name: String, found: DataFrame): DataFrame =
         truth.join(found.select(col("doc_a"), col("doc_b"))
             .withColumn("_hit", lit(1)), Seq("doc_a", "doc_b"), "left")
@@ -1290,8 +1374,8 @@ object Dedup {
           .selectExpr(s"'$name' AS family", "n_true", "n_found",
             "CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE) " +
               "ELSE CAST(n_found AS DOUBLE) / n_true END AS recall")
-      famEval("minhash", mhCand).unionByName(famEval("simhash", shPairs))
-        .unionByName(famEval("winnow", wCand))
+      famEval("minhash", mhCand).unionByName(famEval("simhash", shFound))
+        .unionByName(famEval("winnow", tW))
         .orderBy(col("family"))
     })
 
@@ -2174,5 +2258,88 @@ object Dedup {
       SELECT vec_a, vec_b, ${graft.util.Exact.sqlFix("cos_raw", 6)} AS cos
       FROM scored WHERE cos_raw >= 0.25
       ORDER BY vec_a, vec_b""")
+  }
+
+  /** Phase profile of q_llm_dedup_family_recall (tools/Prof `famrecall`):
+    * the same pipeline as the entry, with each Store-checkpoint forced
+    * and timed separately so perf work targets the measured phase, not
+    * the guessed one (bench-protocol rule). Measurement-only — not part
+    * of the engine surface. */
+  private[graft] def profileFamilyRecall(s: SparkSession, dir: String): Unit = {
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      r
+    }
+    val d = docs(s, dir)
+    val ckBase = s"${graft.sinks.Sinks.tmpBase}/family_recall_prof"
+    graft.sinks.Sinks.truncate(ckBase)
+    val ck = graft.util.Checkpointer.Store(ckBase)
+    val raw = time("raw shingles ck")(ck(shingleStreamOf(d)))
+    println(s"[prof]   raw rows = ${raw.count()}")
+    val dfreq = raw.groupBy(col("sg")).agg(count(lit(1)).as("f"))
+    val nC = corpusCountOf(d)
+    val ex = time("ex (cap join) ck")(ck(raw.join(cappedDfreq(dfreq, nC), "sg")
+      .select(col("doc_id"), col("sg"))))
+    println(s"[prof]   ex rows = ${ex.count()}")
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = ex.alias("a").join(ex.alias("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val p = time("P co+verify ck")(ck(co
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .where(expr("2 * i >= na + nb - i"))
+      .select(col("doc_a"), col("doc_b"))))
+    println(s"[prof]   P rows = ${p.count()}")
+    val bands = time("mh sig+bands ck")(ck(bandsFromSigs(sigsFromShingles(raw))))
+    val mhCand = time("mh candidates ck")(ck(candidatesFromBands(bands)))
+    println(s"[prof]   mhCand rows = ${mhCand.count()}")
+    val tMh = p.join(mhCand, Seq("doc_a", "doc_b"), "left_semi")
+    val fp = time("simhash fp ck")(ck(simhashOf(d)))
+    val bandStructs = (0 until 4).map(bd =>
+      s"named_struct('band_idx', $bd, 'band_key', shiftright(simhash, ${bd * graft.functions.GraftKernels.SimBandBits}) & ${graft.functions.GraftKernels.SimBandMask}L)")
+      .mkString(", ")
+    val shBands = fp.selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
+      .selectExpr("doc_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
+    val shKept = time("sh bands+cap ck")(ck(capSimBands(shBands, nC)))
+    val tSh = time("sh membership ck")(ck(p.alias("p")
+      .join(shKept.alias("x"), col("p.doc_a") === col("x.doc_id"))
+      .join(shKept.alias("y"), col("p.doc_b") === col("y.doc_id") &&
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_key") === col("y.band_key"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()))
+    println(s"[prof]   tSh rows = ${tSh.count()}")
+    val shFound = tSh
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")), "doc_b")
+      .where(expr("bit_count(fa ^ fb) <= 3"))
+      .select(col("doc_a"), col("doc_b"))
+    val fpc = time("winnow capped fps ck")(ck(winnowCappedFps(d)))
+    val tW = time("winnow membership ck")(ck(p.alias("p")
+      .join(fpc.alias("x"), col("p.doc_a") === col("x.doc_id"))
+      .join(fpc.alias("y"), col("p.doc_b") === col("y.doc_id") &&
+        col("x.fh") === col("y.fh"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()))
+    println(s"[prof]   tW rows = ${tW.count()}")
+    val truth = time("truth union ck")(ck(tMh.union(tSh).union(tW).distinct()))
+    println(s"[prof]   truth rows = ${truth.count()}")
+    def famEval(name: String, found: DataFrame): DataFrame =
+      truth.join(found.select(col("doc_a"), col("doc_b"))
+          .withColumn("_hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("_hit"), lit(0))).as("n_found"))
+        .selectExpr(s"'$name' AS family", "n_true", "n_found",
+          "CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE) " +
+            "ELSE CAST(n_found AS DOUBLE) / n_true END AS recall")
+    time("famEval x3 + out")(
+      famEval("minhash", mhCand).unionByName(famEval("simhash", shFound))
+        .unionByName(famEval("winnow", tW))
+        .orderBy(col("family"))
+        .write.format("noop").mode("overwrite").save())
   }
 }

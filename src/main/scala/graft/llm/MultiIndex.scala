@@ -48,7 +48,10 @@ object MultiIndex {
     built.entrySet.removeIf(e => e.getValue._1.isStopped)
     built.computeIfAbsent((ctx.applicationId, dir), _ => {
       val base = s"${Sinks.tmpBase}/multi_ingest"
-      build(s, dir, base)
+      // timed as a shared build: Bench re-attributes these seconds to a
+      // `shared_build_multi_ingest` pseudo-entry so the four serving
+      // entries' numbers mean serve cost, not build-landed-here
+      graft.util.SharedBuilds.timed("multi_ingest")(build(s, dir, base))
       (ctx, base)
     })._2
   }

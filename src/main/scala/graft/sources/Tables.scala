@@ -153,7 +153,16 @@ object Tables {
     if (df.sparkSession.conf.get("spark.graft.spread", "true") != "true") return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < SpreadMinBytes) df
+    // sizeInBytes is only meaningful for file-backed plans; a plan with
+    // no propagated stats (LogicalRDD-backed foreachBatch batches on
+    // some paths, in-memory test frames) reports defaultSizeInBytes
+    // (Long.MaxValue) or a product of it — treating that as "huge" made
+    // tiny micro-batch ticks pay a cores-wide repartition shuffle per
+    // tick. Unknown size is treated as below the floor: the guard only
+    // fires when it can PROVE the input is big enough to amortize the
+    // spreading shuffle.
+    val unknown = bytes >= BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (unknown || bytes < SpreadMinBytes) df
     else if (df.rdd.getNumPartitions >= p) df
     else df.repartition(p)
   }

@@ -19,11 +19,14 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val profile = args(0)
     val dir = args(1)
-    val spark = SparkSession.builder()
+    // SAME session confs as Bench — a profile under different confs
+    // (AQE, codegen, partition sizing) measures a different engine
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    graft.sources.Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
     import graft.sources.Tables
@@ -62,6 +65,8 @@ object Prof {
             .join(spans, Seq("doc_id"), "left")
             .write.format("noop").mode("overwrite").save()
         }
+      case "famrecall" =>
+        graft.llm.Dedup.profileFamilyRecall(spark, dir)
       case other => sys.error(s"unknown profile $other")
     }
     spark.stop()

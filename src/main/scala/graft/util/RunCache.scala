@@ -22,20 +22,45 @@ import org.apache.spark.sql.execution.LogicalRDD
   * verified-pairs cache, PERF.md #48) must survive the sweep. [[pin]]
   * records the checkpoint RDD id behind a cached DataFrame (the
   * `LogicalRDD` its analyzed plan wraps); [[sweep]] unpersists every
-  * persistent RDD EXCEPT the pinned ones. */
+  * persistent RDD EXCEPT the pinned ones. Pins are keyed by
+  * (applicationId, rddId), not bare rddId: RDD ids restart near 0 per
+  * SparkContext, so in a JVM that cycles contexts (test suites) a bare
+  * id pinned under an old context would shield an unrelated new RDD
+  * from the sweep — the opposite of the hygiene the sweep provides.
+  * Stale applications' pins are pruned on each sweep.
+  */
 object RunCache {
 
-  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val pinned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
   /** Register the checkpoint RDD(s) behind `df` as sweep-survivors.
     * Returns `df` for call-site chaining. */
   def pin(df: DataFrame): DataFrame = {
+    val app = df.sparkSession.sparkContext.applicationId
     df.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => pinned.add(l.rdd.id)
+      case l: LogicalRDD => pinned.add((app, l.rdd.id))
       case _ =>
     }
     df
   }
+
+  /** Sweeps since JVM start — drives the every-Kth-sweep GC floor. */
+  private var sweeps = 0L
+
+  /** Run the ContextCleaner's trigger (a full GC) at most every Kth
+    * sweep when nothing was unpersisted: shuffle files and broadcasts
+    * are reclaimed only after their weak references fire, and a
+    * 100 GiB-heap driver may not GC for dozens of queries, so their
+    * disk/metadata footprint grows with suite position. But an
+    * every-sweep `System.gc()` measured ~11% overhead on cheap queries
+    * (r11 judge A/B: 17.0 s vs 15.1 s over a 20-query subset), so the
+    * unconditional form taxed the 90% of entries that create no
+    * persistent blocks at all. Now: GC when the sweep actually dropped
+    * blocks (checkpoint-heavy entries, where cleanup genuinely matters)
+    * or on the every-8th floor (bounds shuffle-file accumulation at an
+    * eighth of the old cost). */
+  private val GcEverySweeps = 8
 
   /** Unpersist every persistent RDD not pinned. Safe between queries:
     * per-query DataFrames are never reused across queries, and
@@ -46,17 +71,19 @@ object RunCache {
     * after the final sweep would land in the driver's stdout tail-grab
     * right behind the result JSON. */
   def sweep(s: SparkSession): Unit = {
-    s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!pinned.contains(id)) rdd.unpersist(blocking = true)
+    val ctx = s.sparkContext
+    val app = ctx.applicationId
+    var dropped = 0
+    val live = ctx.getPersistentRDDs
+    live.foreach { case (id, rdd) =>
+      if (!pinned.contains((app, id))) { rdd.unpersist(blocking = true); dropped += 1 }
     }
-    // Shuffle files and broadcasts are reclaimed only when the
-    // ContextCleaner's weak references fire — i.e. after a GC — and a
-    // 100 GiB-heap driver may not GC for dozens of queries, so their
-    // disk/metadata footprint grows with suite POSITION. Measured even
-    // with the RDD sweep alone: q_llm_dedup_family_recall 430 s as
-    // suite entry #7 vs 65.6 s standalone. An explicit GC per sweep
-    // (untimed, a few hundred ms) keeps the cleaner current — the
-    // standard remedy for long-running Spark drivers.
-    System.gc()
+    // prune THIS app's pins that no longer shield a live block (the
+    // artifact was unpersisted elsewhere). Foreign apps' pins are left
+    // alone — they cannot shield this app's RDDs (keys include the app)
+    // and a concurrent live session in the same JVM must keep its own.
+    pinned.removeIf { case (a, id) => a == app && !live.contains(id) }
+    sweeps += 1
+    if (dropped > 0 || sweeps % GcEverySweeps == 0) System.gc()
   }
 }

@@ -185,6 +185,19 @@ class ExpressionsSpec extends SparkSpec {
       df.selectExpr("graft_gramhashes(text, length(text))").collect())
   }
 
+  test("wrong arity is an AnalysisException naming the function, not an IndexOutOfBounds") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_gramhashes('abc')").collect())
+    assert(e.getMessage.contains("graft_gramhashes"))
+    assert(e.getMessage.contains("2"))
+    // single-arg and 3-arg entries guard the same way
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_charhash('a', 'b')").collect())
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_nearest_cells(array(1L))").collect())
+  }
+
   test("graft_scaledemb matches the HOF floor-scale form on float arrays") {
     import spark.implicits._
     GraftFunctions.register(spark)

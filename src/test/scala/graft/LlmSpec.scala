@@ -343,6 +343,33 @@ class LlmSpec extends SparkSpec {
     assert(orphan.count() === 0L)
   }
 
+  test("winnow kernel matches the windowed-SQL selection row-for-row") {
+    import spark.implicits._
+    // adversarial shapes: repeated shingles (tie-break to rightmost),
+    // exactly w shingles (one window), w-1 (none), long mixed docs,
+    // all-identical tokens (every window min equal -> one fingerprint)
+    val docs = Seq(
+      1L -> (0 until 50).map(i => s"t${i % 7}").mkString(" "),
+      2L -> "a b c d e f",            // 4 shingles = WinnowW -> 1 window
+      3L -> "a b c d e",              // 3 shingles < WinnowW -> none
+      4L -> Seq.fill(30)("same").mkString(" "),
+      5L -> (0 until 200).map(i => s"w${(i * 37) % 23}").mkString(" "),
+      6L -> "a b") // below the 3-token shingling floor entirely
+      .toDF("doc_id", "text")
+    val viaKernel = graft.llm.Dedup.winnowFingerprintsOf(docs)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val viaWindow = graft.llm.Dedup.winnowFingerprintsWindowed(docs)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(viaKernel === viaWindow)
+    assert(viaKernel.nonEmpty)
+    // doc 2: exactly one full window -> exactly one fingerprint
+    assert(viaKernel.count(_._1 == 2L) === 1)
+    // doc 3 and 6: no full window / no shingles -> absent
+    assert(!viaKernel.exists(r => r._1 == 3L || r._1 == 6L))
+    // doc 4: identical shingles everywhere -> a single distinct fp
+    assert(viaKernel.count(_._1 == 4L) === 1)
+  }
+
   test("resample interp: gap days lie on the straight line; observed days keep their value") {
     import spark.implicits._
     // one type, observations on day 0 (value 10.0) and day 4 (value 30.0):
