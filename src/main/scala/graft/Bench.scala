@@ -23,6 +23,24 @@ import java.nio.file.{Files, Paths}
   *    elapsed time (prefixed map `queries` holds only successes).
   */
 object Bench {
+
+  /** Drift-check decision, factored out so the r11 regression (broad +30%
+    * with no single query over the 3x floor) is replayable in a spec: given
+    * the last committed same-sf per-query times + total and this run's
+    * successful times + total, return the (up to 10) queries to re-measure —
+    * the largest ABSOLUTE regressors — or empty when the total is within
+    * 1.15x of the prior. Only queries present in both runs qualify (new
+    * entries have no prior to regress from; their cost is visible in the
+    * suite subtotals instead). */
+  def driftRegressors(prior: Map[String, Double], priorTotal: Double,
+      currentTotal: Double, current: Seq[(String, Double)]): Set[String] = {
+    if (!(currentTotal > 1.15 * priorTotal)) Set.empty
+    else current
+      .collect { case (k, v) if prior.get(k).exists(p => p > 0 && v > p) =>
+        (k, v - prior(k)) }
+      .sortBy(-_._2).take(10).map(_._1).toSet
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -137,10 +155,8 @@ object Bench {
     val driftTotal = results0.collect { case (_, v, true, _) => v }.sum
     val results = priorTotal match {
       case Some(pt) if only.isEmpty && driftTotal > 1.15 * pt =>
-        val regressors = results0
-          .collect { case (k, v, true, _)
-            if prior.contains(k) && v - prior(k) > 0 => (k, v - prior(k)) }
-          .sortBy(-_._2).take(10).map(_._1).toSet
+        val regressors = Bench.driftRegressors(prior, pt, driftTotal,
+          results0.collect { case (k, v, true, _) => (k, v) })
         System.err.println(s"[bench] drift: total $driftTotal > 1.15x prior $pt; " +
           s"re-measuring ${regressors.size} largest regressors")
         results0.map { case r @ (name, t1, ok1, first) =>
