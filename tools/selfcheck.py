@@ -6,8 +6,16 @@ sorted) against the parquet that graft.Verify dumped. Exact match required
 import json, sys, glob
 import duckdb
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional: --json <path> writes a committed-artifact form, one verdict per
+# entry ("ok" | the failure line), plus the sf dir it ran against
+json_out = None
+argv = list(sys.argv[1:])
+if "--json" in argv:
+    i = argv.index("--json")
+    json_out = argv[i + 1]
+    del argv[i:i + 2]
+sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+out_dir = argv[1] if len(argv) > 1 else "/tmp/verify_out"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def tpath(d, t):
@@ -30,10 +38,12 @@ for t in TABLES:
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = skipped = 0
+verdicts = {}
 for name in sorted(oracle):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         print(f"MISSING SPARK OUTPUT: {name}")
+        verdicts[name] = "missing spark output"
         fail += 1
         continue
     try:
@@ -41,16 +51,19 @@ for name in sorted(oracle):
         exp = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         print(f"ERROR {name}: {e}")
+        verdicts[name] = f"error: {e}"
         fail += 1
         continue
     got = got.reindex(sorted(got.columns), axis=1)
     exp = exp.reindex(sorted(exp.columns), axis=1)
     if list(got.columns) != list(exp.columns):
         print(f"SCHEMA MISMATCH {name}: spark={list(got.columns)} oracle={list(exp.columns)}")
+        verdicts[name] = "schema mismatch"
         fail += 1
         continue
     if len(got) != len(exp):
         print(f"ROWCOUNT MISMATCH {name}: spark={len(got)} oracle={len(exp)}")
+        verdicts[name] = f"rowcount mismatch: spark={len(got)} oracle={len(exp)}"
         fail += 1
         continue
     gs = got.sort_values(by=list(got.columns), ignore_index=True)
@@ -73,8 +86,14 @@ for name in sorted(oracle):
         for c, _ in diff_cols[:2]:
             m = ~((gs[c] == es[c]) | (gs[c].isna() & es[c].isna()))
             print("  spark:", gs[m][c].head(3).tolist(), " oracle:", es[m][c].head(3).tolist())
+        verdicts[name] = f"value mismatch: {diff_cols[:4]}"
         fail += 1
     else:
+        verdicts[name] = "ok"
         ok += 1
 print(f"\n{ok} ok, {fail} fail, {skipped} no-oracle")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sf_dir": sf_dir, "ok": ok, "fail": fail,
+                   "entries": verdicts}, f, indent=1, sort_keys=True)
 sys.exit(1 if fail else 0)
