@@ -62,6 +62,34 @@ object RunCache {
     * eighth of the old cost). */
   private val GcEverySweeps = 8
 
+  /** Disk-pressure GC floor. The cadence above bounds HEAP/metadata
+    * growth, but shuffle files live on DISK and are reclaimed only when
+    * the ContextCleaner's post-GC weak refs fire — between GCs they
+    * accumulate without bound. Measured at generated sf1: a 295-entry
+    * Verify run had piled up 65 GiB of shuffle files in the block-manager
+    * local dir by entry 172 and then died ENOSPC (every-8th-sweep GC ×
+    * multi-GiB shuffles per entry — the sf0.1 suite never showed it
+    * because 8 entries of sf0.1 shuffle fit trivially). A real cluster
+    * is immune twice over: executors are per-app and the external
+    * shuffle service / per-job teardown reclaims files; a single-JVM
+    * suite has to watch the volume itself. The check is O(1)
+    * (`getUsableSpace`, no directory walk): when the shuffle volume's
+    * free space drops below the floor, force the GC and then WAIT
+    * (bounded) for the cleaner to actually delete — GC only enqueues the
+    * weak refs; the deletion is async, and charging ahead at ENOSPC-2GiB
+    * helps nobody. */
+  private val DiskFloorBytes: Long =
+    sys.props.get("spark.graft.sweepDiskFloorGb").map(_.toLong)
+      .getOrElse(24L) * (1L << 30)
+
+  /** Free bytes on the volume holding this app's shuffle/spill files
+    * (first configured local dir; default java.io.tmpdir). */
+  private def shuffleVolumeFree(s: SparkSession): Long = {
+    val root = s.sparkContext.getConf.get("spark.local.dir",
+      System.getProperty("java.io.tmpdir", "/tmp")).split(",").head
+    new java.io.File(root).getUsableSpace
+  }
+
   /** Unpersist every persistent RDD not pinned. Safe between queries:
     * per-query DataFrames are never reused across queries, and
     * everything shared is pinned at creation. BLOCKING on purpose: the
@@ -84,6 +112,20 @@ object RunCache {
     // and a concurrent live session in the same JVM must keep its own.
     pinned.removeIf { case (a, id) => a == app && !live.contains(id) }
     sweeps += 1
-    if (dropped > 0 || sweeps % GcEverySweeps == 0) System.gc()
+    val diskLow = shuffleVolumeFree(s) < DiskFloorBytes
+    if (dropped > 0 || diskLow || sweeps % GcEverySweeps == 0) System.gc()
+    if (diskLow) {
+      // bounded wait for the ContextCleaner to delete the shuffle files
+      // the GC just unreferenced (deletion is async; without the wait the
+      // next entry races it straight back into ENOSPC)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (shuffleVolumeFree(s) < DiskFloorBytes &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(500)
+      }
+      System.err.println(f"[runcache] disk-pressure sweep: " +
+        f"${shuffleVolumeFree(s) / 1e9}%.1f GB free on the shuffle volume " +
+        f"(floor ${DiskFloorBytes / 1e9}%.1f GB)")
+    }
   }
 }
