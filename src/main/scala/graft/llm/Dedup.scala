@@ -1158,11 +1158,21 @@ object Dedup {
       val bands = se.selectExpr("vec_id", "graft_planedots(se) AS dots")
         .selectExpr("vec_id", s"explode(array($bandStructs)) AS band")
         .selectExpr("vec_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
+      // stop-bucket cap BEFORE the self-join (capSimBands, vec-keyed):
+      // an embedding corpus with dense semantic clusters (boilerplate,
+      // template mass) concentrates whole clusters into single (band,
+      // key) buckets — measured 14.9e9 candidate pairs at a generated
+      // 500k-vector corpus with 10 clusters (51k-vector hottest bucket)
+      // vs 99k pairs on the diffuse sf0.1 fixtures. The sqrt-law cap
+      // bounds Σbn² at O(N^1.5) worst case; a bucket holding >√N vectors
+      // is a CLUSTER, not a near-dup pair source (SemDeDup is the
+      // cluster-level entry), the documented stop-shingle trade.
+      val kept = capSimBands(bands, corpusCountOf(se), key = "vec_id")
       // band table and pair-dedup stay SLIM (ids only): the distinct then
       // shuffles 2 longs per candidate instead of two 64-long arrays; the
       // vectors re-attach afterwards via unhinted joins — AQE broadcasts
       // them at test scale, key-partitioned shuffle join at 100 TB.
-      val pairIds = bands.alias("a").join(bands.alias("b"),
+      val pairIds = kept.alias("a").join(kept.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_key") === col("b.band_key") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -1474,21 +1484,29 @@ object Dedup {
   val BandCapFloor = 50L
 
   /** Keep only bands in buckets at or under the corpus-relative cap.
-    * `nCorpus` is the 1-row [[corpusCountOf]] broadcast. */
-  private[llm] def capSimBands(bands: DataFrame, nCorpus: DataFrame): DataFrame = {
+    * `nCorpus` is the 1-row [[corpusCountOf]] broadcast. `key` is the
+    * row-identity column the bands are keyed by (`doc_id` for the text
+    * fingerprint families, `vec_id` for the hyperplane-LSH embedding
+    * families — the r12 full-sf1 gate caught the embedding band
+    * self-joins WITHOUT this cap at 14.9e9 candidate pairs on a
+    * 500k-vector clustered corpus: 10 dense clusters → 51k-vector
+    * buckets → Σbn² quadratic; same disease, same cure). */
+  private[llm] def capSimBands(bands: DataFrame, nCorpus: DataFrame,
+                               key: String = "doc_id"): DataFrame = {
     val bc = bands.groupBy(col("band_idx"), col("band_key")).agg(count(lit(1)).as("bn"))
     bands.join(bc, Seq("band_idx", "band_key"))
       .crossJoin(broadcast(nCorpus))
       .where(expr(s"bn <= greatest(${BandCapFloor}L, CAST(floor(sqrt(CAST(n_corpus AS DOUBLE))) AS BIGINT))"))
-      .select(col("doc_id"), col("band_idx"), col("band_key"))
+      .select(col(key), col("band_idx"), col("band_key"))
   }
 
   /** The capped-bucket filter as DuckDB CTEs: `bkept` from a `bands` CTE. */
-  private[llm] def duckCapBandCtes(src: String, bandsCte: String = "bands"): String = s"""
+  private[llm] def duckCapBandCtes(src: String, bandsCte: String = "bands",
+                                   key: String = "doc_id"): String = s"""
       bc AS (
         SELECT band_idx, band_key, count(*) AS bn FROM $bandsCte GROUP BY 1, 2),
       bkept AS (
-        SELECT b.doc_id, b.band_idx, b.band_key
+        SELECT b.$key, b.band_idx, b.band_key
         FROM $bandsCte b JOIN bc USING (band_idx, band_key)
         WHERE bc.bn <= greatest($BandCapFloor, CAST(floor(sqrt((SELECT count(*) FROM $src))) AS BIGINT)))"""
 
@@ -2244,17 +2262,18 @@ object Dedup {
                $embBits
         FROM e),
       bands AS (
-        $embBandUnion),
+        $embBandUnion),${duckCapBandCtes("embeddings", "bands", "vec_id")},
       pairs AS (
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               a.se AS sa, b.se AS sb, a.nrm AS na, b.nrm AS nb
-        FROM bands a JOIN bands b
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bkept a JOIN bkept b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.vec_id < b.vec_id),
       scored AS (
         SELECT vec_a, vec_b,
                CAST(${duckPairDot("sa", "sb")} AS DOUBLE) / (na * nb) AS cos_raw
-        FROM pairs)
+        FROM pairs
+        JOIN (SELECT vec_id AS vec_a, se AS sa, nrm AS na FROM e) USING (vec_a)
+        JOIN (SELECT vec_id AS vec_b, se AS sb, nrm AS nb FROM e) USING (vec_b))
       SELECT vec_a, vec_b, ${graft.util.Exact.sqlFix("cos_raw", 6)} AS cos
       FROM scored WHERE cos_raw >= 0.25
       ORDER BY vec_a, vec_b""")

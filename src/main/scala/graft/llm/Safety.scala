@@ -264,8 +264,18 @@ object Safety {
       val bands = se.selectExpr("vec_id", "graft_planedots(se) AS dots")
         .selectExpr("vec_id", s"explode(array($bandStructs)) AS band")
         .selectExpr("vec_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
-      val cand = bands.where(col("vec_id") % EvalMod =!= 0).alias("a")
-        .join(bands.where(col("vec_id") % EvalMod === 0).alias("b"),
+      // stop-bucket cap before the bipartite join (Dedup.capSimBands,
+      // vec-keyed, counted over the FULL corpus): a dense semantic
+      // cluster puts ~all its train vectors AND its eval vectors in one
+      // (band, key) bucket, so the train×eval product inside it is
+      // quadratic in cluster size (the r12 sf1 gate measured the
+      // self-join twin at 14.9e9 candidates on a clustered 500k corpus).
+      // A >√N bucket is non-discriminative geometry; its members get no
+      // LSH-gated verdict — the same documented recall trade as stop
+      // shingles, mirrored exactly in the oracle.
+      val kept = Dedup.capSimBands(bands, Dedup.corpusCountOf(se), key = "vec_id")
+      val cand = kept.where(col("vec_id") % EvalMod =!= 0).alias("a")
+        .join(kept.where(col("vec_id") % EvalMod === 0).alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_key") === col("b.band_key"))
         .select(col("a.vec_id").as("vec"), col("b.vec_id").as("ev"))
@@ -471,10 +481,10 @@ object Safety {
                $embBits
         FROM e),
       bands AS (
-        $bandUnion),
+        $bandUnion),${Dedup.duckCapBandCtes("embeddings", "bands", "vec_id")},
       cand AS (
         SELECT DISTINCT a.vec_id AS vec, b.vec_id AS ev
-        FROM bands a JOIN bands b
+        FROM bkept a JOIN bkept b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
         WHERE a.vec_id % $EvalMod <> 0 AND b.vec_id % $EvalMod = 0),
       scored AS (

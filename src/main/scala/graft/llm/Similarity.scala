@@ -723,7 +723,13 @@ object Similarity {
       val bands = se
         .selectExpr("vec_id", s"explode(array($bandStructs)) AS band")
         .selectExpr("vec_id", "band.band_idx AS band_idx", "band.band_key AS band_key")
-      val pairIds = bands.alias("a").join(bands.alias("b"),
+      // stop-bucket cap before the self-join (Dedup.capSimBands,
+      // vec-keyed): the JL audit only needs a representative banded pair
+      // SAMPLE, and a >√N bucket is a dense cluster whose quadratic pair
+      // set adds no distortion information (the r12 sf1 gate measured
+      // the uncapped form at 14.9e9 candidates on a clustered corpus).
+      val kept = Dedup.capSimBands(bands, Dedup.corpusCountOf(se), key = "vec_id")
+      val pairIds = kept.alias("a").join(kept.alias("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_key") === col("b.band_key") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -1175,10 +1181,10 @@ object Similarity {
         SELECT vec_id, ${duckScaledEmb("embedding")} AS se FROM embeddings),
       d AS (SELECT vec_id, se, $dlist AS dl FROM e0),
       bands AS (
-        $bandUnion),
+        $bandUnion),${graft.llm.Dedup.duckCapBandCtes("embeddings", "bands", "vec_id")},
       pids AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM bands a JOIN bands b
+        FROM bkept a JOIN bkept b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.vec_id < b.vec_id),
       pp AS (

@@ -124,6 +124,12 @@ object XHash {
   // Near-dup banding is 4 bands x 8 sign bits: 256 buckets per band keeps
   // the candidate set O(N·bucket_load), not quadratic (4-bit bands were
   // measured at 23% of ALL pairs at sf0.1 — effectively all-pairs).
+  // bucket_load itself is NOT bounded by geometry alone: a clustered
+  // corpus concentrates whole semantic clusters into single buckets
+  // (r12 measured a 51k-vector bucket / 14.9e9 candidate pairs on a
+  // generated 500k corpus with 10 dense clusters), so every band
+  // consumer also applies the corpus-relative sqrt-law stop-bucket cap
+  // (Dedup.capSimBands) before any pair join.
   // Geometry lives in GraftKernels (single source of truth — the
   // graft_planedots codegen kernel compiles the same formula inline).
   val EmbDim: Int = graft.functions.GraftKernels.EmbDim

@@ -46,7 +46,12 @@ object Cbo {
     tables.foreach { tname =>
       val tbl = s"$db.$tname"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$dir/$tname.parquet'")
+      // LOCATION must be absolute: a relative path resolves against the
+      // session warehouse dir, not the process CWD (file-path reads
+      // resolve against CWD, so every OTHER entry accepts a relative sf
+      // dir — caught by the r12 full-sf1 gate on `target/gen/sf1`)
+      val loc = new java.io.File(s"$dir/$tname.parquet").getAbsolutePath
+      s.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$loc'")
       s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
     }
   }
