@@ -35,6 +35,21 @@ for t in TABLES:
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+# LV_MATERIALIZE=cte1,cte2: rewrite `<name> AS (` -> `<name> AS MATERIALIZED (`
+# in the oracle SQL before running it. Pure evaluation hint (DuckDB >= 0.10
+# inlines CTEs by default, so one referenced k times re-evaluates k times —
+# the 32-plane-dot `bits` CTE at sf1 measured ~27 CPU-hours uncapped); the
+# result set is identical, only the evaluation strategy changes. Off by
+# default so the driver-mirror compare runs the committed SQL verbatim.
+_mat = [c.strip() for c in __import__("os").environ
+        .get("LV_MATERIALIZE", "").split(",") if c.strip()]
+if _mat:
+    import re as _re
+    for k in list(oracle):
+        for c in _mat:
+            oracle[k] = _re.sub(rf"(\b{_re.escape(c)} AS) \(",
+                                r"\1 MATERIALIZED (", oracle[k])
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize timestamps to us precision for cross-engine compare
