@@ -24,6 +24,13 @@ def tpath(d, t):
     return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 con = duckdb.connect()
+# LV_MEMLIMIT (e.g. "40GB"): bound DuckDB so heavy sf1 oracles spill to
+# temp disk instead of riding the 80%-of-RAM default into the kernel OOM
+# killer (a 292-entry sf1 pass was OOM-killed at ~111 GB RSS without it).
+_ml = __import__("os").environ.get("LV_MEMLIMIT")
+if _ml:
+    con.execute(f"SET memory_limit='{_ml}'")
+    con.execute("SET temp_directory='/tmp/duckspill'")
 for t in TABLES:
     if t == "events":
         # mirror Spark's ns->us truncation of the TIMESTAMP_NS column
