@@ -41,6 +41,25 @@ object Bench {
       .sortBy(-_._2).take(10).map(_._1).toSet
   }
 
+  /** Runner-awareness gate for the drift prior (VERDICT r12 wrong-item
+    * 5): three same-code same-sf quiet totals differed 369/453/558 s
+    * purely by RUNNER regime (standalone JVM vs sbt fork vs loaded sbt),
+    * so a 1.15× total comparison against "the last committed total" is
+    * only meaningful like-with-like. Returns Some(reason) when the prior
+    * must be SKIPPED (runner or cpu-count mismatch — the two knobs that
+    * move the total), None when comparable. A prior with no recorded
+    * runner/cpus (pre-r13 artifact) stays comparable — legacy
+    * grandfathering, replaced the first time a new artifact is written. */
+  def priorMismatch(priorRunner: Option[String], priorCpus: Option[Int],
+      runner: String, cpus: Int): Option[String] =
+    (priorRunner, priorCpus) match {
+      case (Some(r), _) if r != runner =>
+        Some(s"runner mismatch (prior=$r, current=$runner)")
+      case (_, Some(c)) if c != cpus =>
+        Some(s"cpus mismatch (prior=$c, current=$cpus)")
+      case _ => None
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -79,6 +98,15 @@ object Bench {
     // anyway. Both attempts are recorded (`remeasured`), so a genuine 3x
     // slowdown is still visible as two agreeing slow samples. Retries are
     // capped so a globally-loaded machine can at most double the run.
+    // measurement-regime identity, recorded with the artifact and
+    // required to MATCH before the committed prior can fire the drift
+    // re-measure (see [[priorMismatch]]): runner label (tools/runjvm.sh
+    // exports GRAFT_RUNNER=jvm; sbt-forked runs — builder, driver, judge
+    // — default to "sbt"), worker-thread count, and max heap (heap is
+    // recorded for the human reader, not gated: it doesn't move totals
+    // the way the runner's JVM/classloader regime does).
+    val runner = sys.env.getOrElse("GRAFT_RUNNER", "sbt")
+    val heapGb = Runtime.getRuntime.maxMemory / 1e9
     val (prior, priorTotal): (Map[String, Double], Option[Double]) =
       try {
         val p = Paths.get("BENCH_LOCAL.json")
@@ -90,12 +118,19 @@ object Bench {
           // bench at another sf would see every query "3x slower" and
           // burn the whole retry budget on phantom noise
           if (root.path("sf").asText() != sfDir) (Map.empty[String, Double], None)
-          else {
-            val it = root.path("queries").properties().iterator()
-            val b = Map.newBuilder[String, Double]
-            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-            (b.result(),
-              Option(root.path("value").asDouble()).filter(_ > 0))
+          else Bench.priorMismatch(
+              Option(root.path("runner").asText(null)),
+              if (root.hasNonNull("cpus")) Some(root.path("cpus").asInt()) else None,
+              runner, cpus.toInt) match {
+            case Some(why) =>
+              System.err.println(s"[bench] drift prior skipped: $why")
+              (Map.empty[String, Double], None)
+            case None =>
+              val it = root.path("queries").properties().iterator()
+              val b = Map.newBuilder[String, Double]
+              while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+              (b.result(),
+                Option(root.path("value").asDouble()).filter(_ > 0))
           }
         }
       } catch { case _: Throwable => (Map.empty, None) }
@@ -195,6 +230,8 @@ object Bench {
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""warmup_sec":$warmupSec,"failed":$failedArr,"suites":$suites,""" +
+      s""""runner":"$runner","cpus":${cpus.toInt},""" +
+      f""""heap_gb":$heapGb%.1f,""" +
       s""""remeasured":$remeasuredJson,"queries":$qs,"sf":"$sfDir"}"""
     // The driver tail-grabs the last ~2000 chars of stdout and parses the
     // final JSON line; the full 226-query map is ~8 KB, so r8's driver

@@ -534,45 +534,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** See the `q_llm_dedup_substrings` entry comment. Input: (doc_id, text). */
-  private[graft] def substringCoverageOf(d: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(d.sparkSession)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("p"))
-    // gram stream via the rolling-hash kernel: ONE O(n) compiled pass per
-    // doc (posexplode of the codegen'd hash array) — bit-identical to the
-    // explode(sequence)+charhash(substring) form it replaced, which did
-    // O(n·K) fold work per doc (each position re-copies and re-folds a
-    // K-char substring); the ExpressionsSpec gramhashes test pins the
-    // row-set equality, the oracle keeps the substr() form
-    val occ = d.where(length(col("text")) >= SubK)
+  /** Per-shard char budget for the doc-range-sharded gram count (PERF
+    * #73's named next step past sf10). One shard ≈ SubShardChars of text
+    * ≈ that many gram rows, so a shard's (h, cnt) aggregation shuffles
+    * ~16 B × SubShardChars/1 ≈ 4 GB compact rows — the knob that keeps
+    * any single stage's shuffle bounded however big the corpus gets.
+    * Fixture corpora (≤ ~25 MB of text) and generated sf0.1 fit ONE
+    * shard, where the sharded machinery is bypassed for the original
+    * single-window plan — outputs bit-unchanged at driver scales (the
+    * capSimBands no-op pattern). Generated sf1 (≈0.45 GB) lands 2
+    * shards, so the tri-store path is exercised by the sf1 gate. */
+  private[graft] val SubShardChars = 256L * 1024 * 1024
+
+  /** Merge-bucket fan-out for the cross-shard count merge: each bucket
+    * job re-aggregates 1/SubMergeBuckets of the distinct-gram table, so
+    * the merge's per-job shuffle is (total grams × 16 B) / 32 — ~2 GB at
+    * sf10's 4.5e9 grams. */
+  private[graft] val SubMergeBuckets = 32
+
+  /** Above this many corpus-repeated gram hashes the repeated set stops
+    * being broadcastable (8 B × 2e7 = 160 MB hashed relation) and the
+    * repeated-position join falls back to doc-range-sharded shuffle
+    * joins. */
+  private[graft] val SubBroadcastRepeats = 20L * 1000 * 1000
+
+  /** The gram stream: one O(n) compiled rolling-hash pass per doc
+    * (posexplode of the codegen'd hash array) — bit-identical to the
+    * explode(sequence)+charhash(substring) form it replaced, which did
+    * O(n·K) fold work per doc; the ExpressionsSpec gramhashes test pins
+    * the row-set equality, the oracle keeps the substr() form. Cheap to
+    * produce, so callers recompute it rather than pin it. */
+  private def gramOcc(d: DataFrame): DataFrame =
+    d.where(length(col("text")) >= SubK)
       .selectExpr("doc_id", s"posexplode(graft_gramhashes(text, $SubK)) AS (i, h)")
       .selectExpr("doc_id", "CAST(i + 1 AS INT) AS p", "h")
-    // corpus-repeated positions via a count window over the gram hash:
-    // the gram stream is touched ONCE and shuffled ONCE (hash by h).
-    // The previous shape — localCheckpoint the stream, aggregate a
-    // repeated-hash table, semi-join the stream against it — moved the
-    // O(total chars) row set three times and materialized it as row
-    // objects in the block manager; at generated sf1 (148 M gram rows)
-    // checkpoint + agg + join measured 500 s against this form's single
-    // sort-shuffle. With the rolling kernel the stream is cheap to
-    // produce, so nothing is worth pinning.
-    // SKEW CAVEAT (ADVICE r11): count(1) OVER (PARTITION BY h) has no
-    // partial aggregation — every occurrence of one hot gram hash lands
-    // in a single WindowExec task and is buffered there. On the test
-    // corpora the hottest hash is ~1e4 occurrences (fine); an
-    // adversarially repetitive corpus (one boilerplate line in 10% of
-    // docs) concentrates O(N) rows in one task. The fallback for that
-    // layout is the agg + broadcast-semi-join shape (recompute occ twice
-    // — the kernel is cheap — never checkpoint it): groupBy(h).count
-    // partial-aggregates map-side, so no task ever sees a hot key's full
-    // row set, and the repeated-hash table stays small enough to
-    // broadcast. Kept out of the default path because the window form
-    // measured 2.3x faster on realistic skew (PERF.md #62).
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val spans = occ
-      .withColumn("c", count(lit(1)).over(wh))
-      .where(col("c") > 1).select(col("doc_id"), col("p"))
+
+  /** Islands-of-repeats → per-doc coverage verdict over the REPEATED
+    * positions (a small table: only corpus-duplicated grams carry
+    * positions this far). Shared tail of both substring-dedup plans. */
+  private def coverageOf(d: DataFrame, repPos: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = repPos
       .withColumn("brk", when(col("p") - lag(col("p"), 1).over(w) > SubK, 1).otherwise(0))
       .withColumn("isl", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("isl"))
@@ -591,6 +594,106 @@ object Dedup {
           "WHEN 5 * coalesce(dup_chars, 0) >= n_chars THEN 'trim' " +
           "ELSE 'keep' END").as("verdict"))
       .orderBy(col("doc_id"))
+  }
+
+  /** See the `q_llm_dedup_substrings` entry comment. Input: (doc_id, text).
+    *
+    * Two plans, switched on a deterministic corpus stat (total chars —
+    * one bounded 1-row collect), IDENTICAL output either way:
+    *
+    * **One shard** (total chars ≤ [[SubShardChars]] — every driver
+    * fixture): corpus-repeated positions via a count window over the
+    * gram hash — the stream is touched once and shuffled once. The
+    * window has no partial aggregation (ADVICE r11's skew caveat: a hot
+    * gram's occurrences buffer in one WindowExec task — hottest observed
+    * ~1e4, fine at this size), but it measured 2.3× faster than the
+    * agg+join shape at fixture scale (PERF #62), so it stays the
+    * small-corpus plan.
+    *
+    * **Sharded** (PERF #73; VERDICT r12 weak item 4): the r12 sf10 run
+    * shuffled the whole 4.5e9-row gram stream (~45 GB) inside the single
+    * window exchange — monolithic in space; a 100 TB corpus cannot
+    * shuffle its every character 20-gram at once. The sharded plan
+    * decomposes the GLOBAL repeat test `count(h) ≥ 2` exactly:
+    *  1. per doc-id-range shard (≈[[SubShardChars]] chars each), count
+    *     grams — groupBy(h) partial-aggregates map-side and the shard's
+    *     shuffle carries compact (h, cnt) rows only, ≈4 GB — and append
+    *     the counts to a tmp store partitioned by `pmod(h,
+    *     [[SubMergeBuckets]])`;
+    *  2. merge per bucket (directory-pruned read of that bucket across
+    *     all shards): sum counts, keep `Σcnt ≥ 2` — the corpus-repeated
+    *     hash set R, written to its own store. Σcnt over shards = the
+    *     global count, so R is EXACTLY the unsharded repeated set: a
+    *     within-shard repeat has cnt ≥ 2 in one shard; a cross-shard
+    *     repeat sums singleton cnts — which is why output hashes cannot
+    *     move;
+    *  3. repeated positions: re-derive the gram stream (the kernel is
+    *     cheaper than pinning 45 GB) and join against R — broadcast when
+    *     |R| ≤ [[SubBroadcastRepeats]] (zero stream shuffle; the
+    *     realistic case — only boilerplate grams repeat), else per-shard
+    *     shuffle joins (each bounded like step 1).
+    * No stage anywhere shuffles more than ~1/S of the stream, at any
+    * corpus size — S grows with the corpus, per-stage cost does not. */
+  private[graft] def substringCoverageOf(d: DataFrame,
+                                         shardChars: Long = SubShardChars,
+                                         broadcastMax: Long = SubBroadcastRepeats)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    // bounded 1-row stats collect (the sanctioned metadata-collect idiom):
+    // total chars picks the plan; the id range defines the shards
+    val st = d.agg(sum(length(col("text"))).as("tc"),
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).collect()(0)
+    val totalChars = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val nShards = math.max(1L, (totalChars + shardChars - 1) / shardChars)
+    if (nShards == 1L) {
+      val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      val repPos = gramOcc(d)
+        .withColumn("c", count(lit(1)).over(wh))
+        .where(col("c") > 1).select(col("doc_id"), col("p"))
+      return coverageOf(d, repPos)
+    }
+    val (lo, hi) = (st.getLong(1), st.getLong(2))
+    val width = (hi - lo) / nShards + 1
+    val s = d.sparkSession
+    val base = s"${graft.sinks.Sinks.tmpBase}/sub_shards"
+    graft.sinks.Sinks.truncate(base)
+    def shardOf(i: Long): DataFrame =
+      d.where(col("doc_id") >= lo + i * width && col("doc_id") < lo + (i + 1) * width)
+    // 1. per-shard gram counts, appended partitioned by merge bucket
+    //    (doc-range predicates prune row groups when the table is id-
+    //    ordered — the generated fixtures are; worst case each shard job
+    //    rescans the table, which stays O(S·corpus) I/O with zero shuffle)
+    (0L until nShards).foreach { i =>
+      gramOcc(shardOf(i))
+        .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .withColumn("b", pmod(col("h"), lit(SubMergeBuckets)))
+        .write.mode("append").partitionBy("b").parquet(s"$base/cnts")
+    }
+    // 2. cross-shard merge, one bounded job per bucket
+    (0 until SubMergeBuckets).foreach { m =>
+      val bPath = s"$base/cnts/b=$m"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(bPath)))
+        s.read.parquet(bPath)
+          .groupBy(col("h")).agg(sum(col("cnt")).as("n"))
+          .where(col("n") >= 2).select(col("h"))
+          .write.mode("append").parquet(s"$base/repeated")
+    }
+    val rep = s.read.parquet(s"$base/repeated")
+    // 3. repeated positions: broadcast R when it fits, else re-shard
+    val nRep = rep.count()
+    val repPos =
+      if (nRep <= broadcastMax)
+        gramOcc(d).join(broadcast(rep), Seq("h"), "leftsemi")
+          .select(col("doc_id"), col("p"))
+      else {
+        (0L until nShards).foreach { i =>
+          gramOcc(shardOf(i)).join(rep, Seq("h"), "leftsemi")
+            .select(col("doc_id"), col("p"))
+            .write.mode("append").parquet(s"$base/reppos")
+        }
+        s.read.parquet(s"$base/reppos")
+      }
+    coverageOf(d, repPos)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -675,10 +778,13 @@ object Dedup {
     // is caught at ANY offset. Scale shape: the position explode is
     // linear in corpus characters (the same fan-out class as
     // tokenization — the published exact-substr algorithm's suffix array
-    // is also O(chars)); the repeat table is one map-side-combining hash
-    // agg; marking is a slim LEFT SEMI join on the gram hash; the island
-    // merge is a per-doc window (hash exchange on doc_id). No pairwise
-    // join anywhere — cost is O(chars + duplicated positions), never
+    // is also O(chars)); the repeat test is doc-range-SHARDED above one
+    // shard's worth of text (see substringCoverageOf — per-shard compact
+    // (h, cnt) aggs + a bucketed cross-shard merge), so no single stage
+    // ever shuffles more than ~SubShardChars of gram rows; marking is a
+    // slim LEFT SEMI join on the gram hash; the island merge is a
+    // per-doc window (hash exchange on doc_id). No pairwise join
+    // anywhere — cost is O(chars + duplicated positions), never
     // O(N^2). Hash collisions (P = 1e9+7) can over-mark a span; the rate
     // is ~(positions^2 / 2P) corpus-wide, both engines share the same
     // hash so the oracle still matches, and a production run widens to a

@@ -33,11 +33,17 @@ import graft.util.Exact
   *    centroids are stale-but-useful — new vectors are searchable
   *    immediately, at slightly degraded cell quality. The first batch
   *    bootstraps the centroids by training on itself.
-  *  - **Re-train tick** (periodic, corpus-sized): deterministic k-means
+  *  - **Re-train tick** (periodic): deterministic k-means
   *    ([[Similarity.kmeansCentroids]] — seeded init + Lloyd rounds as
   *    exact integer aggregations, so training is arrival-order- and
-  *    partition-independent) over the FULL vector store, then one
-  *    re-assignment pass, atomically swapping `cents` and `assign`.
+  *    partition-independent) over a deterministic hash-SAMPLE of the
+  *    vector store (~TrainPerCell·cells rows — O(√N·c), the k-means
+  *    coreset bound; sampling lives inside kmeansCentroids and is
+  *    mirrored in the oracle), then ONE full re-assignment pass,
+  *    atomically swapping `cents` and `assign`. The store is scanned
+  *    once per re-train — training no longer multiplies the corpus
+  *    scan by the Lloyd round count, which was the measured α_sf10 =
+  *    1.19 term in the r12 scale table.
   *
   * **Serving never trains**: [[serve]] reads the three stores, assigns
   *    query vectors to their nprobe nearest STORED centroids, and
@@ -96,8 +102,10 @@ object IncrementalAnn {
       assigned.withColumn("_tick", lit(batchId)), "vec_id", Seq("_tick"))
   }
 
-  /** Periodic re-train: deterministic k-means over the FULL vector store,
-    * one re-assignment pass, atomic swap of both derived stores. After
+  /** Periodic re-train: sample-bounded deterministic k-means over the
+    * vector store (the sampling is inside [[Similarity.kmeansCentroids]]
+    * — O(√N·c) training rows, corpus-relative, oracle-mirrored), one
+    * full re-assignment pass, atomic swap of both derived stores. After
     * this tick the index is bit-identical to a from-scratch build on the
     * store's current contents. */
   private[graft] def retrain(s: SparkSession, base: String): Unit = {

@@ -95,6 +95,35 @@ object Similarity {
     se.agg(count(lit(1)).as("n_vec"))
       .selectExpr(s"${cellsSql("n_vec", floor)} AS n_cells")
 
+  /** Training-sample budget per cell: k-means centroid quality needs
+    * O(cells · c) points (the coreset argument), so Lloyd rounds train on
+    * ~TrainPerCell vectors per cell instead of the full corpus. 64 keeps
+    * the init-cell population safely non-empty (P[empty] ≈ e⁻⁶⁴) while
+    * making the per-round cost O(√N·c). */
+  val TrainPerCell = 64
+
+  /** Second hash multiplier (xxHash PRIME32_2 — a public constant) for
+    * the training-sample filter. MUST differ from the cell-init
+    * multiplier 2654435761: `h2 % t_mod = 0` composed with `h1 %
+    * n_cells` would otherwise restrict init cells to multiples of
+    * gcd(t_mod, n_cells). */
+  val TrainHash = 2246822519L
+
+  /** Sample modulus (Spark SQL; the DuckDB mirror spells integer
+    * division `//`): 1 — sample = corpus — until N exceeds the per-cell
+    * budget. */
+  private def trainModSql(nVec: String, nCells: String): String =
+    s"greatest(CAST(1 AS BIGINT), ($nVec) DIV (($nCells) * $TrainPerCell))"
+
+  /** 1-row (n_cells, t_mod) stats table, derived in-plan from the corpus
+    * count and broadcast into the seeded init + sample filter — the
+    * [[cellCountOf]] no-driver-action idiom widened by the training
+    * sample modulus. */
+  private[graft] def trainStatsOf(se: DataFrame, floor: Int = CellsFloor): DataFrame =
+    se.agg(count(lit(1)).as("n_vec"))
+      .selectExpr("n_vec", s"${cellsSql("n_vec", floor)} AS n_cells")
+      .selectExpr("n_cells", s"${trainModSql("n_vec", "n_cells")} AS t_mod")
+
   /** SemDeDup drop threshold: within-cell pairs at or above this cosine
     * are semantic duplicates. Both engines compare the identical IEEE
     * double (same long dot, same sqrt, same division), so the boundary
@@ -242,7 +271,26 @@ object Similarity {
     * so lineage stays flat however deep the refinement goes, and the two
     * downstream uses (corpus assignment, query probing) don't re-run
     * training. `floor` is the production [[CellsFloor]]; specs override it
-    * to fire the relative arm at tiny N (the df-cap ratio pattern). */
+    * to fire the relative arm at tiny N (the df-cap ratio pattern).
+    *
+    * Training is SAMPLE-BOUNDED (the standard production IVF trade this
+    * file's own scale note promises): the seeded init and every Lloyd
+    * round run over a deterministic hash-sample of ~[[TrainPerCell]]
+    * vectors per cell — sample modulus `t_mod = max(1, N DIV
+    * (n_cells·TrainPerCell))`, filter `hash2(vec_id) % t_mod = 0` — so a
+    * re-train costs O(√N·c) per round instead of O(N), and at 100 TB the
+    * full corpus is scanned exactly once (by the caller's final
+    * assignment pass), not once per Lloyd round. Centroid quality needs
+    * O(cells·TrainPerCell) points, not O(N) (the k-means coreset
+    * argument). The sample hash uses a DIFFERENT multiplier
+    * ([[TrainHash]]) than the cell-init hash: filtering `h2 % t_mod = 0`
+    * then initializing by `h1 % n_cells` must not restrict init cells to
+    * gcd-multiples, and two distinct multiplications mod prime P are
+    * independent-enough linear maps. `t_mod` is 1 whenever N ≤
+    * n_cells·TrainPerCell (all driver fixture scales: N ≤ 2000, target ≥
+    * 2816), so small-corpus outputs are bit-unchanged — the capSimBands
+    * no-op-at-fixture-scale pattern. At generated sf1 (N = 500k,
+    * cells = 707) t_mod = 11 and training touches ~45k vectors. */
   private[graft] def kmeansCentroids(se: DataFrame,
                                    ckpt: graft.util.Checkpointer =
                                      graft.util.Checkpointer.Local,
@@ -254,8 +302,13 @@ object Similarity {
         .agg(count(lit(1)).as("n"), sums: _*)
         .selectExpr("cent_id", s"$mean AS cse")
         .selectExpr("cent_id", "cse", "graft_dot(cse, cse) AS cn2")
-    val init = se.crossJoin(broadcast(cellCountOf(se, floor)))
-      .selectExpr("vec_id", "se",
+    // the training sample: hash-filtered against the broadcast 1-row
+    // (n_cells, t_mod) stats, materialized ONCE (through the ckpt knob)
+    // so the corpus is scanned once for all of training — each Lloyd
+    // round re-reads the ~TrainPerCell·cells-row sample, not the corpus
+    val ts = ckpt(se.crossJoin(broadcast(trainStatsOf(se, floor)))
+      .where(expr(s"vec_id % $P * $TrainHash % $P % t_mod = 0")))
+    val init = ts.selectExpr("vec_id", "se",
         s"vec_id % $P * 2654435761L % $P % n_cells AS cell")
     // per-round materialization (through the Checkpointer knob — Local
     // for bench/test speed, Reliable/Store when executor loss must be
@@ -264,7 +317,7 @@ object Similarity {
     // recompute-on-reference) stays flat at any LloydRounds
     var cents = ckpt(centroidsOf(init))
     for (_ <- 1 to LloydRounds) {
-      val re = assignCells(se.select(col("vec_id"), col("se")), cents, 1)
+      val re = assignCells(ts.select(col("vec_id"), col("se")), cents, 1)
         .select(col("vec_id"), col("se"), col("cent_id").as("cell"))
       cents = ckpt(centroidsOf(re))
     }
@@ -859,16 +912,21 @@ object Similarity {
   private def duckCentN(src: String): String =
     s"SELECT cent_id, cse, ${duckPairDot("cse", "cse")} AS cn2 FROM $src"
   // n nearest cells by |c|^2 - 2*a.c (|a|^2 constant per row)
-  private def duckAssign(centsCte: String, where: String, nProbe: Int): String =
+  private def duckAssign(centsCte: String, where: String, nProbe: Int,
+                         src: String = "e"): String =
     s"""SELECT vec_id, se, nrm, cell FROM (
       SELECT e.vec_id, e.se, e.nrm, c.cent_id AS cell,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY
                c.cn2 - 2 * (${duckPairDot("e.se", "c.cse")}), c.cent_id) AS rn
-      FROM e CROSS JOIN $centsCte c $where) WHERE rn <= $nProbe"""
+      FROM $src e CROSS JOIN $centsCte c $where) WHERE rn <= $nProbe"""
 
   /** CTE chain ending in `assigned` = every vector with its trained cell.
-    * `nc` mirrors [[cellCountOf]] exactly (same cellsSql text, scalar
-    * subquery instead of a broadcast). */
+    * `nc` mirrors [[trainStatsOf]] exactly (same cellsSql / sample-
+    * modulus text, scalar subqueries instead of a broadcast); `ts` is
+    * the training sample — the seeded init and both Lloyd rounds run
+    * over it, mirroring the Spark side's sample-bounded training, and
+    * only the final `assigned` pass touches the full corpus. `//` is
+    * DuckDB's truncating integer division (= Spark `DIV`). */
   private[llm] def duckKmeansCtes(src: String = "embeddings",
                                   floor: Int = CellsFloor): String = s"""
       e0 AS (
@@ -876,18 +934,23 @@ object Similarity {
       e AS (
         SELECT vec_id, se, sqrt(CAST(${duckPairDot("se", "se")} AS DOUBLE)) AS nrm FROM e0),
       nc AS (
-        SELECT ${cellsSql("n_vec", floor)} AS n_cells
-        FROM (SELECT count(*) AS n_vec FROM e) tnc),
+        SELECT n_cells,
+               greatest(CAST(1 AS BIGINT), n_vec // (n_cells * $TrainPerCell)) AS t_mod
+        FROM (SELECT n_vec, ${cellsSql("n_vec", floor)} AS n_cells
+              FROM (SELECT count(*) AS n_vec FROM e) tnc0) tnc),
+      ts AS (
+        SELECT vec_id, se, nrm FROM e
+        WHERE vec_id % $P * $TrainHash % $P % (SELECT t_mod FROM nc) = 0),
       a0 AS (
         SELECT vec_id, se,
                vec_id % $P * 2654435761 % $P % (SELECT n_cells FROM nc) AS cell
-        FROM e),
+        FROM ts),
       c0 AS (${duckCent("a0")}),
       c0n AS (${duckCentN("c0")}),
-      a1 AS (${duckAssign("c0n", "", 1)}),
+      a1 AS (${duckAssign("c0n", "", 1, "ts")}),
       c1 AS (${duckCent("a1")}),
       c1n AS (${duckCentN("c1")}),
-      a2 AS (${duckAssign("c1n", "", 1)}),
+      a2 AS (${duckAssign("c1n", "", 1, "ts")}),
       c2 AS (${duckCent("a2")}),
       c2n AS (${duckCentN("c2")}),
       assigned AS (${duckAssign("c2n", "", 1)})"""

@@ -64,4 +64,21 @@ class BenchDriftSpec extends AnyFunSuite {
     // absolute deltas: q16..q25 are the 10 largest
     assert(got == (16 to 25).map(i => s"q$i").toSet)
   }
+
+  test("runner-aware prior: mismatched regime skips with a reason, matched fires") {
+    // the r12 evidence: same code, same sf — standalone JVM 369 s vs sbt
+    // 453 s vs loaded sbt 558 s. A jvm-recorded prior must never judge an
+    // sbt run (or vice versa), and a cpu-count change invalidates too.
+    assert(Bench.priorMismatch(Some("jvm"), Some(32), "sbt", 32)
+      .exists(_.contains("runner mismatch")))
+    assert(Bench.priorMismatch(Some("sbt"), Some(32), "jvm", 32)
+      .exists(_.contains("runner mismatch")))
+    assert(Bench.priorMismatch(Some("sbt"), Some(16), "sbt", 32)
+      .exists(_.contains("cpus mismatch")))
+    // like-with-like compares
+    assert(Bench.priorMismatch(Some("sbt"), Some(32), "sbt", 32).isEmpty)
+    assert(Bench.priorMismatch(Some("jvm"), Some(32), "jvm", 32).isEmpty)
+    // pre-r13 artifacts carry neither field: grandfathered as comparable
+    assert(Bench.priorMismatch(None, None, "sbt", 32).isEmpty)
+  }
 }

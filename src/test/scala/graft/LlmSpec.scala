@@ -755,6 +755,20 @@ class LlmSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("dup_chars") === 50L)
     assert(out(4L).getAs[Long]("n_spans") === 2L)
     assert(out(4L).getAs[String]("verdict") === "drop")
+
+    // the doc-range-sharded plan (forced via a tiny per-shard char budget
+    // — every doc lands in its own shard, so the cross-doc repeats are
+    // only discoverable through the bucketed cross-shard count merge)
+    // produces the IDENTICAL row set; likewise the shard-join fallback
+    // (broadcastMax = 0 disables the broadcast arm). Global cnt >= 2 is
+    // what both decompositions compute — sharding must not move a hash.
+    val single = graft.llm.Dedup.substringCoverageOf(d).collect().toSeq
+    val sharded = graft.llm.Dedup
+      .substringCoverageOf(d, shardChars = 60L).collect().toSeq
+    val shardJoin = graft.llm.Dedup
+      .substringCoverageOf(d, shardChars = 60L, broadcastMax = 0L).collect().toSeq
+    assert(sharded === single)
+    assert(shardJoin === single)
   }
 
   test("DSIR selection: target excluded; per-source budget exact; selected prefix dominates") {

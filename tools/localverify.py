@@ -30,7 +30,13 @@ con = duckdb.connect()
 _ml = __import__("os").environ.get("LV_MEMLIMIT")
 if _ml:
     con.execute(f"SET memory_limit='{_ml}'")
-    con.execute("SET temp_directory='/tmp/duckspill'")
+    con.execute(f"SET temp_directory="
+                f"'{__import__('os').environ.get('LV_SPILLDIR', '/tmp/duckspill')}'")
+# LV_THREADS: bound DuckDB's thread pool so the oracle re-check can share
+# the box with concurrent sbt/Spark work (default: all cores).
+_th = __import__("os").environ.get("LV_THREADS")
+if _th:
+    con.execute(f"SET threads={int(_th)}")
 for t in TABLES:
     if t == "events":
         # mirror Spark's ns->us truncation of the TIMESTAMP_NS column

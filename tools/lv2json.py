@@ -18,7 +18,7 @@ for arg in sys.argv[3:]:
     names = [l.strip() for l in open(namesfile) if l.strip()]
     fails, summary = {}, None
     for line in open(log):
-        m = re.match(r"\s+FAIL\s+(\S+):\s*(.*)$", line)
+        m = re.match(r"\s*FAIL\s+(\S+):\s*(.*)$", line)
         if m:
             fails[m.group(1)] = m.group(2)
         m = re.match(r"PASS (\d+)\s+FAIL (\d+)", line)

@@ -12,6 +12,8 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# label the measurement regime for Bench's runner-aware drift prior
+export GRAFT_RUNNER="${GRAFT_RUNNER:-jvm}"
 exec java $OPENS ${GRAFT_JVM_OPTS:-} \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false \
