@@ -786,10 +786,10 @@ object Curation {
       val c1 = bgs.groupBy(col("h1")).agg(sum(col("m")).as("c1"))
       val vocab = toks.selectExpr("explode(wh) AS h")
         .agg(countDistinct(col("h")).as("v"))
-      val per = bgs.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
-        .crossJoin(broadcast(vocab))
-        .withColumn("t6",
-          Exact.scaled(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))), 6))
+      val per = Dln.withDln(
+          bgs.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
+            .crossJoin(broadcast(vocab)),
+          "(c2 + 1.0E0) / (c1 + v)", "t6")
         .groupBy(col("source"))
         .agg(sum(col("m") * col("t6")).as("s6"), sum(col("m")).as("nb"))
       val tot = per.agg(sum(col("s6")).as("ts6"), sum(col("nb")).as("tnb"))
@@ -847,11 +847,16 @@ object Curation {
       val rc = raw.groupBy(col("b")).agg(count(lit(1)).as("rc"))
       val tn = tgt.agg(count(lit(1)).as("tn"))
       val rn = raw.agg(count(lit(1)).as("rn"))
-      val weights = rc.join(tc, Seq("b"), "left")
+      val wBase = rc.join(tc, Seq("b"), "left")
         .crossJoin(broadcast(tn)).crossJoin(broadcast(rn))
-        .select(col("b"),
-          (Exact.scaled(log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("tn") + lit(nb))), 6) -
-            Exact.scaled(log((col("rc") + lit(1.0)) / (col("rn") + lit(nb))), 6)).as("w6"))
+      // two deterministic-ln kernels on one frame (distinct prefixes);
+      // the importance weight is their exact integer difference
+      val weights = Dln.withDln(
+          Dln.withDln(wBase,
+            s"(coalesce(tc, CAST(0 AS BIGINT)) + 1.0E0) / (tn + $nb)", "wt6",
+            prefix = "_dt_"),
+          s"(rc + 1.0E0) / (rn + $nb)", "wr6", prefix = "_dr_")
+        .select(col("b"), (col("wt6") - col("wr6")).as("w6"))
       val scored = raw.groupBy(col("doc_id"), col("source"), col("b"))
         .agg(count(lit(1)).as("m"))
         .join(broadcast(weights), Seq("b"))
@@ -1313,10 +1318,10 @@ object Curation {
       c1 AS (SELECT h1, CAST(sum(m) AS BIGINT) AS c1 FROM bgs GROUP BY 1),
       vocab AS (
         SELECT count(DISTINCT h) AS v FROM (SELECT unnest(wh) AS h FROM t2)),
-      terms AS (
-        SELECT source, m,
-               ${Exact.sqlScaled("ln((c2 + 1.0) / (c1 + v))", 6)} AS t6
-        FROM bgs JOIN c2 USING (h1, h2) JOIN c1 USING (h1), vocab),
+      ${Dln.duckChain(
+        "SELECT source, m, (c2 + 1.0E0) / (c1 + v) AS _dl_arg " +
+          "FROM bgs JOIN c2 USING (h1, h2) JOIN c1 USING (h1), vocab",
+        "terms", "t6", Seq("source", "m"))},
       per AS (
         SELECT source, CAST(sum(m * t6) AS BIGINT) AS s6,
                CAST(sum(m) AS BIGINT) AS nb
@@ -1393,11 +1398,15 @@ object Curation {
       rc AS (SELECT b, count(*) AS rc FROM rawf GROUP BY b),
       tn AS (SELECT count(*) AS tn FROM tgt),
       rn AS (SELECT count(*) AS rn FROM rawf),
-      w AS (
-        SELECT rc.b,
-               ${Exact.sqlScaled(s"ln((coalesce(tc, 0) + 1.0) / (tn + $DsirBuckets))", 6)} -
-               ${Exact.sqlScaled(s"ln((rc + 1.0) / (rn + $DsirBuckets))", 6)} AS w6
-        FROM rc LEFT JOIN tc ON rc.b = tc.b, tn, rn),
+      ${Dln.duckChain(
+        s"SELECT rc.b AS b, (coalesce(tc, 0) + 1.0E0) / (tn + $DsirBuckets) AS _dt_arg, " +
+          s"(rc + 1.0E0) / (rn + $DsirBuckets) AS _rraw " +
+          "FROM rc LEFT JOIN tc ON rc.b = tc.b, tn, rn",
+        "wt", "wt6", Seq("b", "_rraw"), prefix = "_dt_")},
+      ${Dln.duckChain(
+        "SELECT b, wt6, _rraw AS _dr_arg FROM wt",
+        "wr", "wr6", Seq("b", "wt6"), prefix = "_dr_")},
+      w AS (SELECT b, wt6 - wr6 AS w6 FROM wr),
       m AS (
         SELECT doc_id, source, b, count(*) AS m FROM rawf GROUP BY 1, 2, 3),
       sc AS (

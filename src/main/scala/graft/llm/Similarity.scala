@@ -911,14 +911,37 @@ object Similarity {
   }
   private def duckCentN(src: String): String =
     s"SELECT cent_id, cse, ${duckPairDot("cse", "cse")} AS cn2 FROM $src"
-  // n nearest cells by |c|^2 - 2*a.c (|a|^2 constant per row)
+  // n nearest cells by |c|^2 - 2*a.c (|a|^2 constant per row).
+  //
+  // The corpus-wide nProbe=1 assignment is a streaming GROUP BY argmin —
+  // min over the struct {dscore, cent_id}, whose lexicographic order IS
+  // the (dscore, cent_id) tie-break — because the window form cannot
+  // survive sf1: row_number over the N×cells pair stream (3.5e8 rows)
+  // buffers the whole stream in the sort, and with the r12 oracle
+  // additionally carrying both 64-long arrays per pair (~1 KB/row) the
+  // DuckDB run OOM'd at the 28 GB memlimit / spilled 40+ GB. The hash
+  // aggregate streams with partial states (one struct per vec_id) and
+  // never sorts — the relational mirror of the Spark side's packed
+  // argmin scan (assignCells scaladoc). Windows remain only for probe
+  // sets (nProbe>1), which are O(queries×cells) — always tiny — and
+  // those buffer slim (vec_id, cell) rows with arrays re-joined after.
   private def duckAssign(centsCte: String, where: String, nProbe: Int,
                          src: String = "e"): String =
-    s"""SELECT vec_id, se, nrm, cell FROM (
-      SELECT e.vec_id, e.se, e.nrm, c.cent_id AS cell,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               c.cn2 - 2 * (${duckPairDot("e.se", "c.cse")}), c.cent_id) AS rn
-      FROM $src e CROSS JOIN $centsCte c $where) WHERE rn <= $nProbe"""
+    if (nProbe == 1)
+      s"""SELECT e.vec_id, e.se, e.nrm, w.cell FROM (
+      SELECT e.vec_id,
+             (min({'d': c.cn2 - 2 * (${duckPairDot("e.se", "c.cse")}),
+                   'c': c.cent_id})).c AS cell
+      FROM $src e CROSS JOIN $centsCte c $where GROUP BY e.vec_id) w
+      JOIN $src e ON w.vec_id = e.vec_id"""
+    else
+      s"""SELECT e.vec_id, e.se, e.nrm, w.cell FROM (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 c.cn2 - 2 * (${duckPairDot("e.se", "c.cse")}), c.cent_id) AS rn
+        FROM $src e CROSS JOIN $centsCte c $where) WHERE rn <= $nProbe) w
+      JOIN $src e ON w.vec_id = e.vec_id"""
 
   /** CTE chain ending in `assigned` = every vector with its trained cell.
     * `nc` mirrors [[trainStatsOf]] exactly (same cellsSql / sample-

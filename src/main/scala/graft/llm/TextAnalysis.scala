@@ -60,10 +60,14 @@ object TextAnalysis {
     val c1 = bgd.groupBy(col("h1")).agg(sum(col("m")).as("c1"))
     val vocab = toks.selectExpr("explode(wh) AS h")
       .agg(countDistinct(col("h")).as("v"))
-    bgd.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("t6",
-        Exact.scaled(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))), 6))
+    // t6 via the deterministic integer-ln kernel ([[Dln]]): libm ln is
+    // ulp-divergent across engines, and at sf1 term counts one boundary
+    // flip per run is expected — the kernel makes the scaled long a
+    // DEFINITION both engines compute identically
+    Dln.withDln(
+        bgd.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
+          .crossJoin(broadcast(vocab)),
+        "(c2 + 1.0E0) / (c1 + v)", "t6")
       .groupBy(col("doc_id"))
       .agg(sum(col("m") * col("t6")).as("s6"), sum(col("m")).as("nb"))
   }
@@ -412,16 +416,16 @@ object TextAnalysis {
     // (ln_n6·n − s6 < 2e6·n ⇔ H < 2 nats). Shape: one char explode +
     // two hash aggs — linear in corpus chars, no joins.
     "q_llm_char_entropy" -> { (s, dir) =>
-      docs(s, dir)
+      val cc = docs(s, dir)
         .selectExpr("doc_id", "explode(split(text, '')) AS ch")
         .groupBy(col("doc_id"), col("ch"))
         .agg(count(lit(1)).as("nc"))
-        .withColumn("t6", Exact.scaled(log(col("nc").cast("double")), 6))
+      val agg = Dln.withDln(cc, "CAST(nc AS DOUBLE)", "t6")
         .groupBy(col("doc_id"))
         .agg(sum(col("nc")).as("n"),
           count(lit(1)).as("n_distinct_chars"),
           sum(col("nc") * col("t6")).as("s6"))
-        .withColumn("ln_n6", Exact.scaled(log(col("n").cast("double")), 6))
+      Dln.withDln(agg, "CAST(n AS DOUBLE)", "ln_n6")
         .select(col("doc_id"), col("n").as("n_chars_txt"), col("n_distinct_chars"),
           Exact.fix((col("ln_n6").cast("double") - col("s6").cast("double") / col("n"))
             / lit(1000000.0), 6).as("entropy"),
@@ -845,7 +849,7 @@ object TextAnalysis {
         .groupBy(col("h")).agg(count(lit(1)).as("u"))
         .localCheckpoint()
       val stats = un.agg(sum(col("u")).as("t"), count(lit(1)).as("v"))
-      val per = tgd
+      val joined = tgd
         .join(c3, Seq("h1", "h2", "h3"))
         .join(bg.select(col("x").as("h1"), col("y").as("h2"), col("c").as("c12")),
           Seq("h1", "h2"))
@@ -854,9 +858,13 @@ object TextAnalysis {
         .join(un.select(col("h").as("h2"), col("u").as("c2")), "h2")
         .join(un.select(col("h").as("h3"), col("u").as("u3")), "h3")
         .crossJoin(broadcast(stats))
-        .withColumn("t6", Exact.scaled(expr(
-          "ln(0.6 * ((c3 + 1.0) / (c12 + v)) + 0.3 * ((b23 + 1.0) / (c2 + v)) " +
-            "+ 0.1 * ((u3 + 1.0) / (t + v)))"), 6))
+      // deterministic integer-ln kernel — this entry is WHERE the libm
+      // ulp class was caught (sf1 gate, round 13): one of its 7.5e7
+      // interpolated-probability terms landed within 1 ulp of the
+      // micro-rounding boundary and Spark/DuckDB ln() split it
+      val per = Dln.withDln(joined,
+        "6.0E-1 * ((c3 + 1.0E0) / (c12 + v)) + 3.0E-1 * ((b23 + 1.0E0) / (c2 + v)) " +
+          "+ 1.0E-1 * ((u3 + 1.0E0) / (t + v))", "t6")
         .groupBy(col("doc_id"))
         .agg(sum(col("m") * col("t6")).as("s6"), sum(col("m")).as("nt"))
       per.select(col("doc_id"), col("nt").as("n_trigrams"),
@@ -931,10 +939,10 @@ object TextAnalysis {
       c1 AS (SELECT h1, CAST(sum(m) AS BIGINT) AS c1 FROM bgd GROUP BY 1),
       vocab AS (
         SELECT count(DISTINCT h) AS v FROM (SELECT unnest(wh) AS h FROM t2)),
-      terms AS (
-        SELECT doc_id, m,
-               ${Exact.sqlScaled("ln((c2 + 1.0) / (c1 + v))", 6)} AS t6
-        FROM bgd JOIN c2 USING (h1, h2) JOIN c1 USING (h1), vocab),
+      ${Dln.duckChain(
+        "SELECT doc_id, m, (c2 + 1.0E0) / (c1 + v) AS _dl_arg " +
+          "FROM bgd JOIN c2 USING (h1, h2) JOIN c1 USING (h1), vocab",
+        "terms", "t6", Seq("doc_id", "m"))},
       per AS (
         SELECT doc_id, CAST(sum(m * t6) AS BIGINT) AS s6,
                CAST(sum(m) AS BIGINT) AS nb
@@ -1193,18 +1201,17 @@ object TextAnalysis {
         SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
       cc AS (
         SELECT doc_id, ch, count(*) AS nc FROM ch GROUP BY 1, 2),
-      t AS (
-        SELECT doc_id, nc, ${Exact.sqlScaled("ln(CAST(nc AS DOUBLE))", 6)} AS t6
-        FROM cc),
+      ${Dln.duckChain(
+        "SELECT doc_id, nc, CAST(nc AS DOUBLE) AS _dl_arg FROM cc",
+        "t", "t6", Seq("doc_id", "nc"))},
       agg AS (
         SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n,
                count(*) AS n_distinct_chars,
                CAST(sum(nc * t6) AS BIGINT) AS s6
         FROM t GROUP BY doc_id),
-      e AS (
-        SELECT doc_id, n, n_distinct_chars, s6,
-               ${Exact.sqlScaled("ln(CAST(n AS DOUBLE))", 6)} AS ln_n6
-        FROM agg)
+      ${Dln.duckChain(
+        "SELECT doc_id, n, n_distinct_chars, s6, CAST(n AS DOUBLE) AS _dn_arg FROM agg",
+        "e", "ln_n6", Seq("doc_id", "n", "n_distinct_chars", "s6"), prefix = "_dn_")}
       SELECT doc_id, n AS n_chars_txt, n_distinct_chars,
              ${Exact.sqlFix("(CAST(ln_n6 AS DOUBLE) - CAST(s6 AS DOUBLE) / n) / 1000000.0", 6)} AS entropy,
              CASE WHEN ln_n6 * n - s6 < 2000000 * n THEN 'flag' ELSE 'ok' END AS verdict
@@ -1455,17 +1462,17 @@ object TextAnalysis {
       un AS (SELECT unnest(wh) AS h FROM toks),
       uc AS (SELECT h, count(*) AS u FROM un GROUP BY h),
       stats AS (SELECT CAST(sum(u) AS BIGINT) AS t, count(*) AS v FROM uc),
-      terms AS (
-        SELECT doc_id, m,
-               ${Exact.sqlScaled(
-                 "ln(0.6 * ((c3 + 1.0) / (c12 + v)) + 0.3 * ((b23 + 1.0) / (c2 + v)) " +
-                   "+ 0.1 * ((u3 + 1.0) / (t + v)))", 6)} AS t6
-        FROM tgd
+      ${Dln.duckChain(
+        "SELECT doc_id, m, 6.0E-1 * ((c3 + 1.0E0) / (c12 + v)) " +
+          "+ 3.0E-1 * ((b23 + 1.0E0) / (c2 + v)) " +
+          "+ 1.0E-1 * ((u3 + 1.0E0) / (t + v)) AS _dl_arg " +
+          """FROM tgd
         JOIN c3t USING (h1, h2, h3)
         JOIN (SELECT x AS h1, y AS h2, c AS c12 FROM bg) USING (h1, h2)
         JOIN (SELECT x AS h2, y AS h3, c AS b23 FROM bg) USING (h2, h3)
         JOIN (SELECT h AS h2, u AS c2 FROM uc) USING (h2)
-        JOIN (SELECT h AS h3, u AS u3 FROM uc) USING (h3), stats),
+        JOIN (SELECT h AS h3, u AS u3 FROM uc) USING (h3), stats""",
+        "terms", "t6", Seq("doc_id", "m"))},
       per AS (
         SELECT doc_id, CAST(sum(m * t6) AS BIGINT) AS s6,
                CAST(sum(m) AS BIGINT) AS nt
