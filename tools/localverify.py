@@ -86,7 +86,10 @@ for name in sorted(oracle):
         sp = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
         oc = con.execute(oracle[name]).df()
     except Exception as e:
-        fails.append((name, f"ERR {str(e)[:300]}"))
+        # carry the exception CLASS so the per-entry runner can key its
+        # resource-deferral detection on it (duckdb.OutOfMemoryException /
+        # duckdb.IOException) instead of substring-matching the message
+        fails.append((name, f"ERR[{type(e).__name__}] {str(e)[:300]}"))
         continue
     sp, oc = canon(sp), canon(oc)
     if list(sp.columns) != list(oc.columns):

@@ -34,6 +34,8 @@ ap.add_argument("--threads", type=int, default=24)
 ap.add_argument("--spilldir", default="/tmp/duckspill")
 ap.add_argument("--materialize", default="",
                 help="LV_MATERIALIZE value passed through to localverify")
+ap.add_argument("--keep-deferred", action="store_true",
+                help="do NOT retry entries recorded as deferred (default retries them)")
 args = ap.parse_args()
 
 names = [l.strip() for l in open(args.namesfile) if l.strip()]
@@ -86,15 +88,30 @@ def run_one(name):
         line = line.strip()
         if line.startswith(f"FAIL {name}:"):
             why = line.split(":", 1)[1].strip()
-            # resource exhaustion inside DuckDB is a deferral, not a verdict
-            if "No space left on device" in why or "Out of Memory" in why:
+            # resource exhaustion inside DuckDB is a deferral, not a
+            # verdict — keyed on the exception CLASS localverify embeds
+            # (ERR[OutOfMemoryException] / ERR[IOException] with ENOSPC),
+            # never on a substring of an engine-mismatch detail (a real
+            # FAIL whose diff text mentions "Out of Memory" stays a FAIL)
+            if why.startswith("ERR[OutOfMemoryException]") or (
+                    why.startswith("ERR[IOException]")
+                    and "No space left on device" in why):
                 return f"deferred: oracle resource error ({why[:120]})"
             return f"FAIL {why}"
     return f"deferred: runner could not parse localverify output " \
            f"(exit {p.returncode}): {out.strip()[-200:]}"
 
 
-todo = [n for n in names if results.get(n) is None]
+# deferred entries are TODO on every re-run (ADVICE r13: sticky deferrals
+# were never retried even after raising the quota); only real verdicts
+# ("pass" / "FAIL ...") are resumable state. --keep-deferred restores the
+# old behavior for quota-exhausted boxes.
+def is_verdict(v):
+    return v is not None and not str(v).startswith("deferred")
+
+todo = [n for n in names
+        if (results.get(n) is None
+            or (not args.keep_deferred and not is_verdict(results.get(n))))]
 print(f"{len(todo)} entries to check ({len(names) - len(todo)} already done)")
 for i, name in enumerate(todo):
     t0 = time.time()

@@ -1,51 +1,116 @@
 #!/usr/bin/env python3
-"""Fold the round's per-entry sf1 oracle runs into VERIFY_SF1_r13.json.
+"""Fold per-entry sf1 oracle runs + carried verdicts into VERIFY_SF1_r{N}.json.
 
-Precedence (later overrides earlier):
-  1. carried r11 verdicts — the heavy-34 set DuckDB-verified at sf1 in
-     r11, valid at HEAD only for entries whose code AND oracle are
-     unchanged since (the changed set is re-checked this round and
-     overrides);
-  2. VERIFY_SF1_r12.json passes (r12 outputs == HEAD outputs for
-     unchanged entries);
-  3. this round's per-entry runner results, newest last.
+Carried-pass precedence is now MECHANICALLY GUARDED (ADVICE r13 medium):
+a verdict carried from an earlier round is only accepted for entries whose
+Spark + oracle source is provably unchanged since that round's commit.
+"Provably unchanged" is derived from git, not from a hand-curated list:
 
-The vocabulary is the runner's: "pass", "FAIL <detail>", or
-"deferred: <resource reason>" — a resource error can never appear as a
-fail row (the r12 ENOSPC lesson, VERDICT r12 wrong-item 2). The fold
-fails loudly if any of the 295 entries is missing or any FAIL remains.
+  1. changed = `git diff --name-only <carried_commit>..HEAD -- src/main/scala`
+  2. closure = fixpoint of files that textually reference any changed
+     file's top-level object/class/trait names (catches shared-helper
+     indirection: an entry defined in TextAnalysis.scala is dirty when
+     Dln.scala changes, because TextAnalysis references `Dln` even though
+     Dln.scala never mentions the entry's name)
+  3. dirty entries = every entry name that appears in a closure file.
+     Both the DataFrame code and the DuckDB oracle text live in the same
+     source files (SparkEntry.queries / oracleSql contributions), so one
+     closure covers both sides.
 
-Usage: sf1fold.py OUT.json ORACLE_SQL.json
+The fold FAILS (non-zero exit) if any dirty entry lacks a fresh verdict
+from this round's runs — a stale pass can no longer be silently recorded.
+
+Verdict vocabulary unchanged: "pass", "FAIL <detail>",
+"deferred: <resource reason>"; any FAIL fails the fold; every one of the
+oracle's entries must be covered.
+
+Usage:
+  sf1fold.py OUT.json ORACLE_SQL.json \
+      --carry VERIFY_SF1_r13.json@<commit> [--carry ...] \
+      --run target/lv_a.json [--run ...]
 """
-import json, sys
+import argparse, json, re, subprocess, sys
 
-out, oracle_path = sys.argv[1], sys.argv[2]
-allnames = set(json.load(open(oracle_path)))
-entries = {}
+ap = argparse.ArgumentParser()
+ap.add_argument("out")
+ap.add_argument("oracle_sql")
+ap.add_argument("--carry", action="append", default=[],
+                help="ARTIFACT.json@commit — carried verdicts, oldest first")
+ap.add_argument("--run", action="append", default=[],
+                help="this round's per-entry runner results, oldest first")
+args = ap.parse_args()
 
-# 1. carried r11 (heavy-34) — annotated, overridden by anything newer
-r11_34 = set(json.load(open("SCALE_r11.json"))["queries"])
-for n in r11_34:
-    entries[n] = "pass (r11 sf1 oracle check; code+oracle unchanged since)"
+allnames = set(json.load(open(args.oracle_sql)))
 
-# 2. r12 passes
-r12 = json.load(open("VERIFY_SF1_r12.json"))["entries"]
-for n, v in r12.items():
-    if v == "pass":
-        entries[n] = "pass (r12 sf1 oracle check; code+oracle unchanged since)"
 
-# 3. this round's runs, in execution order
-runs = ["target/lv_sf1_r13.json", "target/lv_sf1_chg.json",
-        "target/lv_sf1_dln.json", "target/lv_sf1_sig.json",
-        "target/lv_sf1_mid.json", "target/lv_sf1_cap.json"]
-for path in runs:
+def sh(*cmd):
+    return subprocess.run(cmd, capture_output=True, text=True, check=True).stdout
+
+
+def top_level_names(path, rev="HEAD"):
+    """Top-level object/class/trait names defined in a Scala file at rev."""
+    try:
+        src = sh("git", "show", f"{rev}:{path}")
+    except subprocess.CalledProcessError:
+        return set()
+    return set(re.findall(r"^\s*(?:private\s+)?(?:final\s+)?(?:case\s+)?"
+                          r"(?:object|class|trait)\s+(\w+)", src, re.M))
+
+
+def dirty_entries(commit):
+    """Entry names whose Spark-or-oracle source changed since `commit`."""
+    changed = [f for f in sh("git", "diff", "--name-only",
+                             f"{commit}..HEAD", "--", "src/main/scala")
+               .splitlines() if f]
+    if not changed:
+        return set(), []
+    tracked = [f for f in sh("git", "ls-files", "src/main/scala").splitlines()
+               if f]
+    body = {}
+    for f in tracked:
+        try:
+            body[f] = sh("git", "show", f"HEAD:{f}")
+        except subprocess.CalledProcessError:
+            body[f] = ""
+    closure = set(changed)
+    while True:
+        # names defined by the current closure, at HEAD and at the carried
+        # commit (a deleted/renamed helper still dirties its old referents)
+        names = set()
+        for f in closure:
+            names |= top_level_names(f, "HEAD") | top_level_names(f, commit)
+        pats = [re.compile(rf"\b{re.escape(n)}\b") for n in names]
+        grown = closure | {f for f, src in body.items()
+                           if any(p.search(src) for p in pats)}
+        if grown == closure:
+            break
+        closure = grown
+    dirty = {n for n in allnames
+             if any(n in body.get(f, "") for f in closure)}
+    return dirty, sorted(closure)
+
+
+entries, provenance = {}, {}
+for spec in args.carry:
+    path, commit = spec.rsplit("@", 1)
+    art = json.load(open(path))
+    dirty, closure = dirty_entries(commit)
+    print(f"carry {path}@{commit[:9]}: {len(dirty)} entries dirtied by "
+          f"{len(closure)} changed/closure files")
+    for n, v in art["entries"].items():
+        ok = v == "pass" or v.startswith("pass (")
+        if ok and n not in dirty:
+            entries[n] = f"pass ({path.split('/')[-1]} @ {commit[:9]}; " \
+                         f"source unchanged since — git-derived)"
+for path in args.run:
     for n, v in json.load(open(path)).items():
         entries[n] = v
 
 missing = sorted(allnames - set(entries))
 extra = sorted(set(entries) - allnames)
 if missing or extra:
-    sys.exit(f"coverage mismatch: missing={missing} extra={extra}")
+    sys.exit(f"coverage gap — dirty-or-new entries lacking a fresh verdict: "
+             f"missing={missing} extra={extra}")
 entries = {n: entries[n] for n in sorted(allnames)}
 
 npass = sum(1 for v in entries.values() if v == "pass")
@@ -60,9 +125,10 @@ if nfail:
 res = {"sf": "1.0", "pass": npass, "carried_pass": ncarried,
        "deferred": ndef, "fail": 0,
        "note": ("per-entry one-process oracle runs (tools/lv_perentry.py) "
-                "with spill quota + timeout; resource exhaustion is recorded "
-                "as deferred, never as fail; heavy oracles ran with "
-                "LV_MATERIALIZE (evaluation hint only - results identical)"),
+                "with spill quota + timeout; resource exhaustion recorded as "
+                "deferred, never fail; carried passes are git-guarded — a "
+                "carried verdict is refused for any entry whose source "
+                "reference-closure changed since the carried commit"),
        "entries": entries}
-json.dump(res, open(out, "w"), indent=1)
-print(f"{npass} pass / {ncarried} carried / {ndef} deferred / 0 fail -> {out}")
+json.dump(res, open(args.out, "w"), indent=1)
+print(f"{npass} pass / {ncarried} carried / {ndef} deferred / 0 fail -> {args.out}")
