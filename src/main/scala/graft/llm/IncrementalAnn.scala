@@ -1,6 +1,5 @@
 package graft.llm
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -88,7 +87,7 @@ object IncrementalAnn {
     // bootstrap: the first batch trains the initial quantizer on itself
     // (there is nothing else to train on); later batches fold against the
     // stored centroids untouched
-    if (!Files.exists(Paths.get(centsPath)))
+    if (!graft.util.Fs.exists(s, centsPath))
       Sinks.writeAtomic(Similarity.kmeansCentroids(se), centsPath)
     val cents = s.read.parquet(centsPath)
     // assign ONLY the batch: O(batch x n_cells) against the stored-centroid broadcast
@@ -247,7 +246,7 @@ object IncrementalAnn {
     val subs = subsOf(scaled(batch.select(col("vec_id"), col("embedding"))))
       .localCheckpoint()
     val cbPath = s"$base/cb"
-    if (!Files.exists(Paths.get(cbPath)))
+    if (!graft.util.Fs.exists(s, cbPath))
       Sinks.writeAtomic(Similarity.pqCodebooks(subs), cbPath)
     val cb = s.read.parquet(cbPath)
     val codes = Similarity.pqEncode(subs, cb)

@@ -1,6 +1,5 @@
 package graft.llm
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -76,7 +75,7 @@ object IncrementalDedup {
     // bucket (mergeByKeyBucket heals too, but that runs after this read)
     Sinks.healBuckets(bandStore)
     val stored =
-      if (Files.exists(Paths.get(bandStore)))
+      if (graft.util.Fs.exists(s, bandStore))
         s.read.parquet(bandStore).select(col("doc_id"), col("band_idx"), col("band_key"))
       else s.createDataFrame(s.sparkContext.emptyRDD[Row],
         StructType(bandsNew.schema.fields))
@@ -134,8 +133,8 @@ object IncrementalDedup {
   /** True iff a prior attempt COMPLETED the parquet write at `p` (the
     * `_SUCCESS` marker is committed last, so a crash mid-write leaves no
     * marker and the artifact is recomputed). */
-  private def committed(p: String): Boolean =
-    Files.exists(Paths.get(p, "_SUCCESS"))
+  private def committed(s: SparkSession, p: String): Boolean =
+    graft.util.Fs.exists(s, s"$p/_SUCCESS")
 
   /** Fold one batch of NEW edges into the persisted label store via
     * COMPONENT CONTRACTION: the fixpoint CC runs on the label graph —
@@ -170,7 +169,7 @@ object IncrementalDedup {
     val edges = batch.select(col("doc_a"), col("doc_b")).localCheckpoint()
     Sinks.healBuckets(store)
     val stored =
-      if (Files.exists(Paths.get(store)))
+      if (graft.util.Fs.exists(s, store))
         s.read.parquet(store).select(col("doc"), col("label"))
       else edges.select(col("doc_a").as("doc"), col("doc_a").as("label")).limit(0)
     // current labels of the batch endpoints; unseen nodes label themselves
@@ -180,7 +179,7 @@ object IncrementalDedup {
       .select(col("doc"), coalesce(col("label"), col("doc")).as("label"))
       .localCheckpoint()
     val remapPath = s"$base/remaps/batch_$batchId"
-    if (!committed(remapPath)) {
+    if (!committed(s, remapPath)) {
       val lblEdges = edges
         .join(cur.select(col("doc").as("doc_a"), col("label").as("la")), "doc_a")
         .join(cur.select(col("doc").as("doc_b"), col("label").as("lb")), "doc_b")
@@ -244,7 +243,7 @@ object IncrementalDedup {
     // twice. On a replay (moves artifact already committed) the buckets
     // may be half-rewritten, so the staying set reads them fresh (lazy,
     // no checkpoint) and the moves come from the persisted artifact.
-    val freshTick = !committed(movesPath)
+    val freshTick = !committed(s, movesPath)
     val srcRows =
       if (srcDirs.isEmpty) newLabeled.limit(0)
       else {
@@ -312,7 +311,7 @@ object IncrementalDedup {
     val del = deleted.select(col("doc_id")).localCheckpoint()
     Sinks.healBuckets(store)
     val affectedPath = s"$base/forgets/tick_$tickId"
-    if (!committed(affectedPath))
+    if (!committed(s, affectedPath))
       s.read.parquet(store)
         .join(del, col("doc") === col("doc_id"))
         .select(col("label")).distinct()
@@ -398,10 +397,7 @@ object IncrementalDedup {
     * a bare directory. */
   private[graft] def labelsOrEmpty(s: SparkSession, base: String): DataFrame = {
     val p = s"$base/labels"
-    val hasData = Files.exists(Paths.get(p)) && {
-      val walk = Files.walk(Paths.get(p))
-      try walk.anyMatch(f => f.toString.endsWith(".parquet")) finally walk.close()
-    }
+    val hasData = graft.util.Fs.hasDataFiles(s, p)
     if (hasData) s.read.parquet(p)
     else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(
@@ -892,14 +888,12 @@ object IncrementalDedup {
       (0 to 1).foreach { t =>
         val tmp = s"$base/src_stage_$t"
         newDocs.where(expr(s"(doc_id DIV 3) % 2 = $t")).coalesce(1).write.parquet(tmp)
-        val part = Files.list(Paths.get(tmp))
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        Files.createDirectories(Paths.get(s"$base/src"))
-        val dest = Paths.get(s"$base/src/t$t.parquet")
-        Files.move(part, dest)
+        val part = graft.util.Fs.listFiles(s, tmp, ".parquet").head
+        graft.util.Fs.mkdirs(s, s"$base/src")
+        val dest = s"$base/src/t$t.parquet"
+        graft.util.Fs.move(s, part, dest)
         Sinks.deleteRec(tmp)
-        dest.toFile.setLastModified(1700000000000L + t * 60000L)
+        graft.util.Fs.setMtime(s, dest, 1700000000000L + t * 60000L)
       }
       val agreeExpr = (0 until XHash.K).map(k => s"IF(m$k = o$k, 1, 0)").mkString(" + ")
       val stream = s.readStream

@@ -829,14 +829,12 @@ object Similarity {
       (0 to 1).foreach { t =>
         val tmp = s"$base/src_stage_$t"
         qsrc.where(col("vec_id") % 2 === t).coalesce(1).write.parquet(tmp)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
-        val dest = java.nio.file.Paths.get(s"$base/src/t$t.parquet")
-        java.nio.file.Files.move(part, dest)
+        val part = graft.util.Fs.listFiles(s, tmp, ".parquet").head
+        graft.util.Fs.mkdirs(s, s"$base/src")
+        val dest = s"$base/src/t$t.parquet"
+        graft.util.Fs.move(s, part, dest)
         graft.sinks.Sinks.deleteRec(tmp)
-        dest.toFile.setLastModified(1700000000000L + t * 60000L)
+        graft.util.Fs.setMtime(s, dest, 1700000000000L + t * 60000L)
       }
       val stream = s.readStream.schema(Tables.embeddings)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
