@@ -534,40 +534,36 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Per-shard char budget for the doc-range-sharded gram count (PERF
-    * #73's named next step past sf10). One shard ≈ SubShardChars of text
-    * ≈ that many gram rows, so a shard's (h, cnt) aggregation shuffles
-    * ~16 B × SubShardChars/1 ≈ 4 GB compact rows — the knob that keeps
-    * any single stage's shuffle bounded however big the corpus gets.
-    * Fixture corpora (≤ ~25 MB of text) and generated sf0.1 fit ONE
-    * shard, where the sharded machinery is bypassed for the original
-    * single-window plan — outputs bit-unchanged at driver scales (the
-    * capSimBands no-op pattern). Generated sf1 (≈0.45 GB) lands 2
-    * shards, so the tri-store path is exercised by the sf1 gate. */
+  /** Plan-switch threshold for exact-substring dedup: corpora up to one
+    * budget's worth of text (every driver fixture, generated sf0.1)
+    * keep the original single count-window plan — outputs bit-unchanged
+    * at driver scales (the capSimBands no-op pattern); larger corpora
+    * (generated sf1/sf10) take the bucketed occurrence-store plan. */
   private[graft] val SubShardChars = 256L * 1024 * 1024
 
-  /** Merge-bucket fan-out for the cross-shard count merge: each bucket
-    * job re-aggregates 1/SubMergeBuckets of the distinct-gram table, so
-    * the merge's per-job shuffle is (total grams × ~20 B) / 32 — ~1 GB at
-    * sf10's 1.75e9 grams. */
+  /** Baseline bucket fan-out for the occurrence store. The effective
+    * bucket count grows with the corpus (see substringCoverageOf:
+    * ~[[SubBucketBytes]] of occurrence rows per bucket, capped at 65536
+    * directories), so one merge job's input is bounded at ANY corpus
+    * size — the store's `pmod(h, B)` layout plays the role the
+    * monolithic plan's 45 GB hash exchange played, at 1/B the footprint
+    * per job. */
   private[graft] val SubMergeBuckets = 32
 
-  /** Histogram bins for char-budget shard assignment: shard boundaries
-    * are derived from a ≤4096-row (fr, chars) collect, so a shard's true
-    * size can overshoot its budget by at most one bin — ~0.02% of the id
-    * space — under ANY id/length distribution (ADVICE r13: equal
-    * id-range slices voided the per-shard bound under skew). */
-  private[graft] val SubRangeBins = 4096L
+  /** Target bytes of occurrence rows per merge bucket (~12 B per corpus
+    * char lands ~1.6 GB buckets at 4 GB of text; at 100 TB the cap
+    * yields 65536 buckets of ~18 GB — still one bounded job each). */
+  private[graft] val SubBucketBytes = 2L * 1024 * 1024 * 1024
 
-  /** Width of the bounded driver-side job pool for the shard/bucket
-    * loops: the in-flight shuffle footprint is (per-job bound × this),
-    * independent of how many jobs the corpus fans out to. */
-  private[graft] val SubPoolWidth = 4
+  /** Width of the bounded driver-side job pool for the per-bucket merge
+    * loop: the in-flight footprint is (per-bucket bound × this),
+    * independent of how many buckets the corpus fans out to. */
+  private[graft] val SubPoolWidth = 8
 
-  /** Above this many corpus-repeated gram hashes the repeated set stops
-    * being broadcastable (8 B × 2e7 = 160 MB hashed relation) and the
-    * repeated-position join falls back to doc-range-sharded shuffle
-    * joins. */
+  /** Above this many corpus-repeated gram hashes in one bucket, the
+    * repeated set stops being broadcastable (8 B × 2e7 = 160 MB hashed
+    * relation) and that bucket's position semi-join falls back to a
+    * shuffle join — still bounded by the bucket. */
   private[graft] val SubBroadcastRepeats = 20L * 1000 * 1000
 
   /** The gram stream: one O(n) compiled rolling-hash pass per doc
@@ -611,178 +607,106 @@ object Dedup {
   /** See the `q_llm_dedup_substrings` entry comment. Input: (doc_id, text).
     *
     * Two plans, switched on a deterministic corpus stat (total chars —
-    * one bounded histogram collect), IDENTICAL output either way:
+    * one bounded 1-row collect), IDENTICAL output either way:
     *
-    * **One shard** (total chars ≤ [[SubShardChars]] — every driver
+    * **Small corpus** (total chars <= [[SubShardChars]] — every driver
     * fixture): corpus-repeated positions via a count window over the
     * gram hash — the stream is touched once and shuffled once. The
     * window has no partial aggregation (ADVICE r11's skew caveat: a hot
     * gram's occurrences buffer in one WindowExec task — hottest observed
-    * ~1e4, fine at this size), but it measured 2.3× faster than the
+    * ~1e4, fine at this size), but it measured 2.3x faster than the
     * agg+join shape at fixture scale (PERF #62), so it stays the
     * small-corpus plan.
     *
-    * **Sharded** (PERF #73/#79; VERDICT r12 weak 4, r13 next 1): the
-    * global repeat test `count(h) ≥ 2` decomposes exactly over char-
-    * budget shards, and — the r14 move — the corpus is decoded and
-    * shingled exactly ONCE: a gram that is a SINGLETON within its shard
-    * has exactly one position, so the per-shard summary row carries that
-    * position inline and the cross-shard merge emits repeated positions
-    * directly. The old plan's pass 2 (re-derive the whole gram stream to
-    * look positions up) no longer exists.
+    * **Occurrence-store** (PERF #79; the third shape after r12's
+    * monolithic window — 827 s at sf10 but one 45 GB exchange — and
+    * r13's doc-range sharding, whose per-shard count aggregations +
+    * position recovery measured SLOWER than the monolith, 1112-1123 s,
+    * because every shard paid a 250M-distinct-key hash aggregation, a
+    * gram-stream persist, and a second read for within-shard repeat
+    * positions). The insight: the repeat test needs the gram stream
+    * GROUPED BY HASH, and a bucket-partitioned store gives exactly that
+    * grouping for a linear write with NO exchange at all:
     *
-    *  0. stage the corpus once, directory-partitioned into shards of
-    *     ≈[[shardChars]] chars each. Shard boundaries come from a
-    *     [[SubRangeBins]]-bin char histogram over the id range (bounded
-    *     metadata collect), assigned greedily by cumulative char budget —
-    *     so skewed id gaps or uneven doc lengths cannot concentrate text
-    *     in one shard beyond the histogram's 1/[[SubRangeBins]] id-space
-    *     granularity (ADVICE r13: equal id-range slices voided the bound
-    *     under skew). Staging costs one read + one write; after it every
-    *     shard job reads exactly its own directory at any input layout —
-    *     on a cluster, the same move is range-bucketing the table once.
-    *  1. per shard, derive the gram stream ONCE (persisted for the
-    *     shard job's two consumers) and write one summary row per
-    *     distinct gram: `(h, multi = cnt>1, d1, p1)` where (d1, p1) is
-    *     the gram's single position when `multi` is false (null
-    *     otherwise), partitioned by merge bucket `pmod(h,
-    *     [[SubMergeBuckets]])`. The groupBy partial-aggregates map-side;
-    *     the shard's shuffle carries ≈20 B × shardChars compact rows.
-    *     Within-shard repeats (`multi`) are DEFINITIVELY corpus-repeated
-    *     (local cnt ≥ 2 ⇒ global cnt ≥ 2), so their positions are
-    *     resolved shard-locally right here: a semi-join of the persisted
-    *     stream against the shard's small multi-hash set — broadcast
-    *     when it fits [[SubBroadcastRepeats]], shuffle-join fallback
-    *     otherwise — written to a per-shard position store sized by the
-    *     shard's DUPLICATION, not its length.
-    *  2. merge per bucket (directory-pruned read of that bucket across
-    *     all shards; each shard contributes ≤1 row per gram): repeated
-    *     ⇔ `any(multi) OR appears in ≥2 shards` — exactly `Σcnt ≥ 2`,
-    *     which is why output hashes cannot move. Cross-shard repeats
-    *     that were shard-local singletons emit their inline (d1, p1)
-    *     directly — no corpus pass, no gram-stream join.
-    *  3. repeated positions = per-shard multi positions ∪ merge-emitted
-    *     singleton positions; feed the shared islands/coverage tail.
+    *  1. stream the grams straight into a store partitioned by
+    *     `b = pmod(h, B)` — one corpus read, one O(chars) write, zero
+    *     shuffle (the only exchange is a corpus-sized repartition to
+    *     set write parallelism: 1x corpus bytes, NOT 12x gram bytes; on
+    *     a real cluster the scan has enough native splits and it is a
+    *     cheap balance). Rows are sorted (b, doc_id, p) within tasks so
+    *     the writer needs no extra partition sort and doc/position
+    *     columns delta-encode (~12 B/char on disk).
+    *     B = max([[SubMergeBuckets]], min(65536, 12*chars /
+    *     [[SubBucketBytes]])) — per-bucket input stays ~2 GB at ANY
+    *     corpus size.
+    *  2. merge per bucket (a directory-pruned read of 1/B of the
+    *     store): count per hash, keep `count >= 2` — GLOBALLY exact,
+    *     because `pmod(h, B)` puts every occurrence of a hash in one
+    *     bucket — then semi-join the SAME bucket's occurrences against
+    *     that (small) repeated set, broadcast when it fits
+    *     [[SubBroadcastRepeats]], and emit the repeated positions.
+    *     One bucket job shuffles at most ~[[SubBucketBytes]]/12 gram
+    *     rows; the bounded pool keeps a few such jobs in flight.
+    *  3. union the per-bucket position stores; islands/coverage tail.
     *
-    * No stage shuffles more than ~1/S of the stream at any corpus size —
-    * S grows with the corpus, per-stage cost does not — and the corpus'
-    * text column is decoded once (staging) + once (gram kernel) + once
-    * (the n_chars lengths in the coverage tail), never per-shard-count.
-    * Scratch lives under a per-invocation unique directory and is
-    * deleted before returning; the returned frame is eagerly
-    * materialized (localCheckpoint — the slim per-doc verdicts), so a
-    * later call can never invalidate an earlier result and no
-    * corpus-sized staging outlives the query (ADVICE r13). */
+    * The corpus text is decoded once for stats, once for the gram
+    * kernel, once for the n_chars lengths in the coverage tail — never
+    * per shard, and no stage anywhere holds more than ~1/B of the gram
+    * stream in a shuffle. Scratch lives under a per-invocation unique
+    * directory and is deleted before returning; the returned frame is
+    * eagerly materialized (localCheckpoint — the slim per-doc
+    * verdicts), so a later call can never invalidate an earlier result
+    * and no corpus-sized staging outlives the query (ADVICE r13). */
   private[graft] def substringCoverageOf(d: DataFrame,
                                          shardChars: Long = SubShardChars,
                                          broadcastMax: Long = SubBroadcastRepeats)
       : DataFrame = {
     graft.functions.GraftFunctions.register(d.sparkSession)
     val s = d.sparkSession
-    // bounded metadata collects (the sanctioned idiom): the id range
-    // (columnar min/max, no text decode), then a ≤SubRangeBins-row char
-    // histogram over fine id ranges — the same single text scan the old
-    // 1-row total took, now also yielding char-budget shard boundaries
-    val idSt = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-      .collect()(0)
-    val (lo, hi) =
-      if (idSt.isNullAt(0)) (0L, 0L) else (idSt.getLong(0), idSt.getLong(1))
-    val rw = (hi - lo) / SubRangeBins + 1
-    // integer DIV (Column./ is double division — exactness over the full
-    // long id range matters more than elegance)
-    def frOf = expr(s"CAST((doc_id - ${lo}L) DIV ${rw}L AS BIGINT)")
-    val hist = d
-      .groupBy(frOf.as("fr"))
-      .agg(sum(length(col("text"))).cast("long").as("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val totalChars = hist.map(_._2).sum
-    val nShards = math.max(1L, (totalChars + shardChars - 1) / shardChars)
-    if (nShards == 1L) {
+    // bounded 1-row stats collect (the sanctioned metadata-collect
+    // idiom): total chars picks the plan and sizes the bucket fan-out
+    val st = d.agg(sum(length(col("text"))).as("tc")).collect()(0)
+    val totalChars = if (st.isNullAt(0)) 0L else st.getLong(0)
+    if (totalChars <= shardChars) {
       val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
       val repPos = gramOcc(d)
         .withColumn("c", count(lit(1)).over(wh))
         .where(col("c") > 1).select(col("doc_id"), col("p"))
       return coverageOf(d, repPos)
     }
-    // greedy cumulative char-budget assignment: walk histogram bins in id
-    // order, open a new shard when the running shard would exceed the
-    // balanced target. A single bin larger than the target cannot be
-    // split (granularity = 1/SubRangeBins of the id SPACE); with 4096
-    // bins that is ~0.02% of the corpus per bin — the advertised
-    // per-shard bound holds up to that granularity under any id/length
-    // distribution.
-    val target = totalChars / nShards + 1
-    val frShard = {
-      var (sh, acc) = (0L, 0L)
-      hist.map { case (fr, c) =>
-        if (acc + c > target && acc > 0L) { sh += 1; acc = 0L }
-        acc += c
-        (fr, math.min(sh, nShards - 1))
-      }
-    }
-    val nUsed = frShard.map(_._2).max + 1
-    import s.implicits._
-    val mapDf = frShard.toSeq.toDF("fr", "_shard")
+    val buckets = math.max(SubMergeBuckets.toLong,
+      math.min(65536L, 12L * totalChars / SubBucketBytes)).toInt
     val base =
-      s"${graft.sinks.Sinks.tmpBase}/sub_shards/${java.util.UUID.randomUUID().toString.take(8)}"
-    def shardOf(i: Long): DataFrame = {
-      val p = s"$base/staged/_shard=$i"
-      if (graft.util.Fs.exists(s, p)) s.read.parquet(p)
-      else s.emptyDataFrame.selectExpr("CAST(0 AS BIGINT) AS doc_id",
-        "CAST('' AS STRING) AS text").limit(0)
-    }
+      s"${graft.sinks.Sinks.tmpBase}/sub_occ/${java.util.UUID.randomUUID().toString.take(8)}"
     try {
-      // 0. stage — the only full-corpus write; ~nUsed files per task
-      d.select(col("doc_id"), col("text"))
-        .withColumn("fr", frOf)
-        .join(broadcast(mapDf), Seq("fr"))
-        .select(col("doc_id"), col("text"), col("_shard"))
-        .write.partitionBy("_shard").parquet(s"$base/staged")
-      // 1. per-shard summaries + within-shard repeat positions. Bounded
-      //    concurrent submission (util.Jobs): serialized job turnaround
-      //    left the scheduler idle between small stages; unbounded would
-      //    multiply the in-flight shuffle footprint by S. Each job owns
-      //    DISJOINT output directories — two Spark jobs must never append
-      //    into one tree concurrently (committer _temporary races).
-      graft.util.Jobs.inPool(SubPoolWidth)((0L until nUsed).map(i => () => {
-        val g = gramOcc(shardOf(i))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          g.groupBy(col("h"))
-            .agg(count(lit(1)).as("c"),
-              min(col("doc_id")).as("md"), min(col("p")).as("mp"))
-            .select(col("h"), (col("c") > 1).as("multi"),
-              when(col("c") === 1, col("md")).as("d1"),
-              when(col("c") === 1, col("mp")).as("p1"),
-              pmod(col("h"), lit(SubMergeBuckets)).as("b"))
-            .write.partitionBy("b").parquet(s"$base/cnts/s$i")
-          val locRep = s.read.parquet(s"$base/cnts/s$i")
-            .where(col("multi")).select(col("h"))
-          val lr =
-            if (locRep.count() <= broadcastMax) broadcast(locRep) else locRep
-          g.join(lr, Seq("h"), "leftsemi").select(col("doc_id"), col("p"))
-            .write.parquet(s"$base/locpos/s$i")
-        } finally { g.unpersist(); () }
-      }))
-      // 2. cross-shard merge, one bounded job per bucket, disjoint outputs
-      graft.util.Jobs.inPool(SubPoolWidth)((0 until SubMergeBuckets).map(m => () => {
-        val ins = graft.util.Fs.existing(s,
-          (0L until nUsed).map(i => s"$base/cnts/s$i/b=$m"))
-        if (ins.nonEmpty) {
-          val rows = s.read.parquet(ins: _*)
-          val rep = rows.groupBy(col("h"))
-            .agg(max(col("multi")).as("am"), count(lit(1)).as("ns"))
-            .where(col("am") || col("ns") >= 2).select(col("h"))
-          rows.where(!col("multi"))
-            .join(rep, Seq("h"), "leftsemi")
-            .select(col("d1").as("doc_id"), col("p1").as("p"))
+      // 1. the occurrence store. repartition by doc_id so write
+      //    parallelism tracks the cluster, not the input file count
+      //    (generated corpora arrive as a handful of >=128 MB splits),
+      //    and each doc stays whole in one task so (doc_id, p) runs
+      //    delta-encode. sortWithinPartitions leads with b, so the
+      //    parquet writer takes the dynamic-partition path with no
+      //    second sort.
+      val par = s.sparkContext.defaultParallelism * 2
+      gramOcc(d.repartition(par, col("doc_id")))
+        .withColumn("b", pmod(col("h"), lit(buckets)))
+        .sortWithinPartitions(col("b"), col("doc_id"), col("p"))
+        .write.partitionBy("b").parquet(s"$base/occ")
+      // 2. bounded per-bucket merges (disjoint outputs — two Spark jobs
+      //    must never append into one tree: committer _temporary races)
+      graft.util.Jobs.inPool(SubPoolWidth)((0 until buckets).map(m => () => {
+        val bp = s"$base/occ/b=$m"
+        if (graft.util.Fs.exists(s, bp)) {
+          val occ = s.read.parquet(bp)
+          val rep = occ.groupBy(col("h")).agg(count(lit(1)).as("n"))
+            .where(col("n") >= 2).select(col("h")).localCheckpoint()
+          val arm = if (rep.count() <= broadcastMax) broadcast(rep) else rep
+          occ.join(arm, Seq("h"), "leftsemi").select(col("doc_id"), col("p"))
             .write.parquet(s"$base/reppos/m$m")
         }
       }))
-      // 3. union the two position stores; islands/coverage tail; EAGER
+      // 3. islands/coverage tail over the union of position stores; EAGER
       val posPaths = graft.util.Fs.existing(s,
-        (0L until nUsed).map(i => s"$base/locpos/s$i") ++
-          (0 until SubMergeBuckets).map(m => s"$base/reppos/m$m"))
+        (0 until buckets).map(m => s"$base/reppos/m$m"))
       val repPos =
         if (posPaths.nonEmpty) s.read.parquet(posPaths: _*)
         else s.range(0).selectExpr("id AS doc_id", "CAST(id AS INT) AS p")

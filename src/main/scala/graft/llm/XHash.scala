@@ -154,11 +154,16 @@ object XHash {
     (0 until EmbDim)
       .map(d => s"element_at($se, ${d + 1}) * ${planeWeight(p, d)}L")
       .mkString(" + ")
-  def duckPlaneDot(se: String, p: Int): String = {
-    val w = (0 until EmbDim).map(planeWeight(p, _)).mkString("[", ",", "]")
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(range(1, ${EmbDim + 1}), i -> $se[i] * ($w)[i])), (a, b) -> a + b)"
-  }
+  def duckPlaneDot(se: String, p: Int): String =
+    // flat unrolled sum, mirroring sparkPlaneDot term-for-term. The old
+    // list_reduce-over-list_transform form built the 64-literal weight
+    // LIST inside the lambda — DuckDB reconstructed it per element, per
+    // plane, per row (measured: the 32-plane `bits`/`d` CTE alone took
+    // 1864 s single-threaded at sf1 — the entire cause of the three
+    // deferred sf1 oracle timeouts). Flat BIGINT addition is the same
+    // left-assoc exact-integer sum (list_reduce folded from a prepended
+    // 0), so every hash/band/verdict is bit-unchanged.
+    (0 until EmbDim).map(d => s"$se[${d + 1}] * ${planeWeight(p, d)}").mkString(" + ")
 
   /** Exact dot product of two scaled-long embedding columns — DuckDB
     * (oracle) side. The Spark side uses the native codegen kernel

@@ -47,10 +47,43 @@ def sh(*cmd):
     return subprocess.run(cmd, capture_output=True, text=True, check=True).stdout
 
 
+def strip_comments(src):
+    """Remove Scala // and (nesting) /* */ comments, preserving string
+    literals — `//` is DuckDB integer division inside oracle SQL strings,
+    and a comment-only mention of an object (e.g. Tables.scala citing
+    `Verify` in a scaladoc) must not create a dependency edge: without
+    this the closure saturated to all 295 entries through two comment
+    mentions."""
+    out, i, n = [], 0, len(src)
+    while i < n:
+        c = src[i]
+        if src.startswith('"""', i):  # triple-quoted string
+            j = src.find('"""', i + 3)
+            j = n if j < 0 else j + 3
+            out.append(src[i:j]); i = j
+        elif c == '"':
+            j = i + 1
+            while j < n and src[j] != '"':
+                j += 2 if src[j] == '\\' else 1
+            out.append(src[i:j + 1]); i = j + 1
+        elif src.startswith("//", i):
+            j = src.find("\n", i)
+            i = n if j < 0 else j
+        elif src.startswith("/*", i):
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if src.startswith("/*", i): depth += 1; i += 2
+                elif src.startswith("*/", i): depth -= 1; i += 2
+                else: i += 1
+        else:
+            out.append(c); i += 1
+    return "".join(out)
+
+
 def top_level_names(path, rev="HEAD"):
     """Top-level object/class/trait names defined in a Scala file at rev."""
     try:
-        src = sh("git", "show", f"{rev}:{path}")
+        src = strip_comments(sh("git", "show", f"{rev}:{path}"))
     except subprocess.CalledProcessError:
         return set()
     return set(re.findall(r"^\s*(?:private\s+)?(?:final\s+)?(?:case\s+)?"
@@ -69,7 +102,7 @@ def dirty_entries(commit):
     body = {}
     for f in tracked:
         try:
-            body[f] = sh("git", "show", f"HEAD:{f}")
+            body[f] = strip_comments(sh("git", "show", f"HEAD:{f}"))
         except subprocess.CalledProcessError:
             body[f] = ""
     closure = set(changed)
