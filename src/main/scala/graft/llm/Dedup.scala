@@ -577,19 +577,26 @@ object Dedup {
       .selectExpr("doc_id", s"posexplode(graft_gramhashes(text, $SubK)) AS (i, h)")
       .selectExpr("doc_id", "CAST(i + 1 AS INT) AS p", "h")
 
-  /** Islands-of-repeats → per-doc coverage verdict over the REPEATED
-    * positions (a small table: only corpus-duplicated grams carry
-    * positions this far). Shared tail of both substring-dedup plans. */
-  private def coverageOf(d: DataFrame, repPos: DataFrame): DataFrame = {
+  /** Islands-of-repeats over (doc_id, p) REPEATED positions → one slim
+    * row per implicated doc (dup_chars, n_spans). Per-doc windows:
+    * callers may run this monolithically (small corpus) or per
+    * doc-bucket of a position store (each doc lives in exactly one
+    * bucket, so a union of per-bucket results is identical). */
+  private def islandsOf(repPos: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
-    val spans = repPos
+    repPos
       .withColumn("brk", when(col("p") - lag(col("p"), 1).over(w) > SubK, 1).otherwise(0))
       .withColumn("isl", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("isl"))
       .agg((max(col("p")) - min(col("p")) + lit(SubK)).as("span"))
       .groupBy(col("doc_id"))
       .agg(sum(col("span")).as("dup_chars"), count(lit(1)).as("n_spans"))
+  }
+
+  /** Verdict assembly over the slim per-doc island rows (O(docs), the
+    * same class as the output itself). Shared tail of both plans. */
+  private def coverageOf(d: DataFrame, spans: DataFrame): DataFrame = {
     d.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
@@ -663,55 +670,104 @@ object Dedup {
       : DataFrame = {
     graft.functions.GraftFunctions.register(d.sparkSession)
     val s = d.sparkSession
+    // phase timing to stderr when SPARK_GRAFT_SUBPROF is set (perf
+    // forensics only; no plan impact)
+    val prof = sys.env.contains("SPARK_GRAFT_SUBPROF")
+    def ph[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (prof) System.err.println(
+        f"[subprof] $tag%-18s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      r
+    }
     // bounded 1-row stats collect (the sanctioned metadata-collect
     // idiom): total chars picks the plan and sizes the bucket fan-out
-    val st = d.agg(sum(length(col("text"))).as("tc")).collect()(0)
+    val st = ph("stats")(d.agg(sum(length(col("text"))).as("tc")).collect()(0))
     val totalChars = if (st.isNullAt(0)) 0L else st.getLong(0)
     if (totalChars <= shardChars) {
       val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
       val repPos = gramOcc(d)
         .withColumn("c", count(lit(1)).over(wh))
         .where(col("c") > 1).select(col("doc_id"), col("p"))
-      return coverageOf(d, repPos)
+      return coverageOf(d, islandsOf(repPos))
     }
     val buckets = math.max(SubMergeBuckets.toLong,
       math.min(65536L, 12L * totalChars / SubBucketBytes)).toInt
     val base =
       s"${graft.sinks.Sinks.tmpBase}/sub_occ/${java.util.UUID.randomUUID().toString.take(8)}"
+    // dynamic-partition writes below fan one task across `buckets`
+    // directories; concurrent writers skip the per-task partition SORT
+    // the default path inserts (profiled: the sort+spill of the 1.66e9-row
+    // occurrence stream was ~2/3 of a 439 s write at sf10). Small parquet
+    // blocks bound writer memory: buckets × tasks × 8 MB.
+    val cw = "spark.sql.maxConcurrentOutputFileWriters"
+    val cwPrev = s.conf.getOption(cw)
+    s.conf.set(cw, math.max(128, buckets + 8).toString)
     try {
       // 1. the occurrence store. repartition by doc_id so write
       //    parallelism tracks the cluster, not the input file count
       //    (generated corpora arrive as a handful of >=128 MB splits),
       //    and each doc stays whole in one task so (doc_id, p) runs
-      //    delta-encode. sortWithinPartitions leads with b, so the
-      //    parquet writer takes the dynamic-partition path with no
-      //    second sort.
+      //    delta-encode. h is the 63-bit-safe rolling hash mod 1e9+7 —
+      //    it FITS IN AN INT, and h is the incompressible column, so the
+      //    cast nearly halves the store and the merge scans.
       val par = s.sparkContext.defaultParallelism * 2
-      gramOcc(d.repartition(par, col("doc_id")))
-        .withColumn("b", pmod(col("h"), lit(buckets)))
-        .sortWithinPartitions(col("b"), col("doc_id"), col("p"))
-        .write.partitionBy("b").parquet(s"$base/occ")
+      ph("occ store")(gramOcc(d.repartition(par, col("doc_id")))
+        .select(col("doc_id"), col("p"), col("h").cast("int").as("h"),
+          pmod(col("h"), lit(buckets)).cast("int").as("b"))
+        .write.partitionBy("b")
+        .option("parquet.block.size", (8L * 1024 * 1024).toString)
+        .parquet(s"$base/occ"))
       // 2. bounded per-bucket merges (disjoint outputs — two Spark jobs
-      //    must never append into one tree: committer _temporary races)
-      graft.util.Jobs.inPool(SubPoolWidth)((0 until buckets).map(m => () => {
+      //    must never append into one tree: committer _temporary races).
+      //    count per hash is skew-safe (partial aggregation map-side,
+      //    unlike a window over h); repeated == count >= 2 is globally
+      //    exact because pmod(h, B) puts a hash's every occurrence in
+      //    one bucket. Emitted positions land partitioned by DOC bucket,
+      //    so the islands stage can run bounded per-db jobs — under
+      //    template-heavy corpora (the generated fixtures measure 99%
+      //    duplicated chars) repeated positions are nearly the whole
+      //    stream, and a monolithic islands window would be the same
+      //    unbounded exchange the occurrence store exists to avoid.
+      ph("bucket merges")(graft.util.Jobs.inPool(SubPoolWidth)((0 until buckets).map(m => () => {
         val bp = s"$base/occ/b=$m"
         if (graft.util.Fs.exists(s, bp)) {
           val occ = s.read.parquet(bp)
           val rep = occ.groupBy(col("h")).agg(count(lit(1)).as("n"))
             .where(col("n") >= 2).select(col("h")).localCheckpoint()
           val arm = if (rep.count() <= broadcastMax) broadcast(rep) else rep
-          occ.join(arm, Seq("h"), "leftsemi").select(col("doc_id"), col("p"))
-            .write.parquet(s"$base/reppos/m$m")
+          occ.join(arm, Seq("h"), "leftsemi")
+            .select(col("doc_id"), col("p"),
+              pmod(col("doc_id"), lit(buckets)).cast("int").as("db"))
+            .write.partitionBy("db")
+            .option("parquet.block.size", (8L * 1024 * 1024).toString)
+            .parquet(s"$base/reppos/m$m")
         }
-      }))
-      // 3. islands/coverage tail over the union of position stores; EAGER
-      val posPaths = graft.util.Fs.existing(s,
-        (0 until buckets).map(m => s"$base/reppos/m$m"))
-      val repPos =
-        if (posPaths.nonEmpty) s.read.parquet(posPaths: _*)
-        else s.range(0).selectExpr("id AS doc_id", "CAST(id AS INT) AS p")
-      coverageOf(d, repPos).localCheckpoint()
-    } finally graft.util.Fs.delete(s, base)
+      })))
+      // 3. islands per doc-bucket (each doc lives in exactly one db, so
+      //    the union of per-db island rows is identical to a monolithic
+      //    pass), one bounded window job per db, slim per-doc outputs
+      ph("islands")(graft.util.Jobs.inPool(SubPoolWidth)((0 until buckets).map(k => () => {
+        val ins = graft.util.Fs.existing(s,
+          (0 until buckets).map(m => s"$base/reppos/m$m/db=$k"))
+        if (ins.nonEmpty)
+          islandsOf(s.read.parquet(ins: _*))
+            .write.parquet(s"$base/cov/db$k")
+      })))
+      // 4. verdict assembly on O(docs) slim rows; EAGER
+      val covPaths = graft.util.Fs.existing(s,
+        (0 until buckets).map(k => s"$base/cov/db$k"))
+      val spans =
+        if (covPaths.nonEmpty) s.read.parquet(covPaths: _*)
+        else s.range(0).selectExpr("id AS doc_id", "id AS dup_chars", "id AS n_spans")
+      ph("coverage tail")(coverageOf(d, spans).localCheckpoint())
+    } finally {
+      cwPrev match {
+        case Some(v) => s.conf.set(cw, v)
+        case None => s.conf.unset(cw)
+      }
+      graft.util.Fs.delete(s, base)
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
