@@ -594,6 +594,75 @@ object Dedup {
       .agg(sum(col("span")).as("dup_chars"), count(lit(1)).as("n_spans"))
   }
 
+  /** EXACT reconstruction of the repeat-islands from the CLEAN
+    * positions (grams whose hash is globally unique) plus per-doc gram
+    * count N = n_chars - SubK + 1. Why the complement: on the corpora
+    * this operator exists for — raw crawl shards; the generated
+    * fixtures measure 99% duplicated chars — repeated positions are
+    * nearly the WHOLE stream, so emitting them from the merge moves
+    * ~12 B per corpus char twice more, while clean positions are the
+    * sliver. The algebra (all integer, engine-agnostic):
+    *
+    *  - maximal clean runs [lo_j, hi_j] come from gaps-and-islands over
+    *    the clean positions (window per doc — bounded: clean rows only);
+    *  - the maximal REPEATED intervals are the complement:
+    *    [hi_(j-1)+1, lo_j - 1] per run plus a sentinel tail
+    *    [hi_t + 1, N] (empty edge intervals drop; interior ones cannot
+    *    be empty — maximal runs are separated by >=1 repeated position);
+    *  - two adjacent repeated intervals merge into one island iff the
+    *    clean run between them is shorter than SubK — exactly the
+    *    `gap > K breaks` rule on repeated positions, because successive
+    *    repeated positions p, q around a clean run of length g satisfy
+    *    q - p = g + 1;
+    *  - island span = maxP - minP + SubK over its merged intervals.
+    *
+    * Emits one row per doc in `lens` — (doc_id, n_chars) for docs with
+    * n_chars >= SubK: explicit zeros for all-clean docs, and docs with
+    * ZERO clean positions (fully repeated) fall out naturally — their
+    * lone sentinel row yields the single island [1, N], span
+    * N - 1 + SubK = n_chars. */
+  private def islandsFromClean(clean: DataFrame, lens: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val runs = clean
+      .withColumn("nr", when(col("p") - lag(col("p"), 1).over(w) > 1, 1).otherwise(0))
+      .withColumn("rid", sum(col("nr")).over(w))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg(min(col("p")).as("lo"), max(col("p")).as("hi"),
+        count(lit(1)).cast("int").as("len"))
+      .select(col("doc_id"), col("lo"), col("hi"), col("len"))
+    // sentinel run at N+1 turns the tail repeated interval into a
+    // regular "interval before a run"; its own len is never read
+    val sent = lens
+      .select(col("doc_id"),
+        (col("n_chars") - lit(SubK - 1)).cast("int").as("np1lo"))
+      .select(col("doc_id"), (col("np1lo") + 1).as("lo"),
+        (col("np1lo") + 1).as("hi"), lit(0).as("len"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("lo"))
+    val intervals = runs.unionByName(sent)
+      .withColumn("ilo", lag(col("hi"), 1, 0).over(wl) + lit(1))
+      .withColumn("ihi", col("lo") - 1)
+      .withColumn("seplen", lag(col("len"), 1).over(wl))
+      .where(col("ihi") >= col("ilo")) // drop empty EDGE intervals
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("ilo"))
+    val islands = intervals
+      .withColumn("brk",
+        when(lag(col("ilo"), 1).over(wi).isNull, 1)
+          .when(col("seplen") >= SubK, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(wi))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("ihi")) - min(col("ilo")) + lit(SubK)).as("span"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span")).as("dup_chars"), count(lit(1)).as("n_spans"))
+    lens.select(col("doc_id"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
   /** Verdict assembly over the slim per-doc island rows (O(docs), the
     * same class as the output itself). Shared tail of both plans. */
   private def coverageOf(d: DataFrame, spans: DataFrame): DataFrame = {
@@ -718,17 +787,30 @@ object Dedup {
         .write.partitionBy("b")
         .option("parquet.block.size", (8L * 1024 * 1024).toString)
         .parquet(s"$base/occ"))
+      // 1b. slim per-doc gram-count table, partitioned the same way the
+      //     islands stage is (one corpus length-scan, O(docs) rows) —
+      //     the complement islands need N per doc, and fully-repeated
+      //     docs exist ONLY here
+      ph("lens store")(d
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .where(col("n_chars") >= SubK)
+        .withColumn("db", pmod(col("doc_id"), lit(buckets)).cast("int"))
+        .write.partitionBy("db").parquet(s"$base/lens"))
       // 2. bounded per-bucket merges (disjoint outputs — two Spark jobs
       //    must never append into one tree: committer _temporary races).
       //    count per hash is skew-safe (partial aggregation map-side,
       //    unlike a window over h); repeated == count >= 2 is globally
       //    exact because pmod(h, B) puts a hash's every occurrence in
-      //    one bucket. Emitted positions land partitioned by DOC bucket,
-      //    so the islands stage can run bounded per-db jobs — under
-      //    template-heavy corpora (the generated fixtures measure 99%
-      //    duplicated chars) repeated positions are nearly the whole
-      //    stream, and a monolithic islands window would be the same
+      //    one bucket. The merge emits the COMPLEMENT — positions of
+      //    globally-unique grams (anti-join) — because on the corpora
+      //    this operator targets (raw crawl shards; the generated
+      //    fixtures measure 99% duplicated chars) repeated positions
+      //    are nearly the whole stream: emitting them would write and
+      //    re-read ~12 B per corpus char a second time, and a
+      //    monolithic islands window over them would be the same
       //    unbounded exchange the occurrence store exists to avoid.
+      //    Clean positions land partitioned by DOC bucket so the
+      //    islands stage runs bounded per-db jobs.
       ph("bucket merges")(graft.util.Jobs.inPool(SubPoolWidth)((0 until buckets).map(m => () => {
         val bp = s"$base/occ/b=$m"
         if (graft.util.Fs.exists(s, bp)) {
@@ -736,23 +818,29 @@ object Dedup {
           val rep = occ.groupBy(col("h")).agg(count(lit(1)).as("n"))
             .where(col("n") >= 2).select(col("h")).localCheckpoint()
           val arm = if (rep.count() <= broadcastMax) broadcast(rep) else rep
-          occ.join(arm, Seq("h"), "leftsemi")
+          occ.join(arm, Seq("h"), "left_anti")
             .select(col("doc_id"), col("p"),
               pmod(col("doc_id"), lit(buckets)).cast("int").as("db"))
             .write.partitionBy("db")
             .option("parquet.block.size", (8L * 1024 * 1024).toString)
-            .parquet(s"$base/reppos/m$m")
+            .parquet(s"$base/clean/m$m")
         }
       })))
-      // 3. islands per doc-bucket (each doc lives in exactly one db, so
-      //    the union of per-db island rows is identical to a monolithic
-      //    pass), one bounded window job per db, slim per-doc outputs
+      // 3. complement islands per doc-bucket (each doc lives in exactly
+      //    one db, so the union of per-db rows is identical to a
+      //    monolithic pass), one bounded job per db over the db's clean
+      //    sliver + its lens slice, slim per-doc outputs
       ph("islands")(graft.util.Jobs.inPool(SubPoolWidth)((0 until buckets).map(k => () => {
-        val ins = graft.util.Fs.existing(s,
-          (0 until buckets).map(m => s"$base/reppos/m$m/db=$k"))
-        if (ins.nonEmpty)
-          islandsOf(s.read.parquet(ins: _*))
+        val lensK = s"$base/lens/db=$k"
+        if (graft.util.Fs.exists(s, lensK)) {
+          val ins = graft.util.Fs.existing(s,
+            (0 until buckets).map(m => s"$base/clean/m$m/db=$k"))
+          val cleanK =
+            if (ins.nonEmpty) s.read.parquet(ins: _*).select(col("doc_id"), col("p"))
+            else s.range(0).selectExpr("id AS doc_id", "CAST(id AS INT) AS p")
+          islandsFromClean(cleanK, s.read.parquet(lensK))
             .write.parquet(s"$base/cov/db$k")
+        }
       })))
       // 4. verdict assembly on O(docs) slim rows; EAGER
       val covPaths = graft.util.Fs.existing(s,

@@ -738,7 +738,14 @@ class LlmSpec extends SparkSpec {
       (2L, "completely different head " + run + " other-end-qqq"),
       (3L, "nothing here repeats at twenty characters anywhere in this text at all"),
       // intra-doc repeat: two copies separated by >SubK unique chars
-      (4L, block + " unique filler between copies " + block)
+      (4L, block + " unique filler between copies " + block),
+      // FULLY-REPEATED pair: every position of each doc repeats (the
+      // complement-islands sentinel path: zero clean positions)
+      (5L, "identical-twin-document-body-aaaa-bbbb-cccc"),
+      (6L, "identical-twin-document-body-aaaa-bbbb-cccc"),
+      // doc that STARTS and ENDS with the shared run (edge islands:
+      // empty edge intervals in the complement algebra)
+      (7L, run + " mid-unique-zz-7777 " + run)
     ).toDF("doc_id", "text")
     val out = graft.llm.Dedup.substringCoverageOf(d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -755,13 +762,24 @@ class LlmSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("dup_chars") === 50L)
     assert(out(4L).getAs[Long]("n_spans") === 2L)
     assert(out(4L).getAs[String]("verdict") === "drop")
+    // docs 5/6: every position repeated -> one island covering the doc
+    // (the complement plan's sentinel-only path), dup = n_chars => drop
+    Seq(5L, 6L).foreach { id =>
+      assert(out(id).getAs[Long]("dup_chars") === out(id).getAs[Long]("n_chars"))
+      assert(out(id).getAs[Long]("n_spans") === 1L)
+      assert(out(id).getAs[String]("verdict") === "drop")
+    }
+    // doc 7: the shared run opens AND closes the doc (empty edge
+    // intervals in the complement algebra); two islands of 31+space
+    assert(out(7L).getAs[Long]("n_spans") === 2L)
+    assert(out(7L).getAs[Long]("dup_chars") === 64L)
+    assert(out(7L).getAs[String]("verdict") === "drop")
 
-    // the doc-range-sharded plan (forced via a tiny per-shard char budget
-    // — every doc lands in its own shard, so the cross-doc repeats are
-    // only discoverable through the bucketed cross-shard count merge)
-    // produces the IDENTICAL row set; likewise the shard-join fallback
-    // (broadcastMax = 0 disables the broadcast arm). Global cnt >= 2 is
-    // what both decompositions compute — sharding must not move a hash.
+    // the occurrence-store plan (forced via a tiny plan-switch budget)
+    // produces the IDENTICAL row set; likewise the shuffle-join merge
+    // fallback (broadcastMax = 0 disables the broadcast arm). Global
+    // cnt >= 2 is what both decompositions compute, and the complement
+    // islands must reconstruct exactly the windowed islands.
     val single = graft.llm.Dedup.substringCoverageOf(d).collect().toSeq
     val sharded = graft.llm.Dedup
       .substringCoverageOf(d, shardChars = 60L).collect().toSeq
