@@ -705,30 +705,39 @@ object Dedup {
     * grouping for a linear write with NO exchange at all:
     *
     *  1. stream the grams straight into a store partitioned by
-    *     `b = pmod(h, B)` — one corpus read, one O(chars) write, zero
-    *     shuffle (the only exchange is a corpus-sized repartition to
-    *     set write parallelism: 1x corpus bytes, NOT 12x gram bytes; on
-    *     a real cluster the scan has enough native splits and it is a
-    *     cheap balance). Rows are sorted (b, doc_id, p) within tasks so
-    *     the writer needs no extra partition sort and doc/position
-    *     columns delta-encode (~12 B/char on disk).
+    *     `b = pmod(h, B)` — one corpus read, one O(chars) write, no
+    *     gram-sized exchange (the only shuffle is a corpus-sized
+    *     repartition to set write parallelism: 1x corpus bytes, NOT 12x
+    *     gram bytes; on a real cluster the scan has enough native
+    *     splits and it is a cheap balance). Concurrent partition
+    *     writers (8 MB parquet blocks) skip the per-task partition sort
+    *     — profiled at most of a 439 s write. The hash column is the
+    *     rolling hash mod 1e9+7, stored as INT: it is the
+    *     incompressible column, so the cast nearly halves the store.
     *     B = max([[SubMergeBuckets]], min(65536, 12*chars /
     *     [[SubBucketBytes]])) — per-bucket input stays ~2 GB at ANY
-    *     corpus size.
+    *     corpus size. A slim (doc_id, n_chars) table partitioned by
+    *     doc-bucket rides along for step 3.
     *  2. merge per bucket (a directory-pruned read of 1/B of the
-    *     store): count per hash, keep `count >= 2` — GLOBALLY exact,
-    *     because `pmod(h, B)` puts every occurrence of a hash in one
-    *     bucket — then semi-join the SAME bucket's occurrences against
-    *     that (small) repeated set, broadcast when it fits
-    *     [[SubBroadcastRepeats]], and emit the repeated positions.
+    *     store): count per hash — GLOBALLY exact, `pmod(h, B)` puts a
+    *     hash's every occurrence in one bucket — then ANTI-join the
+    *     same bucket's occurrences against the repeated set (broadcast
+    *     when it fits [[SubBroadcastRepeats]]) and emit the CLEAN
+    *     positions, partitioned by doc-bucket. The complement, because
+    *     on the target corpora (raw crawl shards; the generated
+    *     fixtures measure 99% duplicated chars) repeated positions are
+    *     nearly the whole stream — the clean sliver is what is small.
     *     One bucket job shuffles at most ~[[SubBucketBytes]]/12 gram
     *     rows; the bounded pool keeps a few such jobs in flight.
-    *  3. union the per-bucket position stores; islands/coverage tail.
+    *  3. reconstruct the repeat islands exactly from the clean
+    *     positions + per-doc gram counts ([[islandsFromClean]] has the
+    *     algebra), one bounded job per doc-bucket; verdict assembly on
+    *     the O(docs) union.
     *
     * The corpus text is decoded once for stats, once for the gram
-    * kernel, once for the n_chars lengths in the coverage tail — never
-    * per shard, and no stage anywhere holds more than ~1/B of the gram
-    * stream in a shuffle. Scratch lives under a per-invocation unique
+    * kernel, once for the lengths table — never per shard, and no
+    * stage anywhere holds more than ~1/B of the gram stream in a
+    * shuffle. Scratch lives under a per-invocation unique
     * directory and is deleted before returning; the returned frame is
     * eagerly materialized (localCheckpoint — the slim per-doc
     * verdicts), so a later call can never invalidate an earlier result
