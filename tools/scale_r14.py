@@ -34,10 +34,23 @@ SF10 = [
 ]
 
 
+def src_equivalent(a, b):
+    """True iff the MEASURED surface (src + build) is identical at the two
+    commits — a docs-only commit between passes must not poison a fold,
+    but any source drift must."""
+    import subprocess
+    out = subprocess.run(
+        ["git", "diff", "--name-only", a, b, "--",
+         "src/main/scala", "src/test/scala", "build.sbt"],
+        capture_output=True, text=True, check=True).stdout.strip()
+    return out == ""
+
+
 def load_checked(pattern):
     """Load bench jsons matching `pattern`, enforcing sidecar provenance."""
     outs, commits, regimes = [], set(), []
-    paths = sorted(glob.glob(pattern))
+    paths = sorted(p for p in glob.glob(pattern)
+                   if not p.endswith(".prov.json"))
     if not paths:
         sys.exit(f"no bench artifacts match {pattern}")
     for p in paths:
@@ -51,19 +64,21 @@ def load_checked(pattern):
         commits.add(prov["commit"])
         regimes.append(prov)
         outs.append(json.load(open(p))["queries"])
-    if len(commits) != 1:
-        sys.exit(f"REFUSED: samples span multiple commits: "
-                 f"{sorted(c[:9] for c in commits)}")
-    return outs, commits.pop(), regimes[0]
+    base = sorted(commits)[0]
+    for c in commits:
+        if c != base and not src_equivalent(base, c):
+            sys.exit(f"REFUSED: samples span SOURCE-different commits: "
+                     f"{sorted(x[:9] for x in commits)}")
+    return outs, base, regimes[0]
 
 
 base = json.load(open("SCALE_r13.json"))
 
 sf1_runs, sf1_commit, sf1_prov = load_checked("target/scale/bench_sf1_p*.json")
 sf10_runs, sf10_commit, sf10_prov = load_checked("target/scale/bench_sf10_p*.json")
-if sf1_commit != sf10_commit:
+if sf1_commit != sf10_commit and not src_equivalent(sf1_commit, sf10_commit):
     sys.exit(f"REFUSED: sf1 ({sf1_commit[:9]}) and sf10 ({sf10_commit[:9]}) "
-             f"measured at different commits")
+             f"measured at source-different commits")
 commit = sf10_commit
 
 for q in RE_SF1:

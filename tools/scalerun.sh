@@ -10,7 +10,9 @@
 # working tree was clean, and the measurement regime. The tree is checked
 # BEFORE and AFTER the run — a sample taken while the tree was dirty or
 # while HEAD moved is stamped clean=false and the fold (scale_r14.py)
-# refuses to label it as a HEAD measurement.
+# refuses to label it as a HEAD measurement. The dirty pathspec is the
+# MEASURED surface only (src/, build.sbt, the runner) -- an edit to a
+# fold/analysis script during a run must not poison the record.
 #
 # Memory: sf>=1 runs get a large heap (the sf1 corpus is 500k docs and the
 # exact-substring gram stream peaks well past the 8g default).
@@ -20,7 +22,7 @@ entries="$1"; shift
 tag="${SCALE_TAG:+_$SCALE_TAG}"
 mkdir -p target/scale
 commit0=$(git rev-parse HEAD)
-dirty0=$(git status --porcelain -- src tools build.sbt | wc -l)
+dirty0=$(git status --porcelain -- src build.sbt tools/runjvm.sh | wc -l)
 for sf in "$@"; do
   mem=8g
   case "$sf" in
@@ -35,7 +37,7 @@ for sf in "$@"; do
   SPARK_GRAFT_BENCH_OUT="$out" \
     tools/runjvm.sh graft.Bench 2>"${out%.json}.err" | tail -1
   commit1=$(git rev-parse HEAD)
-  dirty1=$(git status --porcelain -- src tools build.sbt | wc -l)
+  dirty1=$(git status --porcelain -- src build.sbt tools/runjvm.sh | wc -l)
   clean="false"
   if [ "$commit0" = "$commit1" ] && [ "$dirty0" = "0" ] && [ "$dirty1" = "0" ]; then
     clean="true"
