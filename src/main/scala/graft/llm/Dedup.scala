@@ -560,12 +560,6 @@ object Dedup {
     * independent of how many buckets the corpus fans out to. */
   private[graft] val SubPoolWidth = 8
 
-  /** Above this many corpus-repeated gram hashes in one bucket, the
-    * repeated set stops being broadcastable (8 B × 2e7 = 160 MB hashed
-    * relation) and that bucket's position semi-join falls back to a
-    * shuffle join — still bounded by the bucket. */
-  private[graft] val SubBroadcastRepeats = 20L * 1000 * 1000
-
   /** The gram stream: one O(n) compiled rolling-hash pass per doc
     * (posexplode of the codegen'd hash array) — bit-identical to the
     * explode(sequence)+charhash(substring) form it replaced, which did
@@ -719,16 +713,19 @@ object Dedup {
     *     corpus size. A slim (doc_id, n_chars) table partitioned by
     *     doc-bucket rides along for step 3.
     *  2. merge per bucket (a directory-pruned read of 1/B of the
-    *     store): count per hash — GLOBALLY exact, `pmod(h, B)` puts a
-    *     hash's every occurrence in one bucket — then ANTI-join the
-    *     same bucket's occurrences against the repeated set (broadcast
-    *     when it fits [[SubBroadcastRepeats]]) and emit the CLEAN
-    *     positions, partitioned by doc-bucket. The complement, because
-    *     on the target corpora (raw crawl shards; the generated
-    *     fixtures measure 99% duplicated chars) repeated positions are
-    *     nearly the whole stream — the clean sliver is what is small.
-    *     One bucket job shuffles at most ~[[SubBucketBytes]]/12 gram
-    *     rows; the bounded pool keeps a few such jobs in flight.
+    *     store): ONE fused hash aggregation per bucket —
+    *     `groupBy(h).agg(count, first(doc_id), first(p))` filtered to
+    *     count = 1. GLOBALLY exact, `pmod(h, B)` puts a hash's every
+    *     occurrence in one bucket, and a count-1 group has exactly one
+    *     input row, so first() recovers the occurrence
+    *     deterministically. Emits the CLEAN positions, partitioned by
+    *     doc-bucket. The complement, because on the target corpora
+    *     (raw crawl shards; the generated fixtures measure 99%
+    *     duplicated chars) repeated positions are nearly the whole
+    *     stream — the clean sliver is what is small. (r15: this fused
+    *     the r14 count-agg + anti-join pair, which read each bucket
+    *     twice.) One bucket job shuffles at most ~[[SubBucketBytes]]/12
+    *     gram rows; the bounded pool keeps a few such jobs in flight.
     *  3. reconstruct the repeat islands exactly from the clean
     *     positions + per-doc gram counts ([[islandsFromClean]] has the
     *     algebra), one bounded job per doc-bucket; verdict assembly on
@@ -743,8 +740,7 @@ object Dedup {
     * verdicts), so a later call can never invalidate an earlier result
     * and no corpus-sized staging outlives the query (ADVICE r13). */
   private[graft] def substringCoverageOf(d: DataFrame,
-                                         shardChars: Long = SubShardChars,
-                                         broadcastMax: Long = SubBroadcastRepeats)
+                                         shardChars: Long = SubShardChars)
       : DataFrame = {
     graft.functions.GraftFunctions.register(d.sparkSession)
     val s = d.sparkSession
@@ -776,11 +772,19 @@ object Dedup {
     // dynamic-partition writes below fan one task across `buckets`
     // directories; concurrent writers skip the per-task partition SORT
     // the default path inserts (profiled: the sort+spill of the 1.66e9-row
-    // occurrence stream was ~2/3 of a 439 s write at sf10). Small parquet
-    // blocks bound writer memory: buckets × tasks × 8 MB.
+    // occurrence stream was ~2/3 of a 439 s write at sf10). Writer
+    // memory is writers × 8 MB parquet blocks per task, so the writer
+    // count is capped INDEPENDENTLY of the bucket fan-out (ADVICE r14:
+    // buckets+8 writers at the 65536-bucket cap implied 512 GB/task) —
+    // past the cap Spark falls back to sorting the residual partitions,
+    // which is the bounded-memory behaviour we want at that scale.
+    // Session-conf note: this override is visible to concurrent queries
+    // on the same session until the finally restores it; the operator
+    // is single-flight per session by contract (bench/verify run
+    // queries sequentially), and the setting is harmless to reads.
     val cw = "spark.sql.maxConcurrentOutputFileWriters"
     val cwPrev = s.conf.getOption(cw)
-    s.conf.set(cw, math.max(128, buckets + 8).toString)
+    s.conf.set(cw, math.min(512, math.max(128, buckets + 8)).toString)
     try {
       // 1. the occurrence store. repartition by doc_id so write
       //    parallelism tracks the cluster, not the input file count
@@ -807,11 +811,18 @@ object Dedup {
         .write.partitionBy("db").parquet(s"$base/lens"))
       // 2. bounded per-bucket merges (disjoint outputs — two Spark jobs
       //    must never append into one tree: committer _temporary races).
-      //    count per hash is skew-safe (partial aggregation map-side,
-      //    unlike a window over h); repeated == count >= 2 is globally
-      //    exact because pmod(h, B) puts a hash's every occurrence in
-      //    one bucket. The merge emits the COMPLEMENT — positions of
-      //    globally-unique grams (anti-join) — because on the corpora
+      //    FUSED single scan (r15; PERF #82 named the r14 double read —
+      //    a count aggregation pass + an anti-join pass, 2× the bucket
+      //    bytes): a clean position IS the sole occurrence of a hash
+      //    with global count 1 — globally exact because pmod(h, B) puts
+      //    a hash's every occurrence in one bucket — and a count-1
+      //    group has exactly one input row, so first(doc_id), first(p)
+      //    filtered to n = 1 recovers that occurrence deterministically
+      //    under any partial-aggregation merge order. One hash
+      //    aggregation (partial map-side, skew-safe) replaces
+      //    count-agg + checkpoint + count action + anti-join, and each
+      //    ~2 GB bucket is read ONCE. The merge emits the COMPLEMENT —
+      //    positions of globally-unique grams — because on the corpora
       //    this operator targets (raw crawl shards; the generated
       //    fixtures measure 99% duplicated chars) repeated positions
       //    are nearly the whole stream: emitting them would write and
@@ -823,11 +834,11 @@ object Dedup {
       ph("bucket merges")(graft.util.Jobs.inPool(SubPoolWidth)((0 until buckets).map(m => () => {
         val bp = s"$base/occ/b=$m"
         if (graft.util.Fs.exists(s, bp)) {
-          val occ = s.read.parquet(bp)
-          val rep = occ.groupBy(col("h")).agg(count(lit(1)).as("n"))
-            .where(col("n") >= 2).select(col("h")).localCheckpoint()
-          val arm = if (rep.count() <= broadcastMax) broadcast(rep) else rep
-          occ.join(arm, Seq("h"), "left_anti")
+          s.read.parquet(bp)
+            .groupBy(col("h"))
+            .agg(count(lit(1)).as("n"),
+              first(col("doc_id")).as("doc_id"), first(col("p")).as("p"))
+            .where(col("n") === 1)
             .select(col("doc_id"), col("p"),
               pmod(col("doc_id"), lit(buckets)).cast("int").as("db"))
             .write.partitionBy("db")
@@ -838,22 +849,33 @@ object Dedup {
       // 3. complement islands per doc-bucket (each doc lives in exactly
       //    one db, so the union of per-db rows is identical to a
       //    monolithic pass), one bounded job per db over the db's clean
-      //    sliver + its lens slice, slim per-doc outputs
+      //    sliver + its lens slice, slim per-doc outputs. Discovery is
+      //    one listStatus per parent directory (ADVICE r14: per-path
+      //    exists probes cost buckets² RPCs at the 65536-bucket cap).
+      val lensDbs: Set[Int] = graft.util.Fs.listDirs(s, s"$base/lens")
+        .collect { case n if n.startsWith("db=") => n.stripPrefix("db=").toInt }
+        .toSet
+      val cleanByDb: Map[Int, Seq[String]] = (0 until buckets)
+        .flatMap { m =>
+          graft.util.Fs.listDirs(s, s"$base/clean/m$m").collect {
+            case n if n.startsWith("db=") =>
+              (n.stripPrefix("db=").toInt, s"$base/clean/m$m/$n")
+          }
+        }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
       ph("islands")(graft.util.Jobs.inPool(SubPoolWidth)((0 until buckets).map(k => () => {
-        val lensK = s"$base/lens/db=$k"
-        if (graft.util.Fs.exists(s, lensK)) {
-          val ins = graft.util.Fs.existing(s,
-            (0 until buckets).map(m => s"$base/clean/m$m/db=$k"))
+        if (lensDbs.contains(k)) {
+          val ins = cleanByDb.getOrElse(k, Seq.empty)
           val cleanK =
             if (ins.nonEmpty) s.read.parquet(ins: _*).select(col("doc_id"), col("p"))
             else s.range(0).selectExpr("id AS doc_id", "CAST(id AS INT) AS p")
-          islandsFromClean(cleanK, s.read.parquet(lensK))
+          islandsFromClean(cleanK, s.read.parquet(s"$base/lens/db=$k"))
             .write.parquet(s"$base/cov/db$k")
         }
       })))
       // 4. verdict assembly on O(docs) slim rows; EAGER
-      val covPaths = graft.util.Fs.existing(s,
-        (0 until buckets).map(k => s"$base/cov/db$k"))
+      val covPaths = graft.util.Fs.listDirs(s, s"$base/cov")
+        .collect { case n if n.startsWith("db") => s"$base/cov/$n" }
       val spans =
         if (covPaths.nonEmpty) s.read.parquet(covPaths: _*)
         else s.range(0).selectExpr("id AS doc_id", "id AS dup_chars", "id AS n_spans")

@@ -50,7 +50,7 @@ object Quality {
       .join(customer.select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_anti")
     val riCheck = orders.agg(count(lit(1)).as("n_checked"))
-      .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
+      .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_violations"))))
       .select(lit("orders.custkey_ri").as("check"), col("n_checked"),
         col("n_violations"))
 

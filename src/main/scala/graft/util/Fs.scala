@@ -36,6 +36,17 @@ object Fs {
     if (fs.exists(path)) { fs.delete(path, true); () }
   }
 
+  /** Names of the direct child DIRECTORIES of `dir` (empty when `dir`
+    * is absent). One listStatus RPC — the bucket-store discovery idiom:
+    * probing each candidate child with `exists` costs one RPC per
+    * candidate (buckets² at the 65536-bucket cap), listing costs one
+    * per parent. */
+  def listDirs(s: SparkSession, dir: String): Seq[String] = {
+    val (fs, path) = fsFor(s, dir)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
   /** Direct children of `dir` whose name ends with `suffix`. */
   def listFiles(s: SparkSession, dir: String, suffix: String): Seq[String] = {
     val (fs, path) = fsFor(s, dir)
@@ -50,10 +61,15 @@ object Fs {
   }
 
   /** Rename within one filesystem (the staging→store move of a
-    * just-written part file). */
+    * just-written part file). Hadoop `rename` reports failure by
+    * returning false (dest exists, source missing) rather than
+    * throwing — unchecked, a failed fixture move silently drops a file
+    * and the downstream stream produces wrong rows instead of an
+    * error, so the false is promoted to an exception here. */
   def move(s: SparkSession, from: String, to: String): Unit = {
     val (fs, _) = fsFor(s, from)
-    fs.rename(new Path(from), new Path(to)); ()
+    if (!fs.rename(new Path(from), new Path(to)))
+      throw new java.io.IOException(s"rename failed: $from -> $to")
   }
 
   /** Set the modification time (ms) — file-stream sources order their

@@ -32,6 +32,17 @@ object Jobs {
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
     try Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
+    catch { case e: Throwable =>
+      // Fail-fast must not leave jobs running: the caller's `finally`
+      // typically deletes the scratch tree these jobs write into, and a
+      // still-running job would recreate directories after the delete
+      // (leaked scratch) and surface confusing secondary errors. Drop
+      // the queued work, interrupt in-flight jobs, and WAIT for the
+      // pool to drain before letting the exception escape.
+      pool.shutdownNow()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      throw e
+    }
     finally pool.shutdown()
   }
 }

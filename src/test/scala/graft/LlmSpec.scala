@@ -776,17 +776,16 @@ class LlmSpec extends SparkSpec {
     assert(out(7L).getAs[String]("verdict") === "drop")
 
     // the occurrence-store plan (forced via a tiny plan-switch budget)
-    // produces the IDENTICAL row set; likewise the shuffle-join merge
-    // fallback (broadcastMax = 0 disables the broadcast arm). Global
-    // cnt >= 2 is what both decompositions compute, and the complement
+    // produces the IDENTICAL row set. The store merge is the fused
+    // single-scan aggregation (r15): clean = the lone occurrence of a
+    // count-1 hash, recovered via first() under n = 1 — this fixture
+    // exercises every island shape through it (offset runs, intra-doc
+    // repeats, fully-repeated twins, edge islands), so the complement
     // islands must reconstruct exactly the windowed islands.
     val single = graft.llm.Dedup.substringCoverageOf(d).collect().toSeq
     val sharded = graft.llm.Dedup
       .substringCoverageOf(d, shardChars = 60L).collect().toSeq
-    val shardJoin = graft.llm.Dedup
-      .substringCoverageOf(d, shardChars = 60L, broadcastMax = 0L).collect().toSeq
     assert(sharded === single)
-    assert(shardJoin === single)
   }
 
   test("DSIR selection: target excluded; per-source budget exact; selected prefix dominates") {

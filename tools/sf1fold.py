@@ -86,8 +86,13 @@ def top_level_names(path, rev="HEAD"):
         src = strip_comments(sh("git", "show", f"{rev}:{path}"))
     except subprocess.CalledProcessError:
         return set()
-    return set(re.findall(r"^\s*(?:private\s+)?(?:final\s+)?(?:case\s+)?"
-                          r"(?:object|class|trait)\s+(\w+)", src, re.M))
+    # any modifier sequence allowed (sealed/abstract/implicit/private[pkg]/
+    # protected/final/case/lazy, in any order) — ADVICE r14: a bare
+    # `sealed trait X` with no companion otherwise escapes the closure
+    return set(re.findall(
+        r"^\s*(?:(?:private(?:\[\w+\])?|protected(?:\[\w+\])?|final|sealed"
+        r"|abstract|implicit|case|lazy)\s+)*"
+        r"(?:object|class|trait)\s+(\w+)", src, re.M))
 
 
 def dirty_entries(commit):
