@@ -68,8 +68,22 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     graft.sources.Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
+    // local perf-experiment overrides ("k=v;k=v") — unset in driver runs,
+    // so the measured regime is always sessionConfs; used to A/B a conf
+    // before promoting it INTO sessionConfs with a scale justification
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // perf forensics only (no methodology change): with SPARK_GRAFT_JOBLOG
+    // set, per-job "finished ... took N s" lines (with callsites) come back
+    // at INFO so a single entry's action mix can be profiled offline.
+    if (sys.env.contains("SPARK_GRAFT_JOBLOG"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler",
+        org.apache.logging.log4j.Level.INFO)
     // Warmup with a REAL table read + agg: JVM, codegen, AND the parquet
     // reader/filesystem paths are warm before the first measured query —
     // a range()-only warmup left 3-4 s of reader init charged to whatever

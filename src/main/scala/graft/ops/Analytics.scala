@@ -183,7 +183,15 @@ object Analytics {
     val pairs = erCandidatePairs(c)
       .where(expr("levenshtein(name_a, name_b, 2) IN (0, 1, 2)"))
       .select(col("doc_a"), col("doc_b"))
-    val cc = graft.llm.Dedup.connectedComponents(pairs)
+    // jumpAfter = 2 (r15): THIS consumer's graph is known-deep — TPC-H
+    // names are sequential ("Customer#000000421"), so levenshtein <= 2
+    // chains consecutive names into per-block paths ~block-size long,
+    // and 1-hop min propagation needs O(depth) rounds (profiled ~12
+    // rounds, each a planned+checkpointed job, most of the entry's CC
+    // time). Early pointer jumping converges the same fixpoint in
+    // ~2 + log2(depth) rounds; the jump join's per-round overhead only
+    // costs where the graph is shallow, which this one never is.
+    val cc = graft.llm.Dedup.connectedComponents(pairs, jumpAfter = 2)
     c.select(col("c_custkey"))
       .join(cc, col("c_custkey") === col("doc_id"), "left")
       .select(col("c_custkey"),
