@@ -560,6 +560,13 @@ object Dedup {
     * independent of how many buckets the corpus fans out to. */
   private[graft] val SubPoolWidth = 8
 
+  /** Test/forensics introspection only: which emission arm the LAST
+    * store-plan [[substringCoverageOf]] run chose ("clean" or
+    * "repeated") — the spec asserts the mostly-unique fixture actually
+    * exercises the repeated arm rather than passing through the clean
+    * one. Never read by the engine. */
+  @volatile private[graft] var lastStoreEmission: String = ""
+
   /** The gram stream: one O(n) compiled rolling-hash pass per doc
     * (posexplode of the codegen'd hash array) — bit-identical to the
     * explode(sequence)+charhash(substring) form it replaced, which did
@@ -800,77 +807,131 @@ object Dedup {
         .write.partitionBy("b")
         .option("parquet.block.size", (8L * 1024 * 1024).toString)
         .parquet(s"$base/occ"))
+      // 1c. EMISSION DECISION (r15; VERDICT r14 next-1): the complement
+      //    emission below is optimal only when repeated positions
+      //    dominate (the operator's target corpora — raw crawl shards;
+      //    the generated fixtures measure 99% duplicated chars). On a
+      //    mostly-unique corpus the asymmetry INVERTS: clean positions
+      //    are ~the whole stream and emitting them pays ~12 B per corpus
+      //    char of writes the repeated side would never pay. The merge's
+      //    count aggregation knows both sides' sizes, so choose the arm
+      //    GLOBALLY from one bounded probe: aggregate ONE store bucket
+      //    (pmod(h, B) buckets are unbiased hash-samples of the gram
+      //    stream, so either side's share in one bucket estimates its
+      //    global share; the choice only steers COST — both arms emit
+      //    row-identical verdicts, spec-pinned — so estimator error near
+      //    50/50 is harmless). Probe cost: one extra ~1/B bucket read.
+      //    Deterministic: the probed bucket is the lowest existing id.
+      val emitClean: Boolean = ph("emit probe") {
+        val probeBucket = (0 until buckets)
+          .find(m => graft.util.Fs.exists(s, s"$base/occ/b=$m"))
+        probeBucket.forall { m =>
+          val r = s.read.parquet(s"$base/occ/b=$m")
+            .groupBy(col("h")).agg(count(lit(1)).as("n"))
+            .agg(sum(when(col("n") === 1, 1L).otherwise(0L)).as("clean"),
+              sum(when(col("n") > 1, col("n")).otherwise(0L)).as("rep"))
+            .collect()(0)
+          val (cl, rep) = (if (r.isNullAt(0)) 0L else r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1))
+          if (prof) System.err.println(
+            s"[subprof] emit probe bucket=$m clean=$cl rep=$rep -> " +
+              (if (cl <= rep) "clean (complement)" else "repeated"))
+          cl <= rep
+        }
+      }
+      lastStoreEmission = if (emitClean) "clean" else "repeated"
       // 1b. slim per-doc gram-count table, partitioned the same way the
       //     islands stage is (one corpus length-scan, O(docs) rows) —
-      //     the complement islands need N per doc, and fully-repeated
-      //     docs exist ONLY here
-      ph("lens store")(d
+      //     only the CLEAN arm needs it: the complement islands need N
+      //     per doc, and fully-repeated docs exist ONLY here. The
+      //     repeated arm reconstructs islands from the repeated
+      //     positions directly (islandsOf), where all-clean docs simply
+      //     emit no rows and the verdict tail's left join zero-fills.
+      if (emitClean) ph("lens store")(d
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         .where(col("n_chars") >= SubK)
         .withColumn("db", pmod(col("doc_id"), lit(buckets)).cast("int"))
         .write.partitionBy("db").parquet(s"$base/lens"))
       // 2. bounded per-bucket merges (disjoint outputs — two Spark jobs
       //    must never append into one tree: committer _temporary races).
-      //    FUSED single scan (r15; PERF #82 named the r14 double read —
-      //    a count aggregation pass + an anti-join pass, 2× the bucket
-      //    bytes): a clean position IS the sole occurrence of a hash
-      //    with global count 1 — globally exact because pmod(h, B) puts
-      //    a hash's every occurrence in one bucket — and a count-1
+      //
+      //    CLEAN arm — FUSED single scan (r15; PERF #82 named the r14
+      //    double read): a clean position IS the sole occurrence of a
+      //    hash with global count 1 — globally exact because pmod(h, B)
+      //    puts a hash's every occurrence in one bucket — and a count-1
       //    group has exactly one input row, so first(doc_id), first(p)
       //    filtered to n = 1 recovers that occurrence deterministically
       //    under any partial-aggregation merge order. One hash
-      //    aggregation (partial map-side, skew-safe) replaces
-      //    count-agg + checkpoint + count action + anti-join, and each
-      //    ~2 GB bucket is read ONCE. The merge emits the COMPLEMENT —
-      //    positions of globally-unique grams — because on the corpora
-      //    this operator targets (raw crawl shards; the generated
-      //    fixtures measure 99% duplicated chars) repeated positions
-      //    are nearly the whole stream: emitting them would write and
-      //    re-read ~12 B per corpus char a second time, and a
-      //    monolithic islands window over them would be the same
-      //    unbounded exchange the occurrence store exists to avoid.
-      //    Clean positions land partitioned by DOC bucket so the
+      //    aggregation (partial map-side, skew-safe), each ~2 GB bucket
+      //    read ONCE.
+      //
+      //    REPEATED arm (r15): positions of hashes with count > 1 need
+      //    EVERY occurrence back, which no single aggregation returns
+      //    without buffering a hot hash's whole occurrence list — so it
+      //    is the agg + self-join shape (count > 1 hashes joined back to
+      //    the bucket rows), ~2 scans of the bucket, still bounded at
+      //    ~2x [[SubBucketBytes]] per job. That is exactly the cost the
+      //    clean arm's fusion removed — paid only where the CLEAN side
+      //    is the bigger write, so each arm pays the smaller total.
+      //    Either arm lands positions partitioned by DOC bucket so the
       //    islands stage runs bounded per-db jobs.
+      val posDir = if (emitClean) "clean" else "rep"
       ph("bucket merges")(graft.util.Jobs.inPool(SubPoolWidth)((0 until buckets).map(m => () => {
         val bp = s"$base/occ/b=$m"
         if (graft.util.Fs.exists(s, bp)) {
-          s.read.parquet(bp)
-            .groupBy(col("h"))
-            .agg(count(lit(1)).as("n"),
-              first(col("doc_id")).as("doc_id"), first(col("p")).as("p"))
-            .where(col("n") === 1)
-            .select(col("doc_id"), col("p"),
+          val rows = s.read.parquet(bp)
+          val pos =
+            if (emitClean)
+              rows.groupBy(col("h"))
+                .agg(count(lit(1)).as("n"),
+                  first(col("doc_id")).as("doc_id"), first(col("p")).as("p"))
+                .where(col("n") === 1)
+            else
+              rows.join(
+                rows.groupBy(col("h")).agg(count(lit(1)).as("n"))
+                  .where(col("n") > 1).select(col("h")),
+                "h")
+          pos.select(col("doc_id"), col("p"),
               pmod(col("doc_id"), lit(buckets)).cast("int").as("db"))
             .write.partitionBy("db")
             .option("parquet.block.size", (8L * 1024 * 1024).toString)
-            .parquet(s"$base/clean/m$m")
+            .parquet(s"$base/$posDir/m$m")
         }
       })))
-      // 3. complement islands per doc-bucket (each doc lives in exactly
-      //    one db, so the union of per-db rows is identical to a
-      //    monolithic pass), one bounded job per db over the db's clean
-      //    sliver + its lens slice, slim per-doc outputs. Discovery is
-      //    one listStatus per parent directory (ADVICE r14: per-path
-      //    exists probes cost buckets² RPCs at the 65536-bucket cap).
-      val lensDbs: Set[Int] = graft.util.Fs.listDirs(s, s"$base/lens")
-        .collect { case n if n.startsWith("db=") => n.stripPrefix("db=").toInt }
-        .toSet
-      val cleanByDb: Map[Int, Seq[String]] = (0 until buckets)
+      // 3. islands per doc-bucket (each doc lives in exactly one db, so
+      //    the union of per-db rows is identical to a monolithic pass),
+      //    one bounded job per db, slim per-doc outputs. Clean arm:
+      //    complement reconstruction over the db's clean sliver + its
+      //    lens slice ([[islandsFromClean]]). Repeated arm: the direct
+      //    gaps-and-islands window over the db's repeated positions
+      //    ([[islandsOf]] — the same algebra the small-corpus plan
+      //    runs), no lens table needed. Discovery is one listStatus per
+      //    parent directory (ADVICE r14: per-path exists probes cost
+      //    buckets² RPCs at the 65536-bucket cap).
+      val posByDb: Map[Int, Seq[String]] = (0 until buckets)
         .flatMap { m =>
-          graft.util.Fs.listDirs(s, s"$base/clean/m$m").collect {
+          graft.util.Fs.listDirs(s, s"$base/$posDir/m$m").collect {
             case n if n.startsWith("db=") =>
-              (n.stripPrefix("db=").toInt, s"$base/clean/m$m/$n")
+              (n.stripPrefix("db=").toInt, s"$base/$posDir/m$m/$n")
           }
         }
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val islandDbs: Set[Int] =
+        if (emitClean)
+          graft.util.Fs.listDirs(s, s"$base/lens")
+            .collect { case n if n.startsWith("db=") => n.stripPrefix("db=").toInt }
+            .toSet
+        else posByDb.keySet
       ph("islands")(graft.util.Jobs.inPool(SubPoolWidth)((0 until buckets).map(k => () => {
-        if (lensDbs.contains(k)) {
-          val ins = cleanByDb.getOrElse(k, Seq.empty)
-          val cleanK =
+        if (islandDbs.contains(k)) {
+          val ins = posByDb.getOrElse(k, Seq.empty)
+          val posK =
             if (ins.nonEmpty) s.read.parquet(ins: _*).select(col("doc_id"), col("p"))
             else s.range(0).selectExpr("id AS doc_id", "CAST(id AS INT) AS p")
-          islandsFromClean(cleanK, s.read.parquet(s"$base/lens/db=$k"))
-            .write.parquet(s"$base/cov/db$k")
+          val isl =
+            if (emitClean) islandsFromClean(posK, s.read.parquet(s"$base/lens/db=$k"))
+            else islandsOf(posK)
+          isl.write.parquet(s"$base/cov/db$k")
         }
       })))
       // 4. verdict assembly on O(docs) slim rows; EAGER

@@ -94,11 +94,15 @@ object IncrementalAnn {
     val assigned = Similarity.assignCells(se, cents, 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
     // keyed upserts, latest tick wins — a re-ingested vector replaces its
-    // old embedding AND its old cell in one maintenance pass
-    Sinks.mergeByKeyBucket(s, s"$base/vecs",
-      se.withColumn("_tick", lit(batchId)), "vec_id", Seq("_tick"))
-    Sinks.mergeByKeyBucket(s, s"$base/assign",
-      assigned.withColumn("_tick", lit(batchId)), "vec_id", Seq("_tick"))
+    // old embedding AND its old cell in one maintenance pass. The two
+    // stores are disjoint trees fed by checkpointed/broadcast inputs, so
+    // the merges run concurrently (r15); replay is keyed-idempotent
+    // under any crash subset.
+    graft.util.Jobs.inPool(2)(Seq(
+      () => Sinks.mergeByKeyBucket(s, s"$base/vecs",
+        se.withColumn("_tick", lit(batchId)), "vec_id", Seq("_tick")),
+      () => Sinks.mergeByKeyBucket(s, s"$base/assign",
+        assigned.withColumn("_tick", lit(batchId)), "vec_id", Seq("_tick"))))
   }
 
   /** Periodic re-train: sample-bounded deterministic k-means over the
@@ -252,10 +256,12 @@ object IncrementalAnn {
     val codes = Similarity.pqEncode(subs, cb)
       .select(col("vec_id"), col("m"), col("code"))
     val key = expr(s"vec_id * ${Similarity.PqM} + m")
-    Sinks.mergeByKeyBucket(s, s"$base/subs",
-      subs.withColumn("k", key).withColumn("_tick", lit(batchId)), "k", Seq("_tick"))
-    Sinks.mergeByKeyBucket(s, s"$base/codes",
-      codes.withColumn("k", key).withColumn("_tick", lit(batchId)), "k", Seq("_tick"))
+    // disjoint stores (sub-vectors vs codes): concurrent merges (r15)
+    graft.util.Jobs.inPool(2)(Seq(
+      () => Sinks.mergeByKeyBucket(s, s"$base/subs",
+        subs.withColumn("k", key).withColumn("_tick", lit(batchId)), "k", Seq("_tick")),
+      () => Sinks.mergeByKeyBucket(s, s"$base/codes",
+        codes.withColumn("k", key).withColumn("_tick", lit(batchId)), "k", Seq("_tick"))))
   }
 
   /** Periodic re-train: codebooks over the FULL sub-vector store, full
@@ -315,8 +321,10 @@ object IncrementalAnn {
       runTicks(s, base, e.schema)
       // bound the per-bucket file sets the fold ticks accumulated (one
       // file set per touched bucket per tick) before the corpus-sized
-      // re-train reads the store; results unaffected (spec-asserted)
-      Seq("vecs", "assign").foreach(p => Sinks.compactBuckets(s, s"$base/$p"))
+      // re-train reads the store; results unaffected (spec-asserted).
+      // Disjoint stores -> concurrent compactions (r15).
+      graft.util.Jobs.inPool(2)(Seq("vecs", "assign").map(p =>
+        () => Sinks.compactBuckets(s, s"$base/$p")))
       retrain(s, base)
       serve(s, base)
     },
@@ -340,8 +348,10 @@ object IncrementalAnn {
       runTicks(s, base, e.schema)
       val del = e.select(col("vec_id"))
         .where(expr("vec_id % 9 = 4 AND vec_id >= 10")) // queries stay live
-      Sinks.deleteByKeyBucket(s, s"$base/vecs", del, "vec_id")
-      Sinks.deleteByKeyBucket(s, s"$base/assign", del, "vec_id")
+        .localCheckpoint() // both concurrent deletes read it
+      graft.util.Jobs.inPool(2)(Seq(
+        () => Sinks.deleteByKeyBucket(s, s"$base/vecs", del, "vec_id"),
+        () => Sinks.deleteByKeyBucket(s, s"$base/assign", del, "vec_id")))
       retrain(s, base)
       serve(s, base)
     },
@@ -400,7 +410,9 @@ object IncrementalAnn {
       e.repartitionByRange(2, col("vec_id")).write.parquet(s"$base/src")
       runTicks(s, base, e.schema, tickPq)
       // small-file pass over both keyed stores before the re-train scan
-      Seq("subs", "codes").foreach(p => Sinks.compactBuckets(s, s"$base/$p"))
+      // (disjoint stores -> concurrent, r15)
+      graft.util.Jobs.inPool(2)(Seq("subs", "codes").map(p =>
+        () => Sinks.compactBuckets(s, s"$base/$p")))
       retrainPq(s, base)
       servePq(s, base)
     },
@@ -422,8 +434,10 @@ object IncrementalAnn {
       .where(expr("vec_id % 9 = 4 AND vec_id >= 10")) // queries stay live
       .selectExpr(s"explode(transform(sequence(0, ${Similarity.PqM - 1}), " +
         s"m -> vec_id * ${Similarity.PqM} + m)) AS k")
-    Sinks.deleteByKeyBucket(s, s"$base/subs", delKeys, "k")
-    Sinks.deleteByKeyBucket(s, s"$base/codes", delKeys, "k")
+    val delK = delKeys.localCheckpoint() // both concurrent deletes read it
+    graft.util.Jobs.inPool(2)(Seq(
+      () => Sinks.deleteByKeyBucket(s, s"$base/subs", delK, "k"),
+      () => Sinks.deleteByKeyBucket(s, s"$base/codes", delK, "k")))
     retrainPq(s, base)
     servePq(s, base)
   }

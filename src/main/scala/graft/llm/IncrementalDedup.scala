@@ -94,25 +94,32 @@ object IncrementalDedup {
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    nvs.union(nvn).distinct()
-      .write.mode("overwrite").parquet(s"$base/cands/batch_$batchId")
-    // Per-doc distinct shingles tagged with their tick, batchId-keyed
-    // (idempotent). The tick tag is what makes RE-CRAWLS correct: a doc
-    // that arrives again in a later batch contributes two shingle sets to
-    // the store, and verification resolves each doc to its LATEST tick's
-    // set (additive df partials were dropped for exactly this reason — a
-    // replaced doc's old counts can't be subtracted from a running sum).
-    sg.withColumn("_tick", lit(batchId))
-      .write.mode("overwrite").parquet(s"$base/shingles/batch_$batchId")
-    // Doc-presence manifest for EVERY doc in the batch — including docs
-    // too short to shingle. Winner resolution reads this, not the shingle
-    // store: a re-crawl that shrinks a doc below 3 tokens must still win
-    // its doc_id (its pairs then cannot verify — current content has no
-    // shingles), or verification would silently score the STALE text.
-    // `_del` is the tombstone flag [[forgetTick]] sets; arrivals are live.
-    b.select(col("doc_id")).withColumn("_tick", lit(batchId))
-      .withColumn("_del", lit(false))
-      .write.mode("overwrite").parquet(s"$base/docs/batch_$batchId")
+    // The three per-batch artifacts below are mutually independent
+    // (disjoint batchId-keyed paths, all derived from the two
+    // checkpointed frames), so they run CONCURRENTLY (r15 — guide-style
+    // job overlap: each write's driver planning overlaps the others'
+    // executor work). Replay safety is unchanged: a crash leaving any
+    // subset written is healed by the replay's idempotent overwrites.
+    graft.util.Jobs.inPool(3)(Seq(
+      () => nvs.union(nvn).distinct()
+        .write.mode("overwrite").parquet(s"$base/cands/batch_$batchId"),
+      // Per-doc distinct shingles tagged with their tick, batchId-keyed
+      // (idempotent). The tick tag is what makes RE-CRAWLS correct: a doc
+      // that arrives again in a later batch contributes two shingle sets to
+      // the store, and verification resolves each doc to its LATEST tick's
+      // set (additive df partials were dropped for exactly this reason — a
+      // replaced doc's old counts can't be subtracted from a running sum).
+      () => sg.withColumn("_tick", lit(batchId))
+        .write.mode("overwrite").parquet(s"$base/shingles/batch_$batchId"),
+      // Doc-presence manifest for EVERY doc in the batch — including docs
+      // too short to shingle. Winner resolution reads this, not the shingle
+      // store: a re-crawl that shrinks a doc below 3 tokens must still win
+      // its doc_id (its pairs then cannot verify — current content has no
+      // shingles), or verification would silently score the STALE text.
+      // `_del` is the tombstone flag [[forgetTick]] sets; arrivals are live.
+      () => b.select(col("doc_id")).withColumn("_tick", lit(batchId))
+        .withColumn("_del", lit(false))
+        .write.mode("overwrite").parquet(s"$base/docs/batch_$batchId")))
     // band-index upsert LAST: a crash anywhere above replays the whole
     // batch against an index that does not yet contain it. Keyed by
     // (doc, band), so a re-crawled doc's new band keys REPLACE its old
@@ -442,14 +449,17 @@ object IncrementalDedup {
     * one-shot pipeline over the corpus WITHOUT the forgotten docs. */
   private[graft] def forgetTick(s: SparkSession, base: String,
                                 deleted: DataFrame, tickId: Long): Unit = {
-    val ids = deleted.select(col("doc_id"))
-    ids.withColumn("_tick", lit(tickId)).withColumn("_del", lit(true))
-      .write.mode("overwrite").parquet(s"$base/docs/batch_$tickId")
+    val ids = deleted.select(col("doc_id")).localCheckpoint()
     val bandKeys = ids
       .select(explode(array((0 until Bands).map(lit): _*)).as("band_idx"),
         col("doc_id"))
       .select((col("doc_id") * Bands + col("band_idx")).as("bkey"))
-    Sinks.deleteByKeyBucket(s, s"$base/bands", bandKeys, "bkey")
+    // tombstone write and band delete touch disjoint trees; both are
+    // replay-idempotent, so run them concurrently (r15)
+    graft.util.Jobs.inPool(2)(Seq(
+      () => ids.withColumn("_tick", lit(tickId)).withColumn("_del", lit(true))
+        .write.mode("overwrite").parquet(s"$base/docs/batch_$tickId"),
+      () => Sinks.deleteByKeyBucket(s, s"$base/bands", bandKeys, "bkey")))
   }
 
   // --- Incremental SimHash near-dup index --------------------------------
@@ -503,11 +513,14 @@ object IncrementalDedup {
                                  fpExpr: String = TextFpExpr): Unit = {
     val fp = simhashOfBatch(batch.select(col("doc_id"), col("text")), fpExpr)
       .localCheckpoint()
-    Sinks.mergeByKeyBucket(s, s"$base/fps",
-      fp.withColumn("_tick", lit(batchId)), "doc_id", Seq("_tick"))
-    Sinks.mergeByKeyBucket(s, s"$base/bands",
-      simhashBandsOf(fp).withColumn("bkey", col("doc_id") * 4 + col("band_idx")),
-      "bkey", Seq("band_key"))
+    // disjoint stores fed by the one checkpointed frame: merge both
+    // concurrently (r15) — replay is keyed-idempotent under any subset
+    graft.util.Jobs.inPool(2)(Seq(
+      () => Sinks.mergeByKeyBucket(s, s"$base/fps",
+        fp.withColumn("_tick", lit(batchId)), "doc_id", Seq("_tick")),
+      () => Sinks.mergeByKeyBucket(s, s"$base/bands",
+        simhashBandsOf(fp).withColumn("bkey", col("doc_id") * 4 + col("band_idx")),
+        "bkey", Seq("band_key"))))
   }
 
   /** Serve the near-dup pairs from the STORES: capped band self-join
@@ -544,11 +557,13 @@ object IncrementalDedup {
   private[graft] def simhashForget(s: SparkSession, base: String,
                                    deleted: DataFrame): Unit = {
     val ids = deleted.select(col("doc_id")).localCheckpoint()
-    Sinks.deleteByKeyBucket(s, s"$base/fps", ids, "doc_id")
     val bandKeys = ids
       .select(explode(array((0 until 4).map(lit): _*)).as("band_idx"), col("doc_id"))
       .select((col("doc_id") * 4 + col("band_idx")).as("bkey"))
-    Sinks.deleteByKeyBucket(s, s"$base/bands", bandKeys, "bkey")
+    // disjoint stores: both keyed deletes concurrently (r15), idempotent
+    graft.util.Jobs.inPool(2)(Seq(
+      () => Sinks.deleteByKeyBucket(s, s"$base/fps", ids, "doc_id"),
+      () => Sinks.deleteByKeyBucket(s, s"$base/bands", bandKeys, "bkey")))
   }
 
   /** Drain the file-stream of document batches through a simhash tick —

@@ -74,20 +74,34 @@ object MultiIndex {
       .foreachBatch { (b: DataFrame, id: Long) =>
         val batch = Tables.spread(b).persist()
         try {
-          IncrementalDedup.tick(s, batch, id, s"$base/minhash")
-          IncrementalDedup.simhashTick(s, batch, id, s"$base/simhash",
-            IncrementalDedup.TextFpExpr)
-          IncrementalDedup.winnowTick(s, batch, id, s"$base/winnow")
-          IncrementalRetrieval.tick(s, batch, id, s"$base/bm25")
+          // the four folds are independent (disjoint store trees, the
+          // shared batch is read-only materialized blocks), so run them
+          // CONCURRENTLY (guide-style back-fill): each fold's driver-side
+          // planning overlaps the others' executor work, and the tick
+          // floor of the batch is max(folds), not sum(folds). Store
+          // results are unchanged — per-family tick order is still the
+          // stream's order, families never touch each other's trees
+          // (Jobs.inPool's disjoint-outputs contract).
+          graft.util.Jobs.inPool(4)(Seq(
+            () => IncrementalDedup.tick(s, batch, id, s"$base/minhash"),
+            () => IncrementalDedup.simhashTick(s, batch, id, s"$base/simhash",
+              IncrementalDedup.TextFpExpr),
+            () => IncrementalDedup.winnowTick(s, batch, id, s"$base/winnow"),
+            () => IncrementalRetrieval.tick(s, batch, id, s"$base/bm25")))
         } finally batch.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // the same between-window maintenance the standalone entries run
-    Sinks.compactBuckets(s, s"$base/minhash/bands")
-    Seq("fps", "bands").foreach(p => Sinks.compactBuckets(s, s"$base/simhash/$p"))
-    Sinks.compactBuckets(s, s"$base/bm25/postings")
+    // the same between-window maintenance the standalone entries run —
+    // four disjoint store trees, compacted concurrently (r15);
+    // refreshStats stays AFTER the pool (it reads bm25/postings, and a
+    // reader racing a bucket swap can see the bucket briefly absent)
+    graft.util.Jobs.inPool(4)(Seq(
+      () => Sinks.compactBuckets(s, s"$base/minhash/bands"),
+      () => Sinks.compactBuckets(s, s"$base/simhash/fps"),
+      () => Sinks.compactBuckets(s, s"$base/simhash/bands"),
+      () => Sinks.compactBuckets(s, s"$base/bm25/postings")))
     IncrementalRetrieval.refreshStats(s, s"$base/bm25")
   }
 

@@ -788,6 +788,64 @@ class LlmSpec extends SparkSpec {
     assert(sharded === single)
   }
 
+  test("exact-substring dedup: duplication-heavy corpus takes the clean (complement) arm, row-identical") {
+    import spark.implicits._
+    // repeated positions dominate (four identical ~100-char twins) with
+    // one small unique doc — the corpus shape the complement emission is
+    // optimized for; the store merge must choose the clean arm.
+    val body = ("twin-document-body-" * 6).take(100)
+    val d = (Seq.tabulate(4)(i => ((i + 1).toLong, body)) :+
+      (9L, "only short unique doc here xyz")).toDF("doc_id", "text")
+    val single = graft.llm.Dedup.substringCoverageOf(d).collect().toSeq
+    val sharded = graft.llm.Dedup
+      .substringCoverageOf(d, shardChars = 60L).collect().toSeq
+    assert(sharded === single)
+    assert(graft.llm.Dedup.lastStoreEmission === "clean",
+      "a duplication-heavy corpus must keep the complement (clean) emission")
+  }
+
+  test("exact-substring dedup: mostly-unique corpus takes the repeated emission arm, row-identical") {
+    import spark.implicits._
+    // <5% duplicated chars (VERDICT r14 next-1's done-criterion): every
+    // doc is unique text except ONE shared 25-char run between docs 2
+    // and 5 — on this shape the clean side is ~the whole gram stream,
+    // so the store merge must flip to emitting the repeated sliver.
+    val run = "the-one-shared-25char-run" // 25 chars
+    assert(run.length === 25)
+    // avalanched per-(i,j) chars (Murmur3): a LINEAR j-hash mod 26 is an
+    // arithmetic progression -> period-26 strings full of 20-gram
+    // repeats; proper mixing leaves no accidental 20-char runs
+    val uniq = (1 to 8).map { i =>
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      (0 until 90).map { j =>
+        alpha(math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(i + ":" + j), 26))
+      }.mkString
+    }
+    val d = Seq(
+      (1L, "doc one entirely unique " + uniq(0)),
+      (2L, uniq(1) + " " + run + " " + uniq(2)),
+      (3L, "third unique body " + uniq(3)),
+      (4L, uniq(4) + " nothing shared here at all"),
+      (5L, run + " opens this doc then " + uniq(5)),
+      (6L, uniq(6) + uniq(7))
+    ).toDF("doc_id", "text")
+    val single = graft.llm.Dedup.substringCoverageOf(d).collect().toSeq
+    val sharded = graft.llm.Dedup
+      .substringCoverageOf(d, shardChars = 60L).collect().toSeq
+    assert(sharded === single)
+    assert(graft.llm.Dedup.lastStoreEmission === "repeated",
+      "a mostly-unique corpus must flip the store merge to repeated emission")
+    // sanity on content: only the sharing pair is implicated
+    val byId = single.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(2L).getAs[Long]("dup_chars") > 0L)
+    assert(byId(5L).getAs[Long]("dup_chars") > 0L)
+    Seq(1L, 3L, 4L, 6L).foreach { id =>
+      assert(byId(id).getAs[Long]("dup_chars") === 0L)
+      assert(byId(id).getAs[String]("verdict") === "keep")
+    }
+  }
+
   test("DSIR selection: target excluded; per-source budget exact; selected prefix dominates") {
     val out = SparkEntry.queries("q_llm_dsir_select")(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
